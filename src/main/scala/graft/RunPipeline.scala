@@ -1,0 +1,44 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import graft.models.FictionBankDag
+import graft.sources.Tables
+
+/** CLI equivalent of the reference's `dbt seed` + `dbt run`
+  * (reference: README.md:44-54): ingest the seed CSVs, build every model in
+  * topological order with dbt's materialization semantics, and print each
+  * relation's row count.
+  *
+  * Usage: runMain graft.RunPipeline <seedsDir> <warehouseDir>
+  */
+object RunPipeline {
+  def main(args: Array[String]): Unit = {
+    val seedsDir = if (args.length > 0) args(0) else "src/test/resources/seeds"
+    val warehouseDir = if (args.length > 1) args(1)
+      else java.nio.file.Files.createTempDirectory("graft-warehouse").toString
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName("graft-pipeline")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val seeds = Map(
+      "raw_loans" -> Tables.seedCsv(spark, s"$seedsDir/raw_loans.csv", Tables.rawLoansSchema),
+      "raw_loan_payments" -> Tables.seedCsv(spark, s"$seedsDir/raw_loan_payments.csv", Tables.rawLoanPaymentsSchema),
+      "loan_types" -> Tables.seedCsv(spark, s"$seedsDir/loan_types.csv", Tables.loanTypesSchema))
+
+    val dag = new FictionBankDag(spark, warehouseDir)
+    val built = dag.run(seeds)
+    println(s"warehouse: $warehouseDir")
+    dag.lineage.keys.toSeq.sorted.foreach { name =>
+      println(f"$name%-28s rows=${built(name).count()}")
+    }
+    built("fct_loan_details").orderBy("loan_id").show(12, truncate = false)
+    built("agg_monthly_loans_fixed").show(12, truncate = false)
+    spark.stop()
+  }
+}

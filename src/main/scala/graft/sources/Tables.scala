@@ -1,0 +1,78 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types._
+
+/** Readers for the harness parquet tables (`/root/repo/TESTDATA.md`) and the
+  * Fiction-Bank seed CSVs replicated from the reference
+  * (reference: seeds/loan_types.csv, seeds/raw_loans.csv,
+  * seeds/raw_loan_payments.csv — see SURVEY.md §1.3 / FIXTURES.md §A).
+  *
+  * Scale notes: parquet scans carry their own schema and are
+  * splittable — at 100 TB the same `spark.read.parquet(dir)` call
+  * distributes across executors; nothing here collects to the driver.
+  */
+object Tables {
+
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  /** Read one harness table. Column pruning + predicate pushdown reach the
+    * parquet scan because this is a plain datasource relation.
+    */
+  def table(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** Register every harness table as a temp view so demonstrators can be
+    * written in either the DataFrame API or `spark.sql` (same names the
+    * DuckDB oracle uses).
+    */
+  def registerAll(spark: SparkSession, dir: String): Unit =
+    names.foreach { n => table(spark, dir, n).createOrReplaceTempView(n) }
+
+  // ---------------------------------------------------------------------
+  // Fiction-Bank seeds (reference seeds/*.csv). Explicit StructTypes —
+  // never schema inference — per SURVEY.md §7.4.3. Empty CSV field → NULL
+  // (raw_loans.csv:5,9) is Spark's CSV default with these nullable types.
+  // ---------------------------------------------------------------------
+
+  val loanTypesSchema: StructType = StructType(Seq(
+    StructField("loan_type_id", IntegerType),
+    StructField("loan_type_name", StringType),
+    StructField("description", StringType),
+    StructField("typical_term_months", IntegerType),
+    StructField("min_amount", IntegerType),
+    StructField("max_amount", IntegerType)))
+
+  val rawLoansSchema: StructType = StructType(Seq(
+    StructField("loan_id", StringType),
+    StructField("customer_id", StringType),
+    StructField("loan_type_id", IntegerType),
+    StructField("loan_amount", LongType),
+    StructField("interest_rate", DoubleType),
+    StructField("loan_start_date", StringType),
+    StructField("loan_term_months", IntegerType),
+    StructField("property_address", StringType),
+    StructField("property_value", LongType)))
+
+  val rawLoanPaymentsSchema: StructType = StructType(Seq(
+    StructField("payment_id", StringType),
+    StructField("loan_id", StringType),
+    StructField("payment_date", StringType),
+    StructField("payment_amount", DoubleType),
+    StructField("principal_paid", DoubleType),
+    StructField("interest_paid", DoubleType),
+    StructField("payment_status", StringType)))
+
+  /** CSV seed ingest (SURVEY §2A S1): header row, quoted fields with embedded
+    * commas, empty field → NULL. Reads from a directory containing the three
+    * seed CSVs (tests ship replicas under src/test/resources/seeds).
+    */
+  def seedCsv(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read
+      .option("header", "true")
+      .option("quote", "\"")
+      .schema(schema)
+      .csv(path)
+}
