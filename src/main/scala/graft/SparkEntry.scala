@@ -1,14 +1,15 @@
 package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
 import org.apache.spark.sql.functions._
-import graft.queries.RelationalDemos
+import graft.queries.{DedupDemos, RelationalDemos, SimilarityDemos}
 import graft.sources.Tables
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
 
   /** Every registered demonstrator (SURVEY §2 inventory). */
-  private def demos: Seq[RelationalDemos.Demo] = RelationalDemos.all
+  private def demos: Seq[RelationalDemos.Demo] =
+    RelationalDemos.all ++ DedupDemos.all ++ SimilarityDemos.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * Same shape as the reference's flagship business question (LTV + payment

@@ -1,0 +1,57 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Deterministic, SQL-portable hashing used by the dedup / fingerprint
+  * operators (SURVEY.md §2B X2). Everything is exact int64 arithmetic so the
+  * DuckDB oracle can compute bit-identical values with the same formulas —
+  * no engine-native hash (Spark murmur vs DuckDB's) is ever exposed.
+  *
+  * All constants are chosen so intermediates stay < 2^63:
+  *   - char-polynomial hashes live in [0, 2^30)
+  *   - minhash permutations use p = 2^31-1; a*x+b < 2^31 * 2^30 < 2^62.
+  */
+object Hashing {
+
+  /** Hash-space modulus for char-polynomial hashes: 2^30. */
+  val Mod: Long = 1L << 30
+
+  /** Mersenne prime 2^31-1 for minhash permutations. */
+  val P: Long = 2147483647L
+
+  /** Polynomial rolling hash of a string, base 31 mod 2^30 — the classic
+    * deterministic string hash, expressed with higher-order functions only
+    * (portable to the oracle as list_reduce over generate_series).
+    */
+  def charPolyHash(s: Column): Column =
+    aggregate(
+      transform(sequence(lit(1), length(s)), i => ascii(s.substr(i, lit(1))).cast("long")),
+      lit(0L),
+      (acc, v) => (acc * 31 + v) % Mod)
+
+  /** Minhash permutation s applied to a base hash x:
+    * (a_s * x + b_s) mod p with a_s, b_s derived from the seed index by a
+    * fixed integer formula (no RNG — deterministic across engines/runs).
+    */
+  def minhashPerm(seed: Int, x: Column): Column = {
+    val a = (seed.toLong * 2654435761L + 1L) % P
+    val b = (seed.toLong * 40503L + 7L) % P
+    (lit(a) * x + lit(b)) % P
+  }
+
+  /** a_s / b_s as SQL text for oracle generation. */
+  def permA(seed: Int): Long = (seed.toLong * 2654435761L + 1L) % P
+  def permB(seed: Int): Long = (seed.toLong * 40503L + 7L) % P
+
+  /** Number of minhash permutations (64 bands of r=2). */
+  val MinhashK: Int = 128
+
+  /** The 128 min-aggregate columns of a minhash signature over a base-hash
+    * column `x` — shaped for groupBy(doc).agg(...): partial (map-side) mins
+    * combine associatively, so the shuffle carries one 128-long row per doc
+    * regardless of document size.
+    */
+  def minhashSigAggs: Seq[Column] =
+    (0 until MinhashK).map(s => min(minhashPerm(s, org.apache.spark.sql.functions.col("x"))).as(s"m$s"))
+}
