@@ -39,12 +39,14 @@ object DedupDemos {
           element_at(tokens, i + 2),
           element_at(tokens, i + 3))))
 
-  /** DuckDB equivalents of the shared CTEs (same shingle definition). */
-  private val oracleShingleCtes = """
+  /** DuckDB equivalents of the shared CTEs (same shingle definition).
+    * `extraWhere` bounds brute-force demos to a fixed sample (see x2c).
+    */
+  private def oracleShingleCtes(extraWhere: String = ""): String = s"""
       WITH tok AS (
         SELECT doc_id, string_split(text, ' ') AS toks
         FROM documents
-        WHERE len(string_split(text, ' ')) >= 3),
+        WHERE len(string_split(text, ' ')) >= 3$extraWhere),
       sh AS (
         SELECT doc_id,
                list_distinct(list_transform(generate_series(1, len(toks)-2),
@@ -59,8 +61,8 @@ object DedupDemos {
     inter.cast("double") / (size(a) + size(b) - inter)
   }
 
-  private def oracleJaccardPairs(threshold: Double): String = s"""
-      $oracleShingleCtes
+  private def oracleJaccardPairs(threshold: Double, extraWhere: String = ""): String = s"""
+      ${oracleShingleCtes(extraWhere)}
       SELECT a.doc_id AS id_a, b.doc_id AS id_b,
              cast(len(list_intersect(a.shs, b.shs)) AS double)
                / (len(a.shs) + len(b.shs) - len(list_intersect(a.shs, b.shs))) AS jaccard
@@ -172,12 +174,14 @@ object DedupDemos {
 
   // -------------------------------------------------------------------
   // X2c: n-gram (3-token shingle) Jaccard, brute force — the exact
-  // semantics the LSH path approximates. O(n^2): correctness demonstrator
-  // only; at scale use x2b_minhash_lsh.
+  // semantics the LSH path approximates. O(n^2), so bounded to a fixed
+  // 1000-doc sample: this is the correctness demonstrator; the full-corpus
+  // scale path is x2b_minhash_lsh (O(n·bands) shuffle).
   // -------------------------------------------------------------------
-  private val x2c = Demo("x2c_ngram_jaccard", Some(oracleJaccardPairs(0.05)),
+  private val x2c = Demo("x2c_ngram_jaccard",
+    Some(oracleJaccardPairs(0.05, " AND doc_id < 1000")),
     (s, dir) => {
-      val sets = shingleSets(s, dir)
+      val sets = shingleSets(s, dir).filter(col("doc_id") < 1000)
       sets.alias("a")
         .join(sets.alias("b"), col("a.doc_id") < col("b.doc_id"))
         .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
@@ -232,15 +236,16 @@ object DedupDemos {
   // X2e: embedding-cosine near-dup pairs. Embeddings are quantized to
   // int64 (floor(x * 10^4)) so dot products and norms are EXACT integers;
   // the final cosine is one deterministic IEEE expression — bit-identical
-  // across engines. Brute-force pairs here; the bucketed scale path is in
-  // SimilarityDemos (x3).
+  // across engines. Brute-force O(n^2) pairs, bounded to a fixed 1000-vector
+  // sample; the bucketed full-corpus scale path is in SimilarityDemos (x3b).
   // -------------------------------------------------------------------
   private val x2e = Demo("x2e_embed_neardup", Some("""
       WITH q AS (
         SELECT vec_id,
                list_transform(embedding, x ->
                  cast(floor(cast(x AS double) * 10000) AS bigint)) AS qv
-        FROM embeddings),
+        FROM embeddings
+        WHERE vec_id < 1000),
       n AS (
         SELECT vec_id, qv,
                cast(list_sum(list_transform(qv, v -> v * v)) AS bigint) AS nq
@@ -253,7 +258,7 @@ object DedupDemos {
       WHERE cosine >= 0.4
       ORDER BY vec_a ASC NULLS LAST, vec_b ASC NULLS LAST"""),
     (s, dir) => {
-      val q = t(s, dir, "embeddings").select(col("vec_id"),
+      val q = t(s, dir, "embeddings").filter(col("vec_id") < 1000).select(col("vec_id"),
         transform(col("embedding"), x => floor(x.cast("double") * 10000).cast("long")).as("qv"))
       val n = q.select(col("vec_id"), col("qv"),
         aggregate(transform(col("qv"), v => v * v), lit(0L), (a, v) => a + v).as("nq"))

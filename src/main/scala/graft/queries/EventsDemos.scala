@@ -1,0 +1,153 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.queries.RelationalDemos.Demo
+import graft.sources.Tables
+
+/** Event-stream operators (SURVEY.md §2B X4 JSON columns + X6 windowed
+  * aggregation) over the `events` table (`ts TIMESTAMP, user_id, event_type,
+  * value DOUBLE, props JSON-string`).
+  *
+  * The windowed aggregations here are the BATCH-equivalent declarations —
+  * the exact same transformations run unchanged on a streaming DataFrame
+  * via [[graft.streaming.StreamingPipelines]] (one definition, two run
+  * modes; the streaming runtime is asserted equivalent to these batch
+  * results in StreamingSpec, SURVEY §7.4.9). Money-ish sums of `value` go
+  * through DECIMAL(18,2) so partial-aggregation order can't perturb them.
+  *
+  * Scale: all aggs shuffle on (bounded-cardinality key × time bucket);
+  * session windows shuffle once on user_id — the same partitioning
+  * mapGroupsWithState would use, so the batch plan previews the
+  * streaming-state layout.
+  */
+object EventsDemos {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.table(s, dir, name)
+
+  private val dec2 = DecimalType(18, 2)
+
+  // -------------------------------------------------------------------
+  // X4a: JSON prop extraction + typed aggregation. props = {"k": int} —
+  // schema-on-read with from_json (not get_json_object: typed extraction
+  // prunes to one parse per row and stays codegen-friendly).
+  // -------------------------------------------------------------------
+  private val x4a = Demo("x4a_json_props", Some("""
+      SELECT event_type,
+             count(*) AS n,
+             min(cast(json_extract(props, '$.k') AS bigint)) AS min_k,
+             max(cast(json_extract(props, '$.k') AS bigint)) AS max_k,
+             sum(cast(json_extract(props, '$.k') AS bigint)) AS sum_k
+      FROM events
+      GROUP BY 1
+      ORDER BY event_type ASC NULLS LAST"""),
+    (s, dir) => t(s, dir, "events")
+      .select(col("event_type"),
+        from_json(col("props"), StructType(Seq(StructField("k", LongType))))
+          .getField("k").as("k"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        min(col("k")).as("min_k"),
+        max(col("k")).as("max_k"),
+        sum(col("k")).as("sum_k"))
+      .orderBy(col("event_type").asc_nulls_last))
+
+  // -------------------------------------------------------------------
+  // X6a: tumbling 1-hour window aggregation by event_type — the canonical
+  // streaming agg, declared with window() so the identical expression runs
+  // under readStream+watermark.
+  // -------------------------------------------------------------------
+  private val x6a = Demo("x6a_window_tumbling", Some("""
+      SELECT date_trunc('hour', ts) AS window_start,
+             event_type,
+             count(*) AS n_events,
+             cast(sum(cast(value AS decimal(18,2))) AS decimal(18,2)) AS total_value
+      FROM events
+      GROUP BY 1, 2
+      ORDER BY window_start ASC NULLS LAST, event_type ASC NULLS LAST"""),
+    (s, dir) => tumbling(t(s, dir, "events"))
+      .orderBy(col("window_start").asc_nulls_last, col("event_type").asc_nulls_last))
+
+  /** The shared batch/streaming tumbling-agg transformation. */
+  def tumbling(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast(dec2)).cast(dec2).as("total_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n_events"), col("total_value"))
+
+  // -------------------------------------------------------------------
+  // X6b: sliding window (1 hour, slide 30 min) — each event lands in 2
+  // windows. Oracle replicates by unnesting the two candidate starts.
+  // -------------------------------------------------------------------
+  private val x6b = Demo("x6b_window_sliding", Some("""
+      SELECT w AS window_start,
+             count(*) AS n_events,
+             cast(sum(cast(value AS decimal(18,2))) AS decimal(18,2)) AS total_value
+      FROM (SELECT value,
+                   unnest([ts_b, ts_b - INTERVAL 30 MINUTE]) AS w
+            FROM (SELECT value,
+                         date_trunc('hour', ts)
+                           + CASE WHEN minute(ts) >= 30 THEN INTERVAL 30 MINUTE
+                                  ELSE INTERVAL 0 MINUTE END AS ts_b
+                  FROM events))
+      GROUP BY 1
+      ORDER BY window_start ASC NULLS LAST"""),
+    (s, dir) => sliding(t(s, dir, "events"))
+      .orderBy(col("window_start").asc_nulls_last))
+
+  /** The shared batch/streaming sliding-agg transformation. */
+  def sliding(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "1 hour", "30 minutes"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast(dec2)).cast(dec2).as("total_value"))
+      .select(col("window.start").as("window_start"),
+        col("n_events"), col("total_value"))
+
+  // -------------------------------------------------------------------
+  // X6c: session windows per user (30-minute gap) — Spark's native
+  // session_window (merge-on-gap). The oracle derives identical sessions
+  // relationally: lag() per user → new-session flag → running sum =
+  // session id → group. Session end = last event + gap (Spark semantics).
+  // -------------------------------------------------------------------
+  private val x6c = Demo("x6c_window_session", Some("""
+      WITH flagged AS (
+        SELECT user_id, event_id, ts, value,
+               CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                         <= INTERVAL 30 MINUTE THEN 0 ELSE 1 END AS new_session
+        FROM events),
+      sessions AS (
+        SELECT user_id, ts, value,
+               sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS UNBOUNDED PRECEDING) AS sid
+        FROM flagged)
+      SELECT user_id,
+             min(ts) AS session_start,
+             max(ts) + INTERVAL 30 MINUTE AS session_end,
+             count(*) AS n_events,
+             cast(sum(cast(value AS decimal(18,2))) AS decimal(18,2)) AS total_value
+      FROM sessions
+      GROUP BY user_id, sid
+      ORDER BY user_id ASC NULLS LAST, session_start ASC NULLS LAST"""),
+    (s, dir) => session(t(s, dir, "events"))
+      .orderBy(col("user_id").asc_nulls_last, col("session_start").asc_nulls_last))
+
+  /** The shared batch/streaming session-agg transformation. */
+  def session(events: DataFrame): DataFrame =
+    events
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast(dec2)).cast(dec2).as("total_value"))
+      .select(col("user_id"),
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("n_events"), col("total_value"))
+      .select(col("user_id"), col("session_start"), col("session_end"),
+        col("n_events"), col("total_value"))
+
+  val all: Seq[Demo] = Seq(x4a, x6a, x6b, x6c)
+}

@@ -1,6 +1,7 @@
 package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 /** Readers for the harness parquet tables (`/root/repo/TESTDATA.md`) and the
@@ -20,9 +21,19 @@ object Tables {
 
   /** Read one harness table. Column pruning + predicate pushdown reach the
     * parquet scan because this is a plain datasource relation.
+    *
+    * `events.ts` is physically parquet TIMESTAMP(NANOS), which Spark's
+    * vectorized reader rejects; read it as raw nanos (legacy conf) and
+    * truncate to microsecond TIMESTAMP — exactly what DuckDB does when it
+    * loads the same file into its micro-precision TIMESTAMP, so oracle
+    * comparisons stay bit-identical.
     */
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+    if (name == "events") {
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      spark.read.parquet(s"$dir/$name.parquet")
+        .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    } else spark.read.parquet(s"$dir/$name.parquet")
 
   /** Register every harness table as a temp view so demonstrators can be
     * written in either the DataFrame API or `spark.sql` (same names the
