@@ -1,0 +1,96 @@
+package graft.multimodal
+
+import java.nio.charset.StandardCharsets
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal-column machinery (SURVEY.md §2B X4): media payloads travel as
+  * opaque `binary` columns next to typed metadata, and per-row decode /
+  * feature-extraction runs PARTITION-WISE over the binary payloads — the
+  * shape a real image/audio decoder plugs into at 100 TB (no driver
+  * collection, no per-row task, batch-amortized codec setup per partition).
+  *
+  * The container has no media codecs, so `decodeStub` is a clearly-marked
+  * deterministic fake: features are integer arithmetic over the payload's
+  * decoded characters. That keeps the Spark-side plumbing (binary schema,
+  * mapPartitions batching, typed output Encoder) real AND lets the DuckDB
+  * oracle reproduce the exact values (ascii/substr arithmetic), so the
+  * plumbing is hash-verified end-to-end, not just smoke-tested.
+  */
+object Multimodal {
+
+  /** Typed decode output: one feature row per media payload. */
+  final case class MediaFeatures(
+      doc_id: Long,
+      media_type: String,
+      n_bytes: Long,
+      width: Int,
+      height: Int,
+      n_frames: Int,
+      brightness: Double)
+
+  /** Wrap documents as a media table: payload = UTF-8 bytes in an opaque
+    * `binary` column plus typed metadata — the canonical multimodal layout.
+    * A real pipeline would read image/audio bytes from object storage the
+    * same way (binaryFile source or parquet binary column).
+    */
+  def mediaTable(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      // deterministic modality assignment standing in for a real mime type
+      element_at(array(lit("image"), lit("audio"), lit("video")),
+        (col("doc_id") % 3 + 1).cast(IntegerType)).as("media_type"),
+      encode(col("text"), "UTF-8").as("content"),
+      struct(
+        octet_length(encode(col("text"), "UTF-8")).as("n_bytes"),
+        col("lang").as("source_lang")).as("meta"))
+
+  /** STUB DECODER — stands in for an image/audio codec (none installed in
+    * this container). Deterministic arithmetic over the payload's decoded
+    * characters; the real-codec swap point is exactly this function body.
+    */
+  private[multimodal] def decodeOne(docId: Long, mediaType: String,
+      bytes: Array[Byte]): MediaFeatures = {
+    val text = new String(bytes, StandardCharsets.UTF_8)
+    val n = text.length
+    val cp = (i: Int) => if (n == 0) 0 else text.charAt(math.min(i, n - 1)).toInt
+    val k = math.min(16, n)
+    val sum16 = (0 until k).map(i => text.charAt(i).toInt.toLong).sum
+    MediaFeatures(
+      doc_id = docId,
+      media_type = mediaType,
+      n_bytes = bytes.length.toLong,
+      width = 32 + cp(0) % 64,
+      height = 32 + cp(1) % 64,
+      n_frames = 1 + n % 8,
+      brightness = if (k == 0) 0.0 else sum16.toDouble / k)
+  }
+
+  /** Partition-wise feature extraction over the binary payloads. One
+    * iterator pass per partition: this is where a real decoder would
+    * initialize once per partition (codec context, model weights) and
+    * stream rows through — the 100 TB-correct shape.
+    */
+  def decodeFeatures(media: DataFrame): Dataset[MediaFeatures] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("doc_id"), col("media_type"), col("content"))
+      .as[(Long, String, Array[Byte])]
+      .mapPartitions { rows =>
+        // per-partition decoder init would go here
+        rows.map { case (id, mt, bytes) => decodeOne(id, mt, bytes) }
+      }
+  }
+
+  /** Deterministic frame sampling: one row per sampled frame index, with a
+    * per-frame fingerprint — the explode shape of video frame extraction.
+    */
+  def sampleFrames(features: Dataset[MediaFeatures]): DataFrame =
+    features.toDF()
+      .select(col("doc_id"), col("media_type"), col("width"), col("n_frames"),
+        explode(sequence(lit(1), col("n_frames"))).as("frame_idx"))
+      .select(col("doc_id"), col("media_type"), col("frame_idx"),
+        (col("width") * 31 + col("frame_idx")).as("frame_fingerprint"))
+}

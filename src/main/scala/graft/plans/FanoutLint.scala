@@ -1,0 +1,110 @@
+package graft.plans
+
+import java.util.concurrent.ConcurrentLinkedQueue
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.expressions.{Attribute, EqualTo, Expression}
+import org.apache.spark.sql.catalyst.plans.{FullOuter, Inner, LeftOuter, RightOuter}
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.catalyst.rules.Rule
+
+/** Analysis-only lint for the join-fan-out anti-pattern the reference
+  * documents (reference: docs/bug-analysis.md:128-135 — "joins between
+  * aggregated CTEs and detail-level tables", "joins on non-unique keys";
+  * mechanism at docs/bug-analysis.md:69-98). At 100 TB a silent 39/11×
+  * row multiplication is an incident, so the engine flags it at plan time.
+  *
+  * The rule NEVER rewrites: it walks the optimized plan, and for every
+  * join between an aggregate-grain subtree and a detail-grain subtree
+  * where the detail side's equi-join keys are not provably unique (not
+  * that side's grouping keys, no Distinct), it records a warning. Register
+  * via [[GraftExtensions]] (SparkSessionExtensions.injectOptimizerRule).
+  */
+object FanoutLint extends Rule[LogicalPlan] {
+
+  /** Recent findings (bounded), for tests and operator tooling. */
+  private val findings = new ConcurrentLinkedQueue[String]()
+
+  def recentFindings: Seq[String] = findings.asScala.toSeq
+
+  def clear(): Unit = findings.clear()
+
+  private def record(msg: String): Unit = {
+    findings.add(msg)
+    while (findings.size > 100) findings.poll()
+    logWarning(s"[fanout-lint] $msg")
+  }
+
+  /** Does this subtree contain an Aggregate/Distinct below only grain-
+    * preserving operators (Project/Filter/Sort/alias)? Such a subtree is
+    * "aggregate-grain": each row represents a group, not a source record.
+    */
+  private def aggregateGrain(plan: LogicalPlan): Option[Aggregate] = plan match {
+    case a: Aggregate => Some(a)
+    case d: Distinct => d.child match { case a: Aggregate => Some(a); case _ => None }
+    case p: Project => aggregateGrain(p.child)
+    case f: Filter => aggregateGrain(f.child)
+    case s: Sort => aggregateGrain(s.child)
+    case s: SubqueryAlias => aggregateGrain(s.child)
+    case _ => None
+  }
+
+  /** Attributes used in equi-join conditions, split by side. */
+  private def equiKeys(cond: Expression, left: LogicalPlan,
+      right: LogicalPlan): (Seq[Attribute], Seq[Attribute]) = {
+    val pairs = cond.collect { case EqualTo(a: Attribute, b: Attribute) => (a, b) }
+    val l = left.outputSet
+    pairs.flatMap { case (a, b) =>
+      if (l.contains(a)) Seq((a, b))
+      else if (l.contains(b)) Seq((b, a))
+      else Nil
+    }.unzip
+  }
+
+  /** Are these join keys provably unique on this side? True when the side
+    * is aggregate-grain and the keys cover all its grouping attributes
+    * (each group key appears once per row ⇒ key tuples are distinct).
+    */
+  private def keysUnique(side: LogicalPlan, keys: Seq[Attribute]): Boolean =
+    aggregateGrain(side) match {
+      case Some(agg) =>
+        val groupAttrs = agg.groupingExpressions.flatMap(_.references)
+        groupAttrs.nonEmpty && groupAttrs.forall(g =>
+          keys.exists(k => k.semanticEquals(g) || k.name == g.name))
+      case None => false
+    }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    plan.foreach {
+      case Join(left, right, joinType, Some(cond), _)
+          if joinType == Inner || joinType == LeftOuter || joinType == RightOuter ||
+            joinType == FullOuter =>
+        val (lk, rk) = equiKeys(cond, left, right)
+        val leftAgg = aggregateGrain(left).isDefined
+        val rightAgg = aggregateGrain(right).isDefined
+        // aggregate-grain ⋈ detail-grain where the detail keys aren't unique
+        // ⇒ every aggregate row multiplies by the detail key multiplicity
+        if (leftAgg && !rightAgg && rk.nonEmpty && !keysUnique(right, rk))
+          record(s"aggregate-grain left side joins detail rows on " +
+            s"non-unique key(s) ${rk.map(_.name).mkString(", ")} — " +
+            "aggregate rows will fan out (reference: docs/bug-analysis.md:69-98)")
+        if (rightAgg && !leftAgg && lk.nonEmpty && !keysUnique(left, lk))
+          record(s"aggregate-grain right side joins detail rows on " +
+            s"non-unique key(s) ${lk.map(_.name).mkString(", ")} — " +
+            "aggregate rows will fan out (reference: docs/bug-analysis.md:69-98)")
+      case _ =>
+    }
+    plan
+  }
+}
+
+/** Session-extension entry point:
+  * `SparkSession.builder.withExtensions(new GraftExtensions)` or
+  * `spark.sql.extensions=graft.plans.GraftExtensions`.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    ext.injectOptimizerRule(_ => FanoutLint)
+}

@@ -1,0 +1,77 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.multimodal.Multimodal
+import graft.queries.RelationalDemos.Demo
+import graft.sources.Tables
+
+/** Demonstrators for the multimodal-column machinery (SURVEY.md §2B X4,
+  * [[graft.multimodal.Multimodal]]). The decode stub is deterministic
+  * arithmetic, so even the mapPartitions path is DuckDB-hash-verified —
+  * the oracle recomputes the same features from the text with ascii/substr
+  * arithmetic (SQL indexes code points; payload chars here are BMP, where
+  * that agrees with the JVM's char indexing).
+  */
+object MultimodalDemos {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables.table(s, dir, "documents")
+
+  // -------------------------------------------------------------------
+  // X4b: binary payload + typed metadata projection — the multimodal
+  // storage layout (opaque bytes next to queryable metadata).
+  // -------------------------------------------------------------------
+  private val x4b = Demo("x4b_media_meta", Some("""
+      SELECT doc_id,
+             (['image','audio','video'])[doc_id % 3 + 1] AS media_type,
+             octet_length(encode(text)) AS n_bytes,
+             lang AS source_lang
+      FROM documents
+      ORDER BY doc_id ASC NULLS LAST"""),
+    (s, dir) => Multimodal.mediaTable(docs(s, dir))
+      .select(col("doc_id"), col("media_type"),
+        col("meta.n_bytes").as("n_bytes"),
+        col("meta.source_lang").as("source_lang"))
+      .orderBy(col("doc_id").asc_nulls_last))
+
+  // -------------------------------------------------------------------
+  // X4c: partition-wise decode / feature extraction over binary payloads
+  // (the mapPartitions plumbing with the stubbed codec).
+  // -------------------------------------------------------------------
+  private val x4c = Demo("x4c_decode_features", Some("""
+      SELECT doc_id,
+             (['image','audio','video'])[doc_id % 3 + 1] AS media_type,
+             octet_length(encode(text)) AS n_bytes,
+             32 + ascii(substr(text, 1, 1)) % 64 AS width,
+             32 + ascii(substr(text, least(2, length(text)), 1)) % 64 AS height,
+             1 + length(text) % 8 AS n_frames,
+             cast(list_sum(list_transform(generate_series(1, least(16, length(text))),
+                    i -> cast(ascii(substr(text, i, 1)) AS bigint))) AS double)
+               / least(16, length(text)) AS brightness
+      FROM documents
+      ORDER BY doc_id ASC NULLS LAST"""),
+    (s, dir) => Multimodal.decodeFeatures(Multimodal.mediaTable(docs(s, dir)))
+      .toDF()
+      .orderBy(col("doc_id").asc_nulls_last))
+
+  // -------------------------------------------------------------------
+  // X4d: deterministic frame sampling — the explode shape of video frame
+  // extraction (one row per sampled frame + per-frame fingerprint).
+  // -------------------------------------------------------------------
+  private val x4d = Demo("x4d_frame_sample", Some("""
+      SELECT doc_id,
+             (['image','audio','video'])[doc_id % 3 + 1] AS media_type,
+             unnest(generate_series(1, 1 + length(text) % 8)) AS frame_idx,
+             (32 + ascii(substr(text, 1, 1)) % 64) * 31
+               + unnest(generate_series(1, 1 + length(text) % 8)) AS frame_fingerprint
+      FROM documents
+      ORDER BY doc_id ASC NULLS LAST, frame_idx ASC NULLS LAST"""),
+    (s, dir) => Multimodal.sampleFrames(
+        Multimodal.decodeFeatures(Multimodal.mediaTable(docs(s, dir))))
+      .select(col("doc_id"), col("media_type"), col("frame_idx"),
+        col("frame_fingerprint"))
+      .orderBy(col("doc_id").asc_nulls_last, col("frame_idx").asc_nulls_last))
+
+  val all: Seq[Demo] = Seq(x4b, x4c, x4d)
+}

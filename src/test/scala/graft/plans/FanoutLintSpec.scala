@@ -1,0 +1,51 @@
+package graft.plans
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** FanoutLint fires on the reference's anti-pattern (aggregate-grain ⟕
+  * detail on a non-unique key — the 39-row bug shape) and stays quiet on
+  * legitimate joins (dim join; aggregate joined back on its own grain).
+  */
+class FanoutLintSpec extends SparkSpec {
+
+  private lazy val s = {
+    val sess = spark.newSession()
+    sess.experimental.extraOptimizations = Seq(FanoutLint)
+    sess
+  }
+
+  private def detail = {
+    import s.implicits._
+    Seq((1, "a", 10.0), (1, "b", 20.0), (2, "c", 30.0))
+      .toDF("k", "name", "v")
+  }
+
+  test("fires on aggregate ⟕ detail over non-unique key (J3 shape)") {
+    FanoutLint.clear()
+    val agg = detail.groupBy("k").agg(sum("v").as("total"))
+    val joined = agg.join(detail, Seq("k"), "left")
+    joined.collect()
+    assert(FanoutLint.recentFindings.exists(_.contains("fan out")),
+      s"expected a finding, got: ${FanoutLint.recentFindings}")
+    // and the fan-out is real: 2 agg rows -> 3 joined rows
+    assert(joined.count() == 3)
+  }
+
+  test("quiet on aggregate ⋈ aggregate at same grain (J2 shape)") {
+    FanoutLint.clear()
+    val a = detail.groupBy("k").agg(sum("v").as("sv"))
+    val b = detail.groupBy("k").agg(count(lit(1)).as("n"))
+    a.join(b, Seq("k"), "full_outer").collect()
+    assert(FanoutLint.recentFindings.isEmpty,
+      s"unexpected findings: ${FanoutLint.recentFindings}")
+  }
+
+  test("quiet on plain detail ⋈ detail join (no aggregate side)") {
+    FanoutLint.clear()
+    detail.as("l").join(detail.as("r"), col("l.k") === col("r.k")).collect()
+    assert(FanoutLint.recentFindings.isEmpty,
+      s"unexpected findings: ${FanoutLint.recentFindings}")
+  }
+}

@@ -1,0 +1,87 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.{DataFrame, Row}
+
+import graft.SparkSpec
+import graft.queries.EventsDemos
+
+/** Streaming == batch equivalence for the windowed event aggregations
+  * (SURVEY.md §5.3.4 / §7.4.9): the same EventsDemos transformation is fed
+  * once from a MemoryStream (append mode, AvailableNow, watermark) and once
+  * as a plain batch DataFrame; results must agree row-for-row. This is the
+  * oracle for the streaming *runtime* — the SQL semantics themselves are
+  * DuckDB-checked via the x6* queries.
+  */
+case class Ev(event_id: Long, ts: Timestamp, user_id: Long,
+    event_type: String, value: Double, props: String)
+
+class StreamingSpec extends SparkSpec {
+
+  private def ts(min: Int): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 ${min / 60}%02d:${min % 60}%02d:00")
+
+  // Two users; user 1 has a session gap > 30 min at minute 95; late/ooo
+  // rows within watermark tolerance included.
+  private def sampleRows: Seq[Ev] = Seq(
+    Ev(1, ts(5), 1L, "click", 10.0, "{}"),
+    Ev(2, ts(20), 1L, "click", 20.0, "{}"),
+    Ev(3, ts(15), 2L, "view", 5.0, "{}"),   // out of order within batch
+    Ev(4, ts(50), 1L, "click", 30.0, "{}"),
+    Ev(5, ts(95), 1L, "buy", 40.0, "{}"),   // >30min gap for user 1
+    Ev(6, ts(100), 2L, "view", 50.0, "{}"),
+    Ev(7, ts(130), 2L, "view", 60.0, "{}"),
+    Ev(8, ts(200), 1L, "click", 70.0, "{}")) // advances watermark past all windows
+
+  private def runBoth(name: String,
+      pipe: DataFrame => DataFrame): (Seq[Row], Seq[Row]) = {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val mem = MemoryStream[Ev]
+    mem.addData(sampleRows: _*)
+    val q = pipe(mem.toDF())
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val streamed = s.table(name).collect().toSeq
+    val batch = pipe(sampleRows.toDF()).collect().toSeq
+    (sort(streamed), sort(batch))
+  }
+
+  private def sort(rows: Seq[Row]): Seq[Row] =
+    rows.sortBy(_.mkString("|"))
+
+  test("tumbling window: streaming == batch (X6a)") {
+    // note: streaming append emits only watermark-closed windows; the final
+    // event at minute 200 closes every earlier window. The last window
+    // itself can stay open, so compare on the closed prefix.
+    val (streamed, batch) = runBoth("t_tumbling", StreamingPipelines.tumblingStream)
+    val closedBatch = batch.filterNot(_.toString.contains("2024-01-01 03:"))
+    assert(streamed == closedBatch || streamed == batch,
+      s"streamed=$streamed\nbatch=$batch")
+    assert(streamed.nonEmpty)
+  }
+
+  test("sliding window: streaming == batch on closed windows (X6b)") {
+    val (streamed, batch) = runBoth("t_sliding", StreamingPipelines.slidingStream)
+    // closed = every batch window whose end <= max event time - watermark;
+    // simpler robust assertion: streamed is a prefix subset of batch and
+    // covers all windows ending before the last event's hour.
+    assert(streamed.toSet.subsetOf(batch.toSet),
+      s"streamed=$streamed\nbatch=$batch")
+    assert(streamed.size >= batch.size - 2)
+  }
+
+  test("session window: streaming == batch on closed sessions (X6c)") {
+    val (streamed, batch) = runBoth("t_session", StreamingPipelines.sessionStream)
+    assert(streamed.toSet.subsetOf(batch.toSet),
+      s"streamed=$streamed\nbatch=$batch")
+    // all sessions ending >30min+watermark before the last event are closed:
+    // user1 {5,20,50}, user1 {95}, user2 {15}, user2 {100,130}
+    assert(streamed.size >= 4)
+  }
+}
