@@ -54,4 +54,13 @@ object Hashing {
     */
   def minhashSigAggs: Seq[Column] =
     (0 until MinhashK).map(s => min(minhashPerm(s, org.apache.spark.sql.functions.col("x"))).as(s"m$s"))
+
+  /** Register the codegen'd kernels (`dot_long`, `char_poly_hash`) in the
+    * session function registry. Idempotent; called by demo builders.
+    */
+  def registerAll(spark: org.apache.spark.sql.SparkSession): Unit = {
+    DotProductLong.register(spark)
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "char_poly_hash", exprs => CharPolyHash(exprs.head), "built-in")
+  }
 }

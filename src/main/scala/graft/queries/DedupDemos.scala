@@ -70,11 +70,20 @@ object DedupDemos {
       WHERE jaccard >= $threshold
       ORDER BY id_a ASC NULLS LAST, id_b ASC NULLS LAST"""
 
-  /** docs with >= 3 tokens and their distinct shingle sets. */
-  private def shingleSets(s: SparkSession, dir: String): DataFrame =
+  /** docs with >= 3 tokens and their distinct shingle sets. The token
+    * array goes through its own projection so `split(text)` materializes
+    * once per row — inlining it into the shingle lambda would recompute
+    * the split per element_at (O(tokens²·chars) per doc; CollapseProject
+    * keeps the boundary because the reference is non-cheap and repeated).
+    */
+  private def tokArrays(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents")
-      .filter(size(toks) >= 3)
-      .select(col("doc_id"), shingleSet(toks).as("shs"))
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .filter(size(col("toks")) >= 3)
+
+  private def shingleSets(s: SparkSession, dir: String): DataFrame =
+    tokArrays(s, dir)
+      .select(col("doc_id"), shingleSet(col("toks")).as("shs"))
 
   // -------------------------------------------------------------------
   // X1: exact dedup — keep-first by key via window row_number. Scales as
@@ -101,11 +110,7 @@ object DedupDemos {
   // canary for the nested higher-order-function hash machinery.
   // -------------------------------------------------------------------
   private val tokenHashes: Column =
-    transform(toks, tk =>
-      aggregate(
-        transform(sequence(lit(1), length(tk)), i => ascii(tk.substr(i, lit(1))).cast("long")),
-        lit(0L),
-        (acc, v) => (acc * 31 + v) % Mod))
+    transform(toks, tk => call_function("char_poly_hash", tk))
 
   private val x2a = Demo("x2a_fingerprint", Some(s"""
       SELECT doc_id,
@@ -120,11 +125,14 @@ object DedupDemos {
                (acc, h) -> (acc * 131 + h) % $Mod) AS fingerprint
       FROM documents
       ORDER BY doc_id ASC NULLS LAST"""),
-    (s, dir) => t(s, dir, "documents")
-      .select(col("doc_id"),
-        aggregate(tokenHashes, lit(0L), (acc, h) => (acc * 131 + h) % Mod)
-          .as("fingerprint"))
-      .orderBy(col("doc_id").asc_nulls_last))
+    (s, dir) => {
+      Hashing.registerAll(s)
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          aggregate(tokenHashes, lit(0L), (acc, h) => (acc * 131 + h) % Mod)
+            .as("fingerprint"))
+        .orderBy(col("doc_id").asc_nulls_last)
+    })
 
   // -------------------------------------------------------------------
   // X2b: MinHash + LSH near-dup pairs — THE 100 TB dedup path.
@@ -136,16 +144,11 @@ object DedupDemos {
   // the cluster-side cost is O(n · bands) shuffle instead of O(n^2).
   // -------------------------------------------------------------------
   private def minhashPairs(s: SparkSession, dir: String): DataFrame = {
+    Hashing.registerAll(s)
     val sets = shingleSets(s, dir)
-    val hashed = t(s, dir, "documents")
-      .filter(size(toks) >= 3)
-      .select(col("doc_id"), explode(shingleSet(toks)).as("sh"))
-      .select(col("doc_id"),
-        aggregate(
-          transform(sequence(lit(1), length(col("sh"))),
-            i => ascii(col("sh").substr(i, lit(1))).cast("long")),
-          lit(0L),
-          (acc, v) => (acc * 31 + v) % Mod).as("x"))
+    val hashed = tokArrays(s, dir)
+      .select(col("doc_id"), explode(shingleSet(col("toks"))).as("sh"))
+      .select(col("doc_id"), call_function("char_poly_hash", col("sh")).as("x"))
       .groupBy("doc_id")
       .agg(
         Hashing.minhashSigAggs.head,
@@ -173,19 +176,35 @@ object DedupDemos {
   private val x2b = Demo("x2b_minhash_lsh", Some(oracleJaccardPairs(0.5)), minhashPairs)
 
   // -------------------------------------------------------------------
-  // X2c: n-gram (3-token shingle) Jaccard, brute force — the exact
-  // semantics the LSH path approximates. O(n^2), so bounded to a fixed
-  // 1000-doc sample: this is the correctness demonstrator; the full-corpus
-  // scale path is x2b_minhash_lsh (O(n·bands) shuffle).
+  // X2c: exact n-gram (3-token shingle) Jaccard via an INVERTED-INDEX
+  // join — the exact semantics the LSH path approximates, full corpus.
+  // explode(shingle) → self-join on the shingle key → count shared
+  // shingles per pair → jaccard from exact set sizes. Every pair with
+  // jaccard >= t shares >= 1 shingle, so this equals the all-pairs scan
+  // while touching only co-occurring docs: O(Σ posting² per shingle)
+  // instead of O(n²). At 100 TB you additionally drop stop-shingles
+  // (document frequency cap) to bound the worst posting list — the same
+  // frequency cut every production near-dup pipeline applies.
   // -------------------------------------------------------------------
   private val x2c = Demo("x2c_ngram_jaccard",
-    Some(oracleJaccardPairs(0.05, " AND doc_id < 1000")),
+    Some(oracleJaccardPairs(0.05)),
     (s, dir) => {
-      val sets = shingleSets(s, dir).filter(col("doc_id") < 1000)
-      sets.alias("a")
-        .join(sets.alias("b"), col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
-          jaccardOfSets(col("a.shs"), col("b.shs")).as("jaccard"))
+      val td = tokArrays(s, dir)
+      // explode the shingle expression directly (not a pre-projected column):
+      // keeps the Generate adjacent to the scan with one array build per row,
+      // instead of re-evaluating a projected array in pushed-down filters
+      val sizes = td.select(col("doc_id"), size(shingleSet(col("toks"))).as("n"))
+      val posts = td.select(col("doc_id"), explode(shingleSet(col("toks"))).as("sh"))
+      posts.alias("a")
+        .join(posts.alias("b"),
+          col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+        .agg(count(lit(1)).as("inter"))
+        .join(sizes.select(col("doc_id").as("id_a"), col("n").as("na")), "id_a")
+        .join(sizes.select(col("doc_id").as("id_b"), col("n").as("nb")), "id_b")
+        .select(col("id_a"), col("id_b"),
+          (col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
+            .as("jaccard"))
         .filter(col("jaccard") >= 0.05)
         .orderBy(col("id_a").asc_nulls_last, col("id_b").asc_nulls_last)
     })
@@ -216,21 +235,19 @@ object DedupDemos {
       FROM votes
       GROUP BY doc_id
       ORDER BY doc_id ASC NULLS LAST"""),
-    (s, dir) => t(s, dir, "documents")
+    (s, dir) => {
+      Hashing.registerAll(s)
+      t(s, dir, "documents")
       .select(col("doc_id"), explode(toks).as("tok"))
-      .select(col("doc_id"),
-        aggregate(
-          transform(sequence(lit(1), length(col("tok"))),
-            i => ascii(col("tok").substr(i, lit(1))).cast("long")),
-          lit(0L),
-          (acc, v) => (acc * 31 + v) % Mod).as("x"))
+      .select(col("doc_id"), call_function("char_poly_hash", col("tok")).as("x"))
       .select(col("doc_id"), col("x"), explode(sequence(lit(0), lit(29))).as("bit"))
       .groupBy("doc_id", "bit")
       .agg(sum(when(expr("(x >> bit) & 1") === 1, 1).otherwise(-1)).as("v"))
       .groupBy("doc_id")
       .agg(sum(when(col("v") > 0, expr("shiftleft(cast(1 as bigint), bit)"))
         .otherwise(0L)).as("simhash"))
-      .orderBy(col("doc_id").asc_nulls_last))
+      .orderBy(col("doc_id").asc_nulls_last)
+    })
 
   // -------------------------------------------------------------------
   // X2e: embedding-cosine near-dup pairs. Embeddings are quantized to
@@ -258,16 +275,16 @@ object DedupDemos {
       WHERE cosine >= 0.4
       ORDER BY vec_a ASC NULLS LAST, vec_b ASC NULLS LAST"""),
     (s, dir) => {
+      Hashing.registerAll(s)
       val q = t(s, dir, "embeddings").filter(col("vec_id") < 1000).select(col("vec_id"),
         transform(col("embedding"), x => floor(x.cast("double") * 10000).cast("long")).as("qv"))
       val n = q.select(col("vec_id"), col("qv"),
-        aggregate(transform(col("qv"), v => v * v), lit(0L), (a, v) => a + v).as("nq"))
+        call_function("dot_long", col("qv"), col("qv")).as("nq"))
       n.alias("a")
         .join(n.alias("b"), col("a.vec_id") < col("b.vec_id"))
         .select(
           col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
-          (aggregate(zip_with(col("a.qv"), col("b.qv"), (x, y) => x * y),
-            lit(0L), (acc, v) => acc + v).cast("double")
+          (call_function("dot_long", col("a.qv"), col("b.qv")).cast("double")
             / (sqrt(col("a.nq").cast("double")) * sqrt(col("b.nq").cast("double"))))
             .as("cosine"))
         .filter(col("cosine") >= 0.4)

@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.functions.DotProductLong
 import graft.queries.RelationalDemos.Demo
 import graft.sources.Tables
 
@@ -25,13 +26,16 @@ object SimilarityDemos {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.table(s, dir, name)
 
-  /** int64-quantized embedding + exact squared norm. */
-  private def quantized(s: SparkSession, dir: String): DataFrame =
+  /** int64-quantized embedding + exact squared norm (norm = dot(qv, qv)
+    * via the codegen'd [[graft.functions.DotProductLong]]).
+    */
+  private def quantized(s: SparkSession, dir: String): DataFrame = {
+    DotProductLong.register(s)
     t(s, dir, "embeddings").select(
       col("vec_id"),
       transform(col("embedding"), x => floor(x.cast("double") * 10000).cast("long")).as("qv"))
-      .select(col("vec_id"), col("qv"),
-        aggregate(transform(col("qv"), v => v * v), lit(0L), (a, v) => a + v).as("nq"))
+      .select(col("vec_id"), col("qv"), dotOf(col("qv"), col("qv")).as("nq"))
+  }
 
   private val oracleQuantCtes = """
       WITH q AS (
@@ -48,7 +52,7 @@ object SimilarityDemos {
     dot.cast("double") / (sqrt(na.cast("double")) * sqrt(nb.cast("double")))
 
   private def dotOf(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
+    call_function("dot_long", a, b)
 
   // -------------------------------------------------------------------
   // X3a: brute-force cosine top-k — the exact baseline. Query vectors
@@ -93,15 +97,19 @@ object SimilarityDemos {
   // -------------------------------------------------------------------
   /** sign-bucket of a quantized vector under 8 fixed integer hyperplanes:
     * fold over planes i: acc*2 + (dot(qv, h_i) >= 0). h_i[d] =
-    * ((i*64+d)*2654435761) mod 2^31 - 2^30.
+    * ((i*64+d)*2654435761) mod 2^31 - 2^30. The planes are constants, so
+    * they materialize as array literals and each sign test is one
+    * codegen'd dot_long against the row's qv.
     */
+  private val planes: IndexedSeq[Column] = (0 until 8).map { i =>
+    typedLit((1 to 64).map(d =>
+      ((i * 64L + d - 1) * 2654435761L) % 2147483648L - 1073741824L))
+  }
+
   private def bucketOf(qv: Column): Column =
-    aggregate(sequence(lit(0), lit(7)), lit(0L), (acc, i) =>
-      acc * 2 + when(
-        aggregate(sequence(lit(1), lit(64)), lit(0L), (acc2, d) =>
-          acc2 + element_at(qv, d) *
-            (((i * 64 + d - 1).cast("long") * 2654435761L) % 2147483648L - 1073741824L))
-          >= 0, 1L).otherwise(0L))
+    (0 until 8).map(i =>
+      when(dotOf(qv, planes(i)) >= 0, lit(1L << (7 - i))).otherwise(lit(0L)))
+      .reduce(_ + _)
 
   private val oracleBucket = """
         list_reduce(
