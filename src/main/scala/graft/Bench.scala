@@ -10,6 +10,7 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    spark.experimental.extraOptimizations = Seq(graft.plans.FanoutLint)
     // JIT/codegen warmup so the first timed query doesn't absorb one-time
     // JVM compilation cost: exercise the datasource, shuffle, and codegen
     // paths once on the smallest fixture.
