@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{DataStreamWriter, OutputMode, Trigger}
 import org.apache.spark.sql.types._
@@ -68,4 +68,73 @@ object StreamingPipelines {
       .queryName(queryName)
       .outputMode(OutputMode.Append)
       .trigger(Trigger.AvailableNow())
+
+  // -------------------------------------------------------------------
+  // Custom-state sessionization via flatMapGroupsWithState — the
+  // KeyValueGroupedDataset state API (SURVEY.md §2B X6), for session
+  // semantics session_window can't express (e.g. carrying running
+  // aggregates in the emitted row). State per user = the single open
+  // session; closed sessions emit either when a newer event proves the
+  // gap or when the event-time watermark passes last_ts + gap.
+  // Money sums are tracked in exact integer cents so emission order never
+  // perturbs totals.
+  // -------------------------------------------------------------------
+
+  /** The open-session state carried per user. */
+  case class OpenSession(startMs: Long, lastMs: Long, n: Long, cents: Long)
+
+  /** One emitted (closed) session. */
+  case class SessionOut(user_id: Long, session_start: java.sql.Timestamp,
+      last_event: java.sql.Timestamp, n_events: Long, total_cents: Long)
+
+  val SessionGapMs: Long = 30L * 60 * 1000
+
+  /** Stateful sessionization over a (watermarked) streaming events frame.
+    * Scale: state is one OpenSession per active user — O(active users),
+    * bounded by the event-time timeout; the shuffle is one hash exchange
+    * on user_id, identical to session_window's.
+    */
+  def statefulSessions(events: DataFrame): Dataset[SessionOut] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+    events
+      .withWatermark("ts", "10 minutes")
+      .select(col("user_id"), col("ts"), col("value"))
+      .as[(Long, java.sql.Timestamp, Double)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[OpenSession, SessionOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        case (user, rows, state: GroupState[OpenSession]) =>
+          var out = List.empty[SessionOut]
+          def close(s: OpenSession): Unit =
+            out ::= SessionOut(user, new java.sql.Timestamp(s.startMs),
+              new java.sql.Timestamp(s.lastMs), s.n, s.cents)
+          if (state.hasTimedOut) {
+            state.getOption.foreach(close)
+            state.remove()
+          } else {
+            var cur = state.getOption
+            rows.toSeq.sortBy(_._2.getTime).foreach { case (_, ts, v) =>
+              val ms = ts.getTime
+              val cents = math.round(v * 100)
+              cur match {
+                case Some(s) if ms - s.lastMs <= SessionGapMs =>
+                  cur = Some(s.copy(lastMs = math.max(s.lastMs, ms),
+                    n = s.n + 1, cents = s.cents + cents))
+                case Some(s) =>
+                  close(s)
+                  cur = Some(OpenSession(ms, ms, 1, cents))
+                case None =>
+                  cur = Some(OpenSession(ms, ms, 1, cents))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.lastMs + SessionGapMs)
+            }
+          }
+          out.reverseIterator
+      }
+  }
 }

@@ -76,6 +76,35 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.size >= batch.size - 2)
   }
 
+  test("stateful sessionization: flatMapGroupsWithState closes sessions by gap and watermark") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val mem = MemoryStream[Ev]
+    val q = StreamingPipelines.statefulSessions(mem.toDF())
+      .writeStream.format("memory").queryName("t_stateful")
+      .outputMode("append").start()
+    mem.addData(sampleRows: _*)
+    q.processAllAvailable()
+    // far-future event advances the watermark past every open session
+    mem.addData(Ev(99, ts(400), 999L, "click", 0.0, "{}"))
+    q.processAllAvailable()
+    // one more batch so event-time timeouts fire against the new watermark
+    mem.addData(Ev(100, ts(401), 999L, "click", 0.0, "{}"))
+    q.processAllAvailable()
+    q.stop()
+    val got = s.table("t_stateful")
+      .select("user_id", "n_events", "total_cents").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val expected = Set(
+      (1L, 3L, 6000L),  // minutes 5,20,50
+      (1L, 1L, 4000L),  // minute 95
+      (1L, 1L, 7000L),  // minute 200
+      (2L, 1L, 500L),   // minute 15
+      (2L, 2L, 11000L)) // minutes 100,130
+    assert(expected.subsetOf(got), s"got=$got")
+  }
+
   test("session window: streaming == batch on closed sessions (X6c)") {
     val (streamed, batch) = runBoth("t_session", StreamingPipelines.sessionStream)
     assert(streamed.toSet.subsetOf(batch.toSet),
