@@ -1,0 +1,72 @@
+package graft.queries
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.ExplainMode
+
+import graft.{SparkEntry, SparkSpec}
+
+/** Physical-plan shape assertions (SURVEY.md §4): each claimed plan
+  * property — broadcast the small side, push filters to the scan, prune
+  * columns, keep hot expressions inside whole-stage codegen — is pinned
+  * here so a regression (e.g. a broadcast silently degrading to
+  * sort-merge, a filter stuck above a join) fails `sbt test` rather than
+  * surfacing as a 100 TB incident.
+  */
+class PlanSpec extends SparkSpec {
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sfDir)
+      .queryExecution.explainString(ExplainMode.fromString("formatted"))
+
+  test("q02 dim join: broadcast hash join + quantity filter pushed to parquet scan") {
+    val p = plan("q02_dim_join")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(p.contains("PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity,45"), p)
+  }
+
+  test("q01 monthly agg: two-phase hash aggregation, one exchange for the agg") {
+    val p = plan("q01_monthly_agg")
+    assert(p.contains("HashAggregate"), p)
+    // partial + final (+ distinct-agg expand phases) — never a naive
+    // single-phase shuffle of raw rows
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+  }
+
+  test("q02/q05 scans prune to referenced columns only") {
+    val p2 = plan("q02_dim_join")
+    // lineitem has 16 columns; the scan must read only the 5 referenced
+    val read = "ReadSchema: struct<([^>]*)>".r.findFirstMatchIn(p2).map(_.group(1)).get
+    assert(read.split(",").length <= 6, s"lineitem scan reads too much: $read")
+  }
+
+  test("x3a topk: query vectors broadcast, corpus side not shuffled before scoring") {
+    val p = plan("x3a_topk_cosine")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("x8a as-of join: single exchange on user_id (window formulation, no pair fan-out)") {
+    val p = plan("x8a_asof_join")
+    assert(!p.contains("Join"), s"as-of should be join-free (window formulation): $p")
+    assert(p.contains("Window"), p)
+  }
+
+  test("x2e/x3 kernels stay inside whole-stage codegen (dot_long is codegen'd)") {
+    // AQE only segments codegen stages in the final plan — execute, then
+    // read the executed plan's simple form, where `*(n)` marks codegen
+    // stages and dot_long must appear inside one
+    val df = SparkEntry.queries("x2e_embed_neardup")(spark, sfDir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.lines.anyMatch(l => l.contains("*(") && l.contains("dot_long")), p)
+  }
+
+  test("flagship entry: broadcast join, no shuffle of the fact side") {
+    val df: DataFrame = SparkEntry.entry(spark)
+    val p = df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+}
