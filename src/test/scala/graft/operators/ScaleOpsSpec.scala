@@ -1,0 +1,62 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.sources.Tables
+
+/** ScaleOps semantics and plan shape: salting must not change results,
+  * and bucketed joins must eliminate the exchange.
+  */
+class ScaleOpsSpec extends SparkSpec {
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  test("saltedAgg == plain agg (sum/count re-aggregation)") {
+    val orders = Tables.table(spark, sfDir, "orders")
+    val plain = orders.groupBy("o_orderpriority")
+      .agg(sum("o_totalprice").as("total"), count(lit(1)).as("n"))
+    val salted = ScaleOps.saltedAgg(orders,
+      keys = Seq("o_orderpriority"),
+      saltFrom = col("o_orderkey"), saltBuckets = 8,
+      partials = Seq("p_total" -> sum("o_totalprice"), "p_n" -> count(lit(1))),
+      finals = Seq("total" -> sum("p_total"), "n" -> sum("p_n")))
+    val a = plain.orderBy("o_orderpriority").collect().map(r =>
+      (r.getString(0), math.round(r.getDouble(1) * 100), r.getLong(2))).toSeq
+    val b = salted.orderBy("o_orderpriority").collect().map(r =>
+      (r.getString(0), math.round(r.getDouble(1) * 100), r.getLong(2))).toSeq
+    assert(a == b)
+  }
+
+  test("saltedJoin == plain join") {
+    val li = Tables.table(spark, sfDir, "lineitem").select("l_orderkey", "l_partkey", "l_quantity")
+    val part = Tables.table(spark, sfDir, "part").select("p_partkey", "p_brand")
+      .withColumnRenamed("p_partkey", "l_partkey")
+    val plain = li.join(part, Seq("l_partkey"))
+    val salted = ScaleOps.saltedJoin(li, part, "l_partkey", 4, col("l_orderkey"))
+    assert(plain.count() == salted.count())
+    val key = Seq("l_partkey", "l_orderkey", "l_quantity", "p_brand")
+    assert(plain.groupBy(key.map(col): _*).count().orderBy(key.map(col): _*).collect().toSeq ==
+      salted.groupBy(key.map(col): _*).count().orderBy(key.map(col): _*).collect().toSeq)
+  }
+
+  test("bucketed tables join without exchange") {
+    val s = spark
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val li = Tables.table(s, sfDir, "lineitem").select("l_orderkey", "l_quantity")
+      val od = Tables.table(s, sfDir, "orders").select("o_orderkey", "o_totalprice")
+        .withColumnRenamed("o_orderkey", "l_orderkey")
+      ScaleOps.writeBucketed(li, "b_lineitem", 8, Seq("l_orderkey"))
+      ScaleOps.writeBucketed(od, "b_orders", 8, Seq("l_orderkey"))
+      val joined = s.table("b_lineitem").join(s.table("b_orders"), Seq("l_orderkey"))
+      joined.collect()
+      val p = joined.queryExecution.executedPlan.toString
+      assert(!p.contains("Exchange"), s"bucketed join still shuffles:\n$p")
+    } finally {
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+      s.sql("DROP TABLE IF EXISTS b_lineitem")
+      s.sql("DROP TABLE IF EXISTS b_orders")
+    }
+  }
+}
