@@ -1,0 +1,53 @@
+package graft.streaming
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import org.apache.spark.sql.SaveMode
+
+import graft.SparkSpec
+
+/** File-source streaming (the production entry of StreamingPipelines):
+  * events parquet files appearing in a directory stream through the
+  * tumbling aggregation across micro-batches, and a row arriving after
+  * the watermark passed its window is dropped.
+  */
+class FileStreamSpec extends SparkSpec {
+
+  private def ts(min: Int): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 ${min / 60}%02d:${min % 60}%02d:00")
+
+  test("file source streams new files; late row beyond watermark is dropped") {
+    val s = spark
+    import s.implicits._
+    val dir = Files.createTempDirectory("graft-stream").toString
+    def write(evs: Seq[Ev]): Unit =
+      evs.toDF().coalesce(1).write.mode(SaveMode.Append).parquet(dir)
+
+    // batch 1: one row in hour 0, one in hour 1 → after this batch the
+    // watermark is 01:10 - 10min = 01:00
+    write(Seq(
+      Ev(1, ts(10), 1L, "click", 10.0, "{}"),
+      Ev(2, ts(70), 1L, "click", 20.0, "{}")))
+    val q = StreamingPipelines.tumblingStream(
+        StreamingPipelines.readEventsStream(s, dir))
+      .writeStream.format("memory").queryName("t_file")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    // batch 2: a far-future row (advances the watermark past hours 0-1)
+    // and a LATE row for hour 0 — the watermark (01:00) must drop it
+    write(Seq(
+      Ev(3, ts(300), 1L, "click", 30.0, "{}"),
+      Ev(4, ts(11), 1L, "click", 999.0, "{}")))
+    q.processAllAvailable()
+    q.stop()
+
+    val rows = s.table("t_file")
+      .collect().map(r => (r.getTimestamp(0).toString, r.getLong(2))).toMap
+    assert(rows("2024-01-01 00:00:00.0") == 1L,
+      s"late row was not dropped (hour-0 count): $rows")
+    assert(rows("2024-01-01 01:00:00.0") == 1L, rows.toString)
+    assert(!rows.keys.exists(_.startsWith("2024-01-01 05:")),
+      s"hour-5 window should still be open: $rows")
+  }
+}
