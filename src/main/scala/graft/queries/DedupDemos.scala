@@ -158,11 +158,19 @@ object DedupDemos {
         struct(lit(b).as("band"),
           (col(s"m${2 * b}") * P + col(s"m${2 * b + 1}")).as("key"))): _*)).as("bk"))
       .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
-    val cand = bands.alias("a")
-      .join(bands.alias("b"),
-        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+    // candidate pairs per bucket via collect + in-bucket pair expansion —
+    // evaluates the minhash pipeline ONCE (a band self-join would run it
+    // twice); bucket membership lists are tiny (binomial tail), so the
+    // per-bucket pair product is bounded
+    val cand = bands.groupBy(col("band"), col("key"))
+      .agg(sort_array(collect_set(col("doc_id"))).as("ds"))
+      .filter(size(col("ds")) >= 2)
+      .select(explode(flatten(transform(
+        sequence(lit(1), size(col("ds")) - 1), i =>
+          transform(sequence(i + 1, size(col("ds"))), j =>
+            struct(element_at(col("ds"), i).as("id_a"),
+              element_at(col("ds"), j).as("id_b")))))).as("p"))
+      .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
       .distinct()
     cand
       .join(sets.select(col("doc_id").as("id_a"), col("shs").as("shs_a")), "id_a")
