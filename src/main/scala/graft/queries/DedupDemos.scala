@@ -203,10 +203,20 @@ object DedupDemos {
       // instead of re-evaluating a projected array in pushed-down filters
       val sizes = td.select(col("doc_id"), size(shingleSet(col("toks"))).as("n"))
       val posts = td.select(col("doc_id"), explode(shingleSet(col("toks"))).as("sh"))
-      posts.alias("a")
-        .join(posts.alias("b"),
-          col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
-        .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      // per-shingle posting list → in-list pair expansion → count of shared
+      // shingles per pair. One evaluation of the postings (a self-join
+      // would run the shingle pipeline twice); posting lists are short, so
+      // the per-shingle pair product is bounded — the stop-shingle
+      // frequency cap noted above bounds it at open-web scale.
+      posts.groupBy(col("sh"))
+        .agg(sort_array(collect_set(col("doc_id"))).as("ds"))
+        .filter(size(col("ds")) >= 2)
+        .select(explode(flatten(transform(
+          sequence(lit(1), size(col("ds")) - 1), i =>
+            transform(sequence(i + 1, size(col("ds"))), j =>
+              struct(element_at(col("ds"), i).as("id_a"),
+                element_at(col("ds"), j).as("id_b")))))).as("p"))
+        .groupBy(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
         .agg(count(lit(1)).as("inter"))
         .join(sizes.select(col("doc_id").as("id_a"), col("n").as("na")), "id_a")
         .join(sizes.select(col("doc_id").as("id_b"), col("n").as("nb")), "id_b")
