@@ -150,13 +150,12 @@ object DedupDemos {
       .select(col("doc_id"), explode(shingleSet(col("toks"))).as("sh"))
       .select(col("doc_id"), call_function("char_poly_hash", col("sh")).as("x"))
       .groupBy("doc_id")
-      .agg(
-        Hashing.minhashSigAggs.head,
-        Hashing.minhashSigAggs.tail: _*)
+      .agg(udaf(graft.functions.MinHashAgg).apply(col("x")).as("sig"))
     val bands = hashed.select(col("doc_id"),
       explode(array((0 until 64).map(b =>
         struct(lit(b).as("band"),
-          (col(s"m${2 * b}") * P + col(s"m${2 * b + 1}")).as("key"))): _*)).as("bk"))
+          (element_at(col("sig"), 2 * b + 1) * P
+            + element_at(col("sig"), 2 * b + 2)).as("key"))): _*)).as("bk"))
       .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
     // candidate pairs per bucket via collect + in-bucket pair expansion —
     // evaluates the minhash pipeline ONCE (a band self-join would run it
