@@ -16,7 +16,7 @@ object RunPipeline {
     val seedsDir = if (args.length > 0) args(0) else "src/test/resources/seeds"
     val warehouseDir = if (args.length > 1) args(1)
       else java.nio.file.Files.createTempDirectory("graft-warehouse").toString
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .appName("graft-pipeline")
