@@ -50,4 +50,30 @@ class FileStreamSpec extends SparkSpec {
     assert(!rows.keys.exists(_.startsWith("2024-01-01 05:")),
       s"hour-5 window should still be open: $rows")
   }
+
+  test("streaming parquet sink with checkpoint persists closed windows") {
+    val s = spark
+    import s.implicits._
+    val src = Files.createTempDirectory("graft-src").toString
+    val out = Files.createTempDirectory("graft-out").toString
+    val ckpt = Files.createTempDirectory("graft-ckpt").toString
+    Seq(
+      Ev(1, ts(10), 1L, "click", 10.0, "{}"),
+      Ev(2, ts(300), 1L, "click", 30.0, "{}"))
+      .toDF().coalesce(1).write.mode(SaveMode.Append).parquet(src)
+    val q = StreamingPipelines.tumblingStream(
+        StreamingPipelines.readEventsStream(s, src))
+      .writeStream.format("parquet")
+      .option("path", out)
+      .option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+    q.processAllAvailable()
+    // second batch closes hour 0 against the advanced watermark
+    Seq(Ev(3, ts(700), 1L, "click", 1.0, "{}"))
+      .toDF().coalesce(1).write.mode(SaveMode.Append).parquet(src)
+    q.processAllAvailable()
+    q.stop()
+    val persisted = s.read.parquet(out)
+    assert(persisted.count() >= 2, persisted.collect().mkString(";"))
+  }
 }
