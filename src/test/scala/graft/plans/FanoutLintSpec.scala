@@ -42,6 +42,27 @@ class FanoutLintSpec extends SparkSpec {
       s"unexpected findings: ${FanoutLint.recentFindings}")
   }
 
+  test("GraftExtensions injects the rule via withExtensions") {
+    import org.apache.spark.sql.SparkSession
+    FanoutLint.clear()
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      val s2 = SparkSession.builder()
+        .master("local[2]")
+        .withExtensions(new GraftExtensions)
+        .getOrCreate()
+      import s2.implicits._
+      val d = Seq((1, "a", 10.0), (1, "b", 20.0)).toDF("k", "name", "v")
+      d.groupBy("k").agg(sum("v").as("t")).join(d, Seq("k"), "left").collect()
+      assert(FanoutLint.recentFindings.exists(_.contains("fan out")),
+        s"extension-injected rule did not fire: ${FanoutLint.recentFindings}")
+    } finally {
+      SparkSession.setDefaultSession(spark)
+      SparkSession.setActiveSession(spark)
+    }
+  }
+
   test("quiet on plain detail ⋈ detail join (no aggregate side)") {
     FanoutLint.clear()
     detail.as("l").join(detail.as("r"), col("l.k") === col("r.k")).collect()
