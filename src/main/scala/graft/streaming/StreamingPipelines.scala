@@ -35,10 +35,25 @@ object StreamingPipelines {
 
   /** File-based streaming source over a directory of events parquet —
     * the production entry: new files appearing under `dir` are discovered
-    * per micro-batch.
+    * per micro-batch. Expects microsecond TIMESTAMP files (Spark-written).
     */
   def readEventsStream(spark: SparkSession, dir: String): DataFrame =
     spark.readStream.schema(eventsSchema).parquet(dir)
+
+  /** Streaming reader for the harness-shaped events files, whose `ts` is
+    * parquet TIMESTAMP(NANOS) (see [[graft.sources.Tables.table]]): read
+    * nanos as raw longs and truncate to microsecond TIMESTAMP — the same
+    * conversion the batch reader applies, so batch and streaming agree.
+    */
+  def readEventsStreamNanos(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val nanosSchema = StructType(eventsSchema.map {
+      case f if f.name == "ts" => f.copy(dataType = LongType)
+      case f => f
+    })
+    spark.readStream.schema(nanosSchema).parquet(dir)
+      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+  }
 
   /** Tumbling 1-hour aggregation with a 10-minute watermark. Append mode
     * emits a window once the watermark passes its end — the streaming

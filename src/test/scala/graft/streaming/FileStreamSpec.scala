@@ -51,6 +51,29 @@ class FileStreamSpec extends SparkSpec {
       s"hour-5 window should still be open: $rows")
   }
 
+  test("harness nanos-timestamp events stream equals the batch tumbling agg") {
+    val s = spark
+    val dir = Files.createTempDirectory("graft-nanos").toString
+    Files.copy(
+      java.nio.file.Paths.get("/root/testdata/sf0.001/events.parquet"),
+      java.nio.file.Paths.get(s"$dir/events.parquet"))
+    val q = StreamingPipelines.tumblingStream(
+        StreamingPipelines.readEventsStreamNanos(s, dir))
+      .writeStream.format("memory").queryName("t_nanos")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    q.stop()
+    val streamed = s.table("t_nanos").collect()
+      .map(_.mkString("|")).toSet
+    val batch = graft.queries.EventsDemos.tumbling(
+        graft.sources.Tables.table(s, "/root/testdata/sf0.001", "events"))
+      .collect().map(_.mkString("|")).toSet
+    // append mode withholds windows the watermark hasn't passed; everything
+    // emitted must match the batch result and cover most of it
+    assert(streamed.subsetOf(batch), s"diff=${streamed.diff(batch).take(3)}")
+    assert(streamed.size >= batch.size - 2, s"${streamed.size} vs ${batch.size}")
+  }
+
   test("streaming parquet sink with checkpoint persists closed windows") {
     val s = spark
     import s.implicits._
