@@ -1,0 +1,188 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.{Hashing, MinHashAgg}
+
+/** Reusable text-deduplication operators (SURVEY.md §2B X1/X2) — the
+  * library API the demo queries delegate to. Every function takes the
+  * id/text column names, so the same operators run over any corpus table.
+  *
+  * Determinism contract: all hashing is fixed integer arithmetic
+  * ([[graft.functions.Hashing]]); no RNG, no engine-native hash — outputs
+  * are reproducible across runs, engines, and partitionings.
+  *
+  * Scale contract: no driver-side state; every stage is a shuffle-based
+  * map/aggregate whose reduce keys are bounded (doc id, shingle, band
+  * bucket); the O(n²) formulations every stage avoids are documented at
+  * each site.
+  */
+object TextDedup {
+
+  /** Keep-first exact dedup by key (X1): one hash shuffle on the keys;
+    * `tiebreak` makes "first" deterministic (dropDuplicates' keep-first
+    * depends on partition order — never use it for reproducible corpora).
+    */
+  def exactDedup(df: DataFrame, keys: Seq[String], tiebreak: Column): DataFrame =
+    df.withColumn("__rn", row_number().over(
+        Window.partitionBy(keys.map(col): _*).orderBy(tiebreak)))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+
+  // ---- shared text machinery (column-parameterized) ------------------
+
+  /** id + whitespace token array, docs with >= 3 tokens. The token array
+    * gets its own projection so split() materializes once per row (see
+    * DedupDemos scaladoc for the CollapseProject reasoning).
+    */
+  private def tokArrays(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol).as("doc_id"), split(col(textCol), " ").as("toks"))
+      .filter(size(col("toks")) >= 3)
+
+  /** Distinct 3-token shingles of a token-array column. */
+  private def shingleSet(tokens: Column): Column =
+    array_distinct(
+      transform(sequence(lit(0), size(tokens) - 3), i =>
+        concat_ws(" ",
+          element_at(tokens, i + 1),
+          element_at(tokens, i + 2),
+          element_at(tokens, i + 3))))
+
+  private def shingleSets(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    tokArrays(df, idCol, textCol)
+      .select(col("doc_id"), shingleSet(col("toks")).as("shs"))
+
+  private def jaccardOfSets(a: Column, b: Column): Column = {
+    val inter = size(array_intersect(a, b))
+    inter.cast("double") / (size(a) + size(b) - inter)
+  }
+
+  /** In-bucket ordered-pair expansion of a sorted id list — evaluates its
+    * input once, versus a self-join that runs the producing pipeline
+    * twice.
+    */
+  private def pairsOf(ds: Column): Column =
+    flatten(transform(
+      sequence(lit(1), size(ds) - 1), i =>
+        transform(sequence(i + 1, size(ds)), j =>
+          struct(element_at(ds, i).as("id_a"),
+            element_at(ds, j).as("id_b")))))
+
+  /** Document fingerprint (X2a): rolling hash over the sequence of
+    * codegen'd per-token hashes. Narrow projection — no shuffle.
+    */
+  def fingerprint(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    Hashing.registerAll(df.sparkSession)
+    df.select(col(idCol).as("doc_id"),
+      aggregate(
+        transform(split(col(textCol), " "),
+          tk => call_function("char_poly_hash", tk)),
+        lit(0L), (acc, h) => (acc * 131 + h) % Hashing.Mod).as("fingerprint"))
+  }
+
+  /** MinHash+LSH near-dup pairs (X2b) — the 100 TB dedup path: shingle →
+    * codegen hash → single-buffer 128-slot minhash signature (map-side
+    * combinable) → 64 bands of r=2 → per-bucket candidate pairs → exact
+    * Jaccard verification at `threshold`. At threshold t the per-pair miss
+    * probability is (1−t²)^64 (≤1e-8 at t=0.5), while cluster cost is
+    * O(n·bands) shuffle instead of O(n²).
+    */
+  def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
+      threshold: Double): DataFrame = {
+    Hashing.registerAll(df.sparkSession)
+    val P = Hashing.P
+    val sets = shingleSets(df, idCol, textCol)
+    val hashed = tokArrays(df, idCol, textCol)
+      .select(col("doc_id"), explode(shingleSet(col("toks"))).as("sh"))
+      .select(col("doc_id"), call_function("char_poly_hash", col("sh")).as("x"))
+      .groupBy("doc_id")
+      .agg(udaf(MinHashAgg).apply(col("x")).as("sig"))
+    val bands = hashed.select(col("doc_id"),
+      explode(array((0 until 64).map(b =>
+        struct(lit(b).as("band"),
+          (element_at(col("sig"), 2 * b + 1) * P
+            + element_at(col("sig"), 2 * b + 2)).as("key"))): _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
+    val cand = bands.groupBy(col("band"), col("key"))
+      .agg(sort_array(collect_set(col("doc_id"))).as("ds"))
+      .filter(size(col("ds")) >= 2)
+      .select(explode(pairsOf(col("ds"))).as("p"))
+      .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
+      .distinct()
+    cand
+      .join(sets.select(col("doc_id").as("id_a"), col("shs").as("shs_a")), "id_a")
+      .join(sets.select(col("doc_id").as("id_b"), col("shs").as("shs_b")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        jaccardOfSets(col("shs_a"), col("shs_b")).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** Exact n-gram Jaccard pairs (X2c) via an inverted-index join: group
+    * postings per shingle, expand in-list pairs, count shared shingles.
+    * Equals the all-pairs scan for every pair sharing ≥1 shingle while
+    * touching only co-occurring docs. `maxDocFreq` drops stop-shingles
+    * (posting lists longer than the cap) — the frequency cut that bounds
+    * the worst bucket at open-web scale; pairs whose ONLY shared shingles
+    * are stop-shingles are then missed, the standard recall tradeoff.
+    */
+  def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+      threshold: Double, maxDocFreq: Option[Int] = None): DataFrame = {
+    val td = tokArrays(df, idCol, textCol)
+    val sizes = td.select(col("doc_id"), size(shingleSet(col("toks"))).as("n"))
+    val posts = td.select(col("doc_id"), explode(shingleSet(col("toks"))).as("sh"))
+    val buckets = posts.groupBy(col("sh"))
+      .agg(sort_array(collect_set(col("doc_id"))).as("ds"))
+      .filter(size(col("ds")) >= 2)
+    val capped = maxDocFreq.fold(buckets)(cap => buckets.filter(size(col("ds")) <= cap))
+    capped
+      .select(explode(pairsOf(col("ds"))).as("p"))
+      .groupBy(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
+      .agg(count(lit(1)).as("inter"))
+      .join(sizes.select(col("doc_id").as("id_a"), col("n").as("na")), "id_a")
+      .join(sizes.select(col("doc_id").as("id_b"), col("n").as("nb")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        (col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
+          .as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** SimHash signatures (X2d): per-token codegen'd hashes vote per bit;
+    * majorities pack into a 30-bit signature. All stages map-side
+    * combinable on (doc, bit).
+    */
+  def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    Hashing.registerAll(df.sparkSession)
+    df.select(col(idCol).as("doc_id"), explode(split(col(textCol), " ")).as("tok"))
+      .select(col("doc_id"), call_function("char_poly_hash", col("tok")).as("x"))
+      .select(col("doc_id"), col("x"), explode(sequence(lit(0), lit(29))).as("bit"))
+      .groupBy("doc_id", "bit")
+      .agg(sum(when(expr("(x >> bit) & 1") === 1, 1).otherwise(-1)).as("v"))
+      .groupBy("doc_id")
+      .agg(sum(when(col("v") > 0, expr("shiftleft(cast(1 as bigint), bit)"))
+        .otherwise(0L)).as("simhash"))
+  }
+
+  /** Embedding near-dup pairs (X2e): int64-quantized cosine over a
+    * bounded candidate set — exact integer dot products via the codegen'd
+    * dot_long kernel. O(n²) in the input size: pre-bound the input (or
+    * use [[VectorSearch.bucketedAnn]] for the full-corpus path).
+    */
+  def embeddingNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double): DataFrame = {
+    Hashing.registerAll(df.sparkSession)
+    val q = df.select(col(idCol).as("vec_id"),
+      transform(col(vecCol), x => floor(x.cast("double") * 10000).cast("long")).as("qv"))
+    val n = q.select(col("vec_id"), col("qv"),
+      call_function("dot_long", col("qv"), col("qv")).as("nq"))
+    n.alias("a")
+      .join(n.alias("b"), col("a.vec_id") < col("b.vec_id"))
+      .select(
+        col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+        (call_function("dot_long", col("a.qv"), col("b.qv")).cast("double")
+          / (sqrt(col("a.nq").cast("double")) * sqrt(col("b.nq").cast("double"))))
+          .as("cosine"))
+      .filter(col("cosine") >= threshold)
+  }
+}

@@ -1,58 +1,31 @@
 package graft.queries
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.operators.TextAnalysis
 import graft.queries.RelationalDemos.Demo
 import graft.sources.Tables
 
-/** Text-analysis operators for LLM-data pipelines (SURVEY.md §2B X5) over
-  * the `documents` table: token counting (whitespace + BPE-ish regex),
-  * quality scoring (length / punctuation / stopword ratios), n-gram
-  * heuristic language-ID, and corpus word-frequency top-k.
-  *
-  * Parity design: only integer counts and single-division doubles cross
-  * the engine boundary (no accumulated float state), and every regex is
-  * written to mean the same thing to Spark's java.util.regex and DuckDB's
-  * RE2. Scale design: every operator is a narrow projection or a
-  * map-side-combinable aggregation — nothing collects to the driver, and
-  * the only shuffles are on bounded keys (word, lang) or bounded output
-  * (top-k).
+/** Text-analysis demonstrators (SURVEY.md §2B X5) over the harness
+  * `documents` table. Operators live in
+  * [[graft.operators.TextAnalysis]]; demos bind the harness schema and
+  * pin output order for the oracle hash-compare.
   */
 object TextDemos {
 
-  private def t(s: SparkSession, dir: String, name: String): DataFrame =
-    Tables.table(s, dir, name)
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables.table(s, dir, "documents")
 
-  private val toks: Column = split(col("text"), " ")
-
-  // -------------------------------------------------------------------
-  // X5a: token counting — whitespace tokens plus a BPE-ish subword count:
-  // runs of letters, runs of digits, or single other non-space chars
-  // (the classic GPT-2-style pre-tokenizer shape, minus unicode classes).
-  // Narrow projection → whole-stage codegen over the scan.
-  // -------------------------------------------------------------------
   private val x5a = Demo("x5a_token_count", Some("""
       SELECT doc_id,
              len(string_split(text, ' ')) AS ws_tokens,
              length(replace(regexp_replace(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]', 'x', 'g'), ' ', '')) AS bpeish_tokens
       FROM documents
       ORDER BY doc_id ASC NULLS LAST"""),
-    (s, dir) => {
-      // each regex match collapses to one 'x'; counting the non-space chars
-      // of the collapsed string = number of matches = subword token count
-      val collapsed = regexp_replace(col("text"), "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]", "x")
-      t(s, dir, "documents").select(
-        col("doc_id"),
-        size(toks).as("ws_tokens"),
-        length(regexp_replace(collapsed, " ", "")).as("bpeish_tokens"))
-        .orderBy(col("doc_id").asc_nulls_last)
-    })
+    (s, dir) => TextAnalysis.tokenCounts(docs(s, dir), "text")
+      .select(col("doc_id"), col("ws_tokens"), col("bpeish_tokens"))
+      .orderBy(col("doc_id").asc_nulls_last))
 
-  // -------------------------------------------------------------------
-  // X5b: quality scoring — length, punctuation ratio, stopword ratio,
-  // mean word length, and a composite keep/drop flag (the C4-style
-  // heuristic family). Integer counts + one final division each.
-  // -------------------------------------------------------------------
   private val x5b = Demo("x5b_quality_score", Some("""
       WITH m AS (
         SELECT doc_id,
@@ -71,38 +44,11 @@ object TextDemos {
                   THEN 1 ELSE 0 END AS keep
       FROM m
       ORDER BY doc_id ASC NULLS LAST"""),
-    (s, dir) => {
-      val stop = array(Seq("the", "a", "an", "and", "or", "of", "to", "in", "is", "it")
-        .map(lit): _*)
-      val base = t(s, dir, "documents").select(
-        col("doc_id"),
-        length(col("text")).as("n_chars_m"),
-        size(toks).as("n_tokens"),
-        (length(col("text"))
-          - length(regexp_replace(col("text"), """[.,;:!?'"()]""", ""))).as("n_punct"),
-        size(filter(split(lower(col("text")), " "),
-          w => array_contains(stop, w))).as("n_stop"))
-      base.select(
-        col("doc_id"), col("n_chars_m"), col("n_tokens"),
-        (col("n_punct").cast("double") / col("n_chars_m")).as("punct_ratio"),
-        (col("n_stop").cast("double") / col("n_tokens")).as("stopword_ratio"),
-        // chars minus (n_tokens-1) separators, averaged over tokens
-        ((col("n_chars_m") - col("n_tokens") + 1).cast("double") / col("n_tokens"))
-          .as("mean_word_len"),
-        when(col("n_tokens") >= 5 && col("n_stop") > 0
-          && col("n_punct").cast("double") / col("n_chars_m") < 0.2, 1)
-          .otherwise(0).as("keep"))
-        .orderBy(col("doc_id").asc_nulls_last)
-    })
-
-  // -------------------------------------------------------------------
-  // X5c: language-ID — character-profile heuristic scoring: per doc,
-  // the rate of language-marker n-grams/characters decides the guess;
-  // compared against the table's labeled `lang` for an accuracy readout.
-  // All integer counts; one division per rate → deterministic doubles.
-  // -------------------------------------------------------------------
-  private def countMatches(c: Column, pattern: String): Column =
-    (length(c) - length(regexp_replace(c, pattern, ""))) // 1-char patterns only
+    (s, dir) => TextAnalysis.qualityMetrics(docs(s, dir), "text")
+      .select(col("doc_id"), col("n_chars_m"), col("n_tokens"),
+        col("punct_ratio"), col("stopword_ratio"), col("mean_word_len"),
+        col("keep"))
+      .orderBy(col("doc_id").asc_nulls_last))
 
   private val x5c = Demo("x5c_lang_id", Some("""
       WITH m AS (
@@ -127,33 +73,10 @@ object TextDemos {
                   ELSE 'und' END AS lang_guess
       FROM sc
       ORDER BY doc_id ASC NULLS LAST"""),
-    (s, dir) => {
-      val lt = lower(col("text"))
-      val enWords = array(Seq("the", "and", "of", "is", "you").map(lit): _*)
-      val sc = t(s, dir, "documents").select(
-        col("doc_id"), col("lang"),
-        (countMatches(lt, "[äöüß]").cast("double") / length(col("text"))).as("de_rate"),
-        (countMatches(lt, "[éèêàçù]").cast("double") / length(col("text"))).as("fr_rate"),
-        (countMatches(lt, "[áíóúñ¿¡]").cast("double") / length(col("text"))).as("es_rate"),
-        (size(filter(split(lt, " "), w => array_contains(enWords, w))).cast("double")
-          / size(split(lt, " "))).as("en_rate"))
-      sc.select(
-        col("doc_id"), col("lang"),
-        when(col("de_rate") >= col("fr_rate") && col("de_rate") >= col("es_rate")
-          && col("de_rate") > 0, "de")
-          .when(col("fr_rate") >= col("es_rate") && col("fr_rate") > 0, "fr")
-          .when(col("es_rate") > 0, "es")
-          .when(col("en_rate") > 0, "en")
-          .otherwise("und").as("lang_guess"))
-        .orderBy(col("doc_id").asc_nulls_last)
-    })
+    (s, dir) => TextAnalysis.langGuess(docs(s, dir), "text")
+      .select(col("doc_id"), col("lang"), col("lang_guess"))
+      .orderBy(col("doc_id").asc_nulls_last))
 
-  // -------------------------------------------------------------------
-  // X5d: corpus word frequency top-k — explode + two-phase hash agg
-  // (map-side combine on the word key) + global top-k. The canonical
-  // "does your shuffle survive 100 TB" shape: shuffle carries one row per
-  // distinct word per partition, never one row per token.
-  // -------------------------------------------------------------------
   private val x5d = Demo("x5d_word_topk", Some("""
       SELECT w AS word, count(*) AS freq
       FROM (SELECT unnest(string_split(lower(text), ' ')) AS w FROM documents)
@@ -161,13 +84,7 @@ object TextDemos {
       GROUP BY 1
       ORDER BY freq DESC NULLS LAST, word ASC NULLS LAST
       LIMIT 50"""),
-    (s, dir) => t(s, dir, "documents")
-      .select(explode(split(lower(col("text")), " ")).as("word"))
-      .filter(col("word") =!= "")
-      .groupBy(col("word"))
-      .agg(count(lit(1)).as("freq"))
-      .orderBy(col("freq").desc_nulls_last, col("word").asc_nulls_last)
-      .limit(50))
+    (s, dir) => TextAnalysis.wordTopK(docs(s, dir), "text", 50))
 
   val all: Seq[Demo] = Seq(x5a, x5b, x5c, x5d)
 }
