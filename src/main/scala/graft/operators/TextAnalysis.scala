@@ -12,6 +12,12 @@ import org.apache.spark.sql.functions._
   * accumulated float state — and every stage is a narrow projection
   * (whole-stage codegen over the scan) except wordTopK's bounded-key
   * aggregation.
+  *
+  * Output-column contract: each transform OWNS the metric columns it
+  * documents (tokenCounts: ws_tokens/bpeish_tokens; qualityMetrics:
+  * n_chars_m/n_tokens/n_punct/n_stop/punct_ratio/stopword_ratio/
+  * mean_word_len/keep; langGuess: lang_guess) and will overwrite caller
+  * columns of those names — internal temporaries never leak.
   */
 object TextAnalysis {
 
@@ -58,25 +64,27 @@ object TextAnalysis {
 
   /** Character-profile language-ID heuristic: marker-character rates per
     * candidate language decide `lang_guess` ('de'/'fr'/'es'/'en'/'und').
+    * Intermediate rate columns use a `__graft_` prefix so caller columns
+    * are never clobbered; only `lang_guess` is added to the output.
     */
   def langGuess(df: DataFrame, textCol: String): DataFrame = {
     val lt = lower(col(textCol))
     val n = length(col(textCol))
     val enWords = array(Seq("the", "and", "of", "is", "you").map(lit): _*)
-    df.withColumn("de_rate", charRate(lt, n, "[äöüß]"))
-      .withColumn("fr_rate", charRate(lt, n, "[éèêàçù]"))
-      .withColumn("es_rate", charRate(lt, n, "[áíóúñ¿¡]"))
-      .withColumn("en_rate",
+    df.withColumn("__graft_de", charRate(lt, n, "[äöüß]"))
+      .withColumn("__graft_fr", charRate(lt, n, "[éèêàçù]"))
+      .withColumn("__graft_es", charRate(lt, n, "[áíóúñ¿¡]"))
+      .withColumn("__graft_en",
         size(filter(split(lt, " "), w => array_contains(enWords, w))).cast("double")
           / size(split(lt, " ")))
       .withColumn("lang_guess",
-        when(col("de_rate") >= col("fr_rate") && col("de_rate") >= col("es_rate")
-          && col("de_rate") > 0, "de")
-          .when(col("fr_rate") >= col("es_rate") && col("fr_rate") > 0, "fr")
-          .when(col("es_rate") > 0, "es")
-          .when(col("en_rate") > 0, "en")
+        when(col("__graft_de") >= col("__graft_fr") && col("__graft_de") >= col("__graft_es")
+          && col("__graft_de") > 0, "de")
+          .when(col("__graft_fr") >= col("__graft_es") && col("__graft_fr") > 0, "fr")
+          .when(col("__graft_es") > 0, "es")
+          .when(col("__graft_en") > 0, "en")
           .otherwise("und"))
-      .drop("de_rate", "fr_rate", "es_rate", "en_rate")
+      .drop("__graft_de", "__graft_fr", "__graft_es", "__graft_en")
   }
 
   /** Corpus word frequency top-k: explode → two-phase hash agg on the

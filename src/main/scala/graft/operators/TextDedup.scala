@@ -93,6 +93,7 @@ object TextDedup {
       threshold: Double): DataFrame = {
     Hashing.registerAll(df.sparkSession)
     val P = Hashing.P
+    val nBands = Hashing.MinhashK / 2 // r=2 rows per band over the signature
     val sets = shingleSets(df, idCol, textCol)
     val hashed = tokArrays(df, idCol, textCol)
       .select(col("doc_id"), explode(shingleSet(col("toks"))).as("sh"))
@@ -100,7 +101,7 @@ object TextDedup {
       .groupBy("doc_id")
       .agg(udaf(MinHashAgg).apply(col("x")).as("sig"))
     val bands = hashed.select(col("doc_id"),
-      explode(array((0 until 64).map(b =>
+      explode(array((0 until nBands).map(b =>
         struct(lit(b).as("band"),
           (element_at(col("sig"), 2 * b + 1) * P
             + element_at(col("sig"), 2 * b + 2)).as("key"))): _*)).as("bk"))
@@ -124,14 +125,26 @@ object TextDedup {
     * Equals the all-pairs scan for every pair sharing ≥1 shingle while
     * touching only co-occurring docs. `maxDocFreq` drops stop-shingles
     * (posting lists longer than the cap) — the frequency cut that bounds
-    * the worst bucket at open-web scale; pairs whose ONLY shared shingles
-    * are stop-shingles are then missed, the standard recall tradeoff.
+    * the worst bucket at open-web scale. With a cap, BOTH the shared
+    * counts AND the per-doc set sizes are computed over the capped
+    * shingle universe, so the reported value is the exact Jaccard of the
+    * capped sets (pairs whose similarity rode on stop-shingles drop out —
+    * the intended recall tradeoff — but surviving scores are consistent).
     */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
       threshold: Double, maxDocFreq: Option[Int] = None): DataFrame = {
     val td = tokArrays(df, idCol, textCol)
-    val sizes = td.select(col("doc_id"), size(shingleSet(col("toks"))).as("n"))
     val posts = td.select(col("doc_id"), explode(shingleSet(col("toks"))).as("sh"))
+    val sizes = maxDocFreq match {
+      case None =>
+        td.select(col("doc_id"), size(shingleSet(col("toks"))).as("n"))
+      case Some(cap) =>
+        // per-doc size over the capped universe: count only shingles whose
+        // document frequency is within the cap
+        val okSh = posts.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+          .filter(col("df") <= cap).select(col("sh"))
+        posts.join(okSh, "sh").groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    }
     val buckets = posts.groupBy(col("sh"))
       .agg(sort_array(collect_set(col("doc_id"))).as("ds"))
       .filter(size(col("ds")) >= 2)
@@ -166,23 +179,19 @@ object TextDedup {
 
   /** Embedding near-dup pairs (X2e): int64-quantized cosine over a
     * bounded candidate set — exact integer dot products via the codegen'd
-    * dot_long kernel. O(n²) in the input size: pre-bound the input (or
-    * use [[VectorSearch.bucketedAnn]] for the full-corpus path).
+    * dot_long kernel, sharing [[VectorSearch.quantize]]'s quantization
+    * contract. O(n²) in the input size: pre-bound the input (or use
+    * [[VectorSearch.bucketedAnn]] for the full-corpus path).
     */
   def embeddingNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
       threshold: Double): DataFrame = {
-    Hashing.registerAll(df.sparkSession)
-    val q = df.select(col(idCol).as("vec_id"),
-      transform(col(vecCol), x => floor(x.cast("double") * 10000).cast("long")).as("qv"))
-    val n = q.select(col("vec_id"), col("qv"),
-      call_function("dot_long", col("qv"), col("qv")).as("nq"))
+    val n = VectorSearch.quantize(df, idCol, vecCol)
     n.alias("a")
       .join(n.alias("b"), col("a.vec_id") < col("b.vec_id"))
       .select(
         col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
-        (call_function("dot_long", col("a.qv"), col("b.qv")).cast("double")
-          / (sqrt(col("a.nq").cast("double")) * sqrt(col("b.nq").cast("double"))))
-          .as("cosine"))
+        VectorSearch.cosineOf(call_function("dot_long", col("a.qv"), col("b.qv")),
+          col("a.nq"), col("b.nq")).as("cosine"))
       .filter(col("cosine") >= threshold)
   }
 }

@@ -28,8 +28,12 @@ object VectorSearch {
         call_function("dot_long", col("qv"), col("qv")).as("nq"))
   }
 
-  private def cosine(dot: Column, na: Column, nb: Column): Column =
+  /** Exact cosine from an integer dot and the two squared norms. */
+  private[operators] def cosineOf(dot: Column, na: Column, nb: Column): Column =
     dot.cast("double") / (sqrt(na.cast("double")) * sqrt(nb.cast("double")))
+
+  private def cosine(dot: Column, na: Column, nb: Column): Column =
+    cosineOf(dot, na, nb)
 
   private def rankTopK(scored: DataFrame, k: Int): DataFrame =
     scored.withColumn("rn", row_number().over(
@@ -40,7 +44,10 @@ object VectorSearch {
 
   /** Exact top-k cosine neighbors of each query vector (brute force —
     * the baseline every ANN variant is measured against). `queries` and
-    * `corpus` carry (idCol, vecCol); self-matches are excluded by id.
+    * `corpus` carry (idCol, vecCol) and MUST share one id space —
+    * self-matches are excluded by id equality, so a query batch is
+    * expected to be a (filtered) subset of the corpus. For a probe set
+    * from a different table, give it ids outside the corpus range.
     */
   def topKCosine(corpus: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, k: Int): DataFrame = {
@@ -75,6 +82,7 @@ object VectorSearch {
     * sign bucket (~1/256 of the corpus per probe); exact rerank within
     * the bucket. The 100 TB path — the corpus scan prunes to matching
     * buckets (partition the stored corpus by bucket for physical pruning).
+    * Same id-space contract as [[topKCosine]].
     */
   def bucketedAnn(corpus: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, k: Int): DataFrame = {

@@ -26,19 +26,19 @@ object DedupDemos {
     Tables.table(s, dir, name)
 
   /** DuckDB equivalents of the shared shingle CTEs (same definition). */
-  private def oracleShingleCtes(extraWhere: String = ""): String = s"""
+  private val oracleShingleCtes: String = """
       WITH tok AS (
         SELECT doc_id, string_split(text, ' ') AS toks
         FROM documents
-        WHERE len(string_split(text, ' ')) >= 3$extraWhere),
+        WHERE len(string_split(text, ' ')) >= 3),
       sh AS (
         SELECT doc_id,
                list_distinct(list_transform(generate_series(1, len(toks)-2),
                  i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))) AS shs
         FROM tok)"""
 
-  private def oracleJaccardPairs(threshold: Double, extraWhere: String = ""): String = s"""
-      ${oracleShingleCtes(extraWhere)}
+  private def oracleJaccardPairs(threshold: Double): String = s"""
+      $oracleShingleCtes
       SELECT a.doc_id AS id_a, b.doc_id AS id_b,
              cast(len(list_intersect(a.shs, b.shs)) AS double)
                / (len(a.shs) + len(b.shs) - len(list_intersect(a.shs, b.shs))) AS jaccard

@@ -12,7 +12,7 @@ class TextDedupSpec extends SparkSpec {
 
   private val sfDir = "/root/testdata/sf0.001"
 
-  test("ngram cap: high cap == uncapped; low cap only removes pairs") {
+  test("ngram cap: high cap == uncapped; low cap == exact Jaccard of capped sets") {
     val docs = Tables.table(spark, sfDir, "documents")
     val uncapped = TextDedup.ngramJaccardPairs(docs, "doc_id", "text", 0.05)
       .collect().map(_.mkString("|")).toSet
@@ -20,12 +20,37 @@ class TextDedupSpec extends SparkSpec {
       maxDocFreq = Some(1000000))
       .collect().map(_.mkString("|")).toSet
     assert(highCap == uncapped)
-    val lowCapPairs = TextDedup.ngramJaccardPairs(docs, "doc_id", "text", 0.05,
-      maxDocFreq = Some(2))
-      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    val uncappedPairs = TextDedup.ngramJaccardPairs(docs, "doc_id", "text", 0.05)
-      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    assert(lowCapPairs.subsetOf(uncappedPairs))
+
+    // independent brute force over the capped shingle universe: drop
+    // shingles with df > cap from every doc's set, then all-pairs Jaccard
+    val cap = 2
+    val toks = docs
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .filter(size(col("toks")) >= 3)
+    val posts = toks.select(col("doc_id"),
+      explode(array_distinct(transform(
+        sequence(lit(0), size(col("toks")) - 3), i =>
+          concat_ws(" ",
+            element_at(col("toks"), i + 1),
+            element_at(col("toks"), i + 2),
+            element_at(col("toks"), i + 3))))).as("sh"))
+    val ok = posts.groupBy("sh").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= cap).select("sh")
+    val sets = posts.join(ok, "sh")
+      .groupBy("doc_id").agg(collect_set(col("sh")).as("shs"))
+    val inter = size(array_intersect(col("a.shs"), col("b.shs")))
+    val expected = sets.alias("a")
+      .join(sets.alias("b"), col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+        (inter.cast("double")
+          / (size(col("a.shs")) + size(col("b.shs")) - inter)).as("jaccard"))
+      .filter(col("jaccard") >= 0.05)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val got = TextDedup.ngramJaccardPairs(docs, "doc_id", "text", 0.05,
+      maxDocFreq = Some(cap))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == expected,
+      s"only-got=${got.diff(expected).take(3)} only-expected=${expected.diff(got).take(3)}")
   }
 
   test("exactDedup keeps exactly one row per key, the tiebreak-first one") {
