@@ -40,8 +40,9 @@ object Multimodal {
     docs.select(
       col("doc_id"),
       // deterministic modality assignment standing in for a real mime type
+      // (pmod, not %: a negative id would hit element_at index 0 → error)
       element_at(array(lit("image"), lit("audio"), lit("video")),
-        (col("doc_id") % 3 + 1).cast(IntegerType)).as("media_type"),
+        (pmod(col("doc_id"), lit(3)) + 1).cast(IntegerType)).as("media_type"),
       encode(col("text"), "UTF-8").as("content"),
       struct(
         octet_length(encode(col("text"), "UTF-8")).as("n_bytes"),
@@ -54,10 +55,14 @@ object Multimodal {
   private[multimodal] def decodeOne(docId: Long, mediaType: String,
       bytes: Array[Byte]): MediaFeatures = {
     val text = new String(bytes, StandardCharsets.UTF_8)
-    val n = text.length
-    val cp = (i: Int) => if (n == 0) 0 else text.charAt(math.min(i, n - 1)).toInt
+    // CODE POINTS, not UTF-16 units: the oracle's length()/substr()/ascii()
+    // are code-point semantics, and a non-BMP char (surrogate pair) would
+    // otherwise diverge in every feature below
+    val cps = text.codePoints().toArray
+    val n = cps.length
+    val cp = (i: Int) => if (n == 0) 0 else cps(math.min(i, n - 1))
     val k = math.min(16, n)
-    val sum16 = (0 until k).map(i => text.charAt(i).toInt.toLong).sum
+    val sum16 = (0 until k).map(i => cps(i).toLong).sum
     MediaFeatures(
       doc_id = docId,
       media_type = mediaType,

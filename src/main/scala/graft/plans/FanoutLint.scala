@@ -32,9 +32,13 @@ object FanoutLint extends Rule[LogicalPlan] {
   def clear(): Unit = findings.clear()
 
   private def record(msg: String): Unit = {
-    findings.add(msg)
-    while (findings.size > 100) findings.poll()
-    logWarning(s"[fanout-lint] $msg")
+    // optimizer batches run to fixed point and AQE re-optimizes per stage,
+    // so the same join is visited repeatedly — record each finding once
+    if (!findings.contains(msg)) {
+      findings.add(msg)
+      while (findings.size > 100) findings.poll()
+      logWarning(s"[fanout-lint] $msg")
+    }
   }
 
   /** Does this subtree contain an Aggregate/Distinct below only grain-
@@ -63,18 +67,22 @@ object FanoutLint extends Rule[LogicalPlan] {
     }.unzip
   }
 
-  /** Are these join keys provably unique on this side? True when the side
-    * is aggregate-grain and the keys cover all its grouping attributes
-    * (each group key appears once per row ⇒ key tuples are distinct).
+  /** Is the detail side at most one row per join-key tuple, provably?
+    * Without table statistics this is only provable from plan structure:
+    * a max-1-row relation (global aggregate or LIMIT <= 1) can't fan
+    * anything out. (A detail side that is itself grouped/distinct on the
+    * keys shows up as aggregate-grain and is handled by the caller's
+    * grain check, not here.)
     */
-  private def keysUnique(side: LogicalPlan, keys: Seq[Attribute]): Boolean =
-    aggregateGrain(side) match {
-      case Some(agg) =>
-        val groupAttrs = agg.groupingExpressions.flatMap(_.references)
-        groupAttrs.nonEmpty && groupAttrs.forall(g =>
-          keys.exists(k => k.semanticEquals(g) || k.name == g.name))
-      case None => false
-    }
+  private def maxOneRow(side: LogicalPlan): Boolean = side match {
+    case a: Aggregate if a.groupingExpressions.isEmpty => true
+    case GlobalLimit(lim, child) =>
+      lim.foldable && Option(lim.eval()).exists(_.asInstanceOf[Number].longValue <= 1)
+    case p: Project => maxOneRow(p.child)
+    case f: Filter => maxOneRow(f.child)
+    case s: SubqueryAlias => maxOneRow(s.child)
+    case _ => false
+  }
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
     plan.foreach {
@@ -84,16 +92,20 @@ object FanoutLint extends Rule[LogicalPlan] {
         val (lk, rk) = equiKeys(cond, left, right)
         val leftAgg = aggregateGrain(left).isDefined
         val rightAgg = aggregateGrain(right).isDefined
-        // aggregate-grain ⋈ detail-grain where the detail keys aren't unique
-        // ⇒ every aggregate row multiplies by the detail key multiplicity
-        if (leftAgg && !rightAgg && rk.nonEmpty && !keysUnique(right, rk))
+        // aggregate-grain ⋈ detail-grain: unless the detail side provably
+        // has at most one row per key, every aggregate row can multiply by
+        // the detail key multiplicity. This is the reference doc's REVIEW
+        // heuristic (docs/bug-analysis.md:128-135) — plan structure alone
+        // cannot prove a raw relation's key uniqueness, so dim joins below
+        // an aggregate also warn (by design: the doc flags them for review).
+        if (leftAgg && !rightAgg && rk.nonEmpty && !maxOneRow(right))
           record(s"aggregate-grain left side joins detail rows on " +
-            s"non-unique key(s) ${rk.map(_.name).mkString(", ")} — " +
-            "aggregate rows will fan out (reference: docs/bug-analysis.md:69-98)")
-        if (rightAgg && !leftAgg && lk.nonEmpty && !keysUnique(left, lk))
+            s"key(s) ${rk.map(_.name).mkString(", ")} of unproven uniqueness — " +
+            "aggregate rows fan out if the key repeats (reference: docs/bug-analysis.md:69-98)")
+        if (rightAgg && !leftAgg && lk.nonEmpty && !maxOneRow(left))
           record(s"aggregate-grain right side joins detail rows on " +
-            s"non-unique key(s) ${lk.map(_.name).mkString(", ")} — " +
-            "aggregate rows will fan out (reference: docs/bug-analysis.md:69-98)")
+            s"key(s) ${lk.map(_.name).mkString(", ")} of unproven uniqueness — " +
+            "aggregate rows fan out if the key repeats (reference: docs/bug-analysis.md:69-98)")
       case _ =>
     }
     plan

@@ -19,20 +19,36 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  /** Enable reading parquet TIMESTAMP(NANOS) columns as raw Long nanos.
+    * SESSION-WIDE side effect, deliberately: the conf must hold from plan
+    * time through task execution (it is captured into the scan's hadoop
+    * conf at planning), so scoped set/restore is unsafe. All graft entry
+    * points call this up front; any nanos-timestamp parquet read in the
+    * session then yields LongType nanos to convert via [[nanosTsToMicros]].
+    */
+  def enableNanosAsLong(spark: SparkSession): Unit =
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+
+  /** The shared nanos→micros `ts` conversion used by BOTH the batch and
+    * streaming events readers — `timestamp_micros(ts DIV 1000)` (integer
+    * division; `/` would round-trip through double and lose precision at
+    * epoch-nanos magnitude). Matches DuckDB's truncation when it loads the
+    * same file into its microsecond TIMESTAMP, so oracle comparisons stay
+    * bit-identical.
+    */
+  def nanosTsToMicros(df: DataFrame): DataFrame =
+    df.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+
   /** Read one harness table. Column pruning + predicate pushdown reach the
     * parquet scan because this is a plain datasource relation.
     *
     * `events.ts` is physically parquet TIMESTAMP(NANOS), which Spark's
-    * vectorized reader rejects; read it as raw nanos (legacy conf) and
-    * truncate to microsecond TIMESTAMP — exactly what DuckDB does when it
-    * loads the same file into its micro-precision TIMESTAMP, so oracle
-    * comparisons stay bit-identical.
+    * vectorized reader rejects; see [[enableNanosAsLong]]/[[nanosTsToMicros]].
     */
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
     if (name == "events") {
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      spark.read.parquet(s"$dir/$name.parquet")
-        .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      enableNanosAsLong(spark)
+      nanosTsToMicros(spark.read.parquet(s"$dir/$name.parquet"))
     } else spark.read.parquet(s"$dir/$name.parquet")
 
   /** Register every harness table as a temp view so demonstrators can be

@@ -2,9 +2,8 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{DataStreamWriter, OutputMode, Trigger}
+import org.apache.spark.sql.streaming.{OutputMode, StreamingQuery, Trigger}
 import org.apache.spark.sql.types._
-import org.apache.spark.sql.Row
 
 import graft.queries.EventsDemos
 
@@ -46,13 +45,13 @@ object StreamingPipelines {
     * conversion the batch reader applies, so batch and streaming agree.
     */
   def readEventsStreamNanos(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    graft.sources.Tables.enableNanosAsLong(spark)
     val nanosSchema = StructType(eventsSchema.map {
       case f if f.name == "ts" => f.copy(dataType = LongType)
       case f => f
     })
-    spark.readStream.schema(nanosSchema).parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    graft.sources.Tables.nanosTsToMicros(
+      spark.readStream.schema(nanosSchema).parquet(dir))
   }
 
   /** Tumbling 1-hour aggregation with a 10-minute watermark. Append mode
@@ -74,15 +73,16 @@ object StreamingPipelines {
     EventsDemos.session(events.withWatermark("ts", "10 minutes"))
 
   /** Wire an aggregated streaming DataFrame to an in-memory sink (used by
-    * tests and local inspection); returns the started query's writer for
-    * the caller to manage.
+    * tests and local inspection) and START it; callers await/stop the
+    * returned query and read results from `spark.table(queryName)`.
     */
-  def toMemorySink(df: DataFrame, queryName: String): DataStreamWriter[Row] =
+  def toMemorySink(df: DataFrame, queryName: String): StreamingQuery =
     df.writeStream
       .format("memory")
       .queryName(queryName)
       .outputMode(OutputMode.Append)
       .trigger(Trigger.AvailableNow())
+      .start()
 
   // -------------------------------------------------------------------
   // Custom-state sessionization via flatMapGroupsWithState — the
@@ -130,12 +130,20 @@ object StreamingPipelines {
             state.remove()
           } else {
             var cur = state.getOption
+            // NOTE: the group's micro-batch rows buffer in memory for the
+            // sort — fine for per-user event rates; a pathologically hot
+            // key (bot traffic) needs upstream salting/filtering, the
+            // standard skew guard for any per-key stateful op
             rows.toSeq.sortBy(_._2.getTime).foreach { case (_, ts, v) =>
               val ms = ts.getTime
               val cents = math.round(v * 100)
               cur match {
                 case Some(s) if ms - s.lastMs <= SessionGapMs =>
-                  cur = Some(s.copy(lastMs = math.max(s.lastMs, ms),
+                  // startMs may move DOWN: a not-yet-late out-of-order event
+                  // from a later micro-batch can precede the open session's
+                  // first event (session_window merges it the same way)
+                  cur = Some(s.copy(startMs = math.min(s.startMs, ms),
+                    lastMs = math.max(s.lastMs, ms),
                     n = s.n + 1, cents = s.cents + cents))
                 case Some(s) =>
                   close(s)

@@ -57,12 +57,10 @@ class FileStreamSpec extends SparkSpec {
     Files.copy(
       java.nio.file.Paths.get("/root/testdata/sf0.001/events.parquet"),
       java.nio.file.Paths.get(s"$dir/events.parquet"))
-    val q = StreamingPipelines.tumblingStream(
-        StreamingPipelines.readEventsStreamNanos(s, dir))
-      .writeStream.format("memory").queryName("t_nanos")
-      .outputMode("append").start()
-    q.processAllAvailable()
-    q.stop()
+    val q = StreamingPipelines.toMemorySink(
+      StreamingPipelines.tumblingStream(
+        StreamingPipelines.readEventsStreamNanos(s, dir)), "t_nanos")
+    q.awaitTermination()
     val streamed = s.table("t_nanos").collect()
       .map(_.mkString("|")).toSet
     val batch = graft.queries.EventsDemos.tumbling(

@@ -105,6 +105,30 @@ class StreamingSpec extends SparkSpec {
     assert(expected.subsetOf(got), s"got=$got")
   }
 
+  test("stateful sessionization: cross-batch out-of-order event moves session_start down") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val mem = MemoryStream[Ev]
+    val q = StreamingPipelines.statefulSessions(mem.toDF())
+      .writeStream.format("memory").queryName("t_ooo")
+      .outputMode("append").start()
+    mem.addData(Ev(1, ts(60), 7L, "click", 1.0, "{}"))
+    q.processAllAvailable() // watermark now 00:50
+    // older but not-yet-late event (00:55 >= watermark) joins the session
+    mem.addData(Ev(2, ts(55), 7L, "click", 2.0, "{}"))
+    q.processAllAvailable()
+    mem.addData(Ev(3, ts(400), 999L, "click", 0.0, "{}"))
+    q.processAllAvailable()
+    mem.addData(Ev(4, ts(401), 999L, "click", 0.0, "{}"))
+    q.processAllAvailable()
+    q.stop()
+    val rows = s.table("t_ooo").filter($"user_id" === 7L)
+      .select("session_start", "n_events").collect()
+      .map(r => (r.getTimestamp(0).toString, r.getLong(1))).toList
+    assert(rows == List(("2024-01-01 00:55:00.0", 2L)), rows.toString)
+  }
+
   test("session window: streaming == batch on closed sessions (X6c)") {
     val (streamed, batch) = runBoth("t_session", StreamingPipelines.sessionStream)
     assert(streamed.toSet.subsetOf(batch.toSet),
