@@ -1,0 +1,41 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators.Sampling
+import graft.queries.RelationalDemos.Demo
+import graft.sources.Tables
+
+/** Deterministic-sampling demonstrators over `documents`
+  * ([[graft.operators.Sampling]]): reproducible corpus subsampling —
+  * selection is a pure function of doc_id, so the oracle reproduces the
+  * exact sample.
+  */
+object SamplingDemos {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables.table(s, dir, "documents")
+
+  private val x10a = Demo("x10a_hash_sample", Some("""
+      SELECT doc_id, lang, source
+      FROM documents
+      WHERE (doc_id * 2654435761) % 100 < 20
+      ORDER BY doc_id ASC NULLS LAST"""),
+    (s, dir) => Sampling.hashSample(docs(s, dir), col("doc_id"), percent = 20)
+      .select(col("doc_id"), col("lang"), col("source"))
+      .orderBy(col("doc_id").asc_nulls_last))
+
+  private val x10b = Demo("x10b_stratified_sample", Some("""
+      SELECT doc_id, lang
+      FROM documents
+      WHERE (doc_id * 2654435761) % 100 <
+            CASE lang WHEN 'en' THEN 10 WHEN 'de' THEN 50
+                      WHEN 'fr' THEN 50 WHEN 'es' THEN 50 ELSE 0 END
+      ORDER BY doc_id ASC NULLS LAST"""),
+    (s, dir) => Sampling.stratifiedSample(docs(s, dir), col("doc_id"), col("lang"),
+        rates = Map("en" -> 10, "de" -> 50, "fr" -> 50, "es" -> 50))
+      .select(col("doc_id"), col("lang"))
+      .orderBy(col("doc_id").asc_nulls_last))
+
+  val all: Seq[Demo] = Seq(x10a, x10b)
+}
