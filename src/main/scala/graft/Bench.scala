@@ -22,12 +22,13 @@ object Bench {
     // run still pays per-query codegen compilation, which a long-running
     // cluster amortizes away
     val results = SparkEntry.queries.map { case (name, fn) =>
+      // a throwing query reports sentinel -1.0, never a (fast) wall time
       val times = (1 to 2).map { _ =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        (System.nanoTime() - t0) / 1e9
+        try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
+        catch { case _: Throwable => -1.0 }
       }
-      name -> times.min
+      name -> (if (times.contains(-1.0)) -1.0 else times.min)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

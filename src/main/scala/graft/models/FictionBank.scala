@@ -91,9 +91,9 @@ object FictionBank {
         // annuity: round(P*r*(1+r)^n / ((1+r)^n - 1), 2) (:28-33)
         // parity note: for interest_rate = 0 this divides by zero, exactly
         // like the unguarded reference SQL (fct_loan_details.sql:28-33) —
-        // Spark yields NULL (non-ANSI), DuckDB yields NaN/inf; the seeds
-        // contain no 0% loans, and we reproduce the reference bug-for-bug
-        // rather than guard a case it never defined
+        // an ANSI-mode error here, NaN/inf in DuckDB; the seeds contain no
+        // 0% loans, and we reproduce the reference bug-for-bug rather than
+        // guard a case it never defined
         round(col("loan_amount") * r * growth / (growth - lit(1)), 2)
           .as("estimated_monthly_payment"))
   }

@@ -15,11 +15,16 @@ import org.apache.spark.sql.functions._
 object Sampling {
 
   /** Pseudo-random bucket in [0, 100) from a key column: Knuth
-    * multiplicative hash — deterministic, uniform enough for rate
-    * sampling, and trivially reproducible in any SQL engine.
+    * multiplicative hash taking HIGH bits — deterministic, reproducible
+    * in any SQL engine, and structure-resistant (a low-order residue like
+    * `key*C mod 100` would depend only on the key's last decimal digits,
+    * so stride-100 keys would all land in one bucket). The key folds to
+    * 31 bits first so the multiply can't overflow int64 (ANSI mode makes
+    * overflow an error, not a wrap).
     */
   def hashBucket(key: Column): Column =
-    pmod(key.cast("long") * 2654435761L, lit(100L))
+    pmod(shiftright(pmod(key.cast("long"), lit(2147483648L)) * 2654435761L,
+      16), lit(100L))
 
   /** Keep ~`percent`% of rows, deterministically by key. */
   def hashSample(df: DataFrame, key: Column, percent: Int): DataFrame =

@@ -49,18 +49,27 @@ object TextAnalysis {
       .withColumn("n_stop", size(filter(split(lower(col(textCol)), " "),
         w => array_contains(stop, w))))
     base
-      .withColumn("punct_ratio", col("n_punct").cast("double") / col("n_chars_m"))
+      // empty text → n_chars_m = 0; ANSI mode (Spark 4 default) turns the
+      // division into an error, so guard it (n_tokens >= 1 always: split
+      // of "" yields [""]).
+      .withColumn("punct_ratio",
+        when(col("n_chars_m") > 0, col("n_punct").cast("double") / col("n_chars_m"))
+          .otherwise(lit(null)))
       .withColumn("stopword_ratio", col("n_stop").cast("double") / col("n_tokens"))
       .withColumn("mean_word_len",
         (col("n_chars_m") - col("n_tokens") + 1).cast("double") / col("n_tokens"))
       .withColumn("keep",
+        // SQL AND does not short-circuit: the ratio operand must be the
+        // already-guarded punct_ratio column, never a raw division
         when(col("n_tokens") >= 5 && col("n_stop") > 0
-          && col("n_punct").cast("double") / col("n_chars_m") < 0.2, 1)
+          && coalesce(col("punct_ratio"), lit(1.0)) < 0.2, 1)
           .otherwise(0))
   }
 
   private def charRate(lt: Column, n: Column, pattern: String): Column =
-    (length(lt) - length(regexp_replace(lt, pattern, ""))).cast("double") / n
+    when(n > 0,
+      (length(lt) - length(regexp_replace(lt, pattern, ""))).cast("double") / n)
+      .otherwise(lit(0.0)) // empty text: rate 0, not an ANSI division error
 
   /** Character-profile language-ID heuristic: marker-character rates per
     * candidate language decide `lang_guess` ('de'/'fr'/'es'/'en'/'und').

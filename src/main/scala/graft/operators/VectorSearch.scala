@@ -28,12 +28,14 @@ object VectorSearch {
         call_function("dot_long", col("qv"), col("qv")).as("nq"))
   }
 
-  /** Exact cosine from an integer dot and the two squared norms. */
+  /** Exact cosine from an integer dot and the two squared norms. A
+    * zero-norm vector (all components quantize to 0) has no direction:
+    * NULL, not an ANSI division-by-zero error.
+    */
   private[operators] def cosineOf(dot: Column, na: Column, nb: Column): Column =
-    dot.cast("double") / (sqrt(na.cast("double")) * sqrt(nb.cast("double")))
-
-  private def cosine(dot: Column, na: Column, nb: Column): Column =
-    cosineOf(dot, na, nb)
+    when(na > 0 && nb > 0,
+      dot.cast("double") / (sqrt(na.cast("double")) * sqrt(nb.cast("double"))))
+      .otherwise(lit(null))
 
   private def rankTopK(scored: DataFrame, k: Int): DataFrame =
     scored.withColumn("rn", row_number().over(
@@ -57,7 +59,7 @@ object VectorSearch {
     val scored = broadcast(q)
       .join(c, col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"),
-        cosine(call_function("dot_long", col("q_qv"), col("qv")),
+        cosineOf(call_function("dot_long", col("q_qv"), col("qv")),
           col("q_nq"), col("nq")).as("cosine"))
     rankTopK(scored, k)
   }
@@ -93,7 +95,7 @@ object VectorSearch {
     val scored = broadcast(q)
       .join(c, col("bucket") === col("q_bucket") && col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"),
-        cosine(call_function("dot_long", col("q_qv"), col("qv")),
+        cosineOf(call_function("dot_long", col("q_qv"), col("qv")),
           col("q_nq"), col("nq")).as("cosine"))
     rankTopK(scored, k)
   }

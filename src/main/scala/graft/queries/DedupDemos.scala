@@ -130,9 +130,11 @@ object DedupDemos {
                cast(list_sum(list_transform(qv, v -> v * v)) AS bigint) AS nq
         FROM q)
       SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-             cast(cast(list_sum(list_transform(generate_series(1, 64),
-                    i -> a.qv[i] * b.qv[i])) AS bigint) AS double)
-               / (sqrt(cast(a.nq AS double)) * sqrt(cast(b.nq AS double))) AS cosine
+             CASE WHEN a.nq > 0 AND b.nq > 0 THEN
+               cast(cast(list_sum(list_transform(generate_series(1, 64),
+                      i -> a.qv[i] * b.qv[i])) AS bigint) AS double)
+                 / (sqrt(cast(a.nq AS double)) * sqrt(cast(b.nq AS double)))
+             END AS cosine
       FROM n a JOIN n b ON a.vec_id < b.vec_id
       WHERE cosine >= 0.4
       ORDER BY vec_a ASC NULLS LAST, vec_b ASC NULLS LAST"""),

@@ -146,8 +146,6 @@ object EventsDemos {
         col("session_window.start").as("session_start"),
         col("session_window.end").as("session_end"),
         col("n_events"), col("total_value"))
-      .select(col("user_id"), col("session_start"), col("session_end"),
-        col("n_events"), col("total_value"))
 
   val all: Seq[Demo] = Seq(x4a, x6a, x6b, x6c)
 }

@@ -43,12 +43,17 @@ object MultimodalDemos {
       SELECT doc_id,
              (['image','audio','video'])[doc_id % 3 + 1] AS media_type,
              octet_length(encode(text)) AS n_bytes,
-             32 + ascii(substr(text, 1, 1)) % 64 AS width,
-             32 + ascii(substr(text, least(2, length(text)), 1)) % 64 AS height,
+             CASE WHEN length(text) > 0
+                  THEN 32 + ascii(substr(text, 1, 1)) % 64 ELSE 32 END AS width,
+             CASE WHEN length(text) > 0
+                  THEN 32 + ascii(substr(text, least(2, length(text)), 1)) % 64
+                  ELSE 32 END AS height,
              1 + length(text) % 8 AS n_frames,
-             cast(list_sum(list_transform(generate_series(1, least(16, length(text))),
-                    i -> cast(ascii(substr(text, i, 1)) AS bigint))) AS double)
-               / least(16, length(text)) AS brightness
+             CASE WHEN length(text) > 0 THEN
+               cast(list_sum(list_transform(generate_series(1, least(16, length(text))),
+                      i -> cast(ascii(substr(text, i, 1)) AS bigint))) AS double)
+                 / least(16, length(text))
+             ELSE 0.0 END AS brightness
       FROM documents
       ORDER BY doc_id ASC NULLS LAST"""),
     (s, dir) => Multimodal.decodeFeatures(Multimodal.mediaTable(docs(s, dir)))
@@ -63,7 +68,8 @@ object MultimodalDemos {
       SELECT doc_id,
              (['image','audio','video'])[doc_id % 3 + 1] AS media_type,
              unnest(generate_series(1, 1 + length(text) % 8)) AS frame_idx,
-             (32 + ascii(substr(text, 1, 1)) % 64) * 31
+             (CASE WHEN length(text) > 0
+                   THEN 32 + ascii(substr(text, 1, 1)) % 64 ELSE 32 END) * 31
                + unnest(generate_series(1, 1 + length(text) % 8)) AS frame_fingerprint
       FROM documents
       ORDER BY doc_id ASC NULLS LAST, frame_idx ASC NULLS LAST"""),

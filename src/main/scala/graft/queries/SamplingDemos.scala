@@ -19,7 +19,7 @@ object SamplingDemos {
   private val x10a = Demo("x10a_hash_sample", Some("""
       SELECT doc_id, lang, source
       FROM documents
-      WHERE (doc_id * 2654435761) % 100 < 20
+      WHERE (((doc_id % 2147483648) * 2654435761) >> 16) % 100 < 20
       ORDER BY doc_id ASC NULLS LAST"""),
     (s, dir) => Sampling.hashSample(docs(s, dir), col("doc_id"), percent = 20)
       .select(col("doc_id"), col("lang"), col("source"))
@@ -28,7 +28,7 @@ object SamplingDemos {
   private val x10b = Demo("x10b_stratified_sample", Some("""
       SELECT doc_id, lang
       FROM documents
-      WHERE (doc_id * 2654435761) % 100 <
+      WHERE (((doc_id % 2147483648) * 2654435761) >> 16) % 100 <
             CASE lang WHEN 'en' THEN 10 WHEN 'de' THEN 50
                       WHEN 'fr' THEN 50 WHEN 'es' THEN 50 ELSE 0 END
       ORDER BY doc_id ASC NULLS LAST"""),

@@ -30,9 +30,11 @@ object SimilarityDemos {
   private val x3a = Demo("x3a_topk_cosine", Some(s"""
       $oracleQuantCtes
       SELECT qr.vec_id AS query_id, c.vec_id AS vec_id,
-             cast(cast(list_sum(list_transform(generate_series(1, 64),
-                    i -> qr.qv[i] * c.qv[i])) AS bigint) AS double)
-               / (sqrt(cast(qr.nq AS double)) * sqrt(cast(c.nq AS double))) AS cosine
+             CASE WHEN qr.nq > 0 AND c.nq > 0 THEN
+               cast(cast(list_sum(list_transform(generate_series(1, 64),
+                      i -> qr.qv[i] * c.qv[i])) AS bigint) AS double)
+                 / (sqrt(cast(qr.nq AS double)) * sqrt(cast(c.nq AS double)))
+             END AS cosine
       FROM (SELECT * FROM n WHERE vec_id < 5) qr
       JOIN n c ON c.vec_id != qr.vec_id
       QUALIFY row_number() OVER (PARTITION BY query_id
@@ -61,9 +63,11 @@ object SimilarityDemos {
         SELECT vec_id, qv, nq, $oracleBucket AS bucket
         FROM n)
       SELECT qr.vec_id AS query_id, c.vec_id AS vec_id,
-             cast(cast(list_sum(list_transform(generate_series(1, 64),
-                    i -> qr.qv[i] * c.qv[i])) AS bigint) AS double)
-               / (sqrt(cast(qr.nq AS double)) * sqrt(cast(c.nq AS double))) AS cosine
+             CASE WHEN qr.nq > 0 AND c.nq > 0 THEN
+               cast(cast(list_sum(list_transform(generate_series(1, 64),
+                      i -> qr.qv[i] * c.qv[i])) AS bigint) AS double)
+                 / (sqrt(cast(qr.nq AS double)) * sqrt(cast(c.nq AS double)))
+             END AS cosine
       FROM (SELECT * FROM bk WHERE vec_id < 5) qr
       JOIN bk c ON c.bucket = qr.bucket AND c.vec_id != qr.vec_id
       QUALIFY row_number() OVER (PARTITION BY query_id

@@ -30,9 +30,11 @@ object StatsDemos {
       SELECT event_type,
              count(*) AS n,
              cast(sum(cents) AS double) / count(*) / 100 AS mean_value,
-             sqrt((count(*) * cast(sum(cents * cents) AS double)
-                   - cast(sum(cents) AS double) * cast(sum(cents) AS double))
-                  / (cast(count(*) AS double) * (count(*) - 1))) / 100 AS stddev_value
+             CASE WHEN count(*) > 1 THEN
+               sqrt((count(*) * cast(sum(cents * cents) AS double)
+                     - cast(sum(cents) AS double) * cast(sum(cents) AS double))
+                    / (cast(count(*) AS double) * (count(*) - 1))) / 100
+             ELSE NULL END AS stddev_value
       FROM c
       GROUP BY event_type
       ORDER BY event_type ASC NULLS LAST"""),
@@ -46,9 +48,13 @@ object StatsDemos {
           sum(col("cents") * col("cents")).as("sxx"))
         .select(col("event_type"), col("n"),
           (col("sx").cast("double") / col("n") / 100).as("mean_value"),
-          (sqrt((col("n") * col("sxx").cast("double")
-            - col("sx").cast("double") * col("sx").cast("double"))
-            / (col("n").cast("double") * (col("n") - 1))) / 100).as("stddev_value"))
+          // n = 1 would divide by zero — ANSI mode (Spark 4 default) makes
+          // that an error, not a NULL, so guard singleton groups explicitly
+          when(col("n") > 1,
+            sqrt((col("n") * col("sxx").cast("double")
+              - col("sx").cast("double") * col("sx").cast("double"))
+              / (col("n").cast("double") * (col("n") - 1))) / 100)
+            .otherwise(lit(null)).as("stddev_value"))
         .orderBy(col("event_type").asc_nulls_last)
     })
 

@@ -36,11 +36,13 @@ object TextDemos {
                  w -> list_contains(['the','a','an','and','or','of','to','in','is','it'], w))) AS n_stop
         FROM documents)
       SELECT doc_id, n_chars_m, n_tokens,
-             cast(n_punct AS double) / n_chars_m AS punct_ratio,
+             CASE WHEN n_chars_m > 0
+                  THEN cast(n_punct AS double) / n_chars_m END AS punct_ratio,
              cast(n_stop AS double) / n_tokens AS stopword_ratio,
              cast(n_chars_m - n_tokens + 1 AS double) / n_tokens AS mean_word_len,
              CASE WHEN n_tokens >= 5 AND n_stop > 0
-                       AND cast(n_punct AS double) / n_chars_m < 0.2
+                       AND coalesce(CASE WHEN n_chars_m > 0
+                             THEN cast(n_punct AS double) / n_chars_m END, 1.0) < 0.2
                   THEN 1 ELSE 0 END AS keep
       FROM m
       ORDER BY doc_id ASC NULLS LAST"""),
@@ -58,9 +60,9 @@ object TextDemos {
         FROM documents),
       sc AS (
         SELECT doc_id, lang,
-               cast(length(lt) - length(regexp_replace(lt, '[äöüß]', '', 'g')) AS double) / n AS de_rate,
-               cast(length(lt) - length(regexp_replace(lt, '[éèêàçù]', '', 'g')) AS double) / n AS fr_rate,
-               cast(length(lt) - length(regexp_replace(lt, '[áíóúñ¿¡]', '', 'g')) AS double) / n AS es_rate,
+               CASE WHEN n > 0 THEN cast(length(lt) - length(regexp_replace(lt, '[äöüß]', '', 'g')) AS double) / n ELSE 0 END AS de_rate,
+               CASE WHEN n > 0 THEN cast(length(lt) - length(regexp_replace(lt, '[éèêàçù]', '', 'g')) AS double) / n ELSE 0 END AS fr_rate,
+               CASE WHEN n > 0 THEN cast(length(lt) - length(regexp_replace(lt, '[áíóúñ¿¡]', '', 'g')) AS double) / n ELSE 0 END AS es_rate,
                cast(len(list_filter(string_split(lt, ' '),
                  w -> list_contains(['the','and','of','is','you'], w))) AS double)
                  / len(string_split(lt, ' ')) AS en_rate

@@ -1,0 +1,68 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Degenerate inputs that would be ANSI-mode runtime errors without the
+  * guards: empty text, zero-norm embeddings, stride-structured sample
+  * keys, singleton stddev groups.
+  */
+class EdgeCaseSpec extends SparkSpec {
+
+  test("quality metrics and langGuess survive empty text") {
+    val s = spark
+    import s.implicits._
+    val df = Seq((1L, ""), (2L, "the cat sat.")).toDF("doc_id", "text")
+    val q = TextAnalysis.qualityMetrics(df, "text")
+      .select("doc_id", "punct_ratio", "keep").orderBy("doc_id").collect()
+    assert(q(0).isNullAt(1) && q(0).getInt(2) == 0)
+    assert(!q(1).isNullAt(1))
+    val l = TextAnalysis.langGuess(df, "text")
+      .select("lang_guess").orderBy("doc_id").collect().map(_.getString(0))
+    assert(l(0) == "und")
+  }
+
+  test("zero-norm embedding yields NULL cosine, not an error") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      (1L, Array(0.00001f, 0.00001f)), // quantizes to all zeros
+      (2L, Array(0.5f, 0.5f)),
+      (3L, Array(0.5f, 0.4f)))
+      .toDF("vec_id", "embedding")
+    val pairs = TextDedup.embeddingNearDupPairs(df, "vec_id", "embedding", 0.0)
+      .collect()
+    // pairs involving vec 1 have NULL cosine → filtered by threshold;
+    // the 2-3 pair survives
+    assert(pairs.map(r => (r.getLong(0), r.getLong(1))).toSet == Set((2L, 3L)))
+  }
+
+  test("hash sampling is not degenerate on stride-structured keys") {
+    val s = spark
+    import s.implicits._
+    val stride100 = (0 until 1000).map(_ * 100L).toDF("k")
+    val kept = Sampling.hashSample(stride100, col("k"), 20).count()
+    // low-bit hash would keep 0% or 100%; high-bit hash keeps ~20%
+    assert(kept > 100 && kept < 300, s"kept=$kept of 1000")
+    // large snowflake-style ids must not overflow under ANSI mode
+    val big = Seq(4102444800000000001L, 4102444800000000002L).toDF("k")
+    Sampling.hashSample(big, col("k"), 50).collect()
+  }
+
+  test("singleton stddev group yields NULL, not an error") {
+    val s = spark
+    import s.implicits._
+    // replicate the x9a expression shape on a 1-row group
+    val df = Seq(("solo", 100L)).toDF("event_type", "cents")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum("cents").as("sx"),
+        sum(col("cents") * col("cents")).as("sxx"))
+      .select(when(col("n") > 1,
+        sqrt((col("n") * col("sxx").cast("double")
+          - col("sx").cast("double") * col("sx").cast("double"))
+          / (col("n").cast("double") * (col("n") - 1))))
+        .otherwise(lit(null)).as("stddev"))
+    assert(df.collect().head.isNullAt(0))
+  }
+}
