@@ -52,6 +52,12 @@ object FanoutLint extends Rule[LogicalPlan] {
     case f: Filter => aggregateGrain(f.child)
     case s: Sort => aggregateGrain(s.child)
     case s: SubqueryAlias => aggregateGrain(s.child)
+    // a join of two aggregate-grain subtrees stays aggregate-grain (each
+    // row is a pair of groups) — the reference's buggy model joins a
+    // full-outer of two monthly aggregates back to loan detail, and the
+    // lint must see through that join (agg_monthly_loans.sql:45-49)
+    case j: Join =>
+      for (a <- aggregateGrain(j.left); _ <- aggregateGrain(j.right)) yield a
     case _ => None
   }
 

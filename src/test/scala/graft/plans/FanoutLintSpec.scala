@@ -33,6 +33,15 @@ class FanoutLintSpec extends SparkSpec {
     assert(joined.count() == 3)
   }
 
+  test("fires through an agg⟗agg join feeding a detail join (reference buggy-model shape)") {
+    FanoutLint.clear()
+    val a = detail.groupBy("k").agg(sum("v").as("sv"))
+    val b = detail.groupBy("k").agg(count(lit(1)).as("n"))
+    a.join(b, Seq("k"), "full_outer").join(detail, Seq("k"), "left").collect()
+    assert(FanoutLint.recentFindings.exists(_.contains("fan out")),
+      s"expected a finding, got: ${FanoutLint.recentFindings}")
+  }
+
   test("quiet on aggregate ⋈ aggregate at same grain (J2 shape)") {
     FanoutLint.clear()
     val a = detail.groupBy("k").agg(sum("v").as("sv"))
