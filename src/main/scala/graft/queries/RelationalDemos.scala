@@ -289,5 +289,30 @@ object RelationalDemos {
         .select(col("o_orderkey"),
           col("o_orderdate").cast(DateType).as("order_date"),
           col("o_orderpriority"))
-        .orderBy(col("order_date").desc_nulls_last, col("o_orderkey").asc_nulls_last)))
+        .orderBy(col("order_date").desc_nulls_last, col("o_orderkey").asc_nulls_last)),
+
+    // ----- S2/S3 + SQL surface: the same engine drives plain Spark SQL
+    // over registered temp views (the dbt-model authoring mode) — one
+    // Catalyst plan regardless of entry API. CTE + join + agg + sort in
+    // a single spark.sql text that is ALSO the oracle, verbatim.
+    Demo("q11_sql_surface", Some(sqlSurfaceText),
+      (s, dir) => {
+        Tables.registerAll(s, dir)
+        s.sql(sqlSurfaceText)
+      }))
+
+  /** Shared Spark-SQL/DuckDB text for q11 (both engines parse it as-is —
+    * the S2 relation names come from Tables.registerAll's temp views).
+    * A def, not a val: `all` above references it during object init.
+    */
+  private def sqlSurfaceText: String = """
+      WITH rn AS (
+        SELECT n_nationkey, n_name, r_name
+        FROM nation JOIN region ON n_regionkey = r_regionkey)
+      SELECT r_name,
+             count(*) AS n_nations,
+             count(DISTINCT substr(n_name, 1, 1)) AS initials
+      FROM rn
+      GROUP BY r_name
+      ORDER BY r_name ASC NULLS LAST"""
 }
