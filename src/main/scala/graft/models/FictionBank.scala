@@ -102,10 +102,13 @@ object FictionBank {
     * models/marts/agg_monthly_loans.sql:9-30): two hash aggregates at
     * different grains — month×type originations and month payments.
     */
+  /** `{{ date_trunc('month', c) }}` cast to date — the project's one macro
+    * (agg_monthly_loans.sql:11,23); single definition for every model.
+    */
+  private def monthStart(c: Column): Column = date_trunc("month", c).cast(DateType)
+
   private def monthlyParts(fctLoanDetails: DataFrame, stgLoanPayments: DataFrame)
       : (DataFrame, DataFrame) = {
-    // {{ date_trunc('month', c) }} cast to date (agg_monthly_loans.sql:11,23)
-    def monthStart(c: Column): Column = date_trunc("month", c).cast(DateType)
     val orig = fctLoanDetails
       .groupBy(
         monthStart(col("loan_start_date")).as("month_start"),
@@ -175,7 +178,7 @@ object FictionBank {
     */
   def loanMonthlyDetail(fct: DataFrame): DataFrame =
     fct.select(
-      date_trunc("month", col("loan_start_date")).cast(DateType).as("month"),
+      monthStart(col("loan_start_date")).as("month"),
       col("loan_type_name"),
       col("customer_id"),
       col("loan_id"),
@@ -186,16 +189,18 @@ object FictionBank {
     * distinct month×type grain of fct_loan_details.
     */
   def grainTest(fct: DataFrame, aggMonthly: DataFrame): DataFrame = {
+    // fully declarative (no eager count() actions at construction): two
+    // 1-row aggregates cross-joined — the scalar-subquery shape of the
+    // reference test (docs/bug-analysis.md:151-157), same as demo q08
     val expected = fct.select(
-      date_trunc("month", col("loan_start_date")).cast(DateType).as("month"),
+      monthStart(col("loan_start_date")).as("month"),
       col("loan_type_name")).distinct()
+      .agg(count(lit(1)).as("expected_rows"))
     val actual = aggMonthly.select(col("month"), col("loan_type_name")).distinct()
-    val expectedRows = expected.count()
-    val actualRows = actual.count()
-    val spark = fct.sparkSession
-    import spark.implicits._
-    Seq((expectedRows, actualRows, actualRows - expectedRows))
-      .toDF("expected_rows", "actual_rows", "extra_rows")
+      .agg(count(lit(1)).as("actual_rows"))
+    expected.crossJoin(actual)
+      .select(col("expected_rows"), col("actual_rows"),
+        (col("actual_rows") - col("expected_rows")).as("extra_rows"))
       .filter(col("actual_rows") =!= col("expected_rows"))
   }
 }

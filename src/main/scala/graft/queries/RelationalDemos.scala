@@ -191,7 +191,8 @@ object RelationalDemos {
              round(o_totalprice * (0.05/12) * power(1 + 0.05/12, 36)
                    / (power(1 + 0.05/12, 36) - 1), 2) AS annuity_36m
       FROM orders
-      ORDER BY o_orderkey ASC NULLS LAST"""),
+      ORDER BY o_orderkey ASC NULLS LAST, price_numeric ASC NULLS LAST,
+               status ASC NULLS LAST"""),
       (s, dir) => {
         val r = lit(0.05) / lit(12)
         val growth = pow(lit(1) + r, lit(36))
@@ -205,7 +206,10 @@ object RelationalDemos {
             .otherwise(lit(null)).as("big_order_fee"),
           round(col("o_totalprice") * r * growth / (growth - lit(1)), 2)
             .as("annuity_36m"))
-          .orderBy(col("o_orderkey").asc_nulls_last)
+          // total order even if o_orderkey ever stops being unique
+          // (SURVEY §7.4.5); the extra keys determine the derived columns
+          .orderBy(col("o_orderkey").asc_nulls_last,
+            col("price_numeric").asc_nulls_last, col("status").asc_nulls_last)
       }),
 
     // ----- P5 + F7: SELECT DISTINCT grain extraction (reference:
@@ -284,12 +288,14 @@ object RelationalDemos {
     Demo("q10_sort_mixed", Some("""
       SELECT o_orderkey, cast(o_orderdate AS date) AS order_date, o_orderpriority
       FROM orders
-      ORDER BY order_date DESC NULLS LAST, o_orderkey ASC NULLS LAST"""),
+      ORDER BY order_date DESC NULLS LAST, o_orderkey ASC NULLS LAST,
+               o_orderpriority ASC NULLS LAST"""),
       (s, dir) => t(s, dir, "orders")
         .select(col("o_orderkey"),
           col("o_orderdate").cast(DateType).as("order_date"),
           col("o_orderpriority"))
-        .orderBy(col("order_date").desc_nulls_last, col("o_orderkey").asc_nulls_last)),
+        .orderBy(col("order_date").desc_nulls_last, col("o_orderkey").asc_nulls_last,
+          col("o_orderpriority").asc_nulls_last)),
 
     // ----- S2/S3 + SQL surface: the same engine drives plain Spark SQL
     // over registered temp views (the dbt-model authoring mode) — one
@@ -297,7 +303,10 @@ object RelationalDemos {
     // a single spark.sql text that is ALSO the oracle, verbatim.
     Demo("q11_sql_surface", Some(sqlSurfaceText),
       (s, dir) => {
-        Tables.registerAll(s, dir)
+        // register only the relations the query names (registerAll would
+        // also open events and flip its nanos legacy conf needlessly)
+        Seq("nation", "region").foreach(n =>
+          Tables.table(s, dir, n).createOrReplaceTempView(n))
         s.sql(sqlSurfaceText)
       }))
 
