@@ -40,6 +40,25 @@ class ScaleOpsSpec extends SparkSpec {
       salted.groupBy(key.map(col): _*).count().orderBy(key.map(col): _*).collect().toSeq)
   }
 
+  test("partitioned write prunes non-matching partitions at the scan") {
+    val s = spark
+    val dir = java.nio.file.Files.createTempDirectory("graft-part").toString
+    val events = Tables.table(s, sfDir, "events")
+      .withColumn("day", to_date(col("ts")))
+    ScaleOps.writePartitioned(events, dir, Seq("day"))
+    val oneDay = s.read.parquet(dir).filter(col("day") === "2024-01-03")
+    val plan = oneDay.queryExecution.executedPlan.toString
+    // partition filter must reach the file index, not a post-scan Filter
+    assert(plan.contains("PartitionFilters") && plan.contains("2024-01-03"), plan)
+    val n = oneDay.count()
+    val total = s.read.parquet(dir).count()
+    assert(n > 0 && n < total)
+    // pruned scan reads only the matching directory
+    val readFiles = oneDay.queryExecution.executedPlan.collectLeaves()
+      .flatMap(_.toString.split("\\n")).mkString
+    assert(!readFiles.contains("day=2024-01-04") || n == total)
+  }
+
   test("bucketed tables join without exchange") {
     val s = spark
     s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
