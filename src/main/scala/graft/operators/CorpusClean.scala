@@ -1,0 +1,51 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** End-to-end corpus cleaning — the composition the individual operators
+  * exist for (SURVEY.md §2B): heuristic quality filter → exact dedup by
+  * content fingerprint → near-duplicate removal via MinHash+LSH →
+  * deterministic stratified sampling. Every stage is deterministic, so
+  * the whole pipeline is reproducible end-to-end and (with RNG-free
+  * hashes throughout) replayable on any engine.
+  *
+  * Scale shape: each stage is a filter/aggregate over the previous one —
+  * quality is a narrow projection, exact dedup one shuffle on the
+  * fingerprint, near-dup the LSH shuffle, and sampling a scan filter.
+  * Nothing widens; the corpus only shrinks monotonically through the
+  * stages.
+  */
+object CorpusClean {
+
+  /** Survivors of the 4-stage cleaning pipeline: quality → exact-dup →
+    * near-dup (keep the lowest id of each similar pair) → stratified
+    * sample with per-stratum rates.
+    */
+  def pipeline(docs: DataFrame, idCol: String, textCol: String,
+      stratumCol: String, nearDupThreshold: Double,
+      rates: Map[String, Int], defaultPercent: Int = 0): DataFrame = {
+    // 1. quality: C4-style keep flag
+    val quality = TextAnalysis.qualityMetrics(docs, textCol)
+      .filter(col("keep") === 1)
+      .select(docs.columns.map(col): _*)
+
+    // 2. exact dedup: one survivor (lowest id) per content fingerprint
+    val fp = TextDedup.fingerprint(quality, idCol, textCol)
+    val exactKept = TextDedup.exactDedup(
+        quality.join(fp.withColumnRenamed("doc_id", idCol), idCol),
+        keys = Seq("fingerprint"), tiebreak = col(idCol))
+      .drop("fingerprint")
+
+    // 3. near-dup: drop the higher id of every similar pair among the
+    // survivors (pairs already come ordered id_a < id_b)
+    val pairs = TextDedup.minhashLshPairs(exactKept, idCol, textCol, nearDupThreshold)
+    val nearKept = exactKept.join(
+      pairs.select(col("id_b").as(idCol)).distinct(),
+      Seq(idCol), "left_anti")
+
+    // 4. reproducible stratified sample
+    Sampling.stratifiedSample(nearKept, col(idCol), col(stratumCol),
+      rates, defaultPercent)
+  }
+}

@@ -1,0 +1,77 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.Hashing
+import graft.operators.CorpusClean
+import graft.queries.RelationalDemos.Demo
+import graft.sources.Tables
+
+/** The capstone composition (SURVEY.md §2B): the full corpus-cleaning
+  * pipeline — quality filter → exact dedup by fingerprint → MinHash/LSH
+  * near-dup removal → stratified sample — as ONE oracle-verified query.
+  * The oracle replays every stage in SQL (near-dup via brute-force exact
+  * Jaccard, which the LSH stage equals at threshold 0.5 with miss
+  * probability ≤ 1e-8 per pair).
+  */
+object CorpusCleanDemos {
+
+  import Hashing.Mod
+
+  private val rates = Map("en" -> 50, "de" -> 100, "fr" -> 100, "es" -> 100)
+
+  private val x11 = Demo("x11_corpus_clean", Some(s"""
+      WITH q AS (
+        SELECT doc_id, text, lang, source
+        FROM documents
+        WHERE len(string_split(text, ' ')) >= 5
+          AND len(list_filter(string_split(lower(text), ' '),
+                w -> list_contains(['the','a','an','and','or','of','to','in','is','it'], w))) > 0
+          AND cast(length(text) - length(regexp_replace(text, '[.,;:!?''"()]', '', 'g'))
+                   AS double) / length(text) < 0.2),
+      fp AS (
+        SELECT doc_id, lang, source, text,
+               list_reduce(
+                 list_prepend(cast(0 AS bigint),
+                   list_transform(string_split(text, ' '), tk ->
+                     list_reduce(
+                       list_prepend(cast(0 AS bigint),
+                         list_transform(generate_series(1, length(tk)), i ->
+                           cast(ascii(substr(tk, i, 1)) AS bigint))),
+                       (acc, v) -> (acc * 31 + v) % $Mod))),
+                 (acc, h) -> (acc * 131 + h) % $Mod) AS fingerprint
+        FROM q),
+      ek AS (
+        SELECT doc_id, lang, source, text
+        FROM (SELECT *, row_number() OVER (PARTITION BY fingerprint
+                                           ORDER BY doc_id) AS rn FROM fp)
+        WHERE rn = 1),
+      tok AS (
+        SELECT doc_id, string_split(text, ' ') AS toks FROM ek
+        WHERE len(string_split(text, ' ')) >= 3),
+      sh AS (
+        SELECT doc_id,
+               list_distinct(list_transform(generate_series(1, len(toks)-2),
+                 i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))) AS shs
+        FROM tok),
+      dropped AS (
+        SELECT DISTINCT b.doc_id AS id_b
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        WHERE cast(len(list_intersect(a.shs, b.shs)) AS double)
+              / (len(a.shs) + len(b.shs) - len(list_intersect(a.shs, b.shs))) >= 0.5)
+      SELECT doc_id, lang, source
+      FROM ek
+      WHERE doc_id NOT IN (SELECT id_b FROM dropped)
+        AND (((doc_id % 2147483648) * 2654435761) >> 16) % 100 <
+            CASE lang WHEN 'en' THEN 50 WHEN 'de' THEN 100
+                      WHEN 'fr' THEN 100 WHEN 'es' THEN 100 ELSE 0 END
+      ORDER BY doc_id ASC NULLS LAST"""),
+    (s, dir) => CorpusClean.pipeline(
+        Tables.table(s, dir, "documents"),
+        idCol = "doc_id", textCol = "text", stratumCol = "lang",
+        nearDupThreshold = 0.5, rates = rates)
+      .select(col("doc_id"), col("lang"), col("source"))
+      .orderBy(col("doc_id").asc_nulls_last))
+
+  val all: Seq[Demo] = Seq(x11)
+}
