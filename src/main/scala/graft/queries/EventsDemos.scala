@@ -39,7 +39,10 @@ object EventsDemos {
              count(*) AS n,
              min(cast(json_extract(props, '$.k') AS bigint)) AS min_k,
              max(cast(json_extract(props, '$.k') AS bigint)) AS max_k,
-             sum(cast(json_extract(props, '$.k') AS bigint)) AS sum_k
+             -- DuckDB sum(BIGINT) widens to HUGEINT (int128), which the
+             -- comparison layer would read as float; pin to BIGINT like
+             -- Spark's sum(long)
+             cast(sum(cast(json_extract(props, '$.k') AS bigint)) AS bigint) AS sum_k
       FROM events
       GROUP BY 1
       ORDER BY event_type ASC NULLS LAST"""),

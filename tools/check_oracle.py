@@ -18,7 +18,9 @@ def canon(df):
         vals = []
         for v in row:
             if isinstance(v, float):
-                vals.append("null" if math.isnan(v) else f"{v:.9g}")
+                # bit-exact: the driver may hash exact values, so a 1-ulp
+                # divergence must fail here too
+                vals.append("null" if math.isnan(v) else v.hex())
             elif v is None or v != v:
                 vals.append("null")
             else:
