@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 /** End-to-end corpus cleaning — the composition the individual operators
@@ -21,6 +21,17 @@ object CorpusClean {
   /** Survivors of the 4-stage cleaning pipeline: quality → exact-dup →
     * near-dup (keep the lowest id of each similar pair) → stratified
     * sample with per-stratum rates.
+    *
+    * Column contract: the input must not already carry the metric columns
+    * [[TextAnalysis.qualityMetrics]] owns, nor `fingerprint` — they are
+    * overwritten as working columns. Ids are assumed unique and
+    * non-negative (the Sampling id-domain contract).
+    *
+    * Materialization note: downstream stages re-evaluate the upstream
+    * subtree several times (LSH reads its input for signatures and twice
+    * for verification sets). At demo scale that is cheap; for a large
+    * corpus, persist or checkpoint the post-dedup frame — the library
+    * deliberately leaves storage-level decisions to the caller.
     */
   def pipeline(docs: DataFrame, idCol: String, textCol: String,
       stratumCol: String, nearDupThreshold: Double,
@@ -30,10 +41,10 @@ object CorpusClean {
       .filter(col("keep") === 1)
       .select(docs.columns.map(col): _*)
 
-    // 2. exact dedup: one survivor (lowest id) per content fingerprint
-    val fp = TextDedup.fingerprint(quality, idCol, textCol)
+    // 2. exact dedup: one survivor (lowest id) per content fingerprint —
+    // fingerprint appends as a narrow column (no join, no extra shuffle)
     val exactKept = TextDedup.exactDedup(
-        quality.join(fp.withColumnRenamed("doc_id", idCol), idCol),
+        TextDedup.withFingerprint(quality, textCol),
         keys = Seq("fingerprint"), tiebreak = col(idCol))
       .drop("fingerprint")
 

@@ -15,12 +15,19 @@ import org.apache.spark.sql.functions._
 object Sampling {
 
   /** Pseudo-random bucket in [0, 100) from a key column: Knuth
-    * multiplicative hash taking HIGH bits — deterministic, reproducible
-    * in any SQL engine, and structure-resistant (a low-order residue like
-    * `key*C mod 100` would depend only on the key's last decimal digits,
-    * so stride-100 keys would all land in one bucket). The key folds to
-    * 31 bits first so the multiply can't overflow int64 (ANSI mode makes
-    * overflow an error, not a wrap).
+    * multiplicative hash with the low 16 product bits discarded before
+    * the mod — deterministic, reproducible in any SQL engine, and
+    * structure-resistant (a raw `key*C mod 100` residue would depend only
+    * on the key's last decimal digits, so stride-100 keys would all land
+    * in one bucket; dropping the low bits and modding the remaining ~46
+    * mixes the full key). The key folds to 31 bits first so the multiply
+    * can't overflow int64 (ANSI mode makes overflow an error, not a wrap).
+    *
+    * Contract: keys are expected non-negative (pmod keeps negatives
+    * uniform on the Spark side, but plain SQL `%` follows the dividend's
+    * sign — mirror the pmod explicitly if negative ids must replay in an
+    * oracle); a NULL key never passes the filter (NULL bucket compares
+    * NULL), so null-key rows are dropped even at percent=100.
     */
   def hashBucket(key: Column): Column =
     pmod(shiftright(pmod(key.cast("long"), lit(2147483648L)) * 2654435761L,

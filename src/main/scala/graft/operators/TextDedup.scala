@@ -70,16 +70,31 @@ object TextDedup {
           struct(element_at(ds, i).as("id_a"),
             element_at(ds, j).as("id_b")))))
 
+  /** The fingerprint expression: rolling hash over the sequence of
+    * codegen'd per-token hashes (requires [[Hashing.registerAll]]).
+    */
+  private def fingerprintExpr(textCol: String): Column =
+    aggregate(
+      transform(split(col(textCol), " "),
+        tk => call_function("char_poly_hash", tk)),
+      lit(0L), (acc, h) => (acc * 131 + h) % Hashing.Mod)
+
   /** Document fingerprint (X2a): rolling hash over the sequence of
     * codegen'd per-token hashes. Narrow projection — no shuffle.
     */
   def fingerprint(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     Hashing.registerAll(df.sparkSession)
-    df.select(col(idCol).as("doc_id"),
-      aggregate(
-        transform(split(col(textCol), " "),
-          tk => call_function("char_poly_hash", tk)),
-        lit(0L), (acc, h) => (acc * 131 + h) % Hashing.Mod).as("fingerprint"))
+    df.select(col(idCol).as("doc_id"), fingerprintExpr(textCol).as("fingerprint"))
+  }
+
+  /** Append-style variant: adds (or overwrites) `outCol` with the content
+    * fingerprint — zero shuffles, so dedup-by-fingerprint composes as
+    * withFingerprint → exactDedup without a join.
+    */
+  def withFingerprint(df: DataFrame, textCol: String,
+      outCol: String = "fingerprint"): DataFrame = {
+    Hashing.registerAll(df.sparkSession)
+    df.withColumn(outCol, fingerprintExpr(textCol))
   }
 
   /** MinHash+LSH near-dup pairs (X2b) — the 100 TB dedup path: shingle →

@@ -1,6 +1,5 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.functions.Hashing
 import graft.operators.CorpusClean
@@ -19,6 +18,14 @@ object CorpusCleanDemos {
   import Hashing.Mod
 
   private val rates = Map("en" -> 50, "de" -> 100, "fr" -> 100, "es" -> 100)
+
+  /** The SQL CASE for the per-language rates, generated from the same map
+    * the Spark side uses, so the two can't drift.
+    */
+  private def ratesCase: String =
+    "CASE lang " +
+      rates.toSeq.sortBy(_._1).map { case (l, p) => s"WHEN '$l' THEN $p" }
+        .mkString(" ") + " ELSE 0 END"
 
   private val x11 = Demo("x11_corpus_clean", Some(s"""
       WITH q AS (
@@ -62,9 +69,7 @@ object CorpusCleanDemos {
       SELECT doc_id, lang, source
       FROM ek
       WHERE doc_id NOT IN (SELECT id_b FROM dropped)
-        AND (((doc_id % 2147483648) * 2654435761) >> 16) % 100 <
-            CASE lang WHEN 'en' THEN 50 WHEN 'de' THEN 100
-                      WHEN 'fr' THEN 100 WHEN 'es' THEN 100 ELSE 0 END
+        AND (((doc_id % 2147483648) * 2654435761) >> 16) % 100 < $ratesCase
       ORDER BY doc_id ASC NULLS LAST"""),
     (s, dir) => CorpusClean.pipeline(
         Tables.table(s, dir, "documents"),

@@ -25,15 +25,21 @@ object SamplingDemos {
       .select(col("doc_id"), col("lang"), col("source"))
       .orderBy(col("doc_id").asc_nulls_last))
 
-  private val x10b = Demo("x10b_stratified_sample", Some("""
+  private val stratRates = Map("en" -> 10, "de" -> 50, "fr" -> 50, "es" -> 50)
+
+  /** SQL CASE generated from the same map the Spark side uses. */
+  private def stratCase: String =
+    "CASE lang " +
+      stratRates.toSeq.sortBy(_._1).map { case (l, p) => s"WHEN '$l' THEN $p" }
+        .mkString(" ") + " ELSE 0 END"
+
+  private val x10b = Demo("x10b_stratified_sample", Some(s"""
       SELECT doc_id, lang
       FROM documents
-      WHERE (((doc_id % 2147483648) * 2654435761) >> 16) % 100 <
-            CASE lang WHEN 'en' THEN 10 WHEN 'de' THEN 50
-                      WHEN 'fr' THEN 50 WHEN 'es' THEN 50 ELSE 0 END
+      WHERE (((doc_id % 2147483648) * 2654435761) >> 16) % 100 < $stratCase
       ORDER BY doc_id ASC NULLS LAST"""),
     (s, dir) => Sampling.stratifiedSample(docs(s, dir), col("doc_id"), col("lang"),
-        rates = Map("en" -> 10, "de" -> 50, "fr" -> 50, "es" -> 50))
+        rates = stratRates)
       .select(col("doc_id"), col("lang"))
       .orderBy(col("doc_id").asc_nulls_last))
 
