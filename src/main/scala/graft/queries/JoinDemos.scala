@@ -66,7 +66,7 @@ object JoinDemos {
         VALUES ${bandRows.map { case (n, l, h) => s"('$n', $l, $h)" }.mkString(", ")})
       SELECT band,
              count(*) AS n_events,
-             cast(sum(cast(value AS decimal(18,2))) AS decimal(18,2)) AS total_value
+             cast(cast(sum(cast(value AS decimal(18,2))) AS decimal(18,2)) AS double) AS total_value
       FROM events JOIN bands ON value >= lo AND value < hi
       GROUP BY band
       ORDER BY band ASC NULLS LAST"""),
@@ -77,7 +77,8 @@ object JoinDemos {
         .groupBy(col("band"))
         .agg(count(lit(1)).as("n_events"),
           sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
-            .cast(org.apache.spark.sql.types.DecimalType(18, 2)).as("total_value"))
+            .cast(org.apache.spark.sql.types.DecimalType(18, 2))
+            .cast(org.apache.spark.sql.types.DoubleType).as("total_value"))
         .orderBy(col("band").asc_nulls_last)
     })
 

@@ -14,8 +14,12 @@ import graft.sources.Tables
   *    pinned identically in the oracle SQL (Spark asc = NULLS FIRST but
   *    DuckDB asc = NULLS LAST, so never rely on defaults);
   *  - money sums go through DECIMAL(18,2) (exact, associative — immune to
-  *    partial-aggregation order) and are cast back to DECIMAL(18,2) because
-  *    Spark widens sum(DECIMAL(18,2)) to (28,2) while DuckDB widens to (38,2);
+  *    partial-aggregation order), are narrowed back to DECIMAL(18,2) because
+  *    Spark widens sum(DECIMAL(18,2)) to (28,2) while DuckDB widens to (38,2),
+  *    and the FINAL projection casts the exact decimal to DOUBLE on both
+  *    engines — the driver's hash canonicalizes parquet DECIMAL and DuckDB
+  *    DECIMAL differently (round-1 verdict), while one correctly-rounded
+  *    decimal→double cast of the same exact value is bit-identical;
   *  - raw DOUBLE outputs are rounded (both engines round half-away-from-zero
   *    for positive doubles).
   *
@@ -51,7 +55,7 @@ object RelationalDemos {
       SELECT cast(date_trunc('month', o_orderdate) AS date) AS month,
              o_orderpriority,
              count(DISTINCT o_orderkey) AS n_orders,
-             cast(sum(cast(o_totalprice AS decimal(18,2))) AS decimal(18,2)) AS total_price,
+             cast(cast(sum(cast(o_totalprice AS decimal(18,2))) AS decimal(18,2)) AS double) AS total_price,
              cast(cast(sum(cast(o_totalprice AS decimal(18,2))) AS decimal(18,2)) AS double)
                / count(*) AS avg_price
       FROM orders
@@ -63,7 +67,12 @@ object RelationalDemos {
           col("o_orderpriority"))
         .agg(
           countDistinct(col("o_orderkey")).as("n_orders"),
-          sum(col("o_totalprice").cast(dec2)).cast(dec2).as("total_price"),
+          // exact decimal sum; final DOUBLE cast because the driver's hash
+          // canonicalizes Spark-parquet DECIMAL and DuckDB DECIMAL
+          // differently (round-1 verdict) — one correctly-rounded cast of
+          // the SAME exact decimal is bit-identical on both engines.
+          sum(col("o_totalprice").cast(dec2)).cast(dec2).cast(DoubleType)
+            .as("total_price"),
           // avg derived from the EXACT decimal sum, not avg(double):
           // double accumulation order differs between engines, and rounding
           // a double diverges at decimal ties because Spark rounds the
@@ -79,9 +88,9 @@ object RelationalDemos {
     // the fact; the l_quantity filter is pushed to the parquet scan.
     Demo("q02_dim_join", Some("""
       SELECT l_orderkey, l_linenumber, p_brand, p_type,
-             cast(round(cast(l_extendedprice AS decimal(18,2))
-                        * (1 - cast(l_discount AS decimal(18,2))), 2)
-                  AS decimal(18,2)) AS net_price
+             cast(cast(round(cast(l_extendedprice AS decimal(18,2))
+                             * (1 - cast(l_discount AS decimal(18,2))), 2)
+                       AS decimal(18,2)) AS double) AS net_price
       FROM lineitem LEFT JOIN part ON l_partkey = p_partkey
       WHERE l_quantity > 45
       ORDER BY l_orderkey ASC NULLS LAST, l_linenumber ASC NULLS LAST,
@@ -97,7 +106,7 @@ object RelationalDemos {
           // diverges between engines at decimal ties (e.g. x.815)
           round(col("l_extendedprice").cast(dec2)
             * (lit(1) - col("l_discount").cast(dec2)), 2)
-            .cast(dec2).as("net_price"))
+            .cast(dec2).cast(DoubleType).as("net_price"))
         // (l_orderkey, l_linenumber) is NOT unique in the synthetic data —
         // total order needs every output column (SURVEY §7.4.5)
         .orderBy(col("l_orderkey").asc_nulls_last, col("l_linenumber").asc_nulls_last,
@@ -121,9 +130,9 @@ object RelationalDemos {
         FROM lineitem GROUP BY 1)
       SELECT coalesce(om.month, lm.month) AS month,
              coalesce(n_orders, 0) AS n_orders,
-             cast(coalesce(order_value, 0) AS decimal(18,2)) AS order_value,
+             cast(cast(coalesce(order_value, 0) AS decimal(18,2)) AS double) AS order_value,
              coalesce(n_shipments, 0) AS n_shipments,
-             cast(coalesce(qty_shipped, 0) AS decimal(18,2)) AS qty_shipped
+             cast(cast(coalesce(qty_shipped, 0) AS decimal(18,2)) AS double) AS qty_shipped
       FROM om FULL OUTER JOIN lm ON om.month = lm.month
       ORDER BY month ASC NULLS LAST"""),
       (s, dir) => {
@@ -140,9 +149,11 @@ object RelationalDemos {
           .select(
             coalesce(col("om.month"), col("lm.month")).as("month"),
             coalesce(col("n_orders"), lit(0)).as("n_orders"),
-            coalesce(col("order_value"), lit(0)).cast(dec2).as("order_value"),
+            coalesce(col("order_value"), lit(0)).cast(dec2).cast(DoubleType)
+              .as("order_value"),
             coalesce(col("n_shipments"), lit(0)).as("n_shipments"),
-            coalesce(col("qty_shipped"), lit(0)).cast(dec2).as("qty_shipped"))
+            coalesce(col("qty_shipped"), lit(0)).cast(dec2).cast(DoubleType)
+              .as("qty_shipped"))
           .orderBy(col("month").asc_nulls_last)
       }),
 
@@ -157,7 +168,7 @@ object RelationalDemos {
       WITH agg AS (
         SELECT c_nationkey,
                count(DISTINCT c_custkey) AS n_customers,
-               cast(sum(cast(c_acctbal AS decimal(18,2))) AS decimal(18,2)) AS total_acctbal
+               cast(cast(sum(cast(c_acctbal AS decimal(18,2))) AS decimal(18,2)) AS double) AS total_acctbal
         FROM customer GROUP BY 1)
       SELECT agg.c_nationkey AS nationkey, n_customers, total_acctbal,
              s.s_suppkey, s.s_name
@@ -167,7 +178,8 @@ object RelationalDemos {
         .groupBy(col("c_nationkey"))
         .agg(
           countDistinct(col("c_custkey")).as("n_customers"),
-          sum(col("c_acctbal").cast(dec2)).cast(dec2).as("total_acctbal"))
+          sum(col("c_acctbal").cast(dec2)).cast(dec2).cast(DoubleType)
+            .as("total_acctbal"))
         .alias("agg")
         .join(t(s, dir, "supplier").alias("s"),
           col("agg.c_nationkey") === col("s.s_nationkey"), "left")
@@ -183,10 +195,10 @@ object RelationalDemos {
     Demo("q05_case_math", Some("""
       SELECT o_orderkey,
              cast(o_orderstatus AS varchar) AS status,
-             cast(o_totalprice AS decimal(18,3)) AS price_numeric,
+             cast(cast(o_totalprice AS decimal(18,3)) AS double) AS price_numeric,
              CASE WHEN o_totalprice > 200000
-                  THEN cast(round(cast(o_totalprice AS decimal(18,2)) * 0.067, 2)
-                            AS decimal(18,2))
+                  THEN cast(cast(round(cast(o_totalprice AS decimal(18,2)) * 0.067, 2)
+                                 AS decimal(18,2)) AS double)
                   ELSE NULL END AS big_order_fee,
              round(o_totalprice * (0.05/12) * power(1 + 0.05/12, 36)
                    / (power(1 + 0.05/12, 36) - 1), 2) AS annuity_36m
@@ -199,10 +211,11 @@ object RelationalDemos {
         t(s, dir, "orders").select(
           col("o_orderkey"),
           col("o_orderstatus").as("status"),
-          col("o_totalprice").cast(DecimalType(18, 3)).as("price_numeric"),
+          col("o_totalprice").cast(DecimalType(18, 3)).cast(DoubleType)
+            .as("price_numeric"),
           when(col("o_totalprice") > 200000,
             round(col("o_totalprice").cast(dec2) * lit(BigDecimal("0.067")), 2)
-              .cast(dec2))
+              .cast(dec2).cast(DoubleType))
             .otherwise(lit(null)).as("big_order_fee"),
           round(col("o_totalprice") * r * growth / (growth - lit(1)), 2)
             .as("annuity_36m"))
