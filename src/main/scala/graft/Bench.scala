@@ -1,5 +1,23 @@
 package graft
-import org.apache.spark.sql.SparkSession
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Benchmark main: times every `SparkEntry.queries` entry on
+  * `SPARK_GRAFT_SF_DIR` and emits ONE JSON line, both on stdout (bare —
+  * build.sbt routes forked run output through StdoutOutput so sbt does not
+  * `[info]`-prefix it) and to `target/bench.json` for robust extraction.
+  *
+  * Timing action is a `noop`-format write, not `count()`: under a count
+  * aggregate Catalyst's EliminateSorts removes global sorts and column
+  * pruning deletes unused projections, so sort/projection queries would
+  * report scan time only. The noop sink forces full evaluation of every
+  * output column with zero driver-side collection and zero I/O.
+  *
+  * A query that throws is excluded from the reported total and listed in
+  * `"failed"` (and the process exits nonzero) — a broken query must never
+  * read as a fast run.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -7,33 +25,48 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark.experimental.extraOptimizations = Seq(graft.plans.FanoutLint)
+
+    def evaluate(df: DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
+
     // JIT/codegen warmup so the first timed query doesn't absorb one-time
-    // JVM compilation cost: exercise the datasource, shuffle, and codegen
-    // paths once on the smallest fixture.
+    // JVM compilation cost: exercise the datasource, shuffle, codegen and
+    // noop-write paths once on the smallest fixture.
     try {
       spark.range(1000000).selectExpr("sum(id)").collect()
-      SparkEntry.entry(spark).count()
+      evaluate(SparkEntry.entry(spark))
     } catch { case _: Throwable => }
+
     // steady-state timing: two runs per query, report the min — the first
     // run still pays per-query codegen compilation, which a long-running
     // cluster amortizes away
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      // a throwing query reports sentinel -1.0, never a (fast) wall time
-      val times = (1 to 2).map { _ =>
-        val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
-        catch { case _: Throwable => -1.0 }
+    val results: Map[String, Option[Double]] =
+      SparkEntry.queries.map { case (name, fn) =>
+        val times = (1 to 2).flatMap { _ =>
+          val t0 = System.nanoTime()
+          try { evaluate(fn(spark, sfDir)); Some((System.nanoTime() - t0) / 1e9) }
+          catch { case _: Throwable => None }
+        }
+        // both runs must succeed, else the query is a failure, not a time
+        name -> (if (times.size == 2) Some(times.min) else None)
       }
-      name -> (if (times.contains(-1.0)) -1.0 else times.min)
-    }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val ok = results.collect { case (k, Some(v)) => k -> v }
+    val failed = results.collect { case (k, None) => k }.toSeq.sorted
+    val qs = ok.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val total = if (ok.nonEmpty) ok.values.sum else 0.0
+    val json =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}"""
+    Files.createDirectories(Paths.get("target"))
+    Files.write(Paths.get("target/bench.json"),
+      (json + "\n").getBytes(StandardCharsets.UTF_8))
+    println(json)
     spark.stop()
+    if (failed.nonEmpty) sys.exit(1)
   }
 }
