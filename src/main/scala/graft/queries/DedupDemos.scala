@@ -25,24 +25,50 @@ object DedupDemos {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.table(s, dir, name)
 
-  /** DuckDB equivalents of the shared shingle CTEs (same definition). */
-  private val oracleShingleCtes: String = """
+  /** DuckDB equivalents of the shared shingle CTEs (same definition);
+    * `docFilter` is an extra AND-clause on the source docs (e.g. the
+    * bounded-input sample of x2c).
+    */
+  private def oracleShingleCtes(docFilter: String = ""): String = s"""
       WITH tok AS (
         SELECT doc_id, string_split(text, ' ') AS toks
         FROM documents
-        WHERE len(string_split(text, ' ')) >= 3),
+        WHERE len(string_split(text, ' ')) >= 3$docFilter),
       sh AS (
         SELECT doc_id,
                list_distinct(list_transform(generate_series(1, len(toks)-2),
                  i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))) AS shs
         FROM tok)"""
 
-  private def oracleJaccardPairs(threshold: Double): String = s"""
-      $oracleShingleCtes
+  private def oracleJaccardPairs(threshold: Double, docFilter: String = ""): String = s"""
+      ${oracleShingleCtes(docFilter)}
       SELECT a.doc_id AS id_a, b.doc_id AS id_b,
              cast(len(list_intersect(a.shs, b.shs)) AS double)
                / (len(a.shs) + len(b.shs) - len(list_intersect(a.shs, b.shs))) AS jaccard
       FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      WHERE jaccard >= $threshold
+      ORDER BY id_a ASC NULLS LAST, id_b ASC NULLS LAST"""
+
+  /** Capped-universe Jaccard oracle (TextDedup.ngramJaccardPairs with
+    * maxDocFreq = `cap`): both shared-shingle counts and per-doc set sizes
+    * are computed over only the shingles whose document frequency is
+    * within the cap — the exact Jaccard of the capped sets.
+    */
+  private def oracleJaccardPairsCapped(threshold: Double, cap: Int): String = s"""
+      ${oracleShingleCtes()},
+      posts AS (SELECT doc_id, unnest(shs) AS s FROM sh),
+      ok AS (SELECT s FROM posts GROUP BY s HAVING count(*) <= $cap),
+      cposts AS (SELECT p.doc_id, p.s FROM posts p JOIN ok USING (s)),
+      sizes AS (SELECT doc_id, count(*) AS n FROM cposts GROUP BY doc_id),
+      pairs AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+        FROM cposts a JOIN cposts b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2)
+      SELECT id_a, id_b,
+             cast(inter AS double) / (na.n + nb.n - inter) AS jaccard
+      FROM pairs
+      JOIN sizes na ON na.doc_id = pairs.id_a
+      JOIN sizes nb ON nb.doc_id = pairs.id_b
       WHERE jaccard >= $threshold
       ORDER BY id_a ASC NULLS LAST, id_b ASC NULLS LAST"""
 
@@ -85,11 +111,28 @@ object DedupDemos {
         t(s, dir, "documents"), "doc_id", "text", threshold = 0.5)
       .orderBy(col("id_a").asc_nulls_last, col("id_b").asc_nulls_last))
 
-  // X2c: exact n-gram Jaccard via the inverted-index join (full corpus,
-  // no stop-shingle cap here so the brute-force oracle matches exactly).
-  private val x2c = Demo("x2c_ngram_jaccard", Some(oracleJaccardPairs(0.05)),
+  // X2c: exact n-gram Jaccard via the inverted-index join. No stop-shingle
+  // cap (so the brute-force oracle matches exactly), which is O(df²) in the
+  // most frequent shingle — therefore bounded to a fixed 1000-doc sample,
+  // the same input-bounding contract as x2e. The full-corpus scale path is
+  // the capped variant below.
+  private val x2c = Demo("x2c_ngram_jaccard",
+    Some(oracleJaccardPairs(0.05, docFilter = " AND doc_id < 1000")),
     (s, dir) => TextDedup.ngramJaccardPairs(
-        t(s, dir, "documents"), "doc_id", "text", threshold = 0.05)
+        t(s, dir, "documents").filter(col("doc_id") < 1000),
+        "doc_id", "text", threshold = 0.05)
+      .orderBy(col("id_a").asc_nulls_last, col("id_b").asc_nulls_last))
+
+  // X2c (capped): the 100 TB formulation over the FULL corpus — the
+  // maxDocFreq stop-shingle cap bounds the worst posting list, making the
+  // pair expansion O(cap²) per shingle instead of O(df²); scores are the
+  // exact Jaccard of the capped shingle sets (TextDedup.ngramJaccardPairs
+  // scaladoc documents the recall tradeoff).
+  private val x2c2 = Demo("x2c2_ngram_jaccard_capped",
+    Some(oracleJaccardPairsCapped(0.05, cap = 50)),
+    (s, dir) => TextDedup.ngramJaccardPairs(
+        t(s, dir, "documents"), "doc_id", "text",
+        threshold = 0.05, maxDocFreq = Some(50))
       .orderBy(col("id_a").asc_nulls_last, col("id_b").asc_nulls_last))
 
   // X2d: SimHash signatures.
@@ -143,5 +186,5 @@ object DedupDemos {
         "vec_id", "embedding", threshold = 0.4)
       .orderBy(col("vec_a").asc_nulls_last, col("vec_b").asc_nulls_last))
 
-  val all: Seq[Demo] = Seq(x1, x2a, x2b, x2c, x2d, x2e)
+  val all: Seq[Demo] = Seq(x1, x2a, x2b, x2c, x2c2, x2d, x2e)
 }
