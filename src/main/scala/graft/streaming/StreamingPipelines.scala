@@ -108,13 +108,21 @@ object StreamingPipelines {
     * Scale: state is one OpenSession per active user — O(active users),
     * bounded by the event-time timeout; the shuffle is one hash exchange
     * on user_id, identical to session_window's.
+    *
+    * Out-of-order contract: an event within `gapMs` of the open session's
+    * span extends it (either end); an event more than a gap OLDER than the
+    * session's start emits as its own singleton session. With the default
+    * watermark delay (10 min) < gap (30 min) the runtime's late-row filter
+    * makes that second path unreachable; it exists (and is spec-tested via
+    * the parameters) for configurations where the delay exceeds the gap.
     */
-  def statefulSessions(events: DataFrame): Dataset[SessionOut] = {
+  def statefulSessions(events: DataFrame, gapMs: Long = SessionGapMs,
+      watermarkDelay: String = "10 minutes"): Dataset[SessionOut] = {
     val spark = events.sparkSession
     import spark.implicits._
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
     events
-      .withWatermark("ts", "10 minutes")
+      .withWatermark("ts", watermarkDelay)
       .select(col("user_id"), col("ts"), col("value"))
       .as[(Long, java.sql.Timestamp, Double)]
       .groupByKey(_._1)
@@ -138,13 +146,26 @@ object StreamingPipelines {
               val ms = ts.getTime
               val cents = math.round(v * 100)
               cur match {
-                case Some(s) if ms - s.lastMs <= SessionGapMs =>
-                  // startMs may move DOWN: a not-yet-late out-of-order event
-                  // from a later micro-batch can precede the open session's
-                  // first event (session_window merges it the same way)
+                case Some(s) if ms - s.lastMs <= gapMs
+                    && ms >= s.startMs - gapMs =>
+                  // merge only when the event is within the gap of the open
+                  // session's SPAN. startMs may move DOWN: a not-yet-late
+                  // out-of-order event from a later micro-batch can precede
+                  // the open session's first event (session_window merges it
+                  // the same way)
                   cur = Some(s.copy(startMs = math.min(s.startMs, ms),
                     lastMs = math.max(s.lastMs, ms),
                     n = s.n + 1, cents = s.cents + cents))
+                case Some(s) if ms < s.startMs - gapMs =>
+                  // stray event more than a gap OLDER than the open session:
+                  // it can never belong to it — emit it as its own closed
+                  // singleton session and keep the open session untouched.
+                  // (Divergence bound: an even-later event within the gap of
+                  // this stray could in principle have merged with it, but
+                  // the 10-minute watermark < 30-minute gap caps how late
+                  // such a neighbor can arrive — documented custom-state
+                  // semantics, tested in StreamingSpec.)
+                  close(OpenSession(ms, ms, 1, cents))
                 case Some(s) =>
                   close(s)
                   cur = Some(OpenSession(ms, ms, 1, cents))
@@ -154,7 +175,7 @@ object StreamingPipelines {
             }
             cur.foreach { s =>
               state.update(s)
-              state.setTimeoutTimestamp(s.lastMs + SessionGapMs)
+              state.setTimeoutTimestamp(s.lastMs + gapMs)
             }
           }
           out.reverseIterator

@@ -129,6 +129,43 @@ class StreamingSpec extends SparkSpec {
     assert(rows == List(("2024-01-01 00:55:00.0", 2L)), rows.toString)
   }
 
+  test("stateful sessionization: event a full gap older than the open session closes as its own singleton") {
+    // The stray-older-event path needs the watermark delay to EXCEED the
+    // session gap (with the defaults, delay 10 min < gap 30 min, the
+    // runtime's late-row filter drops such events before the function) —
+    // so run with gap = 5 min, delay = 30 min. A not-yet-late event more
+    // than a gap older than the open session's start must NOT merge into
+    // it (the pre-fix guard `ms - lastMs <= gap` was vacuously true for
+    // any older event); it closes as its own singleton session.
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val mem = MemoryStream[Ev]
+    val q = StreamingPipelines
+      .statefulSessions(mem.toDF(), gapMs = 5L * 60 * 1000,
+        watermarkDelay = "30 minutes")
+      .writeStream.format("memory").queryName("t_stray")
+      .outputMode("append").start()
+    mem.addData(Ev(1, ts(100), 8L, "click", 1.0, "{}")) // open session @01:40
+    q.processAllAvailable() // watermark now 01:10
+    // 01:20: not late (>= watermark) but 20 min older than the session
+    // start — far beyond the 5-min gap
+    mem.addData(Ev(2, ts(80), 8L, "click", 2.0, "{}"))
+    q.processAllAvailable()
+    mem.addData(Ev(3, ts(400), 999L, "click", 0.0, "{}"))
+    q.processAllAvailable()
+    mem.addData(Ev(4, ts(401), 999L, "click", 0.0, "{}"))
+    q.processAllAvailable()
+    q.stop()
+    val rows = s.table("t_stray").filter($"user_id" === 8L)
+      .select("session_start", "n_events").collect()
+      .map(r => (r.getTimestamp(0).toString, r.getLong(1))).toSet
+    // two singleton sessions; in particular the stray must NOT have merged
+    // into a 2-event session starting 01:20
+    assert(rows == Set(("2024-01-01 01:40:00.0", 1L), ("2024-01-01 01:20:00.0", 1L)),
+      rows.toString)
+  }
+
   test("session window: streaming == batch on closed sessions (X6c)") {
     val (streamed, batch) = runBoth("t_session", StreamingPipelines.sessionStream)
     assert(streamed.toSet.subsetOf(batch.toSet),
