@@ -27,15 +27,20 @@ object CorpusClean {
     * overwritten as working columns. Ids are assumed unique and
     * non-negative (the Sampling id-domain contract).
     *
-    * Materialization note: downstream stages re-evaluate the upstream
-    * subtree several times (LSH reads its input for signatures and twice
-    * for verification sets). At demo scale that is cheap; for a large
-    * corpus, persist or checkpoint the post-dedup frame — the library
-    * deliberately leaves storage-level decisions to the caller.
+    * Materialization: downstream stages re-evaluate the upstream subtree
+    * several times without a cut (LSH reads its input for signatures and
+    * twice for verification sets — 3× the dominant I/O at corpus scale).
+    * `materializeCut` is applied to the post-exact-dedup frame to break
+    * that: pass `_.localCheckpoint(true)` (one in-memory materialization,
+    * no CacheManager registration, so repeated builds stay independent)
+    * or `_.persist(...)` if the caller manages unpersist; default
+    * `identity` keeps the pipeline fully lazy (storage-level decisions
+    * stay with the caller).
     */
   def pipeline(docs: DataFrame, idCol: String, textCol: String,
       stratumCol: String, nearDupThreshold: Double,
-      rates: Map[String, Int], defaultPercent: Int = 0): DataFrame = {
+      rates: Map[String, Int], defaultPercent: Int = 0,
+      materializeCut: DataFrame => DataFrame = identity): DataFrame = {
     // 1. quality: C4-style keep flag
     val quality = TextAnalysis.qualityMetrics(docs, textCol)
       .filter(col("keep") === 1)
@@ -43,10 +48,11 @@ object CorpusClean {
 
     // 2. exact dedup: one survivor (lowest id) per content fingerprint —
     // fingerprint appends as a narrow column (no join, no extra shuffle)
-    val exactKept = TextDedup.exactDedup(
-        TextDedup.withFingerprint(quality, textCol),
-        keys = Seq("fingerprint"), tiebreak = col(idCol))
-      .drop("fingerprint")
+    val exactKept = materializeCut(
+      TextDedup.exactDedup(
+          TextDedup.withFingerprint(quality, textCol),
+          keys = Seq("fingerprint"), tiebreak = col(idCol))
+        .drop("fingerprint"))
 
     // 3. near-dup: drop the higher id of every similar pair among the
     // survivors (pairs already come ordered id_a < id_b)

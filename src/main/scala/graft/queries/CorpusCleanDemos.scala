@@ -74,7 +74,14 @@ object CorpusCleanDemos {
     (s, dir) => CorpusClean.pipeline(
         Tables.table(s, dir, "documents"),
         idCol = "doc_id", textCol = "text", stratumCol = "lang",
-        nearDupThreshold = 0.5, rates = rates)
+        nearDupThreshold = 0.5, rates = rates,
+        // one eager in-memory cut after exact dedup: the LSH stage reads
+        // its input 3x (signatures + both verification sides); without
+        // the cut that re-runs quality+fingerprint+window each time.
+        // localCheckpoint (not persist): no CacheManager registration, so
+        // each bench/verify build re-materializes independently instead
+        // of silently reusing a cache across runs.
+        materializeCut = _.localCheckpoint(true))
       .select(col("doc_id"), col("lang"), col("source"))
       .orderBy(col("doc_id").asc_nulls_last))
 
