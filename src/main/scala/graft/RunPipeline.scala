@@ -42,6 +42,14 @@ object RunPipeline {
     }
     built("fct_loan_details").orderBy("loan_id").show(12, truncate = false)
     built("agg_monthly_loans_fixed").show(12, truncate = false)
+    // `dbt test` analog: the grain checks are EXPECTED to flag the
+    // checked-in buggy mart (docs/bug-analysis.md's thesis) and the
+    // reference grain test's over-strict payment-only-month artifact;
+    // the integrity tests must pass.
+    dag.test(built).foreach { case (name, violations) =>
+      val status = if (violations == 0) "PASS" else s"FAIL ($violations)"
+      println(f"test $name%-44s $status")
+    }
     spark.stop()
   }
 }

@@ -241,6 +241,54 @@ class FictionBankDag(spark: SparkSession, warehouseDir: String) {
   def lineage: Map[String, Set[String]] =
     models.map(m => m.name -> m.deps.toSet).toMap
 
+  /** The project's data tests — the schema.yml the reference configures
+    * but never ships (dbt_project.yml:8), expressed with the four dbt
+    * generic tests ([[GenericTests]]) plus the reference's documented
+    * grain test (docs/bug-analysis.md:139-157). Evaluate with [[test]].
+    */
+  val dataTests: Seq[GenericTests.DataTest] = {
+    import GenericTests._
+    Seq(
+      DataTest("unique_stg_loans_loan_id",
+        b => unique(b("stg_loans"), "loan_id")),
+      DataTest("not_null_stg_loans_loan_id",
+        b => notNull(b("stg_loans"), "loan_id")),
+      DataTest("unique_stg_loan_payments_payment_id",
+        b => unique(b("stg_loan_payments"), "payment_id")),
+      DataTest("not_null_stg_loan_payments_payment_status",
+        b => notNull(b("stg_loan_payments"), "payment_status")),
+      DataTest("accepted_values_payment_status",
+        b => acceptedValues(b("stg_loan_payments"), "payment_status",
+          Seq("completed", "pending", "failed"))),
+      DataTest("relationships_stg_loans_loan_type_id",
+        b => relationships(b("stg_loans"), "loan_type_id",
+          b("loan_types"), "loan_type_id")),
+      DataTest("relationships_payments_loan_id",
+        b => relationships(b("stg_loan_payments"), "loan_id",
+          b("stg_loans"), "loan_id")),
+      // the reference's grain test — over-strict by design: the payment-
+      // only month (NULL type) makes it flag BOTH mart variants with
+      // extra_rows = 1 (see FictionBankSpec's golden assertion)
+      DataTest("grain_agg_monthly_loans",
+        b => grainTest(b("fct_loan_details"), b("agg_monthly_loans"))),
+      DataTest("grain_agg_monthly_loans_fixed",
+        b => grainTest(b("fct_loan_details"), b("agg_monthly_loans_fixed"))),
+      // the DISCRIMINATING grain check, via the dbt `unique` generic test:
+      // the mart's intended grain is one row per (month, type) — the
+      // checked-in fan-out bug duplicates every origination combo, the
+      // fixed variant none
+      DataTest("unique_agg_monthly_loans_grain",
+        b => unique(b("agg_monthly_loans"), "month", "loan_type_name")),
+      DataTest("unique_agg_monthly_loans_fixed_grain",
+        b => unique(b("agg_monthly_loans_fixed"), "month", "loan_type_name")))
+  }
+
+  /** `dbt test`: violation count per test name over the built relations
+    * (seeds included), 0 = pass.
+    */
+  def test(built: Map[String, DataFrame]): Seq[(String, Long)] =
+    GenericTests.run(dataTests, built)
+
   /** `dbt run`: topological build of every model from the three seeds. */
   def run(seeds: Map[String, DataFrame]): Map[String, DataFrame] = {
     var built: Map[String, DataFrame] = seeds
