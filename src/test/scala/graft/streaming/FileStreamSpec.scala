@@ -72,6 +72,44 @@ class FileStreamSpec extends SparkSpec {
     assert(streamed.size >= batch.size - 2, s"${streamed.size} vs ${batch.size}")
   }
 
+  test("bench-scale sf0.1 events: file stream EQUALS the batch tumbling agg exactly") {
+    // the X6 batch≡streaming claim at bench scale (round-1 verdict item 8):
+    // stream the full sf0.1 events table, then append a far-future sentinel
+    // so the watermark passes every real window — append mode must then
+    // have emitted EXACTLY the batch result (the sentinel's own window
+    // stays open and never emits).
+    val s = spark
+    import s.implicits._
+    val dir = Files.createTempDirectory("graft-sf01-stream").toString
+    Files.copy(
+      java.nio.file.Paths.get("/root/testdata/sf0.1/events.parquet"),
+      java.nio.file.Paths.get(s"$dir/events.parquet"))
+    val batchEvents = graft.sources.Tables.table(s, "/root/testdata/sf0.1", "events")
+    val batch = graft.queries.EventsDemos.tumbling(batchEvents)
+      .collect().map(_.mkString("|")).toSet
+    val maxTs = batchEvents.agg(org.apache.spark.sql.functions.max("ts"))
+      .head().getTimestamp(0)
+
+    val q = StreamingPipelines.tumblingStream(
+        StreamingPipelines.readEventsStreamNanos(s, dir))
+      .writeStream.format("memory").queryName("t_sf01")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    // sentinel 2h past the max real event, written in the nanos layout the
+    // reader expects (ts as raw nanosecond long)
+    Seq((999999999L, (maxTs.getTime + 2 * 3600 * 1000L) * 1000000L,
+        999L, "sentinel", 0.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode(SaveMode.Append).parquet(dir)
+    q.processAllAvailable()
+    q.stop()
+
+    val streamed = s.table("t_sf01").collect().map(_.mkString("|")).toSet
+    assert(streamed == batch,
+      s"streamed=${streamed.size} batch=${batch.size} " +
+        s"missing=${batch.diff(streamed).take(3)} extra=${streamed.diff(batch).take(3)}")
+  }
+
   test("streaming parquet sink with checkpoint persists closed windows") {
     val s = spark
     import s.implicits._
