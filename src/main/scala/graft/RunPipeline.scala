@@ -45,11 +45,25 @@ object RunPipeline {
     // `dbt test` analog: the grain checks are EXPECTED to flag the
     // checked-in buggy mart (docs/bug-analysis.md's thesis) and the
     // reference grain test's over-strict payment-only-month artifact;
-    // the integrity tests must pass.
-    dag.test(built).foreach { case (name, violations) =>
-      val status = if (violations == 0) "PASS" else s"FAIL ($violations)"
+    // the integrity tests must pass. Like `dbt test`, an unexpected
+    // outcome exits nonzero so CI can't read a broken run as green.
+    val expectedFail = Set("grain_agg_monthly_loans",
+      "grain_agg_monthly_loans_fixed", "unique_agg_monthly_loans_grain")
+    val results = dag.test(built)
+    results.foreach { case (name, violations) =>
+      val status =
+        if (violations == 0) "PASS"
+        else if (expectedFail(name)) s"FAIL ($violations, expected)"
+        else s"FAIL ($violations)"
       println(f"test $name%-44s $status")
     }
+    val unexpected = results.collect {
+      case (name, v) if (v > 0) != expectedFail(name) => name
+    }
     spark.stop()
+    if (unexpected.nonEmpty) {
+      println(s"unexpected test outcomes: ${unexpected.mkString(", ")}")
+      sys.exit(1)
+    }
   }
 }

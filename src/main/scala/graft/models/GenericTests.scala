@@ -19,9 +19,14 @@ import org.apache.spark.sql.functions._
   */
 object GenericTests {
 
-  /** `unique`: key tuples appearing more than once, with their counts. */
+  /** `unique`: key tuples appearing more than once, with their counts.
+    * dbt semantics: rows with a NULL in the tested column(s) are exempt
+    * (dbt's generated SQL filters `where column is not null`; nullability
+    * is `not_null`'s job) — two NULL keys are NOT a uniqueness violation.
+    */
   def unique(df: DataFrame, cols: String*): DataFrame =
-    df.groupBy(cols.map(col): _*)
+    df.filter(cols.map(col(_).isNotNull).reduce(_ && _))
+      .groupBy(cols.map(col): _*)
       .agg(count(lit(1)).as("n_rows"))
       .filter(col("n_rows") > 1)
 

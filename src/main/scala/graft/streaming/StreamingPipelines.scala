@@ -110,11 +110,14 @@ object StreamingPipelines {
     * on user_id, identical to session_window's.
     *
     * Out-of-order contract: an event within `gapMs` of the open session's
-    * span extends it (either end); an event more than a gap OLDER than the
-    * session's start emits as its own singleton session. With the default
-    * watermark delay (10 min) < gap (30 min) the runtime's late-row filter
-    * makes that second path unreachable; it exists (and is spec-tested via
-    * the parameters) for configurations where the delay exceeds the gap.
+    * span extends it (either end); events more than a gap OLDER than the
+    * session's start session among THEMSELVES within the micro-batch
+    * (batch session_window semantics), merging into the open session if
+    * their run grows to within a gap of its start, else closing when the
+    * batch ends. With the default watermark delay (10 min) < gap (30 min)
+    * the runtime's late-row filter makes the stray path unreachable; it
+    * exists (and is spec-tested via the parameters) for configurations
+    * where the delay exceeds the gap.
     */
   def statefulSessions(events: DataFrame, gapMs: Long = SessionGapMs,
       watermarkDelay: String = "10 minutes"): Dataset[SessionOut] = {
@@ -138,6 +141,11 @@ object StreamingPipelines {
             state.remove()
           } else {
             var cur = state.getOption
+            // events more than a gap OLDER than the open session's start
+            // can never join it, but CAN session among themselves — `stray`
+            // accumulates them (sorted input ⇒ strays only extend upward)
+            // so batch session_window semantics hold within the micro-batch
+            var stray = Option.empty[OpenSession]
             // NOTE: the group's micro-batch rows buffer in memory for the
             // sort — fine for per-user event rates; a pathologically hot
             // key (bot traffic) needs upstream salting/filtering, the
@@ -156,22 +164,35 @@ object StreamingPipelines {
                   cur = Some(s.copy(startMs = math.min(s.startMs, ms),
                     lastMs = math.max(s.lastMs, ms),
                     n = s.n + 1, cents = s.cents + cents))
-                case Some(s) if ms < s.startMs - gapMs =>
-                  // stray event more than a gap OLDER than the open session:
-                  // it can never belong to it — emit it as its own closed
-                  // singleton session and keep the open session untouched.
-                  // (Divergence bound: an even-later event within the gap of
-                  // this stray could in principle have merged with it, but
-                  // the 10-minute watermark < 30-minute gap caps how late
-                  // such a neighbor can arrive — documented custom-state
-                  // semantics, tested in StreamingSpec.)
-                  close(OpenSession(ms, ms, 1, cents))
+                case Some(_) if ms < cur.get.startMs - gapMs =>
+                  // stray path: session the stray with its stray neighbors
+                  // (an older stray run more than a gap below this event is
+                  // final — nothing later can reach back down to it)
+                  stray match {
+                    case Some(st) if ms - st.lastMs <= gapMs =>
+                      stray = Some(st.copy(lastMs = ms,
+                        n = st.n + 1, cents = st.cents + cents))
+                    case other =>
+                      other.foreach(close)
+                      stray = Some(OpenSession(ms, ms, 1, cents))
+                  }
                 case Some(s) =>
                   close(s)
                   cur = Some(OpenSession(ms, ms, 1, cents))
                 case None =>
                   cur = Some(OpenSession(ms, ms, 1, cents))
               }
+            }
+            // a stray run that grew to within a gap of the open session's
+            // start belongs to it (session_window would merge them); else
+            // it is final — nothing in a later batch can be old enough to
+            // extend it without being more than a gap below `cur` too
+            (stray, cur) match {
+              case (Some(st), Some(s)) if s.startMs - st.lastMs <= gapMs =>
+                cur = Some(s.copy(startMs = st.startMs,
+                  n = s.n + st.n, cents = s.cents + st.cents))
+              case (Some(st), _) => close(st)
+              case _ =>
             }
             cur.foreach { s =>
               state.update(s)

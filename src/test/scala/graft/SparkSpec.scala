@@ -24,9 +24,26 @@ object SparkSpec {
   /** Absolute path of a test resource (e.g. "/seeds/raw_loans.csv"). */
   def resource(path: String): String =
     getClass.getResource(path).getPath
+
+  /** The three Fiction-Bank seed frames, keyed by relation name — shared
+    * by every spec that drives the pipeline, so schema/path changes have
+    * one site.
+    */
+  def fictionBankSeeds(spark: SparkSession): Map[String, org.apache.spark.sql.DataFrame] = {
+    import graft.sources.Tables
+    Map(
+      "loan_types" ->
+        Tables.seedCsv(spark, resource("/seeds/loan_types.csv"), Tables.loanTypesSchema),
+      "raw_loans" ->
+        Tables.seedCsv(spark, resource("/seeds/raw_loans.csv"), Tables.rawLoansSchema),
+      "raw_loan_payments" ->
+        Tables.seedCsv(spark, resource("/seeds/raw_loan_payments.csv"), Tables.rawLoanPaymentsSchema))
+  }
 }
 
 abstract class SparkSpec extends AnyFunSuite with BeforeAndAfterAll {
   lazy val spark: SparkSession = SparkSpec.spark
   def resource(path: String): String = SparkSpec.resource(path)
+  def fictionBankSeeds: Map[String, org.apache.spark.sql.DataFrame] =
+    SparkSpec.fictionBankSeeds(spark)
 }

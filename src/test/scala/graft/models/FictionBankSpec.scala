@@ -1,7 +1,6 @@
 package graft.models
 
 import graft.SparkSpec
-import graft.sources.Tables
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -13,12 +12,9 @@ import org.apache.spark.sql.functions._
   */
 class FictionBankSpec extends SparkSpec {
 
-  lazy val loanTypes: DataFrame =
-    Tables.seedCsv(spark, resource("/seeds/loan_types.csv"), Tables.loanTypesSchema)
-  lazy val rawLoans: DataFrame =
-    Tables.seedCsv(spark, resource("/seeds/raw_loans.csv"), Tables.rawLoansSchema)
-  lazy val rawPayments: DataFrame =
-    Tables.seedCsv(spark, resource("/seeds/raw_loan_payments.csv"), Tables.rawLoanPaymentsSchema)
+  lazy val loanTypes: DataFrame = fictionBankSeeds("loan_types")
+  lazy val rawLoans: DataFrame = fictionBankSeeds("raw_loans")
+  lazy val rawPayments: DataFrame = fictionBankSeeds("raw_loan_payments")
 
   lazy val stg = FictionBank.stgLoans(rawLoans)
   lazy val stgPay = FictionBank.stgLoanPayments(rawPayments)

@@ -3,7 +3,6 @@ package graft.models
 import org.apache.spark.sql.DataFrame
 
 import graft.SparkSpec
-import graft.sources.Tables
 
 /** The dbt generic-test helpers: violation detection on crafted frames,
   * and the project's test suite over the real seeds — where the integrity
@@ -22,11 +21,14 @@ class GenericTestsSpec extends SparkSpec {
     rows.toDF("k", "v")
   }
 
-  test("unique flags duplicated keys with counts") {
+  test("unique flags duplicated keys with counts; NULL keys exempt (dbt semantics)") {
     val d = df(Seq((1, "a"), (2, "b"), (2, "c"), (3, null)))
     val viol = unique(d, "k").collect()
     assert(viol.map(r => (r.getInt(0), r.getLong(1))).toSeq === Seq((2, 2L)))
     assert(unique(df(Seq((1, "a"), (2, "b"))), "k").isEmpty)
+    // two NULL keys are not a uniqueness violation — dbt's unique filters
+    // `where column is not null`; nullability is not_null's job
+    assert(unique(df(Seq((null, "a"), (null, "b"), (1, "c"))), "k").isEmpty)
   }
 
   test("notNull flags null rows only") {
@@ -49,13 +51,7 @@ class GenericTestsSpec extends SparkSpec {
   }
 
   test("project suite over the seeds: all pass except the buggy mart's grain test") {
-    val seeds = Map(
-      "loan_types" ->
-        Tables.seedCsv(spark, resource("/seeds/loan_types.csv"), Tables.loanTypesSchema),
-      "raw_loans" ->
-        Tables.seedCsv(spark, resource("/seeds/raw_loans.csv"), Tables.rawLoansSchema),
-      "raw_loan_payments" ->
-        Tables.seedCsv(spark, resource("/seeds/raw_loan_payments.csv"), Tables.rawLoanPaymentsSchema))
+    val seeds = fictionBankSeeds
     val wh = java.nio.file.Files.createTempDirectory("graft-test-wh").toString
     val dag = new FictionBankDag(spark, wh)
     val results = dag.test(dag.run(seeds)).toMap

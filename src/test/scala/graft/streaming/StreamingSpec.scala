@@ -129,7 +129,7 @@ class StreamingSpec extends SparkSpec {
     assert(rows == List(("2024-01-01 00:55:00.0", 2L)), rows.toString)
   }
 
-  test("stateful sessionization: event a full gap older than the open session closes as its own singleton") {
+  test("stateful sessionization: strays older than the open session form their own sessions, bridging when reachable") {
     // The stray-older-event path needs the watermark delay to EXCEED the
     // session gap (with the defaults, delay 10 min < gap 30 min, the
     // runtime's late-row filter drops such events before the function) —
@@ -146,24 +146,41 @@ class StreamingSpec extends SparkSpec {
         watermarkDelay = "30 minutes")
       .writeStream.format("memory").queryName("t_stray")
       .outputMode("append").start()
-    mem.addData(Ev(1, ts(100), 8L, "click", 1.0, "{}")) // open session @01:40
+    // open sessions @01:40 for users 8 and 9
+    mem.addData(
+      Ev(1, ts(100), 8L, "click", 1.0, "{}"),
+      Ev(2, ts(100), 9L, "click", 1.0, "{}"))
     q.processAllAvailable() // watermark now 01:10
-    // 01:20: not late (>= watermark) but 20 min older than the session
-    // start — far beyond the 5-min gap
-    mem.addData(Ev(2, ts(80), 8L, "click", 2.0, "{}"))
+    // user 8 — 01:20 and 01:22: not late (>= watermark) but ~20 min older
+    // than the session start, far beyond the 5-min gap. They must NOT
+    // merge into the open session, but MUST session with each other
+    // (batch session_window semantics within the micro-batch).
+    // user 9 — a stray run 01:30/01:33 that a direct span-extension at
+    // 01:36 bridges to the open session: all four events are one chain
+    // under session_window and must emit as ONE session.
+    mem.addData(
+      Ev(3, ts(80), 8L, "click", 2.0, "{}"),
+      Ev(4, ts(82), 8L, "click", 4.0, "{}"),
+      Ev(5, ts(90), 9L, "click", 2.0, "{}"),
+      Ev(6, ts(93), 9L, "click", 4.0, "{}"),
+      Ev(7, ts(96), 9L, "click", 8.0, "{}"))
     q.processAllAvailable()
-    mem.addData(Ev(3, ts(400), 999L, "click", 0.0, "{}"))
+    mem.addData(Ev(8, ts(400), 999L, "click", 0.0, "{}"))
     q.processAllAvailable()
-    mem.addData(Ev(4, ts(401), 999L, "click", 0.0, "{}"))
+    mem.addData(Ev(9, ts(401), 999L, "click", 0.0, "{}"))
     q.processAllAvailable()
     q.stop()
-    val rows = s.table("t_stray").filter($"user_id" === 8L)
-      .select("session_start", "n_events").collect()
-      .map(r => (r.getTimestamp(0).toString, r.getLong(1))).toSet
-    // two singleton sessions; in particular the stray must NOT have merged
-    // into a 2-event session starting 01:20
-    assert(rows == Set(("2024-01-01 01:40:00.0", 1L), ("2024-01-01 01:20:00.0", 1L)),
-      rows.toString)
+    val byUser = s.table("t_stray").filter($"user_id".isin(8L, 9L))
+      .select("user_id", "session_start", "n_events", "total_cents").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).toString, r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(byUser == Set(
+      // user 8: the stray pair forms ONE 2-event session; open stays 1
+      (8L, "2024-01-01 01:40:00.0", 1L, 100L),
+      (8L, "2024-01-01 01:20:00.0", 2L, 600L),
+      // user 9: stray run bridged into the open session — one 4-event chain
+      (9L, "2024-01-01 01:30:00.0", 4L, 1500L)),
+      byUser.toString)
   }
 
   test("session window: streaming == batch on closed sessions (X6c)") {
