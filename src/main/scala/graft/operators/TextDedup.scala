@@ -154,19 +154,25 @@ object TextDedup {
       threshold: Double, maxDocFreq: Option[Int] = None): DataFrame = {
     val td = tokArrays(df, idCol, textCol)
     val posts = td.select(col("doc_id"), explode(shingleSet(col("toks"))).as("sh"))
+    // one posting-list aggregate feeds everything downstream: both the
+    // capped sizes and the pair buckets derive from the SAME groupBy(sh)
+    // subtree, so the physical plan shuffles the exploded postings once
+    // and ReuseExchange shares the aggregate between the two consumers
+    // (the previous posts⋈ok-shingles formulation shuffled posts three
+    // times in capped mode)
+    val lists = posts.groupBy(col("sh"))
+      .agg(sort_array(collect_set(col("doc_id"))).as("ds"))
     val sizes = maxDocFreq match {
       case None =>
         td.select(col("doc_id"), size(shingleSet(col("toks"))).as("n"))
       case Some(cap) =>
         // per-doc size over the capped universe: count only shingles whose
-        // document frequency is within the cap
-        val okSh = posts.groupBy(col("sh")).agg(count(lit(1)).as("df"))
-          .filter(col("df") <= cap).select(col("sh"))
-        posts.join(okSh, "sh").groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+        // document frequency is within the cap (df = 1 shingles included)
+        lists.filter(size(col("ds")) <= cap)
+          .select(explode(col("ds")).as("doc_id"))
+          .groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     }
-    val buckets = posts.groupBy(col("sh"))
-      .agg(sort_array(collect_set(col("doc_id"))).as("ds"))
-      .filter(size(col("ds")) >= 2)
+    val buckets = lists.filter(size(col("ds")) >= 2)
     val capped = maxDocFreq.fold(buckets)(cap => buckets.filter(size(col("ds")) <= cap))
     capped
       .select(explode(pairsOf(col("ds"))).as("p"))
