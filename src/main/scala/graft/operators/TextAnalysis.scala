@@ -107,4 +107,64 @@ object TextAnalysis {
       .agg(count(lit(1)).as("freq"))
       .orderBy(col("freq").desc_nulls_last, col("word").asc_nulls_last)
       .limit(k)
+
+  // ---- PII masking (X5e) ---------------------------------------------
+
+  /** RE2-safe patterns (no backreferences/lookaround) so the identical
+    * regex texts run on Spark (java.util.regex) and DuckDB (RE2) with the
+    * same matches. Masking order matters and is fixed: emails first (they
+    * contain digits and dots), then IPv4 (digits and dots), then bare
+    * digit runs.
+    */
+  val EmailPattern = """[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"""
+  val Ipv4Pattern = """\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}"""
+  val NumberPattern = """\d+"""
+
+  /** PII/number masking for training corpora: emails → `<email>`, IPv4 →
+    * `<ip>`, remaining digit runs → `<num>`, plus per-doc match counts
+    * (counted on the stage each pattern actually sees, so an IP's digits
+    * are never double-counted as numbers). Pure narrow projection —
+    * whole-stage codegen over the scan, no shuffle.
+    *
+    * Output-column contract: owns `masked`, `n_emails`, `n_ipv4`,
+    * `n_nums` (overwritten if present).
+    */
+  def maskPii(df: DataFrame, textCol: String): DataFrame = {
+    val afterEmail = regexp_replace(col(textCol), EmailPattern, "<email>")
+    val afterIp = regexp_replace(afterEmail, Ipv4Pattern, "<ip>")
+    df.withColumn("n_emails",
+        size(regexp_extract_all(col(textCol), lit(EmailPattern), lit(0))))
+      .withColumn("n_ipv4",
+        size(regexp_extract_all(afterEmail, lit(Ipv4Pattern), lit(0))))
+      .withColumn("n_nums",
+        size(regexp_extract_all(afterIp, lit(NumberPattern), lit(0))))
+      .withColumn("masked", regexp_replace(afterIp, NumberPattern, "<num>"))
+  }
+
+  // ---- token-window chunking (X5f) -----------------------------------
+
+  /** Fixed-size token-window chunking with overlap — the context-window
+    * packing step of a training-data pipeline. Chunk starts advance by
+    * `chunkSize - overlap`; the final chunk may be shorter. One row per
+    * (doc, chunk): explode over computed starts, so the only wide node is
+    * whatever the caller does next — the chunker itself never shuffles.
+    *
+    * Empty text follows split-semantics: one chunk of the single empty
+    * token (filter on `n_tokens` upstream to exclude).
+    */
+  def chunkByTokens(df: DataFrame, idCol: String, textCol: String,
+      chunkSize: Int, overlap: Int): DataFrame = {
+    require(overlap >= 0 && chunkSize > overlap,
+      s"need chunkSize > overlap >= 0, got chunkSize=$chunkSize overlap=$overlap")
+    val stride = chunkSize - overlap
+    df.select(col(idCol).as("doc_id"), split(col(textCol), " ").as("toks"))
+      .select(col("doc_id"), col("toks"),
+        posexplode(sequence(lit(0), size(col("toks")) - 1, lit(stride))))
+      .withColumnRenamed("pos", "chunk_idx")
+      .select(col("doc_id"), col("chunk_idx"),
+        slice(col("toks"), col("col") + 1, lit(chunkSize)).as("chunk"))
+      .select(col("doc_id"), col("chunk_idx"),
+        size(col("chunk")).as("n_tokens"),
+        concat_ws(" ", col("chunk")).as("chunk_text"))
+  }
 }

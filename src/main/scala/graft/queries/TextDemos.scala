@@ -88,5 +88,64 @@ object TextDemos {
       LIMIT 50"""),
     (s, dir) => TextAnalysis.wordTopK(docs(s, dir), "text", 50))
 
-  val all: Seq[Demo] = Seq(x5a, x5b, x5c, x5d)
+  // X5e: PII masking. The harness corpus contains no PII, so the demo
+  // derives a text with deterministic doc_id-based email/IP/number tokens
+  // appended (same construction replayed verbatim in the oracle) — the
+  // input stays the harness table while every masking path executes for
+  // real on all rows.
+  private val x5e = Demo("x5e_pii_mask", Some(s"""
+      WITH pii AS (
+        SELECT doc_id,
+               text || ' contact user' || cast(doc_id AS varchar)
+                    || '@example.com from 10.0.0.' || cast(doc_id % 256 AS varchar)
+                    || ' ref ' || cast(doc_id * 7 AS varchar) AS text
+        FROM documents),
+      m AS (
+        SELECT doc_id,
+               regexp_replace(text, '${TextAnalysis.EmailPattern}', '<email>', 'g') AS after_email,
+               len(regexp_extract_all(text, '${TextAnalysis.EmailPattern}')) AS n_emails
+        FROM pii),
+      m2 AS (
+        SELECT doc_id, n_emails,
+               regexp_replace(after_email, '${TextAnalysis.Ipv4Pattern}', '<ip>', 'g') AS after_ip,
+               len(regexp_extract_all(after_email, '${TextAnalysis.Ipv4Pattern}')) AS n_ipv4
+        FROM m)
+      SELECT doc_id, n_emails, n_ipv4,
+             len(regexp_extract_all(after_ip, '${TextAnalysis.NumberPattern}')) AS n_nums,
+             regexp_replace(after_ip, '${TextAnalysis.NumberPattern}', '<num>', 'g') AS masked
+      FROM m2
+      ORDER BY doc_id ASC NULLS LAST"""),
+    (s, dir) => {
+      val withPii = docs(s, dir).select(col("doc_id"),
+        concat(col("text"),
+          lit(" contact user"), col("doc_id").cast("string"),
+          lit("@example.com from 10.0.0."),
+          (col("doc_id") % 256).cast("string"),
+          lit(" ref "), (col("doc_id") * 7).cast("string")).as("text"))
+      TextAnalysis.maskPii(withPii, "text")
+        .select(col("doc_id"), col("n_emails"), col("n_ipv4"), col("n_nums"),
+          col("masked"))
+        .orderBy(col("doc_id").asc_nulls_last)
+    })
+
+  // X5f: token-window chunking (64-token windows, 16-token overlap →
+  // stride 48) — the context-window packing step of a training pipeline.
+  private val x5f = Demo("x5f_chunking", Some("""
+      WITH tok AS (
+        SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      st AS (
+        SELECT doc_id, toks,
+               unnest(generate_series(0, len(toks) - 1, 48)) AS start
+        FROM tok)
+      SELECT doc_id,
+             cast(start // 48 AS int) AS chunk_idx,
+             len(toks[start + 1 : start + 64]) AS n_tokens,
+             array_to_string(toks[start + 1 : start + 64], ' ') AS chunk_text
+      FROM st
+      ORDER BY doc_id ASC NULLS LAST, chunk_idx ASC NULLS LAST"""),
+    (s, dir) => TextAnalysis.chunkByTokens(docs(s, dir), "doc_id", "text",
+        chunkSize = 64, overlap = 16)
+      .orderBy(col("doc_id").asc_nulls_last, col("chunk_idx").asc_nulls_last))
+
+  val all: Seq[Demo] = Seq(x5a, x5b, x5c, x5d, x5e, x5f)
 }

@@ -1,0 +1,62 @@
+package graft.operators
+
+import graft.SparkSpec
+
+/** Edge cases of the X5e/X5f operators not reachable through the oracle
+  * demos (which run over the harness corpus): masking order, overlap
+  * arithmetic, short/empty inputs.
+  */
+class TextAnalysisSpec extends SparkSpec {
+
+  private def one(text: String) = {
+    val s = spark
+    import s.implicits._
+    Seq((1L, text)).toDF("doc_id", "text")
+  }
+
+  test("maskPii masks emails before IPs before numbers, counting per stage") {
+    val r = TextAnalysis.maskPii(
+      one("mail a.b+c@x-y.org or 10.0.0.1 port 8080 and 999.12"), "text")
+      .head()
+    assert(r.getAs[String]("masked") ===
+      "mail <email> or <ip> port <num> and <num>.<num>")
+    assert(r.getAs[Int]("n_emails") === 1)
+    assert(r.getAs[Int]("n_ipv4") === 1)
+    // the IP's four octets are NOT double-counted as numbers
+    assert(r.getAs[Int]("n_nums") === 3)
+  }
+
+  test("maskPii on text without PII is the identity") {
+    val r = TextAnalysis.maskPii(one("plain words only"), "text").head()
+    assert(r.getAs[String]("masked") === "plain words only")
+    assert(r.getAs[Int]("n_emails") + r.getAs[Int]("n_ipv4")
+      + r.getAs[Int]("n_nums") === 0)
+  }
+
+  test("chunkByTokens: overlap arithmetic, short tail, sub-chunk doc") {
+    // 10 tokens, chunkSize 4, overlap 1 -> stride 3 -> starts 0,3,6,9
+    val toks = (1 to 10).map(i => s"t$i").mkString(" ")
+    val rows = TextAnalysis.chunkByTokens(one(toks), "doc_id", "text", 4, 1)
+      .collect().map(r => (r.getAs[Int]("chunk_idx"),
+        r.getAs[Int]("n_tokens"), r.getAs[String]("chunk_text"))).toSeq
+    assert(rows === Seq(
+      (0, 4, "t1 t2 t3 t4"),
+      (1, 4, "t4 t5 t6 t7"),
+      (2, 4, "t7 t8 t9 t10"),
+      (3, 1, "t10")))
+    // doc shorter than one chunk: single full-doc chunk
+    val short = TextAnalysis.chunkByTokens(one("a b"), "doc_id", "text", 4, 1)
+      .collect().map(r => (r.getAs[Int]("chunk_idx"), r.getAs[String]("chunk_text")))
+    assert(short.toSeq === Seq((0, "a b")))
+    // empty text: split semantics give one single-empty-token chunk
+    val empty = TextAnalysis.chunkByTokens(one(""), "doc_id", "text", 4, 1)
+      .collect().map(r => (r.getAs[Int]("n_tokens"), r.getAs[String]("chunk_text")))
+    assert(empty.toSeq === Seq((1, "")))
+  }
+
+  test("chunkByTokens rejects overlap >= chunkSize") {
+    intercept[IllegalArgumentException] {
+      TextAnalysis.chunkByTokens(one("a b c"), "doc_id", "text", 4, 4)
+    }
+  }
+}
