@@ -4,7 +4,9 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.functions.Hashing
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+
+import graft.functions.{Hashing, VecSumAgg}
 
 /** Similarity search over embedding columns (SURVEY.md §2B X3) — the
   * library API behind the x3 demos. Embeddings quantize to int64
@@ -94,6 +96,104 @@ object VectorSearch {
         col("nq").as("q_nq"), col("bucket").as("q_bucket"))
     val scored = broadcast(q)
       .join(c, col("bucket") === col("q_bucket") && col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        cosineOf(call_function("dot_long", col("q_qv"), col("qv")),
+          col("q_nq"), col("nq")).as("cosine"))
+    rankTopK(scored, k)
+  }
+
+  // ---- IVF (k-means coarse quantizer) ---------------------------------
+
+  /** One IVF cell: exact integer state — the mean is `sums/cnt`, kept as
+    * the integer pair so no float accumulates across members.
+    */
+  final case class IvfCentroid(cid: Int, sums: Array[Long], cnt: Long) {
+    /** `||mean||²`, computed as the oracle does: exact integer `Σ sums²`
+      * rounded ONCE to double, divided by the exact `cnt²` — identical
+      * IEEE ops on every engine.
+      */
+    def constTerm: Double = {
+      var ss = 0L
+      var i = 0
+      while (i < sums.length) { ss += sums(i) * sums(i); i += 1 }
+      ss.toDouble / (cnt * cnt).toDouble
+    }
+  }
+
+  /** Per-row array of (distance-term, cid) structs for the given
+    * centroids: term = ||mean||² − 2·(x·sums)/cnt, the argmin-equivalent
+    * of the squared distance (the ||x||² constant cancels). Exact integer
+    * dot via the codegen'd kernel; one multiply + one divide in double —
+    * deterministic and engine-identical, ties broken by cid via struct
+    * ordering.
+    */
+  private def cellTerms(cs: Seq[IvfCentroid], qv: Column): Column =
+    array(cs.map { c =>
+      struct(
+        (lit(c.constTerm)
+          - lit(2.0) * call_function("dot_long", qv, typedLit(c.sums.toSeq))
+              .cast("double") / lit(c.cnt.toDouble)).as("term"),
+        lit(c.cid).as("cid"))
+    }: _*)
+
+  /** Append the `nProbe` nearest cell ids (one output row per cell) to a
+    * [[quantize]]d frame. Narrow — centroids ride along as literals, so
+    * assignment is a scan-side projection, no join, no shuffle.
+    */
+  def ivfAssign(quantized: DataFrame, cs: Seq[IvfCentroid], nProbe: Int): DataFrame =
+    quantized.withColumn("cid",
+      explode(transform(
+        slice(array_sort(cellTerms(cs, col("qv"))), 1, nProbe),
+        s => s.getField("cid"))))
+
+  /** Deterministic Lloyd's k-means over int64-quantized vectors: init =
+    * the `k` lowest-id vectors (no RNG), `iters` rounds of
+    * assign-and-resum. Per round: one narrow assignment pass + one
+    * map-side-combinable [[graft.functions.VecSumAgg]] aggregate whose
+    * shuffle carries k×dim longs per partition. Only the k centroids
+    * (k × dim longs) ever reach the driver — the standard k-means loop
+    * shape; corpus work stays distributed at any scale. Cells that lose
+    * all members drop out (k may shrink).
+    */
+  def ivfTrain(corpus: DataFrame, idCol: String, vecCol: String,
+      k: Int, iters: Int): Seq[IvfCentroid] = {
+    val c = quantize(corpus, idCol, vecCol)
+    var cs: Seq[IvfCentroid] = c.orderBy(col("vec_id")).limit(k)
+      .select(col("qv")).collect().toSeq.zipWithIndex
+      .map { case (r, i) => IvfCentroid(i, r.getSeq[Long](0).toArray, 1L) }
+    var it = 0
+    while (it < iters) {
+      cs = ivfAssign(c, cs, nProbe = 1)
+        .groupBy(col("cid"))
+        .agg(udaf(VecSumAgg, ExpressionEncoder[Seq[Long]]()).apply(col("qv")).as("sums"),
+          count(lit(1)).as("cnt"))
+        .collect().toSeq
+        .map(r => IvfCentroid(r.getInt(0), r.getSeq[Long](1).toArray, r.getLong(2)))
+        .sortBy(_.cid)
+      it += 1
+    }
+    cs
+  }
+
+  /** IVF ANN: train the coarse quantizer, assign the corpus to its
+    * nearest cell and each query to its `nProbe` nearest cells, rerank
+    * exactly within the probed cells. Complements [[bucketedAnn]]: the
+    * data-adaptive index (cells follow the embedding distribution) vs
+    * the data-oblivious hyperplane one. At 100 TB, partition the stored
+    * corpus by `cid` so each probe reads only its cells' files. Same
+    * id-space contract as [[topKCosine]].
+    */
+  def ivfSearch(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, kCells: Int, iters: Int, nProbe: Int): DataFrame = {
+    val model = ivfTrain(corpus, idCol, vecCol, kCells, iters)
+    val c = ivfAssign(quantize(corpus, idCol, vecCol), model, nProbe = 1)
+    val q = ivfAssign(quantize(queries, idCol, vecCol), model, nProbe)
+      .select(col("vec_id").as("query_id"), col("qv").as("q_qv"),
+        col("nq").as("q_nq"), col("cid").as("q_cid"))
+    // corpus rows carry ONE cell each, so a candidate matches at most one
+    // of the query's nProbe cells — no duplicate pairs to collapse
+    val scored = broadcast(q)
+      .join(c, col("cid") === col("q_cid") && col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"),
         cosineOf(call_function("dot_long", col("q_qv"), col("qv")),
           col("q_nq"), col("nq")).as("cosine"))

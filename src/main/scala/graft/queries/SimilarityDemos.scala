@@ -80,5 +80,68 @@ object SimilarityDemos {
       .orderBy(col("query_id").asc_nulls_last, col("cosine").desc_nulls_last,
         col("vec_id").asc_nulls_last))
 
-  val all: Seq[Demo] = Seq(x3a, x3b)
+  /** One DuckDB nearest-cell assignment against centroid CTE `src`:
+    * row-number vectors by the same distance term the Spark side computes
+    * (||mean||² − 2·(x·sums)/cnt, exact ints rounded once to double).
+    */
+  private def oracleAssign(src: String, keep: String, probeFilter: String = ""): String = s"""
+        SELECT vec_id, qv, nq, cid FROM (
+          SELECT n.vec_id, n.qv, n.nq, i.cid,
+                 row_number() OVER (PARTITION BY n.vec_id ORDER BY
+                   cast(list_sum(list_transform(i.sums, s -> s * s)) AS double)
+                     / (i.cnt * i.cnt)
+                   - 2.0 * cast(list_sum(list_transform(generate_series(1, 64),
+                       d -> n.qv[d] * i.sums[d])) AS bigint) / i.cnt ASC,
+                   i.cid ASC) AS rn
+          FROM n CROSS JOIN $src i$probeFilter)
+        WHERE $keep"""
+
+  /** One DuckDB centroid-update step from assignment CTE `src`: exact
+    * per-dimension integer sums + member counts.
+    */
+  private def oracleCentroidUpdate(src: String): String = s"""
+        SELECT sv.cid, list(cast(sv.s AS bigint) ORDER BY sv.d) AS sums, m.cnt
+        FROM (SELECT cid, d, sum(qv[d]) AS s
+              FROM $src CROSS JOIN generate_series(1, 64) AS g(d)
+              GROUP BY cid, d) sv
+        JOIN (SELECT cid, count(*) AS cnt FROM $src GROUP BY cid) m USING (cid)
+        GROUP BY sv.cid, m.cnt"""
+
+  // X3c: IVF ANN — deterministic k-means coarse quantizer (4 cells, 2
+  // Lloyd iterations, init = 4 lowest ids), corpus in nearest cell,
+  // probes in 2 nearest cells, exact in-cell rerank. The oracle replays
+  // the ENTIRE training loop unrolled in SQL — every centroid state is
+  // exact integer (sums, cnt), so both engines compute bit-identical
+  // assignment terms.
+  private val x3c = Demo("x3c_ivf_ann", Some(s"""
+      $oracleQuantCtes,
+      init AS (
+        SELECT cast(row_number() OVER (ORDER BY vec_id) - 1 AS int) AS cid,
+               qv AS sums, cast(1 AS bigint) AS cnt
+        FROM n ORDER BY vec_id LIMIT 4),
+      a1 AS (${oracleAssign("init", "rn = 1")}),
+      c1 AS (${oracleCentroidUpdate("a1")}),
+      a2 AS (${oracleAssign("c1", "rn = 1")}),
+      c2 AS (${oracleCentroidUpdate("a2")}),
+      cellc AS (${oracleAssign("c2", "rn = 1")}),
+      cellq AS (${oracleAssign("c2", "rn <= 2", " WHERE n.vec_id < 5")})
+      SELECT qr.vec_id AS query_id, c.vec_id AS vec_id,
+             CASE WHEN qr.nq > 0 AND c.nq > 0 THEN
+               cast(cast(list_sum(list_transform(generate_series(1, 64),
+                      i -> qr.qv[i] * c.qv[i])) AS bigint) AS double)
+                 / (sqrt(cast(qr.nq AS double)) * sqrt(cast(c.nq AS double)))
+             END AS cosine
+      FROM cellq qr
+      JOIN cellc c ON c.cid = qr.cid AND c.vec_id != qr.vec_id
+      QUALIFY row_number() OVER (PARTITION BY query_id
+                                 ORDER BY cosine DESC, c.vec_id) <= 10
+      ORDER BY query_id ASC NULLS LAST, cosine DESC NULLS LAST,
+               vec_id ASC NULLS LAST"""),
+    (s, dir) => VectorSearch.ivfSearch(
+        emb(s, dir), emb(s, dir).filter(col("vec_id") < 5),
+        "vec_id", "embedding", k = 10, kCells = 4, iters = 2, nProbe = 2)
+      .orderBy(col("query_id").asc_nulls_last, col("cosine").desc_nulls_last,
+        col("vec_id").asc_nulls_last))
+
+  val all: Seq[Demo] = Seq(x3a, x3b, x3c)
 }

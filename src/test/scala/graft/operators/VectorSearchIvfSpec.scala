@@ -1,0 +1,46 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.sources.Tables
+
+/** IVF coarse-quantizer properties not covered by the x3c oracle demo:
+  * training determinism, exact centroid state, and recall against the
+  * brute-force baseline.
+  */
+class VectorSearchIvfSpec extends SparkSpec {
+
+  private val sfDir = "/root/testdata/sf0.001"
+  private def emb = Tables.table(spark, sfDir, "embeddings")
+
+  test("ivfTrain is deterministic and centroids carry exact member sums") {
+    val a = VectorSearch.ivfTrain(emb, "vec_id", "embedding", k = 4, iters = 2)
+    val b = VectorSearch.ivfTrain(emb, "vec_id", "embedding", k = 4, iters = 2)
+    assert(a.map(_.cid) === b.map(_.cid))
+    a.zip(b).foreach { case (x, y) =>
+      assert(x.cnt === y.cnt)
+      assert(x.sums.toSeq === y.sums.toSeq)
+    }
+    // every vector is assigned somewhere: cluster counts sum to the corpus
+    assert(a.map(_.cnt).sum === emb.count())
+    // exact state: total per-dim sums over clusters == corpus-wide sums
+    val q = VectorSearch.quantize(emb, "vec_id", "embedding")
+    val corpusDim0 = q.select(sum(element_at(col("qv"), 1))).head().getLong(0)
+    assert(a.map(_.sums(0)).sum === corpusDim0)
+  }
+
+  test("ivfSearch recall vs brute force is substantial at nProbe=2 of 4 cells") {
+    val probes = emb.filter(col("vec_id") < 5)
+    val exact = VectorSearch.topKCosine(emb, probes, "vec_id", "embedding", 10)
+      .select("query_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = VectorSearch.ivfSearch(emb, probes, "vec_id", "embedding",
+        k = 10, kCells = 4, iters = 2, nProbe = 2)
+      .select("query_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(ivf.size === exact.size) // 5 probes × 10 — cells are large enough
+    val recall = ivf.intersect(exact).size.toDouble / exact.size
+    assert(recall >= 0.5, s"recall=$recall")
+  }
+}
