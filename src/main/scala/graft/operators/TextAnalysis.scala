@@ -151,6 +151,9 @@ object TextAnalysis {
     *
     * Empty text follows split-semantics: one chunk of the single empty
     * token (filter on `n_tokens` upstream to exclude).
+    *
+    * See also [[packSequences]] for the complementary many-docs-per-window
+    * direction.
     */
   def chunkByTokens(df: DataFrame, idCol: String, textCol: String,
       chunkSize: Int, overlap: Int): DataFrame = {
@@ -166,5 +169,61 @@ object TextAnalysis {
       .select(col("doc_id"), col("chunk_idx"),
         size(col("chunk")).as("n_tokens"),
         concat_ws(" ", col("chunk")).as("chunk_text"))
+  }
+
+  // ---- sequence packing (X5g) ----------------------------------------
+
+  /** Streaming-concatenation sequence packing — the GPT-style data-prep
+    * step: documents are (conceptually) concatenated in id order and cut
+    * into `windowTokens`-sized training windows; each doc lands in the
+    * bin its starting token offset falls in. Output is one row per bin
+    * with doc/token counts and the id range.
+    *
+    * The global prefix sum is computed DISTRIBUTED, not with an
+    * unpartitioned window: range-repartition by id, per-partition token
+    * totals (one row per partition) collect to the driver and come back
+    * as a literal offset map, then each partition does a local
+    * partition-keyed window cumsum plus its offset. Two scans, no
+    * single-task sort — the textbook parallel prefix sum. The bin ids
+    * depend only on the id ORDER, so the (sampling-based) range
+    * boundaries never affect the result.
+    */
+  def packSequences(df: DataFrame, idCol: String, textCol: String,
+      windowTokens: Int): DataFrame = {
+    require(windowTokens > 0, s"windowTokens must be positive: $windowTokens")
+    val t = df
+      .select(col(idCol).as("doc_id"), size(split(col(textCol), " ")).as("n_tokens"))
+      .repartitionByRange(col("doc_id"))
+      .withColumn("__pid", spark_partition_id())
+    // one row per partition — bounded driver state by construction
+    val partTotals = t.groupBy(col("__pid"))
+      .agg(sum(col("n_tokens")).as("tot"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    val offsets: Map[Int, Long] = {
+      var acc = 0L
+      partTotals.map { case (pid, tot) =>
+        val off = acc; acc += tot; pid -> off
+      }.toMap
+    }
+    val offsetCol =
+      if (offsets.isEmpty) lit(0L) // empty input: no partitions, no offsets
+      else coalesce(
+        element_at(
+          map(offsets.toSeq.sortBy(_._1)
+            .flatMap { case (p, o) => Seq(lit(p), lit(o)) }: _*),
+          col("__pid")),
+        lit(0L))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__pid")).orderBy(col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    t.withColumn("__cum", sum(col("n_tokens")).over(w) + offsetCol)
+      .withColumn("bin_id",
+        expr(s"(__cum - n_tokens) div ${windowTokens.toLong}"))
+      .groupBy(col("bin_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("total_tokens"),
+        min(col("doc_id")).as("first_doc"),
+        max(col("doc_id")).as("last_doc"))
   }
 }

@@ -147,5 +147,28 @@ object TextDemos {
         chunkSize = 64, overlap = 16)
       .orderBy(col("doc_id").asc_nulls_last, col("chunk_idx").asc_nulls_last))
 
-  val all: Seq[Demo] = Seq(x5a, x5b, x5c, x5d, x5e, x5f)
+  // X5g: sequence packing — documents concatenated in id order and cut
+  // into 2048-token training windows (each doc binned by the window its
+  // starting offset falls in). The Spark side computes the global prefix
+  // sum distributed (two-pass partition-offset scheme); the oracle states
+  // it as one window cumsum.
+  private val x5g = Demo("x5g_seq_packing", Some("""
+      WITH t AS (
+        SELECT doc_id, len(string_split(text, ' ')) AS n FROM documents),
+      c AS (
+        SELECT doc_id, n,
+               sum(n) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum
+        FROM t)
+      SELECT cast((cum - n) // 2048 AS bigint) AS bin_id,
+             count(*) AS n_docs,
+             cast(sum(n) AS bigint) AS total_tokens,
+             min(doc_id) AS first_doc,
+             max(doc_id) AS last_doc
+      FROM c
+      GROUP BY 1
+      ORDER BY bin_id ASC NULLS LAST"""),
+    (s, dir) => TextAnalysis.packSequences(docs(s, dir), "doc_id", "text", 2048)
+      .orderBy(col("bin_id").asc_nulls_last))
+
+  val all: Seq[Demo] = Seq(x5a, x5b, x5c, x5d, x5e, x5f, x5g)
 }

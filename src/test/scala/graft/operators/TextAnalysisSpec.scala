@@ -59,4 +59,29 @@ class TextAnalysisSpec extends SparkSpec {
       TextAnalysis.chunkByTokens(one("a b c"), "doc_id", "text", 4, 4)
     }
   }
+
+  test("packSequences: bins follow the id-order token offsets across partitions") {
+    val s = spark
+    import s.implicits._
+    // doc i has i+1 tokens; ids shuffled in input to prove order comes
+    // from doc_id, not row order. 40 docs, window 25.
+    val docs = scala.util.Random.shuffle((0 until 40).toList)
+      .map(i => (i.toLong, (1 to i + 1).map(_ => "w").mkString(" ")))
+      .toDF("doc_id", "text").repartition(7)
+    val packed = TextAnalysis.packSequences(docs, "doc_id", "text", 25)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).sortBy(_._1)
+    // conservation: every doc in exactly one bin, all tokens counted
+    assert(packed.map(_._2).sum === 40L)
+    assert(packed.map(_._3).sum === (1 to 40).map(_.toLong).sum)
+    // reference packing computed directly: doc i starts at offset
+    // sum(1..i) - (i+1), bin = start / 25
+    val expected = (0 until 40).map { i =>
+      val start = (1 to i + 1).map(_.toLong).sum - (i + 1)
+      i.toLong -> start / 25
+    }.groupBy(_._2).toSeq.sortBy(_._1).map { case (bin, ds) =>
+      (bin, ds.size.toLong, ds.map(_._1 + 1).sum, ds.map(_._1).min, ds.map(_._1).max)
+    }
+    assert(packed.toSeq === expected)
+  }
 }
