@@ -55,7 +55,10 @@ object CorpusClean {
         .drop("fingerprint"))
 
     // 3. near-dup: drop the higher id of every similar pair among the
-    // survivors (pairs already come ordered id_a < id_b)
+    // survivors (pairs already come ordered id_a < id_b). Candidate
+    // verification stays in default lazy mode: the re-reads it implies
+    // hit the (typically materializeCut-checkpointed) exactKept frame,
+    // which is exactly what that cut exists to make cheap.
     val pairs = TextDedup.minhashLshPairs(exactKept, idCol, textCol, nearDupThreshold)
     val nearKept = exactKept.join(
       pairs.select(col("id_b").as(idCol)).distinct(),

@@ -104,12 +104,25 @@ object TextDedup {
     * probability is (1−t²)^64 (≤1e-8 at t=0.5), while cluster cost is
     * O(n·bands) shuffle instead of O(n²).
     */
+  /** `materializeCandidates` selects the verification strategy. `None`
+    * (default): the candidate pairs stay lazy and exact verification
+    * joins against shingle sets of the WHOLE corpus — one job, full
+    * operator overlap; best when a corpus scan is cheap (it is re-read
+    * twice, once per pair side). `Some(m)` — e.g.
+    * `Some(_.localCheckpoint(true))`: the candidate pair set is
+    * materialized via `m` and shingle sets are built ONLY for docs that
+    * appear in a candidate pair (broadcast semi join; candidate count is
+    * bounded by LSH design). That is the 100 TB path — at scale the two
+    * extra full-corpus shingle builds dwarf the materialization barrier,
+    * while at demo scale the barrier costs more than it saves (measured;
+    * hence not the default).
+    */
   def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
-      threshold: Double): DataFrame = {
+      threshold: Double,
+      materializeCandidates: Option[DataFrame => DataFrame] = None): DataFrame = {
     Hashing.registerAll(df.sparkSession)
     val P = Hashing.P
     val nBands = Hashing.MinhashK / 2 // r=2 rows per band over the signature
-    val sets = shingleSets(df, idCol, textCol)
     // NOT sets.select(explode(shs)): exploding the shingle expression
     // directly keeps the Generate adjacent to the scan with one array
     // build per row — a projected-then-exploded column gets re-evaluated
@@ -125,12 +138,21 @@ object TextDedup {
           (element_at(col("sig"), 2 * b + 1) * P
             + element_at(col("sig"), 2 * b + 2)).as("key"))): _*)).as("bk"))
       .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
-    val cand = bands.groupBy(col("band"), col("key"))
+    val lazyCand = bands.groupBy(col("band"), col("key"))
       .agg(sort_array(collect_set(col("doc_id"))).as("ds"))
       .filter(size(col("ds")) >= 2)
       .select(explode(pairsOf(col("ds"))).as("p"))
       .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
       .distinct()
+    val (cand, setsBase) = materializeCandidates match {
+      case None => (lazyCand, df)
+      case Some(m) =>
+        val c = m(lazyCand)
+        val candIds = c
+          .select(explode(array(col("id_a"), col("id_b"))).as(idCol)).distinct()
+        (c, df.join(broadcast(candIds), Seq(idCol), "left_semi"))
+    }
+    val sets = shingleSets(setsBase, idCol, textCol)
     cand
       .join(sets.select(col("doc_id").as("id_a"), col("shs").as("shs_a")), "id_a")
       .join(sets.select(col("doc_id").as("id_b"), col("shs").as("shs_b")), "id_b")

@@ -12,6 +12,17 @@ class TextDedupSpec extends SparkSpec {
 
   private val sfDir = "/root/testdata/sf0.001"
 
+  test("minhash LSH: materialized-candidates scale path equals the lazy default") {
+    val docs = Tables.table(spark, sfDir, "documents")
+    val lazyPairs = TextDedup.minhashLshPairs(docs, "doc_id", "text", 0.5)
+      .collect().map(_.mkString("|")).toSet
+    val scalePath = TextDedup.minhashLshPairs(docs, "doc_id", "text", 0.5,
+        materializeCandidates = Some(_.localCheckpoint(true)))
+      .collect().map(_.mkString("|")).toSet
+    assert(scalePath === lazyPairs)
+    assert(lazyPairs.nonEmpty)
+  }
+
   test("ngram cap: high cap == uncapped; low cap == exact Jaccard of capped sets") {
     val docs = Tables.table(spark, sfDir, "documents")
     val uncapped = TextDedup.ngramJaccardPairs(docs, "doc_id", "text", 0.05)
