@@ -63,6 +63,35 @@ class PlanSpec extends SparkSpec {
     assert(p.lines.anyMatch(l => l.contains("*(") && l.contains("dot_long")), p)
   }
 
+  test("x3c ivf: cell assignment is join-free (literal centroids) and probes broadcast") {
+    val p = plan("x3c_ivf_ann")
+    // exactly one join NODE — the probe-cell candidate join, with the
+    // probe side broadcast; assignment itself must be a scan-side
+    // projection (literal centroids, no centroid-table join)
+    assert("""\(\d+\) \w*Join""".r.findAllIn(p).size == 1, p)
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("x5g packing: shuffles carry only (doc_id, n_tokens), text pruned at the scan") {
+    val df = SparkEntry.queries("x5g_seq_packing")(spark, sfDir)
+    val p = df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+    // the scan reads doc_id + text (for the token count)…
+    val read = "ReadSchema: struct<([^>]*)>".r.findFirstMatchIn(p).map(_.group(1)).get
+    assert(read.split(",").length <= 2, s"documents scan reads too much: $read")
+    // …but no exchange ships the text column — only id + count survive
+    // the projection below the first shuffle
+    val exchanges = p.linesIterator.filter(_.contains("Exchange")).toSeq
+    assert(exchanges.nonEmpty, p)
+    assert(!p.linesIterator.exists(l => l.contains("Arguments") && l.contains("text#")
+      && l.contains("rangepartitioning")), p)
+  }
+
+  test("x5e/x5f text transforms stay single-stage narrow (no exchange before output sort)") {
+    val p = plan("x5e_pii_mask")
+    // one range exchange for the final ORDER BY is the only shuffle
+    assert("Exchange".r.findAllIn(p).size <= 2, p) // node + detail section
+  }
+
   test("flagship entry: broadcast join, no shuffle of the fact side") {
     val df: DataFrame = SparkEntry.entry(spark)
     val p = df.queryExecution.explainString(ExplainMode.fromString("formatted"))
