@@ -23,6 +23,22 @@ class EdgeCaseSpec extends SparkSpec {
     assert(l(0) == "und")
   }
 
+  test("maskPii and packSequences survive NULL text and empty input") {
+    val s = spark
+    import s.implicits._
+    val df = Seq((1L, null: String), (2L, "pay 42 now")).toDF("doc_id", "text")
+    // NULL text: masked stays NULL, counts stay NULL (SQL null semantics,
+    // not zeros) — callers filter or coalesce explicitly
+    val m = TextAnalysis.maskPii(df, "text").orderBy("doc_id").collect()
+    assert(m(0).isNullAt(m(0).fieldIndex("masked")))
+    assert(m(0).isNullAt(m(0).fieldIndex("n_nums")))
+    assert(m(1).getAs[String]("masked") === "pay <num> now")
+    // empty input: packing yields zero bins, no driver-side error from
+    // the empty partition-offset map
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(TextAnalysis.packSequences(empty, "doc_id", "text", 100).count() === 0)
+  }
+
   test("zero-norm embedding yields NULL cosine, not an error") {
     val s = spark
     import s.implicits._
