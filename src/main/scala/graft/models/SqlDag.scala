@@ -1,0 +1,79 @@
+package graft.models
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Generic dbt-style SQL DAG runner: takes ARBITRARY model SQL texts (the
+  * user's own files, not just the reference's four — see
+  * [[FictionBankSql]] for those), extracts `{{ ref('x') }}` dependencies,
+  * topologically orders, and materializes each model per its declared
+  * strategy, mirroring dbt_project.yml semantics (staging → view, marts →
+  * table; reference: dbt_project.yml:19-22):
+  *
+  *  - `View`: registered as a temp view — downstream refs compose into
+  *    one Catalyst plan (dbt's ephemeral-ish view behavior).
+  *  - `Table`: written to parquet under the warehouse dir and RE-READ, so
+  *    downstream refs scan the materialized table, not the live plan —
+  *    dbt's cut-point semantics, and the scale behavior you want anyway
+  *    (a mart computed once, consumed many times).
+  *
+  * Scale: the runner itself only orchestrates — per-model work is
+  * whatever the SQL plans to; nothing is collected driver-side.
+  */
+class SqlDag(spark: SparkSession, warehouseDir: String) {
+
+  sealed trait Materialization
+  case object View extends Materialization
+  case object Table extends Materialization
+
+  /** One model: a name, its Jinja-SQL text, and how to materialize it. */
+  final case class SqlModel(name: String, jinjaSql: String,
+      materialization: Materialization = View)
+
+  private val RefPattern = raw"\{\{\s*ref\('([^']+)'\)\s*\}\}".r
+
+  /** `ref()` targets of one model text. */
+  def refsOf(jinjaSql: String): Set[String] =
+    RefPattern.findAllMatchIn(jinjaSql).map(_.group(1)).toSet
+
+  /** Lineage graph over the given models (seeds appear as leaf deps). */
+  def lineage(models: Seq[SqlModel]): Map[String, Set[String]] =
+    models.map(m => m.name -> refsOf(m.jinjaSql)).toMap
+
+  /** `dbt run`: register seeds as views, build every model in dependency
+    * order via `spark.sql` on the rendered text, materialize per config.
+    * Fails fast on cycles or refs that resolve to neither a seed nor a
+    * model.
+    */
+  def run(models: Seq[SqlModel],
+      seeds: Map[String, DataFrame]): Map[String, DataFrame] = {
+    val known = seeds.keySet ++ models.map(_.name)
+    models.foreach { m =>
+      val missing = refsOf(m.jinjaSql).diff(known)
+      require(missing.isEmpty,
+        s"model ${m.name} refs unknown relations: ${missing.mkString(", ")}")
+    }
+    seeds.foreach { case (name, df) => df.createOrReplaceTempView(name) }
+    var built: Map[String, DataFrame] = seeds
+    var remaining = models
+    while (remaining.nonEmpty) {
+      val (ready, blocked) =
+        remaining.partition(m => refsOf(m.jinjaSql).forall(built.contains))
+      require(ready.nonEmpty,
+        s"cyclic or unsatisfied deps among: ${blocked.map(_.name).mkString(", ")}")
+      ready.foreach { m =>
+        val df = spark.sql(FictionBankSql.render(m.jinjaSql))
+        val materialized = m.materialization match {
+          case View => df
+          case Table =>
+            val path = s"$warehouseDir/${m.name}"
+            df.write.mode("overwrite").parquet(path)
+            spark.read.parquet(path)
+        }
+        materialized.createOrReplaceTempView(m.name)
+        built += m.name -> materialized
+      }
+      remaining = blocked
+    }
+    built
+  }
+}
