@@ -208,6 +208,52 @@ object TextDedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Connected components over similarity pairs (X2f): label propagation
+    * to the minimum id — turns pairwise near-dup evidence into dedup
+    * CLUSTERS (the transitive closure production dedup actually keys on:
+    * keep one doc per cluster, not per pair). Returns (node, cluster_id)
+    * for every id appearing in a pair; cluster_id = the smallest id
+    * reachable through the pair graph.
+    *
+    * Scale shape: per iteration one join (edge × label) + one min-agg +
+    * one label update, each a bounded shuffle on node id; labels are
+    * localCheckpoint'ed per round so iteration N+1 reads a materialized
+    * frame instead of re-running rounds 1..N (the standard iterative-
+    * algorithm cut). Converges in O(component diameter) rounds —
+    * near-dup clusters are near-cliques, so a handful; `maxIters` caps
+    * the loop and convergence is verified (throws if not reached, rather
+    * than silently returning partial labels).
+    */
+  def dedupClusters(pairs: DataFrame, idACol: String = "id_a",
+      idBCol: String = "id_b", maxIters: Int = 20): DataFrame = {
+    val edges = pairs.select(col(idACol).as("src"), col(idBCol).as("dst"))
+      .union(pairs.select(col(idBCol).as("src"), col(idACol).as("dst")))
+      .distinct()
+      .localCheckpoint(true) // consumed every round: materialize once
+    var labels = edges.select(col("src").as("node")).distinct()
+      .select(col("node"), col("node").as("label"))
+      .localCheckpoint(true)
+    var it = 0
+    var converged = false
+    while (it < maxIters && !converged) {
+      val neighborMin = edges
+        .join(labels.select(col("node").as("dst"), col("label").as("nl")), "dst")
+        .groupBy(col("src")).agg(min(col("nl")).as("min_nl"))
+      val updated = labels
+        .join(neighborMin.select(col("src").as("node"), col("min_nl")), Seq("node"), "left")
+        .select(col("node"),
+          least(col("label"), coalesce(col("min_nl"), col("label"))).as("label"),
+          (col("min_nl") < col("label")).as("__changed"))
+        .localCheckpoint(true)
+      converged = updated.filter(col("__changed")).isEmpty
+      labels = updated.drop("__changed")
+      it += 1
+    }
+    require(converged,
+      s"label propagation did not converge within $maxIters iterations")
+    labels.select(col("node"), col("label").as("cluster_id"))
+  }
+
   /** SimHash signatures (X2d): per-token codegen'd hashes vote per bit;
     * majorities pack into a 30-bit signature. All stages map-side
     * combinable on (doc, bit).

@@ -135,6 +135,35 @@ object DedupDemos {
         threshold = 0.05, maxDocFreq = Some(50))
       .orderBy(col("id_a").asc_nulls_last, col("id_b").asc_nulls_last))
 
+  // X2f: connected components over the near-dup pairs — pairwise evidence
+  // folded into dedup clusters (cluster_id = min reachable doc id). The
+  // oracle computes the same transitive closure with a recursive CTE over
+  // brute-force exact-Jaccard pairs (which the LSH pairs equal at 0.5,
+  // see x2b).
+  private val x2f = Demo("x2f_dedup_clusters", Some(s"""
+      ${oracleShingleCtes().replaceFirst("WITH", "WITH RECURSIVE")},
+      prs AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        WHERE cast(len(list_intersect(a.shs, b.shs)) AS double)
+              / (len(a.shs) + len(b.shs) - len(list_intersect(a.shs, b.shs))) >= 0.5),
+      edges AS (
+        SELECT id_a AS s, id_b AS d FROM prs
+        UNION
+        SELECT id_b AS s, id_a AS d FROM prs),
+      reach(node, r) AS (
+        SELECT s, s FROM edges
+        UNION
+        SELECT e.d, reach.r FROM reach JOIN edges e ON e.s = reach.node)
+      SELECT node AS doc_id, min(r) AS cluster_id
+      FROM reach
+      GROUP BY node
+      ORDER BY doc_id ASC NULLS LAST"""),
+    (s, dir) => TextDedup.dedupClusters(
+        TextDedup.minhashLshPairs(t(s, dir, "documents"), "doc_id", "text", 0.5))
+      .select(col("node").as("doc_id"), col("cluster_id"))
+      .orderBy(col("doc_id").asc_nulls_last))
+
   // X2d: SimHash signatures.
   private val x2d = Demo("x2d_simhash", Some(s"""
       WITH th AS (
@@ -186,5 +215,5 @@ object DedupDemos {
         "vec_id", "embedding", threshold = 0.4)
       .orderBy(col("vec_a").asc_nulls_last, col("vec_b").asc_nulls_last))
 
-  val all: Seq[Demo] = Seq(x1, x2a, x2b, x2c, x2c2, x2d, x2e)
+  val all: Seq[Demo] = Seq(x1, x2a, x2b, x2c, x2c2, x2d, x2e, x2f)
 }

@@ -23,6 +23,24 @@ class TextDedupSpec extends SparkSpec {
     assert(lazyPairs.nonEmpty)
   }
 
+  test("dedupClusters: chains propagate to the min id, components stay disjoint") {
+    val s = spark
+    import s.implicits._
+    // component A: a 5-node chain 10-11-12-13-14 (diameter forces several
+    // propagation rounds); component B: a pair (50,51); singleton-free by
+    // construction (only paired ids appear)
+    val pairs = Seq((10L, 11L), (11L, 12L), (12L, 13L), (13L, 14L), (50L, 51L))
+      .toDF("id_a", "id_b")
+    val got = TextDedup.dedupClusters(pairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got === Map(10L -> 10L, 11L -> 10L, 12L -> 10L, 13L -> 10L,
+      14L -> 10L, 50L -> 50L, 51L -> 50L))
+    // an insufficient iteration cap must throw, never return partial labels
+    intercept[IllegalArgumentException] {
+      TextDedup.dedupClusters(pairs, maxIters = 1)
+    }
+  }
+
   test("ngram cap: high cap == uncapped; low cap == exact Jaccard of capped sets") {
     val docs = Tables.table(spark, sfDir, "documents")
     val uncapped = TextDedup.ngramJaccardPairs(docs, "doc_id", "text", 0.05)
