@@ -13,9 +13,11 @@ import org.apache.spark.sql.expressions.Aggregator
   * (the posexplode formulation's 64× row blowup).
   *
   * Dimension is taken from the first vector seen; the empty buffer is the
-  * zero sentinel. Exact integer arithmetic throughout — quantized
-  * components are ≤ 10⁴ in magnitude, so even a 10¹⁴-vector cluster stays
-  * under the int64 limit.
+  * zero sentinel. Exact integer arithmetic: quantized components are
+  * ≤ 10⁴ in magnitude, so the per-dim SUM stays exact up to ~9e14
+  * members; the tighter bound is downstream — the assignment dot against
+  * these sums caps a cell at [[graft.operators.VectorSearch.MaxCellMembers]]
+  * (~1.4e9), which ivfTrain enforces.
   */
 object VecSumAgg extends Aggregator[Seq[Long], Array[Long], Array[Long]] {
 

@@ -181,7 +181,12 @@ order by month desc, loan_type_name
     "fct_loan_details" -> FctLoanDetails,
     "agg_monthly_loans" -> AggMonthlyLoans)
 
-  private val RefPattern = raw"\{\{\s*ref\('([^']+)'\)\s*\}\}".r
+  /** `{{ ref('x') }}` in either dbt quote form (single or double); shared
+    * with [[SqlDag]] so dependency EXTRACTION and RENDERING can never
+    * disagree on what counts as a ref.
+    */
+  val RefPattern: scala.util.matching.Regex =
+    raw"""\{\{\s*ref\(\s*['"]([^'"]+)['"]\s*\)\s*\}\}""".r
   private val DateTruncPattern =
     raw"\{\{\s*date_trunc\('([^']+)',\s*'([^']+)'\)\s*\}\}".r
 

@@ -19,21 +19,29 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * Scale: the runner itself only orchestrates — per-model work is
   * whatever the SQL plans to; nothing is collected driver-side.
   */
-class SqlDag(spark: SparkSession, warehouseDir: String) {
+object SqlDag {
 
   sealed trait Materialization
   case object View extends Materialization
   case object Table extends Materialization
 
-  /** One model: a name, its Jinja-SQL text, and how to materialize it. */
+  /** One model: a name, its Jinja-SQL text, and how to materialize it.
+    * Companion-level type so model lists can be built once and shared
+    * across runner instances.
+    */
   final case class SqlModel(name: String, jinjaSql: String,
       materialization: Materialization = View)
+}
 
-  private val RefPattern = raw"\{\{\s*ref\('([^']+)'\)\s*\}\}".r
+class SqlDag(spark: SparkSession, warehouseDir: String) {
+  import SqlDag._
 
-  /** `ref()` targets of one model text. */
+  /** `ref()` targets of one model text (both dbt quote forms; the same
+    * [[FictionBankSql.RefPattern]] drives rendering, so extraction and
+    * substitution cannot drift).
+    */
   def refsOf(jinjaSql: String): Set[String] =
-    RefPattern.findAllMatchIn(jinjaSql).map(_.group(1)).toSet
+    FictionBankSql.RefPattern.findAllMatchIn(jinjaSql).map(_.group(1)).toSet
 
   /** Lineage graph over the given models (seeds appear as leaf deps). */
   def lineage(models: Seq[SqlModel]): Map[String, Set[String]] =
@@ -41,11 +49,18 @@ class SqlDag(spark: SparkSession, warehouseDir: String) {
 
   /** `dbt run`: register seeds as views, build every model in dependency
     * order via `spark.sql` on the rendered text, materialize per config.
-    * Fails fast on cycles or refs that resolve to neither a seed nor a
-    * model.
+    * Fails fast on cycles, refs that resolve to neither a seed nor a
+    * model, duplicate model names, and models shadowing a seed (dbt
+    * errors on duplicate relation names; silently overwriting a seed
+    * view would make sibling models' results depend on build order).
     */
   def run(models: Seq[SqlModel],
       seeds: Map[String, DataFrame]): Map[String, DataFrame] = {
+    val dupNames = models.groupBy(_.name).collect { case (n, ms) if ms.size > 1 => n }
+    require(dupNames.isEmpty, s"duplicate model names: ${dupNames.mkString(", ")}")
+    val shadowing = models.map(_.name).toSet.intersect(seeds.keySet)
+    require(shadowing.isEmpty,
+      s"model names shadow seeds: ${shadowing.mkString(", ")}")
     val known = seeds.keySet ++ models.map(_.name)
     models.foreach { m =>
       val missing = refsOf(m.jinjaSql).diff(known)

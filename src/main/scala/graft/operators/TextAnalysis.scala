@@ -150,7 +150,9 @@ object TextAnalysis {
     * whatever the caller does next — the chunker itself never shuffles.
     *
     * Empty text follows split-semantics: one chunk of the single empty
-    * token (filter on `n_tokens` upstream to exclude).
+    * token; NULL text yields NO rows (explode of a NULL start sequence) —
+    * the doc disappears from the output, so filter or coalesce NULLs
+    * upstream if every id must survive. Both pinned in EdgeCaseSpec.
     *
     * See also [[packSequences]] for the complementary many-docs-per-window
     * direction.
@@ -180,25 +182,40 @@ object TextAnalysis {
     * with doc/token counts and the id range.
     *
     * The global prefix sum is computed DISTRIBUTED, not with an
-    * unpartitioned window: range-repartition by id, per-partition token
-    * totals (one row per partition) collect to the driver and come back
-    * as a literal offset map, then each partition does a local
-    * partition-keyed window cumsum plus its offset. Two scans, no
+    * unpartitioned window: range-repartition by id (materialized once, so
+    * the sampling-based boundaries are FIXED for both consumers),
+    * per-partition token totals (one row per partition) collect to the
+    * driver and come back as a literal offset map, then each partition
+    * does a local partition-keyed window cumsum plus its offset. Two
+    * passes over one materialized (doc_id, n_tokens) frame, no
     * single-task sort — the textbook parallel prefix sum. The bin ids
-    * depend only on the id ORDER, so the (sampling-based) range
-    * boundaries never affect the result.
+    * depend only on the id ORDER, so where the boundaries land never
+    * affects the result — only their stability matters, which the
+    * materialization guarantees.
+    *
+    * NULL text rows carry a NULL token count: they do not advance the
+    * running offset and group into a NULL bin (SQL semantics) — filter
+    * them upstream if undesired.
     */
   def packSequences(df: DataFrame, idCol: String, textCol: String,
       windowTokens: Int): DataFrame = {
     require(windowTokens > 0, s"windowTokens must be positive: $windowTokens")
+    // the offsets are keyed by __pid, so the SAME physical partitioning
+    // must serve both the offset job and the final plan: materialize it
+    // (range boundaries come from sampling and are NOT stable across
+    // separate executions of an unmaterialized plan)
     val t = df
       .select(col(idCol).as("doc_id"), size(split(col(textCol), " ")).as("n_tokens"))
       .repartitionByRange(col("doc_id"))
       .withColumn("__pid", spark_partition_id())
-    // one row per partition — bounded driver state by construction
+      .localCheckpoint(true)
+    // one row per partition — bounded driver state by construction; a
+    // partition whose every text is NULL sums to NULL → contributes 0
     val partTotals = t.groupBy(col("__pid"))
       .agg(sum(col("n_tokens")).as("tot"))
-      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+      .collect()
+      .map(r => r.getInt(0) -> (if (r.isNullAt(1)) 0L else r.getLong(1)))
+      .sortBy(_._1)
     val offsets: Map[Int, Long] = {
       var acc = 0L
       partTotals.map { case (pid, tot) =>

@@ -111,8 +111,8 @@ object TextDedup {
     * twice, once per pair side). `Some(m)` — e.g.
     * `Some(_.localCheckpoint(true))`: the candidate pair set is
     * materialized via `m` and shingle sets are built ONLY for docs that
-    * appear in a candidate pair (broadcast semi join; candidate count is
-    * bounded by LSH design). That is the 100 TB path — at scale the two
+    * appear in a candidate pair (semi join — AQE picks broadcast when
+    * the candidate set fits). That is the 100 TB path — at scale the two
     * extra full-corpus shingle builds dwarf the materialization barrier,
     * while at demo scale the barrier costs more than it saves (measured;
     * hence not the default).
@@ -150,7 +150,10 @@ object TextDedup {
         val c = m(lazyCand)
         val candIds = c
           .select(explode(array(col("id_a"), col("id_b"))).as(idCol)).distinct()
-        (c, df.join(broadcast(candIds), Seq(idCol), "left_semi"))
+        // no broadcast hint: the candidate-doc set is O(docs with a
+        // near-dup), unbounded at corpus scale — let AQE broadcast it
+        // only when it actually fits, else a shuffled semi join
+        (c, df.join(candIds, Seq(idCol), "left_semi"))
     }
     val sets = shingleSets(setsBase, idCol, textCol)
     cand
@@ -226,31 +229,49 @@ object TextDedup {
     */
   def dedupClusters(pairs: DataFrame, idACol: String = "id_a",
       idBCol: String = "id_b", maxIters: Int = 20): DataFrame = {
-    val edges = pairs.select(col(idACol).as("src"), col(idBCol).as("dst"))
-      .union(pairs.select(col(idBCol).as("src"), col(idACol).as("dst")))
-      .distinct()
-      .localCheckpoint(true) // consumed every round: materialize once
-    var labels = edges.select(col("src").as("node")).distinct()
-      .select(col("node"), col("node").as("label"))
-      .localCheckpoint(true)
+    val sc = pairs.sparkSession.sparkContext
+    // localCheckpoint persists into executor storage and offers no
+    // Dataset-level release — track each round's checkpoint RDD ids and
+    // explicitly unpersist the superseded round, so live storage stays at
+    // edges + one label generation instead of one copy per iteration
+    def checkpointTracked(df: DataFrame): (DataFrame, Set[Int]) = {
+      val before: Set[Int] = sc.getPersistentRDDs.keySet.toSet
+      val out = df.localCheckpoint(true)
+      (out, sc.getPersistentRDDs.keySet.toSet.diff(before))
+    }
+    def release(ids: Set[Int]): Unit =
+      ids.foreach(id =>
+        sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
+    val (edges, edgeIds) = checkpointTracked(
+      pairs.select(col(idACol).as("src"), col(idBCol).as("dst"))
+        .union(pairs.select(col(idBCol).as("src"), col(idACol).as("dst")))
+        .distinct()) // consumed every round: materialize once
+    var (labels, labelIds) = checkpointTracked(
+      edges.select(col("src").as("node")).distinct()
+        .select(col("node"), col("node").as("label")))
     var it = 0
     var converged = false
     while (it < maxIters && !converged) {
       val neighborMin = edges
         .join(labels.select(col("node").as("dst"), col("label").as("nl")), "dst")
         .groupBy(col("src")).agg(min(col("nl")).as("min_nl"))
-      val updated = labels
+      val (updated, newIds) = checkpointTracked(labels
         .join(neighborMin.select(col("src").as("node"), col("min_nl")), Seq("node"), "left")
         .select(col("node"),
           least(col("label"), coalesce(col("min_nl"), col("label"))).as("label"),
-          (col("min_nl") < col("label")).as("__changed"))
-        .localCheckpoint(true)
+          (col("min_nl") < col("label")).as("__changed")))
       converged = updated.filter(col("__changed")).isEmpty
+      release(labelIds) // the superseded generation — updated is material
       labels = updated.drop("__changed")
+      labelIds = newIds
       it += 1
     }
-    require(converged,
-      s"label propagation did not converge within $maxIters iterations")
+    release(edgeIds) // the result reads only the final label checkpoint
+    if (!converged) {
+      release(labelIds)
+      throw new IllegalArgumentException(
+        s"label propagation did not converge within $maxIters iterations")
+    }
     labels.select(col("node"), col("label").as("cluster_id"))
   }
 

@@ -109,16 +109,25 @@ object VectorSearch {
     */
   final case class IvfCentroid(cid: Int, sums: Array[Long], cnt: Long) {
     /** `||mean||²`, computed as the oracle does: exact integer `Σ sums²`
-      * rounded ONCE to double, divided by the exact `cnt²` — identical
-      * IEEE ops on every engine.
+      * (BigInt — squaring a per-dim member sum overflows int64 once a
+      * cell holds ~1e5 max-magnitude vectors; DuckDB computes the same
+      * in int128) rounded ONCE to double, divided by the exact `cnt²` —
+      * identical IEEE ops on every engine.
       */
     def constTerm: Double = {
-      var ss = 0L
+      var ss = BigInt(0)
       var i = 0
-      while (i < sums.length) { ss += sums(i) * sums(i); i += 1 }
+      while (i < sums.length) { ss += BigInt(sums(i)) * BigInt(sums(i)); i += 1 }
       ss.toDouble / (cnt * cnt).toDouble
     }
   }
+
+  /** Per-cell member bound for exact int64 assignment arithmetic: the
+    * in-row dot `x·sums` accumulates up to dim·|q|max·(cnt·|q|max) =
+    * 64·10⁴·cnt·10⁴, which must stay under 2⁶³ → cnt < ~1.4e9 members
+    * per CELL (not per corpus; grow k so cells stay under it).
+    */
+  val MaxCellMembers: Long = Long.MaxValue / (64L * 10000L * 10000L)
 
   /** Per-row array of (distance-term, cid) structs for the given
     * centroids: term = ||mean||² − 2·(x·sums)/cnt, the argmin-equivalent
@@ -170,6 +179,11 @@ object VectorSearch {
         .collect().toSeq
         .map(r => IvfCentroid(r.getInt(0), r.getSeq[Long](1).toArray, r.getLong(2)))
         .sortBy(_.cid)
+      cs.find(_.cnt >= MaxCellMembers).foreach { c =>
+        throw new IllegalStateException(
+          s"IVF cell ${c.cid} has ${c.cnt} members — beyond the exact-int64 " +
+            s"assignment bound ($MaxCellMembers); increase k")
+      }
       it += 1
     }
     cs

@@ -11,11 +11,13 @@ import graft.SparkSpec
   */
 class SqlDagSpec extends SparkSpec {
 
+  import SqlDag._
+
   test("reference models + a user model run topologically with dbt materializations") {
     val wh = java.nio.file.Files.createTempDirectory("graft-sqldag").toString
     val dag = new SqlDag(spark, wh)
-    import dag._
-    // deliberately out of dependency order — the runner must topo-sort
+    // deliberately out of dependency order — the runner must topo-sort;
+    // the user model uses dbt's double-quoted ref form
     val models = Seq(
       SqlModel("agg_monthly_loans", FictionBankSql.AggMonthlyLoans, Table),
       SqlModel("fct_loan_details", FictionBankSql.FctLoanDetails, Table),
@@ -25,7 +27,7 @@ class SqlDagSpec extends SparkSpec {
       SqlModel("mortgage_ltv_rank", """
         select loan_id, ltv_ratio,
                rank() over (order by ltv_ratio desc) as ltv_rank
-        from {{ ref('fct_loan_details') }}
+        from {{ ref("fct_loan_details") }}
         where loan_type_name = 'Mortgage' and ltv_ratio is not null
       """, View))
     val built = dag.run(models, fictionBankSeeds)
@@ -45,9 +47,8 @@ class SqlDagSpec extends SparkSpec {
     assert(dag.lineage(models)("mortgage_ltv_rank") === Set("fct_loan_details"))
   }
 
-  test("unknown refs and cycles fail fast with named models") {
+  test("unknown refs, cycles, duplicate names and seed shadowing fail fast") {
     val dag = new SqlDag(spark, "/tmp/unused-wh")
-    import dag._
     val bad = intercept[IllegalArgumentException] {
       dag.run(Seq(SqlModel("m1", "select * from {{ ref('nope') }}")), fictionBankSeeds)
     }
@@ -58,5 +59,17 @@ class SqlDagSpec extends SparkSpec {
         SqlModel("b", "select * from {{ ref('a') }}")), fictionBankSeeds)
     }
     assert(cyc.getMessage.contains("cyclic"))
+    val dup = intercept[IllegalArgumentException] {
+      dag.run(Seq(
+        SqlModel("m", "select 1 as x"),
+        SqlModel("m", "select 2 as x")), fictionBankSeeds)
+    }
+    assert(dup.getMessage.contains("duplicate"))
+    // a model named like a seed would silently shadow it for siblings,
+    // making results depend on build order — dbt errors; so do we
+    val shadow = intercept[IllegalArgumentException] {
+      dag.run(Seq(SqlModel("loan_types", "select 1 as x")), fictionBankSeeds)
+    }
+    assert(shadow.getMessage.contains("shadow"))
   }
 }

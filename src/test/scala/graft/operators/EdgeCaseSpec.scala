@@ -37,6 +37,13 @@ class EdgeCaseSpec extends SparkSpec {
     // the empty partition-offset map
     val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
     assert(TextAnalysis.packSequences(empty, "doc_id", "text", 100).count() === 0)
+    // NULL text drops out of chunking entirely (documented contract) and
+    // lands in the NULL packing bin without poisoning the running offset
+    val chunks = TextAnalysis.chunkByTokens(df, "doc_id", "text", 4, 1)
+    assert(chunks.select("doc_id").distinct().collect().map(_.getLong(0)).toSeq === Seq(2L))
+    val bins = TextAnalysis.packSequences(df, "doc_id", "text", 100)
+      .collect().map(r => (if (r.isNullAt(0)) -1L else r.getLong(0)) -> r.getLong(1)).toMap
+    assert(bins === Map(-1L -> 1L, 0L -> 1L)) // NULL bin + the real doc's bin
   }
 
   test("zero-norm embedding yields NULL cosine, not an error") {

@@ -72,18 +72,17 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), p)
   }
 
-  test("x5g packing: shuffles carry only (doc_id, n_tokens), text pruned at the scan") {
+  test("x5g packing: materialized prefix-sum base carries only (doc_id, n_tokens, pid)") {
     val df = SparkEntry.queries("x5g_seq_packing")(spark, sfDir)
     val p = df.queryExecution.explainString(ExplainMode.fromString("formatted"))
-    // the scan reads doc_id + text (for the token count)…
-    val read = "ReadSchema: struct<([^>]*)>".r.findFirstMatchIn(p).map(_.group(1)).get
-    assert(read.split(",").length <= 2, s"documents scan reads too much: $read")
-    // …but no exchange ships the text column — only id + count survive
-    // the projection below the first shuffle
-    val exchanges = p.linesIterator.filter(_.contains("Exchange")).toSeq
-    assert(exchanges.nonEmpty, p)
-    assert(!p.linesIterator.exists(l => l.contains("Arguments") && l.contains("text#")
-      && l.contains("rangepartitioning")), p)
+    // the range-partitioned base is materialized (stable boundaries for
+    // the offset map) — downstream reads the checkpoint, not the table…
+    assert(p.contains("ExistingRDD") || p.contains("LogicalRDD")
+      || p.contains("Scan ExistingRDD"), p)
+    // …and the checkpointed frame was pruned before materialization: the
+    // text column must appear NOWHERE in the final plan
+    assert(!p.contains("text#"), p)
+    assert(p.contains("Window"), p)
   }
 
   test("x5e/x5f text transforms stay single-stage narrow (no exchange before output sort)") {
