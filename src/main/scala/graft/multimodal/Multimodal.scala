@@ -89,6 +89,31 @@ object Multimodal {
       }
   }
 
+  /** Deterministic resize: fit each media item into a `maxDim` square box
+    * preserving aspect ratio — pure integer arithmetic (floor division),
+    * so the oracle replays it exactly. Emits the new dimensions plus the
+    * proportional storage estimate (`ceil(n_bytes · new_area / area)` in
+    * exact integer form). The real-codec swap point is the same
+    * partition-wise decode seam as [[decodeFeatures]]; resize itself is a
+    * narrow metadata projection (whole-stage codegen, no shuffle).
+    */
+  def resize(features: Dataset[MediaFeatures], maxDim: Int): DataFrame = {
+    val w = col("width").cast(LongType)
+    val h = col("height").cast(LongType)
+    val maxSide = greatest(w, h)
+    val fits = maxSide <= maxDim
+    val newW = when(fits, w).otherwise(expr(s"(width * $maxDim) div greatest(width, height)"))
+    val newH = when(fits, h).otherwise(expr(s"(height * $maxDim) div greatest(width, height)"))
+    features.toDF()
+      .select(col("doc_id"), col("media_type"), col("width"), col("height"),
+        newW.as("new_width"), newH.as("new_height"),
+        // integer ceil((n_bytes·newW·newH)/(w·h)) via (a+d-1)/d — the
+        // numerator stays < 2^53, so the double division is exact and
+        // floor() recovers the exact integer on both engines
+        floor((col("n_bytes") * newW * newH + w * h - lit(1)) / (w * h))
+          .cast(LongType).as("resized_bytes"))
+  }
+
   /** Deterministic frame sampling: one row per sampled frame index, with a
     * per-frame fingerprint — the explode shape of video frame extraction.
     */

@@ -79,5 +79,37 @@ object MultimodalDemos {
         col("frame_fingerprint"))
       .orderBy(col("doc_id").asc_nulls_last, col("frame_idx").asc_nulls_last))
 
-  val all: Seq[Demo] = Seq(x4b, x4c, x4d)
+  // -------------------------------------------------------------------
+  // X4e: deterministic resize — fit into a 48px box preserving aspect
+  // ratio (integer floor division both engines) + the proportional
+  // storage estimate in exact integer-ceil form.
+  // -------------------------------------------------------------------
+  private val x4e = Demo("x4e_resize", Some("""
+      WITH f AS (
+        SELECT doc_id,
+               (['image','audio','video'])[doc_id % 3 + 1] AS media_type,
+               octet_length(encode(text)) AS n_bytes,
+               CASE WHEN length(text) > 0
+                    THEN 32 + ascii(substr(text, 1, 1)) % 64 ELSE 32 END AS width,
+               CASE WHEN length(text) > 0
+                    THEN 32 + ascii(substr(text, least(2, length(text)), 1)) % 64
+                    ELSE 32 END AS height
+        FROM documents),
+      r AS (
+        SELECT doc_id, media_type, n_bytes, width, height,
+               CASE WHEN greatest(width, height) <= 48 THEN width
+                    ELSE (width * 48) // greatest(width, height) END AS new_width,
+               CASE WHEN greatest(width, height) <= 48 THEN height
+                    ELSE (height * 48) // greatest(width, height) END AS new_height
+        FROM f)
+      SELECT doc_id, media_type, width, height, new_width, new_height,
+             cast((n_bytes * new_width * new_height + width * height - 1)
+                  // (width * height) AS bigint) AS resized_bytes
+      FROM r
+      ORDER BY doc_id ASC NULLS LAST"""),
+    (s, dir) => Multimodal.resize(
+        Multimodal.decodeFeatures(Multimodal.mediaTable(docs(s, dir))), maxDim = 48)
+      .orderBy(col("doc_id").asc_nulls_last))
+
+  val all: Seq[Demo] = Seq(x4b, x4c, x4d, x4e)
 }
