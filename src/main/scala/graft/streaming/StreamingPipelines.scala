@@ -72,6 +72,21 @@ object StreamingPipelines {
   def sessionStream(events: DataFrame): DataFrame =
     EventsDemos.session(events.withWatermark("ts", "10 minutes"))
 
+  /** Streaming exact dedup (the streaming face of X1): duplicate keys
+    * arriving within the watermark delay are dropped exactly once; state
+    * holds one entry per key seen inside the watermark window and is
+    * evicted as the watermark advances — O(keys-per-window), not
+    * O(stream). A duplicate arriving after its key's state was evicted
+    * passes through again: at-least-once sources re-delivering inside
+    * their redelivery window (<< watermark) dedup exactly; infinite-
+    * horizon dedup needs the batch exactDedup over the materialized
+    * corpus instead.
+    */
+  def dedupStream(events: DataFrame, keys: Seq[String] = Seq("event_id"),
+      watermarkDelay: String = "10 minutes"): DataFrame =
+    events.withWatermark("ts", watermarkDelay)
+      .dropDuplicatesWithinWatermark(keys.head, keys.tail: _*)
+
   /** Wire an aggregated streaming DataFrame to an in-memory sink (used by
     * tests and local inspection) and START it; callers await/stop the
     * returned query and read results from `spark.table(queryName)`.

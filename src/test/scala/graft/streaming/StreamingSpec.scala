@@ -183,6 +183,35 @@ class StreamingSpec extends SparkSpec {
       byUser.toString)
   }
 
+  test("streaming dedup drops in-watermark duplicates; evicted keys pass again") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val mem = MemoryStream[Ev]
+    val q = StreamingPipelines.dedupStream(mem.toDF())
+      .writeStream.format("memory").queryName("t_dedup")
+      .outputMode("append").start()
+    // batch 1: a duplicate within the batch
+    mem.addData(
+      Ev(1, ts(10), 1L, "click", 1.0, "{}"),
+      Ev(1, ts(10), 1L, "click", 1.0, "{}"),
+      Ev(2, ts(11), 1L, "click", 2.0, "{}"))
+    q.processAllAvailable()
+    // batch 2: a cross-batch duplicate, still within the watermark
+    mem.addData(Ev(1, ts(12), 1L, "click", 1.0, "{}"))
+    q.processAllAvailable()
+    // batch 3: far-future event advances the watermark past event 1's
+    // state; batch 4 re-sends event_id 1 — state evicted, passes again
+    mem.addData(Ev(3, ts(500), 1L, "click", 3.0, "{}"))
+    q.processAllAvailable()
+    mem.addData(Ev(1, ts(501), 1L, "click", 1.0, "{}"))
+    q.processAllAvailable()
+    q.stop()
+    val ids = s.table("t_dedup").select("event_id").collect()
+      .map(_.getLong(0)).toSeq.sorted
+    assert(ids === Seq(1L, 1L, 2L, 3L), ids.toString)
+  }
+
   test("session window: streaming == batch on closed sessions (X6c)") {
     val (streamed, batch) = runBoth("t_session", StreamingPipelines.sessionStream)
     assert(streamed.toSet.subsetOf(batch.toSet),
