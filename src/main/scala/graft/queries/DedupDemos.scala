@@ -142,12 +142,12 @@ object DedupDemos {
   // see x2b).
   private val x2f = Demo("x2f_dedup_clusters", Some(s"""
       ${oracleShingleCtes().replaceFirst("WITH", "WITH RECURSIVE")},
-      prs AS (
+      prs AS MATERIALIZED (
         SELECT a.doc_id AS id_a, b.doc_id AS id_b
         FROM sh a JOIN sh b ON a.doc_id < b.doc_id
         WHERE cast(len(list_intersect(a.shs, b.shs)) AS double)
               / (len(a.shs) + len(b.shs) - len(list_intersect(a.shs, b.shs))) >= 0.5),
-      edges AS (
+      edges AS MATERIALIZED (
         SELECT id_a AS s, id_b AS d FROM prs
         UNION
         SELECT id_b AS s, id_a AS d FROM prs),
