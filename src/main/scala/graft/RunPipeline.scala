@@ -18,6 +18,7 @@ object RunPipeline {
       else java.nio.file.Files.createTempDirectory("graft-warehouse").toString
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
+      .withExtensions(new graft.plans.GraftExtensions)
       .master(s"local[$cpus]")
       .appName("graft-pipeline")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -25,10 +26,9 @@ object RunPipeline {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // the lint flags the checked-in agg_monthly_loans fan-out join as the
-    // pipeline materializes it (reference: docs/bug-analysis.md)
-    spark.experimental.extraOptimizations = Seq(graft.plans.FanoutLint)
-
+    // GraftExtensions injects FanoutLint, which flags the checked-in
+    // agg_monthly_loans fan-out join as the pipeline materializes it
+    // (reference: docs/bug-analysis.md)
     val seeds = Map(
       "raw_loans" -> Tables.seedCsv(spark, s"$seedsDir/raw_loans.csv", Tables.rawLoansSchema),
       "raw_loan_payments" -> Tables.seedCsv(spark, s"$seedsDir/raw_loan_payments.csv", Tables.rawLoanPaymentsSchema),
