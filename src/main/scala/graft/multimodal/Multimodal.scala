@@ -102,16 +102,26 @@ object Multimodal {
     val h = col("height").cast(LongType)
     val maxSide = greatest(w, h)
     val fits = maxSide <= maxDim
-    val newW = when(fits, w).otherwise(expr(s"(width * $maxDim) div greatest(width, height)"))
-    val newH = when(fits, h).otherwise(expr(s"(height * $maxDim) div greatest(width, height)"))
+    // clamp to >= 1 so extreme aspect ratios never emit a 0-sized output
+    val newW = when(fits, w).otherwise(greatest(lit(1L),
+      expr(s"(width * $maxDim) div greatest(width, height)")))
+    val newH = when(fits, h).otherwise(greatest(lit(1L),
+      expr(s"(height * $maxDim) div greatest(width, height)")))
     features.toDF()
       .select(col("doc_id"), col("media_type"), col("width"), col("height"),
-        newW.as("new_width"), newH.as("new_height"),
+        // degenerate 0-dim rows (the stub never emits them, but the
+        // library verb must not be an ANSI DIVIDE_BY_ZERO): pass dims
+        // through unchanged and give a NULL size estimate
+        when(maxSide > 0, newW).otherwise(w).as("new_width"),
+        when(maxSide > 0, newH).otherwise(h).as("new_height"),
         // integer ceil((n_bytes·newW·newH)/(w·h)) via (a+d-1)/d — the
         // numerator stays < 2^53, so the double division is exact and
-        // floor() recovers the exact integer on both engines
-        floor((col("n_bytes") * newW * newH + w * h - lit(1)) / (w * h))
-          .cast(LongType).as("resized_bytes"))
+        // floor() recovers the exact integer on both engines. The
+        // division is guarded structurally inside when() (ANSI mode).
+        when(w * h > 0,
+          floor((col("n_bytes") * newW * newH + w * h - lit(1)) / (w * h))
+            .cast(LongType))
+          .otherwise(lit(null)).as("resized_bytes"))
   }
 
   /** Deterministic frame sampling: one row per sampled frame index, with a

@@ -20,19 +20,35 @@ import graft.functions.{CharPolyHash, DotProductLong}
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
-    ext.injectOptimizerRule(_ => FanoutLint)
+    // preCBO, not injectOptimizerRule: the operator-optimization batch
+    // runs to fixed point, so a rule there sees INTERMEDIATE plans and
+    // would record phantom findings for joins later rules eliminate
+    // (e.g. PropagateEmptyRelation). The preCBO hook runs once, after
+    // that batch — the lint analyzes only the settled plan, the same
+    // end-of-pipeline semantics as experimental.extraOptimizations.
+    ext.injectPreCBORule(_ => FanoutLint)
     GraftExtensions.functions.foreach(ext.injectFunction)
   }
 }
 
 object GraftExtensions {
+  private def arity(name: String, n: Int)(
+      build: Seq[Expression] => Expression): Seq[Expression] => Expression =
+    exprs => {
+      // a clear arity error instead of a raw IndexOutOfBounds from the
+      // builder — surfaced to SQL users as an analysis failure
+      if (exprs.length != n) throw new IllegalArgumentException(
+        s"$name expects $n argument(s), got ${exprs.length}")
+      build(exprs)
+    }
+
   /** The injected function descriptors (name, info, builder). */
   val functions: Seq[(FunctionIdentifier, ExpressionInfo,
       Seq[Expression] => Expression)] = Seq(
     (FunctionIdentifier("dot_long"),
       new ExpressionInfo(classOf[DotProductLong].getName, "dot_long"),
-      exprs => DotProductLong(exprs(0), exprs(1))),
+      arity("dot_long", 2)(exprs => DotProductLong(exprs(0), exprs(1)))),
     (FunctionIdentifier("char_poly_hash"),
       new ExpressionInfo(classOf[CharPolyHash].getName, "char_poly_hash"),
-      exprs => CharPolyHash(exprs.head)))
+      arity("char_poly_hash", 1)(exprs => CharPolyHash(exprs.head))))
 }

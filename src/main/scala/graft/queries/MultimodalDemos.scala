@@ -18,14 +18,26 @@ object MultimodalDemos {
   private def docs(s: SparkSession, dir: String): DataFrame =
     Tables.table(s, dir, "documents")
 
+  /** Shared oracle fragments of the stub decoder's feature formulas
+    * ([[Multimodal.decodeOne]]) — ONE definition site, interpolated into
+    * every x4 oracle so a decoder change can't silently desync them.
+    */
+  private val MediaTypeSql = "(['image','audio','video'])[doc_id % 3 + 1]"
+  private val NBytesSql = "octet_length(encode(text))"
+  private val WidthSql =
+    "CASE WHEN length(text) > 0 THEN 32 + ascii(substr(text, 1, 1)) % 64 ELSE 32 END"
+  private val HeightSql =
+    "CASE WHEN length(text) > 0 THEN 32 + ascii(substr(text, least(2, length(text)), 1)) % 64 ELSE 32 END"
+  private val NFramesSql = "1 + length(text) % 8"
+
   // -------------------------------------------------------------------
   // X4b: binary payload + typed metadata projection — the multimodal
   // storage layout (opaque bytes next to queryable metadata).
   // -------------------------------------------------------------------
-  private val x4b = Demo("x4b_media_meta", Some("""
+  private val x4b = Demo("x4b_media_meta", Some(s"""
       SELECT doc_id,
-             (['image','audio','video'])[doc_id % 3 + 1] AS media_type,
-             octet_length(encode(text)) AS n_bytes,
+             $MediaTypeSql AS media_type,
+             $NBytesSql AS n_bytes,
              lang AS source_lang
       FROM documents
       ORDER BY doc_id ASC NULLS LAST"""),
@@ -39,16 +51,13 @@ object MultimodalDemos {
   // X4c: partition-wise decode / feature extraction over binary payloads
   // (the mapPartitions plumbing with the stubbed codec).
   // -------------------------------------------------------------------
-  private val x4c = Demo("x4c_decode_features", Some("""
+  private val x4c = Demo("x4c_decode_features", Some(s"""
       SELECT doc_id,
-             (['image','audio','video'])[doc_id % 3 + 1] AS media_type,
-             octet_length(encode(text)) AS n_bytes,
-             CASE WHEN length(text) > 0
-                  THEN 32 + ascii(substr(text, 1, 1)) % 64 ELSE 32 END AS width,
-             CASE WHEN length(text) > 0
-                  THEN 32 + ascii(substr(text, least(2, length(text)), 1)) % 64
-                  ELSE 32 END AS height,
-             1 + length(text) % 8 AS n_frames,
+             $MediaTypeSql AS media_type,
+             $NBytesSql AS n_bytes,
+             $WidthSql AS width,
+             $HeightSql AS height,
+             $NFramesSql AS n_frames,
              CASE WHEN length(text) > 0 THEN
                cast(list_sum(list_transform(generate_series(1, least(16, length(text))),
                       i -> cast(ascii(substr(text, i, 1)) AS bigint))) AS double)
@@ -64,13 +73,12 @@ object MultimodalDemos {
   // X4d: deterministic frame sampling — the explode shape of video frame
   // extraction (one row per sampled frame + per-frame fingerprint).
   // -------------------------------------------------------------------
-  private val x4d = Demo("x4d_frame_sample", Some("""
+  private val x4d = Demo("x4d_frame_sample", Some(s"""
       SELECT doc_id,
-             (['image','audio','video'])[doc_id % 3 + 1] AS media_type,
-             unnest(generate_series(1, 1 + length(text) % 8)) AS frame_idx,
-             (CASE WHEN length(text) > 0
-                   THEN 32 + ascii(substr(text, 1, 1)) % 64 ELSE 32 END) * 31
-               + unnest(generate_series(1, 1 + length(text) % 8)) AS frame_fingerprint
+             $MediaTypeSql AS media_type,
+             unnest(generate_series(1, $NFramesSql)) AS frame_idx,
+             ($WidthSql) * 31
+               + unnest(generate_series(1, $NFramesSql)) AS frame_fingerprint
       FROM documents
       ORDER BY doc_id ASC NULLS LAST, frame_idx ASC NULLS LAST"""),
     (s, dir) => Multimodal.sampleFrames(
@@ -84,16 +92,13 @@ object MultimodalDemos {
   // ratio (integer floor division both engines) + the proportional
   // storage estimate in exact integer-ceil form.
   // -------------------------------------------------------------------
-  private val x4e = Demo("x4e_resize", Some("""
+  private val x4e = Demo("x4e_resize", Some(s"""
       WITH f AS (
         SELECT doc_id,
-               (['image','audio','video'])[doc_id % 3 + 1] AS media_type,
-               octet_length(encode(text)) AS n_bytes,
-               CASE WHEN length(text) > 0
-                    THEN 32 + ascii(substr(text, 1, 1)) % 64 ELSE 32 END AS width,
-               CASE WHEN length(text) > 0
-                    THEN 32 + ascii(substr(text, least(2, length(text)), 1)) % 64
-                    ELSE 32 END AS height
+               $MediaTypeSql AS media_type,
+               $NBytesSql AS n_bytes,
+               $WidthSql AS width,
+               $HeightSql AS height
         FROM documents),
       r AS (
         SELECT doc_id, media_type, n_bytes, width, height,

@@ -83,9 +83,13 @@ object StreamingPipelines {
     * corpus instead.
     */
   def dedupStream(events: DataFrame, keys: Seq[String] = Seq("event_id"),
-      watermarkDelay: String = "10 minutes"): DataFrame =
+      watermarkDelay: String = "10 minutes"): DataFrame = {
+    require(keys.nonEmpty,
+      "dedupStream needs at least one key column (all-column dedup would " +
+        "make the event time part of the key and never match duplicates)")
     events.withWatermark("ts", watermarkDelay)
       .dropDuplicatesWithinWatermark(keys.head, keys.tail: _*)
+  }
 
   /** Wire an aggregated streaming DataFrame to an in-memory sink (used by
     * tests and local inspection) and START it; callers await/stop the
