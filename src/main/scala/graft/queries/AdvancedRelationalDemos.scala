@@ -1,0 +1,211 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.queries.RelationalDemos.Demo
+import graft.sources.Tables
+
+/** Relational operator families the reference has no instance of
+  * (SURVEY.md §2A "categories with NO instance" disposition list) but a
+  * user migrating a warehouse workload reaches for immediately: semi/anti
+  * joins, ROLLUP subtotals, set operations, PIVOT, and analytic window
+  * functions. Each follows the repo determinism conventions (total ORDER
+  * BY with pinned NULL ordering; exact DECIMAL(18,2) accumulation with a
+  * single final cast to DOUBLE on both engines).
+  */
+object AdvancedRelationalDemos {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.table(s, dir, name)
+
+  private val dec2 = DecimalType(18, 2)
+
+  private def monthOf(c: org.apache.spark.sql.Column) =
+    date_trunc("month", c).cast(DateType)
+
+  // -------------------------------------------------------------------
+  // Q12: LEFT SEMI + LEFT ANTI join — existence / absence filtering
+  // without fan-out (the principled fix for the reference's J3 fan-out
+  // bug when only membership matters; reference: docs/bug-analysis.md
+  // prescribes count(distinct) — semi join is the row-filter sibling).
+  // Scale: the probe side streams; Spark hashes the orders side. Both
+  // branches share the same build relation, and neither can duplicate
+  // customer rows (semi/anti emit each probe row at most once) — so the
+  // output is bounded by |customer| at any fact-table scale.
+  // -------------------------------------------------------------------
+  private val q12 = Demo("q12_semi_anti_join", Some("""
+      SELECT c_custkey, c_name, c_mktsegment, 'has_finished_order' AS order_flag
+      FROM customer c
+      WHERE EXISTS (SELECT 1 FROM orders o
+                    WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')
+      UNION ALL
+      SELECT c_custkey, c_name, c_mktsegment, 'no_finished_order' AS order_flag
+      FROM customer c
+      WHERE NOT EXISTS (SELECT 1 FROM orders o
+                        WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')
+      ORDER BY c_custkey ASC NULLS LAST"""),
+    (s, dir) => {
+      val cust = t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+      val finished = t(s, dir, "orders")
+        .filter(col("o_orderstatus") === "F")
+        .select(col("o_custkey"))
+      val semi = cust
+        .join(finished, col("c_custkey") === col("o_custkey"), "left_semi")
+        .withColumn("order_flag", lit("has_finished_order"))
+      val anti = cust
+        .join(finished, col("c_custkey") === col("o_custkey"), "left_anti")
+        .withColumn("order_flag", lit("no_finished_order"))
+      semi.unionByName(anti).orderBy(col("c_custkey").asc_nulls_last)
+    })
+
+  // -------------------------------------------------------------------
+  // Q13: ROLLUP — hierarchical subtotals (month, priority) → (month) →
+  // grand total in ONE aggregation pass. Scale: Spark expands each input
+  // row once per grouping set BEFORE the shuffle but partial aggregation
+  // collapses the expansion map-side, so the exchange still carries only
+  // group rows (~80 months × 5 priorities + 81 subtotal groups).
+  // NULL group keys mark the subtotal levels (both engines agree because
+  // the data columns are non-null); ORDER BY pins NULLS FIRST on both.
+  // -------------------------------------------------------------------
+  private val q13 = Demo("q13_rollup", Some("""
+      SELECT cast(date_trunc('month', o_orderdate) AS date) AS month,
+             o_orderpriority,
+             count(*) AS n_orders,
+             cast(cast(sum(cast(o_totalprice AS decimal(18,2))) AS decimal(18,2)) AS double) AS total_price
+      FROM orders
+      GROUP BY ROLLUP (cast(date_trunc('month', o_orderdate) AS date), o_orderpriority)
+      ORDER BY month ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST"""),
+    (s, dir) => t(s, dir, "orders")
+      .rollup(monthOf(col("o_orderdate")).as("month"), col("o_orderpriority"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast(dec2)).cast(dec2).cast(DoubleType)
+          .as("total_price"))
+      .orderBy(col("month").asc_nulls_first,
+        col("o_orderpriority").asc_nulls_first))
+
+  // -------------------------------------------------------------------
+  // Q14: set operations — INTERSECT / EXCEPT partition two derived key
+  // sets into both/left-only/right-only with SQL bag-to-set semantics
+  // (Spark's intersect/except are DISTINCT-based, exactly like the SQL
+  // operators). Scale: each set op is one hash shuffle on the key; the
+  // inputs are already distinct-projected single columns, so the
+  // exchanges carry keys only.
+  // -------------------------------------------------------------------
+  private val q14 = Demo("q14_set_ops", Some("""
+      WITH urgent AS (SELECT o_custkey AS custkey FROM orders WHERE o_orderpriority = '1-URGENT'),
+           finished AS (SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F')
+      SELECT custkey, 'both' AS membership FROM (SELECT custkey FROM urgent INTERSECT SELECT custkey FROM finished)
+      UNION ALL
+      SELECT custkey, 'urgent_only' AS membership FROM (SELECT custkey FROM urgent EXCEPT SELECT custkey FROM finished)
+      UNION ALL
+      SELECT custkey, 'finished_only' AS membership FROM (SELECT custkey FROM finished EXCEPT SELECT custkey FROM urgent)
+      ORDER BY custkey ASC NULLS LAST"""),
+    (s, dir) => {
+      val orders = t(s, dir, "orders")
+      val urgent = orders.filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_custkey").as("custkey"))
+      val finished = orders.filter(col("o_orderstatus") === "F")
+        .select(col("o_custkey").as("custkey"))
+      val both = urgent.intersect(finished).withColumn("membership", lit("both"))
+      val urgentOnly = urgent.except(finished)
+        .withColumn("membership", lit("urgent_only"))
+      val finishedOnly = finished.except(urgent)
+        .withColumn("membership", lit("finished_only"))
+      // the three branches partition urgent ∪ finished, so custkey alone
+      // is a unique, deterministic sort key
+      both.unionByName(urgentOnly).unionByName(finishedOnly)
+        .orderBy(col("custkey").asc_nulls_last)
+    })
+
+  // -------------------------------------------------------------------
+  // Q15: PIVOT — long-to-wide reshape, order counts per month × priority.
+  // The pivot VALUES ARE DECLARED LITERALLY: with an explicit value list
+  // Spark skips the eager driver-side `collect distinct` pre-pass that
+  // `.pivot(col)` alone would run over the full fact table — at 100 TB
+  // that pre-pass is a full extra scan. The pivot then compiles to one
+  // ordinary hash aggregation (one shuffle on month).
+  // Absent combinations: Spark's pivot yields NULL, DuckDB's FILTER
+  // count yields 0 — coalesce on the Spark side pins the same value.
+  // -------------------------------------------------------------------
+  private val pivotPriorities = Seq(
+    "1-URGENT" -> "n_urgent", "2-HIGH" -> "n_high", "3-MEDIUM" -> "n_medium",
+    "4-NOT SPECIFIED" -> "n_not_specified", "5-LOW" -> "n_low")
+
+  private val q15 = Demo("q15_pivot", Some("""
+      SELECT cast(date_trunc('month', o_orderdate) AS date) AS month,
+             count(*) FILTER (WHERE o_orderpriority = '1-URGENT') AS n_urgent,
+             count(*) FILTER (WHERE o_orderpriority = '2-HIGH') AS n_high,
+             count(*) FILTER (WHERE o_orderpriority = '3-MEDIUM') AS n_medium,
+             count(*) FILTER (WHERE o_orderpriority = '4-NOT SPECIFIED') AS n_not_specified,
+             count(*) FILTER (WHERE o_orderpriority = '5-LOW') AS n_low
+      FROM orders
+      GROUP BY 1
+      ORDER BY month ASC NULLS LAST"""),
+    (s, dir) => {
+      val wide = t(s, dir, "orders")
+        .groupBy(monthOf(col("o_orderdate")).as("month"))
+        .pivot("o_orderpriority", pivotPriorities.map(_._1))
+        .agg(count(lit(1)))
+      val renamed = pivotPriorities.foldLeft(wide) {
+        case (df, (value, alias)) =>
+          df.withColumn(alias, coalesce(col(s"`$value`"), lit(0L)))
+      }
+      renamed
+        .select(col("month") +: pivotPriorities.map(p => col(p._2)): _*)
+        .orderBy(col("month").asc_nulls_last)
+    })
+
+  // -------------------------------------------------------------------
+  // X9c: analytic window functions — row_number, lag, running total,
+  // moving average over a 3-row frame, per customer in order-date order.
+  // Scale: ALL four windows share one partitionBy(o_custkey) — Catalyst
+  // plans a single Exchange + Sort and evaluates every function in one
+  // Window operator pass, so the cost is one shuffle regardless of how
+  // many analytics ride on it (plan-asserted in PlanSpec).
+  // Determinism: (o_orderdate, o_orderkey) is a unique order within each
+  // customer; running/moving sums accumulate in exact DECIMAL and cast
+  // the FINAL value to double; the moving average is one IEEE division
+  // of that exact sum by the frame row count on both engines.
+  // -------------------------------------------------------------------
+  private val x9c = Demo("x9c_window_analytics", Some("""
+      SELECT o_custkey, o_orderkey, o_orderdate,
+             o_totalprice,
+             row_number() OVER w AS order_seq,
+             lag(o_totalprice, 1) OVER w AS prev_price,
+             cast(cast(sum(cast(o_totalprice AS decimal(18,2)))
+                  OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS decimal(18,2)) AS double) AS running_total,
+             cast(cast(sum(cast(o_totalprice AS decimal(18,2)))
+                  OVER (w ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+                  AS decimal(18,2)) AS double)
+               / count(*) OVER (w ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+               AS moving_avg_3
+      FROM orders
+      WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC)
+      ORDER BY o_custkey ASC NULLS LAST, o_orderkey ASC NULLS LAST"""),
+    (s, dir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+      val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val w3 = w.rowsBetween(-2, 0)
+      t(s, dir, "orders")
+        .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+          col("o_totalprice"))
+        .withColumn("order_seq", row_number().over(w))
+        .withColumn("prev_price", lag(col("o_totalprice"), 1).over(w))
+        .withColumn("running_total",
+          sum(col("o_totalprice").cast(dec2)).over(wRun)
+            .cast(dec2).cast(DoubleType))
+        .withColumn("moving_avg_3",
+          sum(col("o_totalprice").cast(dec2)).over(w3)
+            .cast(dec2).cast(DoubleType) / count(lit(1)).over(w3))
+        .orderBy(col("o_custkey").asc_nulls_last,
+          col("o_orderkey").asc_nulls_last)
+    })
+
+  val all: Seq[Demo] = Seq(q12, q13, q14, q15, x9c)
+}

@@ -91,6 +91,36 @@ class PlanSpec extends SparkSpec {
     assert("Exchange".r.findAllIn(p).size <= 2, p) // node + detail section
   }
 
+  test("q12 semi/anti: both existence branches broadcast the filter set, no sort-merge") {
+    val p = plan("q12_semi_anti_join")
+    assert(p.contains("BroadcastHashJoin LeftSemi"), p)
+    assert(p.contains("BroadcastHashJoin LeftAnti"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("q13 rollup: grouping-set Expand collapses map-side (partial+final agg)") {
+    val p = plan("q13_rollup")
+    assert(p.contains("Expand"), p)
+    assert("""\(\d+\) HashAggregate""".r.findAllIn(p).size >= 2, p)
+  }
+
+  test("q15 pivot: compiles to hash aggregation (no Expand, no extra scans)") {
+    val p = plan("q15_pivot")
+    assert(!p.contains("Expand"), p)
+    assert("""\(\d+\) HashAggregate""".r.findAllIn(p).size >= 2, p)
+    // literal pivot values: exactly one scan of orders — no driver-side
+    // distinct pre-pass materializing a second read
+    assert("""\(\d+\) Scan parquet""".r.findAllIn(p).size == 1, p)
+  }
+
+  test("x9c window analytics: all four functions ride ONE hash exchange") {
+    val p = plan("x9c_window_analytics")
+    assert(p.contains("Window"), p)
+    // one hashpartitioning(o_custkey) exchange + the final range sort —
+    // never an exchange per window function
+    assert("""\(\d+\) Exchange""".r.findAllIn(p).size == 2, p)
+  }
+
   test("flagship entry: broadcast join, no shuffle of the fact side") {
     val df: DataFrame = SparkEntry.entry(spark)
     val p = df.queryExecution.explainString(ExplainMode.fromString("formatted"))
