@@ -1,0 +1,107 @@
+package graft.models
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** dbt `snapshot` analog: Type-2 slowly-changing-dimension capture with the
+  * timestamp strategy (reference surface: dbt's snapshot blocks — the
+  * reference project configures none, so this is the disposition-complete
+  * implementation of the remaining dbt lifecycle verb, alongside seed/run/
+  * test in [[FictionBank]]/[[GenericTests]]).
+  *
+  * Semantics (dbt timestamp strategy):
+  *  - a source row whose key is unseen opens a version
+  *    (`valid_from = updated_at`, `valid_to = NULL`);
+  *  - a source row whose `updated_at` is strictly newer than the open
+  *    version's closes that version (`valid_to` = the new `updated_at`)
+  *    and opens a new one;
+  *  - anything else (same or older `updated_at`) leaves the table
+  *    untouched — closed history is immutable.
+  *
+  * Scale: one run = one equi-join of the open slice against the (deduped)
+  * source on the snapshot key plus unions — every step is a narrow
+  * key-shuffle with no driver state, so a run over a 100 TB source is the
+  * same plan with more partitions. Closed rows are never rejoined: they
+  * pass through untouched, and in a partitioned materialization
+  * (`valid_to IS NULL` as the hot partition) they are never even read.
+  * Production note: on a transactional table format this merge is a
+  * storage-side MERGE INTO; the relational algebra below is identical.
+  */
+object Snapshot {
+
+  val ValidFrom = "valid_from"
+  val ValidTo = "valid_to"
+
+  /** Reduce a change feed to its latest state per key — the "current
+    * source table" a dbt snapshot reads. Deterministic: ties on
+    * `updatedAt` break by `tiebreak`.
+    */
+  def latestPerKey(
+      source: DataFrame,
+      key: Seq[String],
+      updatedAt: String,
+      tiebreak: Column): DataFrame = {
+    val w = Window.partitionBy(key.map(col): _*)
+      .orderBy(col(updatedAt).desc, tiebreak.desc)
+    source.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+  }
+
+  /** One snapshot run. `source` must carry one row per key (use
+    * [[latestPerKey]] on a feed) including the `updatedAt` column; the
+    * result carries the source columns with `updatedAt` renamed
+    * `valid_from`, plus `valid_to`.
+    */
+  def timestampStrategy(
+      existing: Option[DataFrame],
+      source: DataFrame,
+      key: Seq[String],
+      updatedAt: String): DataFrame = {
+    val incoming = source.withColumnRenamed(updatedAt, ValidFrom)
+      .withColumn(ValidTo, lit(null).cast(source.schema(updatedAt).dataType))
+    existing match {
+      case None => incoming
+      case Some(snap) =>
+        val closed = snap.filter(col(ValidTo).isNotNull)
+        val open = snap.filter(col(ValidTo).isNull)
+        // the open slice joined to the incoming state decides each key's
+        // fate; incoming valid_from under a fresh name so both sides of
+        // the comparison survive the join
+        val inc = incoming.withColumnRenamed(ValidFrom, "__new_from")
+          .drop(ValidTo)
+        val nonKeyIncoming = inc.columns.filterNot(key.contains).toSeq
+        val joined = open.alias("o").join(inc.alias("i"),
+          key.map(k => col(s"o.$k") === col(s"i.$k")).reduce(_ && _),
+          "full_outer")
+        val newerArrived = col("i.__new_from") > col(s"o.$ValidFrom")
+        // 1. keys only in source → open a first version
+        val inserted = joined.filter(col(s"o.$ValidFrom").isNull)
+          .select(key.map(k => col(s"i.$k")) ++
+            nonKeyIncoming.map(c => col(s"i.$c")): _*)
+        // 2. open versions superseded by a newer update → close them …
+        val nowClosed = joined
+          .filter(col(s"o.$ValidFrom").isNotNull && newerArrived)
+          .select(open.columns.toIndexedSeq.map {
+            case ValidTo => col("i.__new_from").as(ValidTo)
+            case c => col(s"o.$c")
+          }: _*)
+        // … and open the replacement version
+        val reopened = joined
+          .filter(col(s"o.$ValidFrom").isNotNull && newerArrived)
+          .select(key.map(k => col(s"i.$k")) ++
+            nonKeyIncoming.map(c => col(s"i.$c")): _*)
+        // 3. open versions with no newer update → untouched
+        val stillOpen = joined
+          .filter(col(s"o.$ValidFrom").isNotNull &&
+            (col("i.__new_from").isNull || !newerArrived))
+          .select(open.columns.toIndexedSeq.map(c => col(s"o.$c")): _*)
+        val opened = (inserted unionByName reopened)
+          .withColumnRenamed("__new_from", ValidFrom)
+          .withColumn(ValidTo,
+            lit(null).cast(source.schema(updatedAt).dataType))
+          .select(open.columns.toIndexedSeq.map(col): _*)
+        closed unionByName nowClosed unionByName stillOpen unionByName opened
+    }
+  }
+}

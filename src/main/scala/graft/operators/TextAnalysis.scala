@@ -108,6 +108,47 @@ object TextAnalysis {
       .orderBy(col("freq").desc_nulls_last, col("word").asc_nulls_last)
       .limit(k)
 
+  // ---- TF-IDF characteristic terms (X5h) -----------------------------
+
+  /** Per-document top-k terms by TF-IDF (`tf · ln((N+1)/(df+1))`, the
+    * smoothed formulation). Tokenization matches [[wordTopK]].
+    *
+    * Scale: tf is a (doc,term) hash agg; df re-aggregates that result on
+    * term (vocabulary-bounded, no second corpus scan); N is a 1-row
+    * aggregate cross-joined in (the scalar-subquery shape, broadcast);
+    * the top-k is one window per doc. No driver state, four bounded
+    * shuffles at any corpus size.
+    *
+    * Determinism note for cross-engine hash checks: the SCORE is float
+    * (Catalyst's `log` is StrictMath/fdlibm; other engines' `ln` may
+    * differ in the last ulp), but the RANKING is robust — exact score
+    * ties can only come from identical (tf, df) pairs, which both
+    * engines break by the term tiebreak. Oracle-checked queries should
+    * emit `rank`, not `score` (the x5h demo does exactly that).
+    */
+  def tfIdf(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
+    val toks = df
+      .select(col(idCol), explode(split(lower(col(textCol)), " ")).as("term"))
+      .filter(col("term") =!= "")
+    val tf = toks.groupBy(col(idCol), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    // tf is already distinct per (doc, term): df = row count per term
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val n = df.agg(countDistinct(col(idCol)).as("n_docs"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol))
+      .orderBy(col("score").desc, col("term").asc)
+    tf.join(dfreq, "term")
+      .crossJoin(n)
+      .withColumn("score",
+        col("tf").cast("double") *
+          log((col("n_docs") + lit(1.0)) / (col("df") + lit(1.0))))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(idCol), col("rank"), col("term"), col("tf"), col("df"),
+        col("score"))
+  }
+
   // ---- PII masking (X5e) ---------------------------------------------
 
   /** RE2-safe patterns (no backreferences/lookaround) so the identical

@@ -155,5 +155,42 @@ object EventsDemos {
         col("session_window.end").as("session_end"),
         col("n_events"), col("total_value"))
 
-  val all: Seq[Demo] = Seq(x4a, x6a, x6b, x6c)
+  // -------------------------------------------------------------------
+  // X6d: EVENT-TIME INTERVAL JOIN — each purchase paired with the same
+  // user's clicks in the preceding hour. Batch plan: equi hash join on
+  // user_id with the time range as a residual predicate (never a
+  // cross-product). The identical transformation runs streaming as a
+  // stream-stream self-join (StreamingPipelines.intervalJoinStream):
+  // the range condition is exactly what bounds the symmetric join state
+  // — each side retains only rows inside watermark + 1 hour.
+  // -------------------------------------------------------------------
+  private val x6d = Demo("x6d_interval_join", Some("""
+      SELECT p.event_id AS purchase_id, p.user_id, p.ts AS purchase_ts,
+             c.event_id AS click_id, c.ts AS click_ts
+      FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+      JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        ON p.user_id = c.user_id
+       AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts <= p.ts
+      ORDER BY purchase_id ASC NULLS LAST, click_id ASC NULLS LAST"""),
+    (s, dir) => intervalJoin(t(s, dir, "events"))
+      .orderBy(col("purchase_id").asc_nulls_last,
+        col("click_id").asc_nulls_last))
+
+  /** The shared batch/streaming purchase←clicks interval join. */
+  def intervalJoin(events: DataFrame): DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id").as("c_user"),
+        col("ts").as("click_ts"))
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("ts").as("purchase_ts"))
+    purchases.join(clicks,
+        col("user_id") === col("c_user") &&
+          col("click_ts") >= col("purchase_ts") - expr("INTERVAL 1 HOUR") &&
+          col("click_ts") <= col("purchase_ts"))
+      .select(col("purchase_id"), col("user_id"), col("purchase_ts"),
+        col("click_id"), col("click_ts"))
+  }
+
+  val all: Seq[Demo] = Seq(x4a, x6a, x6b, x6c, x6d)
 }

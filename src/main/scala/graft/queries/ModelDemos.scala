@@ -1,0 +1,124 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.models.{Incremental, Snapshot}
+import graft.queries.RelationalDemos.Demo
+import graft.sources.Tables
+
+/** Oracle-verified demonstrators for the dbt materialization machinery in
+  * `graft.models`: the SCD2 snapshot ([[Snapshot]]) and the incremental
+  * materialization ([[Incremental]]). Both run the REAL iterative
+  * machinery — successive snapshot/incremental runs over time-sliced
+  * source data — and the DuckDB oracle replays the same history
+  * declaratively, so the driver's hash compare proves
+  * "incremental == full recompute", the invariant that matters in
+  * production.
+  */
+object ModelDemos {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.table(s, dir, name)
+
+  private val dec2 = DecimalType(18, 2)
+
+  // -------------------------------------------------------------------
+  // X12: SCD2 SNAPSHOT — orders as a customer-state change feed
+  // (status/priority of a customer's latest order), snapshotted at three
+  // points in time (end-1996, end-1998, present). Each era applies one
+  // real `Snapshot.timestampStrategy` merge; the oracle rebuilds the
+  // same version history with windows over the full feed.
+  // Scale: each run is one key-join of the OPEN slice against the deduped
+  // source; closed history passes through untouched (never re-shuffled).
+  // -------------------------------------------------------------------
+  private val eraBounds = Seq("1997-01-01", "1999-01-01", "2002-01-01")
+
+  private val x12 = Demo("x12_scd2_snapshot", Some("""
+      WITH eras AS (
+        SELECT * FROM (VALUES (1, TIMESTAMP '1997-01-01'),
+                              (2, TIMESTAMP '1999-01-01'),
+                              (3, TIMESTAMP '2002-01-01')) AS t(era, bound)),
+      ranked AS (
+        SELECT e.era, o.o_custkey, o.o_orderstatus, o.o_orderpriority, o.o_orderdate,
+               row_number() OVER (PARTITION BY e.era, o.o_custkey
+                                  ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+        FROM eras e JOIN orders o ON o.o_orderdate < e.bound),
+      versions AS (
+        SELECT era, o_custkey, o_orderstatus, o_orderpriority,
+               o_orderdate AS valid_from
+        FROM ranked WHERE rn = 1),
+      changed AS (
+        SELECT *, lag(valid_from) OVER (PARTITION BY o_custkey ORDER BY era) AS prev_from
+        FROM versions),
+      kept AS (
+        SELECT o_custkey, o_orderstatus, o_orderpriority, valid_from
+        FROM changed WHERE prev_from IS NULL OR valid_from > prev_from)
+      SELECT o_custkey, o_orderstatus, o_orderpriority, valid_from,
+             lead(valid_from) OVER (PARTITION BY o_custkey ORDER BY valid_from) AS valid_to,
+             lead(valid_from) OVER (PARTITION BY o_custkey ORDER BY valid_from) IS NULL AS is_current
+      FROM kept
+      ORDER BY o_custkey ASC NULLS LAST, valid_from ASC NULLS LAST"""),
+    (s, dir) => {
+      val orders = t(s, dir, "orders")
+      var snap: Option[DataFrame] = None
+      eraBounds.foreach { bound =>
+        val src = Snapshot.latestPerKey(
+            orders.filter(col("o_orderdate") < to_timestamp(lit(bound))),
+            Seq("o_custkey"), "o_orderdate", col("o_orderkey"))
+          .select(col("o_custkey"), col("o_orderstatus"),
+            col("o_orderpriority"), col("o_orderdate").as("updated_at"))
+        snap = Some(Snapshot.timestampStrategy(
+          snap, src, Seq("o_custkey"), "updated_at"))
+      }
+      snap.get
+        .withColumn("is_current", col(Snapshot.ValidTo).isNull)
+        .select(col("o_custkey"), col("o_orderstatus"), col("o_orderpriority"),
+          col(Snapshot.ValidFrom), col(Snapshot.ValidTo), col("is_current"))
+        .orderBy(col("o_custkey").asc_nulls_last,
+          col(Snapshot.ValidFrom).asc_nulls_last)
+    })
+
+  // -------------------------------------------------------------------
+  // X13: INCREMENTAL MATERIALIZATION — daily event rollup built by three
+  // real `Incremental.run` calls over ten-day arrival batches, with the
+  // insert_overwrite strategy on day partitions; the LAST batch is run
+  // TWICE to prove idempotent re-processing (dynamic partition overwrite
+  // replaces exactly the re-run days — an append strategy would
+  // double-count). The oracle is the plain full-recompute aggregate.
+  // Scale: each run writes only its delta's partitions; the existing
+  // table is never read or shuffled by the merge itself.
+  // -------------------------------------------------------------------
+  private val batches = Seq(
+    ("2024-01-01", "2024-01-11"), ("2024-01-11", "2024-01-21"),
+    ("2024-01-21", "2024-02-01"),
+    ("2024-01-21", "2024-02-01")) // deliberate re-run: must be a no-op
+
+  private val x13 = Demo("x13_incremental", Some("""
+      SELECT cast(ts AS date) AS day, event_type,
+             count(*) AS n_events,
+             cast(cast(sum(cast(value AS decimal(18,2))) AS decimal(18,2)) AS double) AS total_value
+      FROM events
+      GROUP BY 1, 2
+      ORDER BY day ASC NULLS LAST, event_type ASC NULLS LAST"""),
+    (s, dir) => {
+      val path = java.nio.file.Files.createTempDirectory("graft_incr")
+        .resolve("daily_events").toString
+      val table = batches.map { case (lo, hi) =>
+        Incremental.run(s, path, Incremental.InsertOverwrite(Seq("day"))) {
+          (_, _) =>
+            t(s, dir, "events")
+              .filter(col("ts") >= to_timestamp(lit(lo)) &&
+                col("ts") < to_timestamp(lit(hi)))
+              .groupBy(to_date(col("ts")).as("day"), col("event_type"))
+              .agg(count(lit(1)).as("n_events"),
+                sum(col("value").cast(dec2)).cast(dec2).as("total_value"))
+        }
+      }.last
+      table.select(col("day"), col("event_type"), col("n_events"),
+          col("total_value").cast(DoubleType).as("total_value"))
+        .orderBy(col("day").asc_nulls_last, col("event_type").asc_nulls_last)
+    })
+
+  val all: Seq[Demo] = Seq(x12, x13)
+}

@@ -170,5 +170,36 @@ object TextDemos {
     (s, dir) => TextAnalysis.packSequences(docs(s, dir), "doc_id", "text", 2048)
       .orderBy(col("bin_id").asc_nulls_last))
 
-  val all: Seq[Demo] = Seq(x5a, x5b, x5c, x5d, x5e, x5f, x5g)
+  // -------------------------------------------------------------------
+  // X5h: TF-IDF characteristic terms — top-5 per doc by tf·idf. The
+  // oracle emits RANK, not the float score: Catalyst's log is
+  // StrictMath (fdlibm) and DuckDB's ln is libm — 1-ulp apart on ~0.1%
+  // of inputs — but the ranking is ulp-robust (exact ties ⇔ identical
+  // (tf, df), broken by term on both engines; see TextAnalysis.tfIdf).
+  // -------------------------------------------------------------------
+  private val x5h = Demo("x5h_tfidf_terms", Some("""
+      WITH toks AS (
+        SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+        FROM documents),
+      tf AS (
+        SELECT doc_id, term, count(*) AS tf
+        FROM toks WHERE term != '' GROUP BY 1, 2),
+      dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+      n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+      scored AS (
+        SELECT t.doc_id, t.term, t.tf, d.df,
+               cast(t.tf AS double) * ln((n.n_docs + 1.0) / (d.df + 1.0)) AS score
+        FROM tf t JOIN dfreq d USING (term) CROSS JOIN n),
+      ranked AS (
+        SELECT doc_id, term, tf, df,
+               row_number() OVER (PARTITION BY doc_id
+                                  ORDER BY score DESC, term ASC) AS rank
+        FROM scored)
+      SELECT doc_id, rank, term, tf, df FROM ranked WHERE rank <= 5
+      ORDER BY doc_id ASC NULLS LAST, rank ASC NULLS LAST"""),
+    (s, dir) => TextAnalysis.tfIdf(docs(s, dir), "doc_id", "text", 5)
+      .drop("score")
+      .orderBy(col("doc_id").asc_nulls_last, col("rank").asc_nulls_last))
+
+  val all: Seq[Demo] = Seq(x5a, x5b, x5c, x5d, x5e, x5f, x5g, x5h)
 }

@@ -72,6 +72,17 @@ object StreamingPipelines {
   def sessionStream(events: DataFrame): DataFrame =
     EventsDemos.session(events.withWatermark("ts", "10 minutes"))
 
+  /** Stream-stream event-time interval join (x6d analogue): purchases
+    * joined to the same user's clicks from the preceding hour, as a
+    * self-join of the watermarked stream. Inner-join matches emit as
+    * soon as both sides arrive; the time-range condition plus the
+    * watermark bounds the symmetric hash-join state to
+    * (watermark delay + 1 hour) of rows per side — without the range
+    * predicate Spark would have to retain every row forever.
+    */
+  def intervalJoinStream(events: DataFrame): DataFrame =
+    EventsDemos.intervalJoin(events.withWatermark("ts", "10 minutes"))
+
   /** Streaming exact dedup (the streaming face of X1): duplicate keys
     * arriving within the watermark delay are dropped exactly once; state
     * holds one entry per key seen inside the watermark window and is

@@ -1,0 +1,75 @@
+package graft.models
+
+import java.nio.file.Files
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** Incremental-materialization semantics per strategy: first-run
+  * bootstrap, append, merge upsert (update + insert + untouched), dynamic
+  * partition overwrite (only delta partitions replaced; re-run idempotent),
+  * and the maxWatermark is_incremental() idiom.
+  */
+class IncrementalSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def tmp(): String =
+    Files.createTempDirectory("graft_incr_spec").resolve("t").toString
+
+  private def rows(df: DataFrame): Set[(String, Long)] =
+    df.select("k", "v").as[(String, Long)].collect().toSet
+
+  test("append: first run bootstraps full, later runs add the delta") {
+    val path = tmp()
+    val r1 = Incremental.run(spark, path, Incremental.Append) { (inc, _) =>
+      assert(!inc); Seq(("a", 1L), ("b", 2L)).toDF("k", "v")
+    }
+    assert(rows(r1) === Set(("a", 1L), ("b", 2L)))
+    val r2 = Incremental.run(spark, path, Incremental.Append) { (inc, existing) =>
+      assert(inc && existing.isDefined)
+      Seq(("c", 3L)).toDF("k", "v")
+    }
+    assert(rows(r2) === Set(("a", 1L), ("b", 2L), ("c", 3L)))
+  }
+
+  test("merge: delta rows replace same-key rows, others untouched") {
+    val path = tmp()
+    Incremental.run(spark, path, Incremental.Merge(Seq("k"))) { (_, _) =>
+      Seq(("a", 1L), ("b", 2L)).toDF("k", "v")
+    }
+    val r2 = Incremental.run(spark, path, Incremental.Merge(Seq("k"))) { (_, _) =>
+      Seq(("b", 20L), ("c", 3L)).toDF("k", "v")
+    }
+    assert(rows(r2) === Set(("a", 1L), ("b", 20L), ("c", 3L)))
+  }
+
+  test("insert_overwrite: only the delta's partitions are replaced; re-run is idempotent") {
+    val path = tmp()
+    def table(ps: (String, String, Long)*): DataFrame =
+      ps.toSeq.toDF("p", "k", "v")
+    val strat = Incremental.InsertOverwrite(Seq("p"))
+    Incremental.run(spark, path, strat) { (_, _) =>
+      table(("d1", "a", 1L), ("d2", "b", 2L))
+    }
+    // delta touches only d2 → d1 must survive, d2 fully replaced
+    val r2 = Incremental.run(spark, path, strat) { (_, _) =>
+      table(("d2", "b", 20L))
+    }
+    def all(df: DataFrame): Set[(String, String, Long)] =
+      df.select("p", "k", "v").as[(String, String, Long)].collect().toSet
+    assert(all(r2) === Set(("d1", "a", 1L), ("d2", "b", 20L)))
+    // identical re-run → identical table (append would double-count)
+    val r3 = Incremental.run(spark, path, strat) { (_, _) =>
+      table(("d2", "b", 20L))
+    }
+    assert(all(r3) === Set(("d1", "a", 1L), ("d2", "b", 20L)))
+  }
+
+  test("maxWatermark returns the loaded high-water mark (None on all-null)") {
+    val df = Seq(1L, 5L, 3L).toDF("ts")
+    assert(Incremental.maxWatermark(df, "ts") === Some(5L))
+    val empty = df.filter(col("ts") > 100)
+    assert(Incremental.maxWatermark(empty, "ts") === None)
+  }
+}

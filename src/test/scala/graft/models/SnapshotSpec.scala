@@ -1,0 +1,82 @@
+package graft.models
+
+import java.sql.Timestamp
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** dbt timestamp-strategy SCD2 semantics, pinned case by case on a tiny
+  * fixture: insert / supersede / unchanged / missing-key / out-of-order
+  * (older update must NOT reopen history).
+  */
+class SnapshotSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s + " 00:00:00")
+
+  private def src(rows: (String, String, String)*): DataFrame =
+    rows.toSeq.toDF("id", "state", "updated_at")
+      .withColumn("updated_at", to_timestamp(col("updated_at")))
+
+  private def rows(df: DataFrame): Set[(String, String, Timestamp, Option[Timestamp])] =
+    df.collect().map(r => (r.getString(0), r.getString(1),
+      r.getTimestamp(2), Option(r.getTimestamp(3)))).toSet
+
+  test("first run opens one version per key") {
+    val s1 = Snapshot.timestampStrategy(None,
+      src(("a", "new", "2024-01-01"), ("b", "new", "2024-01-02")),
+      Seq("id"), "updated_at")
+    assert(rows(s1) === Set(
+      ("a", "new", ts("2024-01-01"), None),
+      ("b", "new", ts("2024-01-02"), None)))
+  }
+
+  test("newer update closes the open version and opens the replacement") {
+    val s1 = Snapshot.timestampStrategy(None,
+      src(("a", "new", "2024-01-01"), ("b", "new", "2024-01-02")),
+      Seq("id"), "updated_at")
+    val s2 = Snapshot.timestampStrategy(Some(s1),
+      src(("a", "active", "2024-02-01"), ("b", "new", "2024-01-02"),
+        ("c", "new", "2024-02-03")),
+      Seq("id"), "updated_at")
+    assert(rows(s2) === Set(
+      ("a", "new", ts("2024-01-01"), Some(ts("2024-02-01"))),
+      ("a", "active", ts("2024-02-01"), None),
+      ("b", "new", ts("2024-01-02"), None), // unchanged → untouched
+      ("c", "new", ts("2024-02-03"), None))) // fresh key → insert
+  }
+
+  test("older or equal updated_at never rewrites history; missing keys stay open") {
+    val s1 = Snapshot.timestampStrategy(None,
+      src(("a", "new", "2024-02-01")), Seq("id"), "updated_at")
+    // 'a' arrives with an OLDER timestamp, 'b' of s1... absent entirely
+    val s2 = Snapshot.timestampStrategy(Some(s1),
+      src(("a", "stale", "2024-01-15")), Seq("id"), "updated_at")
+    assert(rows(s2) === Set(("a", "new", ts("2024-02-01"), None)))
+  }
+
+  test("closed history is immutable across later runs") {
+    val s1 = Snapshot.timestampStrategy(None,
+      src(("a", "v1", "2024-01-01")), Seq("id"), "updated_at")
+    val s2 = Snapshot.timestampStrategy(Some(s1),
+      src(("a", "v2", "2024-02-01")), Seq("id"), "updated_at")
+    val s3 = Snapshot.timestampStrategy(Some(s2),
+      src(("a", "v3", "2024-03-01")), Seq("id"), "updated_at")
+    assert(rows(s3) === Set(
+      ("a", "v1", ts("2024-01-01"), Some(ts("2024-02-01"))),
+      ("a", "v2", ts("2024-02-01"), Some(ts("2024-03-01"))),
+      ("a", "v3", ts("2024-03-01"), None)))
+  }
+
+  test("latestPerKey dedupes a feed deterministically (timestamp then tiebreak)") {
+    val feed = Seq(
+      ("a", "x", "2024-01-01", 1L), ("a", "y", "2024-01-02", 2L),
+      ("a", "z", "2024-01-02", 3L), ("b", "w", "2024-01-01", 4L))
+      .toDF("id", "state", "updated_at", "seq")
+      .withColumn("updated_at", to_timestamp(col("updated_at")))
+    val latest = Snapshot.latestPerKey(feed, Seq("id"), "updated_at", col("seq"))
+      .select("id", "state").as[(String, String)].collect().toSet
+    assert(latest === Set(("a", "z"), ("b", "w")))
+  }
+}

@@ -84,4 +84,26 @@ class TextAnalysisSpec extends SparkSpec {
     }
     assert(packed.toSeq === expected)
   }
+
+  test("tfIdf: smoothed tf-idf top-k with deterministic term tiebreak (X5h)") {
+    val s2 = spark
+    import s2.implicits._
+    val docs = Seq(
+      (1L, "apple banana apple"),
+      (2L, "banana cherry"),
+      (3L, "banana banana durian")).toDF("doc_id", "text")
+    val out = TextAnalysis.tfIdf(docs, "doc_id", "text", 5)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5)))
+      .sortBy(t => (t._1, t._2))
+    val ln2 = StrictMath.log((3 + 1.0) / (1 + 1.0)) // Catalyst log IS StrictMath
+    assert(out === Seq(
+      (1L, 1, "apple", 2L, 1L, 2.0 * ln2),
+      (1L, 2, "banana", 1L, 3L, 0.0),
+      (2L, 1, "cherry", 1L, 1L, 1.0 * ln2),
+      (2L, 2, "banana", 1L, 3L, 0.0),
+      (3L, 1, "durian", 1L, 1L, 1.0 * ln2),
+      (3L, 2, "banana", 2L, 3L, 0.0)))
+  }
 }

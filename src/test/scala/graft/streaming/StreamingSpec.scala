@@ -220,4 +220,29 @@ class StreamingSpec extends SparkSpec {
     // user1 {5,20,50}, user1 {95}, user2 {15}, user2 {100,130}
     assert(streamed.size >= 4)
   }
+
+  test("interval join: stream-stream self-join == batch (X6d)") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val rows = Seq(
+      Ev(1, ts(5), 1L, "click", 1.0, "{}"),
+      Ev(2, ts(30), 1L, "purchase", 2.0, "{}"), // ← click 1 (25 min back)
+      Ev(3, ts(40), 2L, "click", 3.0, "{}"),
+      Ev(4, ts(50), 1L, "click", 4.0, "{}"),
+      Ev(5, ts(70), 1L, "purchase", 5.0, "{}"), // ← click 4 only (click 1 is 65 min back, outside the hour)
+      Ev(6, ts(75), 2L, "purchase", 6.0, "{}"), // ← click 3
+      Ev(7, ts(200), 1L, "click", 7.0, "{}"))   // watermark advance; matches nothing
+    val mem = MemoryStream[Ev]
+    mem.addData(rows: _*)
+    val q = StreamingPipelines.intervalJoinStream(mem.toDF())
+      .writeStream.format("memory").queryName("t_ij")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val streamed = s.table("t_ij").collect().toSeq
+    val batch = EventsDemos.intervalJoin(rows.toDF()).collect().toSeq
+    assert(sort(streamed) === sort(batch), s"streamed=$streamed\nbatch=$batch")
+    assert(streamed.map(r => (r.getLong(0), r.getLong(3))).toSet ===
+      Set((2L, 1L), (5L, 4L), (6L, 3L)))
+  }
 }
