@@ -78,13 +78,28 @@ object Incremental {
           val merged = kept.unionByName(delta).localCheckpoint(true)
           merged.write.mode("overwrite").parquet(path)
         case InsertOverwrite(parts) =>
+          // The delta is pinned off the table's files before the write:
+          // the model body may derive it FROM `existing` (late-data
+          // models re-read affected partitions), and Spark correctly
+          // refuses to overwrite a path a lazy plan still reads. The
+          // delta is batch-sized by contract, so the checkpoint is
+          // bounded; a transactional format's MERGE/REPLACE WHERE makes
+          // both the pin and the swap storage-side.
+          val pinned = delta.localCheckpoint(true)
           // dynamic mode: only partitions present in the delta are
-          // replaced. Session-wide conf, set at every call on purpose —
-          // it must hold at write execution, and static mode would
-          // silently truncate the whole table.
-          spark.conf.set(
-            "spark.sql.sources.partitionOverwriteMode", "dynamic")
-          delta.write.partitionBy(parts: _*).mode("overwrite").parquet(path)
+          // replaced (static mode would silently truncate the whole
+          // table). The conf must hold at write execution, but it also
+          // changes the semantics of every OTHER partitioned overwrite
+          // in the session — so set/restore around this one write (the
+          // write is synchronous).
+          val key = "spark.sql.sources.partitionOverwriteMode"
+          val before = spark.conf.getOption(key)
+          spark.conf.set(key, "dynamic")
+          try pinned.write.partitionBy(parts: _*).mode("overwrite").parquet(path)
+          finally before match {
+            case Some(v) => spark.conf.set(key, v)
+            case None => spark.conf.unset(key)
+          }
       }
     }
     spark.read.parquet(path)

@@ -98,22 +98,24 @@ object Multimodal {
     * narrow metadata projection (whole-stage codegen, no shuffle).
     */
   def resize(features: Dataset[MediaFeatures], maxDim: Int): DataFrame = {
+    require(maxDim >= 1, s"maxDim must be >= 1, got $maxDim")
     val w = col("width").cast(LongType)
     val h = col("height").cast(LongType)
     val maxSide = greatest(w, h)
+    // a row fits (maxSide <= maxDim) iff it needs no scaling — this also
+    // covers degenerate 0-dim rows, so the scaling branch's divisor
+    // greatest(width, height) is always >= 1 when evaluated (ANSI-safe).
     val fits = maxSide <= maxDim
-    // clamp to >= 1 so extreme aspect ratios never emit a 0-sized output
+    // clamp to >= 1 so extreme aspect ratios never emit a 0-sized side:
+    // width=0 × height=500 at maxDim=64 scales to 1×64, not 0×64
     val newW = when(fits, w).otherwise(greatest(lit(1L),
       expr(s"(width * $maxDim) div greatest(width, height)")))
     val newH = when(fits, h).otherwise(greatest(lit(1L),
       expr(s"(height * $maxDim) div greatest(width, height)")))
     features.toDF()
       .select(col("doc_id"), col("media_type"), col("width"), col("height"),
-        // degenerate 0-dim rows (the stub never emits them, but the
-        // library verb must not be an ANSI DIVIDE_BY_ZERO): pass dims
-        // through unchanged and give a NULL size estimate
-        when(maxSide > 0, newW).otherwise(w).as("new_width"),
-        when(maxSide > 0, newH).otherwise(h).as("new_height"),
+        newW.as("new_width"),
+        newH.as("new_height"),
         // integer ceil((n_bytes·newW·newH)/(w·h)) via (a+d-1)/d — the
         // numerator stays < 2^53, so the double division is exact and
         // floor() recovers the exact integer on both engines. The

@@ -23,6 +23,22 @@ object ModelDemos {
 
   private val dec2 = DecimalType(18, 2)
 
+  /** A FIXED scratch dir per demo, recursively cleared at the start of
+    * each invocation — repeated Verify/Bench/spec runs reuse one tree
+    * instead of littering the temp dir with abandoned parquet (the
+    * harness drives queries sequentially, so the fixed name is safe).
+    */
+  private def freshScratchDir(name: String): String = {
+    val root = java.nio.file.Paths.get(
+      sys.props("java.io.tmpdir"), s"graft_demo_$name")
+    if (java.nio.file.Files.exists(root)) {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(root).iterator().asScala.toSeq
+        .reverse.foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+    root.toString
+  }
+
   // -------------------------------------------------------------------
   // X12: SCD2 SNAPSHOT — orders as a customer-state change feed
   // (status/priority of a customer's latest order), snapshotted at three
@@ -68,8 +84,12 @@ object ModelDemos {
             Seq("o_custkey"), "o_orderdate", col("o_orderkey"))
           .select(col("o_custkey"), col("o_orderstatus"),
             col("o_orderpriority"), col("o_orderdate").as("updated_at"))
+        // each run materializes its snapshot table (localCheckpoint) the
+        // way dbt writes the snapshot between runs: timestampStrategy's
+        // output references its join subtree from four branches, so an
+        // unmaterialized 3-era chain would re-evaluate era 1 ~25 times
         snap = Some(Snapshot.timestampStrategy(
-          snap, src, Seq("o_custkey"), "updated_at"))
+          snap, src, Seq("o_custkey"), "updated_at").localCheckpoint(true))
       }
       snap.get
         .withColumn("is_current", col(Snapshot.ValidTo).isNull)
@@ -102,8 +122,7 @@ object ModelDemos {
       GROUP BY 1, 2
       ORDER BY day ASC NULLS LAST, event_type ASC NULLS LAST"""),
     (s, dir) => {
-      val path = java.nio.file.Files.createTempDirectory("graft_incr")
-        .resolve("daily_events").toString
+      val path = freshScratchDir("x13_incremental") + "/daily_events"
       val table = batches.map { case (lo, hi) =>
         Incremental.run(s, path, Incremental.InsertOverwrite(Seq("day"))) {
           (_, _) =>

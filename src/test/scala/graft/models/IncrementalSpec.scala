@@ -14,8 +14,21 @@ class IncrementalSpec extends SparkSpec {
 
   import spark.implicits._
 
-  private def tmp(): String =
-    Files.createTempDirectory("graft_incr_spec").resolve("t").toString
+  private var n = 0
+
+  /** Fixed per-test scratch path under target/, cleared before use — no
+    * litter across repeated test runs.
+    */
+  private def tmp(): String = {
+    n += 1
+    val root = java.nio.file.Paths.get("target", "tmp", s"incr_spec_$n")
+    if (Files.exists(root)) {
+      import scala.jdk.CollectionConverters._
+      Files.walk(root).iterator().asScala.toSeq
+        .reverse.foreach(Files.deleteIfExists(_))
+    }
+    root.resolve("t").toString
+  }
 
   private def rows(df: DataFrame): Set[(String, Long)] =
     df.select("k", "v").as[(String, Long)].collect().toSet
