@@ -160,6 +160,40 @@ object AdvancedRelationalDemos {
     })
 
   // -------------------------------------------------------------------
+  // Q16: UNPIVOT — the wide-to-long inverse of Q15, melting the five
+  // per-priority count columns back into (bucket, n_orders) rows.
+  // Scale: unpivot is a per-row Expand (5 output rows per input row,
+  // no shuffle of its own) over the already-aggregated ~80-row wide
+  // relation; the only exchanges are Q15's aggregation and the final
+  // sort. Round-trip property: Q16 over Q15 = the long-form group-by.
+  // -------------------------------------------------------------------
+  private val q16 = Demo("q16_unpivot", Some("""
+      WITH wide AS (
+        SELECT cast(date_trunc('month', o_orderdate) AS date) AS month,
+               count(*) FILTER (WHERE o_orderpriority = '1-URGENT') AS n_urgent,
+               count(*) FILTER (WHERE o_orderpriority = '2-HIGH') AS n_high,
+               count(*) FILTER (WHERE o_orderpriority = '3-MEDIUM') AS n_medium,
+               count(*) FILTER (WHERE o_orderpriority = '4-NOT SPECIFIED') AS n_not_specified,
+               count(*) FILTER (WHERE o_orderpriority = '5-LOW') AS n_low
+        FROM orders
+        GROUP BY 1)
+      SELECT month, priority_bucket, n_orders FROM (
+        UNPIVOT wide
+        ON n_urgent, n_high, n_medium, n_not_specified, n_low
+        INTO NAME priority_bucket VALUE n_orders)
+      ORDER BY month ASC NULLS LAST, priority_bucket ASC NULLS LAST"""),
+    (s, dir) => {
+      val wide = q15.build(s, dir) // the pivoted relation (already sorted; sort is re-done below)
+      wide.unpivot(
+          ids = Array(col("month")),
+          values = pivotPriorities.map(p => col(p._2)).toArray,
+          variableColumnName = "priority_bucket",
+          valueColumnName = "n_orders")
+        .orderBy(col("month").asc_nulls_last,
+          col("priority_bucket").asc_nulls_last)
+    })
+
+  // -------------------------------------------------------------------
   // X9c: analytic window functions — row_number, lag, running total,
   // moving average over a 3-row frame, per customer in order-date order.
   // Scale: ALL four windows share one partitionBy(o_custkey) — Catalyst
@@ -207,5 +241,5 @@ object AdvancedRelationalDemos {
           col("o_orderkey").asc_nulls_last)
     })
 
-  val all: Seq[Demo] = Seq(q12, q13, q14, q15, x9c)
+  val all: Seq[Demo] = Seq(q12, q13, q14, q15, q16, x9c)
 }
