@@ -60,6 +60,12 @@ object RunPipeline {
     val unexpected = results.collect {
       case (name, v) if (v > 0) != expectedFail(name) => name
     }
+    // `dbt docs generate` analog: lineage + schema manifest next to the
+    // materialized marts
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(warehouseDir, "manifest.json"),
+      dag.manifest(built) + "\n")
+    println(s"manifest: $warehouseDir/manifest.json")
     spark.stop()
     if (unexpected.nonEmpty) {
       println(s"unexpected test outcomes: ${unexpected.mkString(", ")}")

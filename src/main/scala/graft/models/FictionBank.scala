@@ -289,6 +289,26 @@ class FictionBankDag(spark: SparkSession, warehouseDir: String) {
   def test(built: Map[String, DataFrame]): Seq[(String, Long)] =
     GenericTests.run(dataTests, built)
 
+  /** `dbt docs generate` analog: the manifest artifact — every model node
+    * with its materialization, upstream deps (`ref()` lineage) and output
+    * schema as one JSON object (dbt's manifest.json, reduced to what this
+    * project defines). Driver-side metadata only: schemas come from the
+    * already-analyzed frames; no job runs.
+    */
+  def manifest(built: Map[String, DataFrame]): String = {
+    def q(s: String): String =
+      "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    models.map { m =>
+      val cols = built(m.name).schema.fields.toSeq
+        .map(f => s"${q(f.name)}: ${q(f.dataType.simpleString)}")
+        .mkString("{", ", ", "}")
+      s"${q(m.name)}: {" +
+        s""""materialization": ${q(m.materialization.toString.toLowerCase)}, """ +
+        s""""depends_on": ${m.deps.sorted.map(q).mkString("[", ", ", "]")}, """ +
+        s""""columns": $cols}"""
+    }.mkString("{", ", ", "}")
+  }
+
   /** `dbt run`: topological build of every model from the three seeds. */
   def run(seeds: Map[String, DataFrame]): Map[String, DataFrame] = {
     var built: Map[String, DataFrame] = seeds

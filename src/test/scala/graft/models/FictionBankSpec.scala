@@ -122,4 +122,23 @@ class FictionBankSpec extends SparkSpec {
     assert(dag.lineage("fct_loan_details") === Set("stg_loans", "loan_types"))
     assert(dag.lineage("agg_monthly_loans") === Set("fct_loan_details", "stg_loan_payments"))
   }
+
+  test("manifest: dbt-docs artifact is valid JSON with deps + schemas (M1)") {
+    val wh = java.nio.file.Files.createTempDirectory("graft-wh").toString
+    val dag = new FictionBankDag(spark, wh)
+    val built = dag.run(Map(
+      "raw_loans" -> rawLoans,
+      "raw_loan_payments" -> rawPayments,
+      "loan_types" -> loanTypes))
+    val json = dag.manifest(built)
+    // must parse as strict JSON (Jackson ships with Spark)
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val root = mapper.readTree(json)
+    assert(root.fieldNames().hasNext)
+    val fct = root.get("fct_loan_details")
+    assert(fct.get("materialization").asText() === "table")
+    assert(fct.get("depends_on").toString.contains("stg_loans"))
+    assert(fct.get("columns").get("ltv_ratio") != null)
+    assert(root.get("stg_loans").get("materialization").asText() === "view")
+  }
 }
