@@ -113,6 +113,12 @@ class PlanSpec extends SparkSpec {
     assert("""\(\d+\) Scan parquet""".r.findAllIn(p).size == 1, p)
   }
 
+  test("q16 unpivot: per-row Expand over the aggregated relation, still one scan") {
+    val p = plan("q16_unpivot")
+    assert(p.contains("Expand"), p)
+    assert("""\(\d+\) Scan parquet""".r.findAllIn(p).size == 1, p)
+  }
+
   test("x9c window analytics: all four functions ride ONE hash exchange") {
     val p = plan("x9c_window_analytics")
     assert(p.contains("Window"), p)
