@@ -86,5 +86,47 @@ object StatsDemos {
         .orderBy(col("event_type").asc_nulls_last)
     })
 
-  val all: Seq[Demo] = Seq(x9a, x9b)
+  // -------------------------------------------------------------------
+  // X9d: HYPERLOGLOG DISTINCT ESTIMATE over lineitem.l_orderkey, next to
+  // the exact count for error inspection. Every stochastic ingredient of
+  // the sketch is exact-integer (deterministic Knuth hash, CASE-based
+  // rank, 2^25-scaled BIGINT indicator sum), so even this APPROXIMATE
+  // operator is bit-verified against the oracle — the CASE text below is
+  // generated from the same thresholds the Spark side folds over.
+  // Scale: map-side combine reduces every partition to ≤256 register
+  // rows; the exact branch is the expensive one and exists only for the
+  // error column.
+  // -------------------------------------------------------------------
+  private val rankCase: String = {
+    val whens = graft.operators.Sketches.rankThresholds
+      .map { case (r, thr) => s"WHEN (h >> 9) >= $thr THEN $r" }
+      .mkString(" ")
+    s"CASE $whens ELSE 23 END"
+  }
+
+  private val x9d = Demo("x9d_hll_distinct", Some(s"""
+      WITH h0 AS (
+        SELECT l_orderkey % 2147483648 AS h
+        FROM lineitem WHERE l_orderkey IS NOT NULL),
+      h1 AS (SELECT (xor(h, h >> 16) * 2246822507) % 2147483648 AS h FROM h0),
+      h2 AS (SELECT (xor(h, h >> 13) * 3266489917) % 2147483648 AS h FROM h1),
+      h3 AS (SELECT xor(h, h >> 16) AS h FROM h2),
+      registers AS (
+        SELECT h % 512 AS bucket, max($rankCase) AS m_rho
+        FROM h3 GROUP BY 1),
+      sketch AS (
+        SELECT cast(sum(1::BIGINT << (23 - m_rho)) AS bigint) AS s_nonempty,
+               count(*) AS buckets_used
+        FROM registers),
+      exact AS (SELECT count(DISTINCT l_orderkey) AS n_exact FROM lineitem)
+      SELECT n_exact,
+             ${graft.operators.Sketches.AlphaExpr}
+               / cast(s_nonempty + (512 - buckets_used) * 8388608 AS double)
+               AS n_estimate,
+             buckets_used
+      FROM exact CROSS JOIN sketch"""),
+    (s, dir) => graft.operators.Sketches.approxDistinct(
+      t(s, dir, "lineitem"), col("l_orderkey")))
+
+  val all: Seq[Demo] = Seq(x9a, x9b, x9d)
 }
