@@ -296,17 +296,21 @@ class FictionBankDag(spark: SparkSession, warehouseDir: String) {
     * already-analyzed frames; no job runs.
     */
   def manifest(built: Map[String, DataFrame]): String = {
-    def q(s: String): String =
-      "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
-    models.map { m =>
-      val cols = built(m.name).schema.fields.toSeq
-        .map(f => s"${q(f.name)}: ${q(f.dataType.simpleString)}")
-        .mkString("{", ", ", "}")
-      s"${q(m.name)}: {" +
-        s""""materialization": ${q(m.materialization.toString.toLowerCase)}, """ +
-        s""""depends_on": ${m.deps.sorted.map(q).mkString("[", ", ", "]")}, """ +
-        s""""columns": $cols}"""
-    }.mkString("{", ", ", "}")
+    // Jackson (shipped with Spark) rather than hand-rolled strings:
+    // RFC-8259-complete escaping of any model/column name for free
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val root = mapper.createObjectNode()
+    models.foreach { m =>
+      val node = root.putObject(m.name)
+      node.put("materialization", m.materialization.toString.toLowerCase)
+      val deps = node.putArray("depends_on")
+      m.deps.sorted.foreach(deps.add)
+      val cols = node.putObject("columns")
+      built(m.name).schema.fields.foreach { f =>
+        cols.put(f.name, f.dataType.simpleString)
+      }
+    }
+    mapper.writerWithDefaultPrettyPrinter().writeValueAsString(root)
   }
 
   /** `dbt run`: topological build of every model from the three seeds. */

@@ -48,9 +48,10 @@ object Sketches {
   val AlphaExpr: String =
     "(0.7213e0 / (1.0e0 + 1.079e0 / 512.0e0)) * 262144.0e0 * 8388608.0e0"
 
-  private val Mod31 = 2147483648L // 2^31
-  private val C1 = 2246822507L // murmur3 finalizer constant 0x85ebca6b
-  private val C2 = 3266489917L // murmur3 finalizer constant 0xc2b2ae35
+  // public so oracle SQL texts interpolate the SAME constants they mirror
+  val Mod31 = 2147483648L // 2^31
+  val C1 = 2246822507L // murmur3 finalizer constant 0x85ebca6b
+  val C2 = 3266489917L // murmur3 finalizer constant 0xc2b2ae35
 
   /** 31-bit xorshift-multiply avalanche of a long key. Largest
     * intermediate: (2^31−1) · C2 < 2^62.6 — no int64 overflow (ANSI-safe
@@ -86,8 +87,13 @@ object Sketches {
       .agg(max(col("rank")).as("m_rho"))
     // Z · 2^23, exactly: non-empty registers contribute 2^(23−rho),
     // empty ones 2^23 each
+    // coalesce: zero non-null keys → empty registers → sum() is NULL,
+    // but the estimate must be the (finite) all-empty raw-HLL value
+    // alpha·m ≈ 363, not NULL (raw HLL without linear counting cannot
+    // reach 0; callers in the n ≲ 2.5m regime need the correction)
     val sketch = registers.agg(
-      sum(expr("shiftleft(cast(1 AS bigint), 23 - m_rho)")).as("s_nonempty"),
+      coalesce(sum(expr("shiftleft(cast(1 AS bigint), 23 - m_rho)")), lit(0L))
+        .as("s_nonempty"),
       count(lit(1)).as("buckets_used"))
     val exact = df.agg(countDistinct(key).as("n_exact"))
     exact.crossJoin(sketch).select(

@@ -135,6 +135,23 @@ object AdvancedRelationalDemos {
     "1-URGENT" -> "n_urgent", "2-HIGH" -> "n_high", "3-MEDIUM" -> "n_medium",
     "4-NOT SPECIFIED" -> "n_not_specified", "5-LOW" -> "n_low")
 
+  /** The UNSORTED pivoted relation, shared by q15 (which sorts it) and
+    * q16 (which unpivots then sorts — sharing the unsorted form keeps the
+    * melt from paying q15's global sort twice: a Sort below Expand is not
+    * eliminable by Catalyst).
+    */
+  private def pivotWide(s: SparkSession, dir: String): DataFrame = {
+    val wide = t(s, dir, "orders")
+      .groupBy(monthOf(col("o_orderdate")).as("month"))
+      .pivot("o_orderpriority", pivotPriorities.map(_._1))
+      .agg(count(lit(1)))
+    val renamed = pivotPriorities.foldLeft(wide) {
+      case (df, (value, alias)) =>
+        df.withColumn(alias, coalesce(col(s"`$value`"), lit(0L)))
+    }
+    renamed.select(col("month") +: pivotPriorities.map(p => col(p._2)): _*)
+  }
+
   private val q15 = Demo("q15_pivot", Some("""
       SELECT cast(date_trunc('month', o_orderdate) AS date) AS month,
              count(*) FILTER (WHERE o_orderpriority = '1-URGENT') AS n_urgent,
@@ -145,19 +162,7 @@ object AdvancedRelationalDemos {
       FROM orders
       GROUP BY 1
       ORDER BY month ASC NULLS LAST"""),
-    (s, dir) => {
-      val wide = t(s, dir, "orders")
-        .groupBy(monthOf(col("o_orderdate")).as("month"))
-        .pivot("o_orderpriority", pivotPriorities.map(_._1))
-        .agg(count(lit(1)))
-      val renamed = pivotPriorities.foldLeft(wide) {
-        case (df, (value, alias)) =>
-          df.withColumn(alias, coalesce(col(s"`$value`"), lit(0L)))
-      }
-      renamed
-        .select(col("month") +: pivotPriorities.map(p => col(p._2)): _*)
-        .orderBy(col("month").asc_nulls_last)
-    })
+    (s, dir) => pivotWide(s, dir).orderBy(col("month").asc_nulls_last))
 
   // -------------------------------------------------------------------
   // Q16: UNPIVOT — the wide-to-long inverse of Q15, melting the five
@@ -183,7 +188,7 @@ object AdvancedRelationalDemos {
         INTO NAME priority_bucket VALUE n_orders)
       ORDER BY month ASC NULLS LAST, priority_bucket ASC NULLS LAST"""),
     (s, dir) => {
-      val wide = q15.build(s, dir) // the pivoted relation (already sorted; sort is re-done below)
+      val wide = pivotWide(s, dir) // the UNSORTED pivoted relation
       wide.unpivot(
           ids = Array(col("month")),
           values = pivotPriorities.map(p => col(p._2)).toArray,

@@ -89,39 +89,47 @@ object StatsDemos {
   // -------------------------------------------------------------------
   // X9d: HYPERLOGLOG DISTINCT ESTIMATE over lineitem.l_orderkey, next to
   // the exact count for error inspection. Every stochastic ingredient of
-  // the sketch is exact-integer (deterministic Knuth hash, CASE-based
-  // rank, 2^25-scaled BIGINT indicator sum), so even this APPROXIMATE
-  // operator is bit-verified against the oracle — the CASE text below is
-  // generated from the same thresholds the Spark side folds over.
-  // Scale: map-side combine reduces every partition to ≤256 register
+  // the sketch is exact-integer (31-bit murmur-style avalanche, CASE-
+  // based rank, 2^23-scaled BIGINT indicator sum over 512 registers), so
+  // even this APPROXIMATE operator is bit-verified against the oracle —
+  // every sketch constant in the SQL below is derived from the same
+  // graft.operators.Sketches definitions the Spark side folds over.
+  // Scale: map-side combine reduces every partition to ≤512 register
   // rows; the exact branch is the expensive one and exists only for the
   // error column.
   // -------------------------------------------------------------------
+  // every sketch constant below derives from the Sketches definitions so
+  // a retune (Buckets/RankBits) can never desynchronize oracle and impl
+  private val skM = graft.operators.Sketches.Buckets
+  private val skBucketBits = Integer.numberOfTrailingZeros(skM)
+  private val skSentinel = graft.operators.Sketches.RankBits + 1
+  private val skScale = 1L << skSentinel
+
   private val rankCase: String = {
     val whens = graft.operators.Sketches.rankThresholds
-      .map { case (r, thr) => s"WHEN (h >> 9) >= $thr THEN $r" }
+      .map { case (r, thr) => s"WHEN (h >> $skBucketBits) >= $thr THEN $r" }
       .mkString(" ")
-    s"CASE $whens ELSE 23 END"
+    s"CASE $whens ELSE $skSentinel END"
   }
 
   private val x9d = Demo("x9d_hll_distinct", Some(s"""
       WITH h0 AS (
-        SELECT l_orderkey % 2147483648 AS h
+        SELECT l_orderkey % ${graft.operators.Sketches.Mod31} AS h
         FROM lineitem WHERE l_orderkey IS NOT NULL),
-      h1 AS (SELECT (xor(h, h >> 16) * 2246822507) % 2147483648 AS h FROM h0),
-      h2 AS (SELECT (xor(h, h >> 13) * 3266489917) % 2147483648 AS h FROM h1),
+      h1 AS (SELECT (xor(h, h >> 16) * ${graft.operators.Sketches.C1}) % ${graft.operators.Sketches.Mod31} AS h FROM h0),
+      h2 AS (SELECT (xor(h, h >> 13) * ${graft.operators.Sketches.C2}) % ${graft.operators.Sketches.Mod31} AS h FROM h1),
       h3 AS (SELECT xor(h, h >> 16) AS h FROM h2),
       registers AS (
-        SELECT h % 512 AS bucket, max($rankCase) AS m_rho
+        SELECT h % $skM AS bucket, max($rankCase) AS m_rho
         FROM h3 GROUP BY 1),
       sketch AS (
-        SELECT cast(sum(1::BIGINT << (23 - m_rho)) AS bigint) AS s_nonempty,
+        SELECT cast(sum(1::BIGINT << ($skSentinel - m_rho)) AS bigint) AS s_nonempty,
                count(*) AS buckets_used
         FROM registers),
       exact AS (SELECT count(DISTINCT l_orderkey) AS n_exact FROM lineitem)
       SELECT n_exact,
              ${graft.operators.Sketches.AlphaExpr}
-               / cast(s_nonempty + (512 - buckets_used) * 8388608 AS double)
+               / cast(s_nonempty + ($skM - buckets_used) * $skScale AS double)
                AS n_estimate,
              buckets_used
       FROM exact CROSS JOIN sketch"""),

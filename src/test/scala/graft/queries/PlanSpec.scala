@@ -117,6 +117,10 @@ class PlanSpec extends SparkSpec {
     val p = plan("q16_unpivot")
     assert(p.contains("Expand"), p)
     assert("""\(\d+\) Scan parquet""".r.findAllIn(p).size == 1, p)
+    // the melt shares q15's UNSORTED aggregate — the only exchanges are
+    // the two aggregation phases plus ONE final sort (a sort below the
+    // Expand would survive EliminateSorts and waste a range exchange)
+    assert("""\(\d+\) Exchange""".r.findAllIn(p).size <= 3, p)
   }
 
   test("x9c window analytics: all four functions ride ONE hash exchange") {
