@@ -131,6 +131,13 @@ class PlanSpec extends SparkSpec {
     assert("""\(\d+\) Exchange""".r.findAllIn(p).size == 2, p)
   }
 
+  test("x9d hll: register aggregation is two-phase (map-side combine to <=512 rows)") {
+    val p = plan("x9d_hll_distinct")
+    // partial+final per aggregation level — the shuffle carries register
+    // rows, never raw keys (the whole point of the sketch)
+    assert("""\(\d+\) HashAggregate""".r.findAllIn(p).size >= 4, p)
+  }
+
   test("flagship entry: broadcast join, no shuffle of the fact side") {
     val df: DataFrame = SparkEntry.entry(spark)
     val p = df.queryExecution.explainString(ExplainMode.fromString("formatted"))
