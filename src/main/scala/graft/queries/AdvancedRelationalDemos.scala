@@ -199,6 +199,32 @@ object AdvancedRelationalDemos {
     })
 
   // -------------------------------------------------------------------
+  // Q17: explicit GROUPING SETS with GROUPING() markers — two disjoint
+  // breakdowns (by month, by status) plus the grand total in ONE
+  // aggregation pass, and the g_* flags disambiguate subtotal NULLs
+  // from data NULLs (the robustness rollup's bare NULL markers lack).
+  // Driven through spark.sql: ONE text is both the Spark query and the
+  // DuckDB oracle, verbatim (the q11 pattern — same Catalyst treatment
+  // either way; Expand collapses map-side exactly as in q13).
+  // -------------------------------------------------------------------
+  private def groupingSetsText: String = """
+      SELECT cast(date_trunc('month', o_orderdate) AS date) AS month,
+             o_orderstatus,
+             cast(grouping(cast(date_trunc('month', o_orderdate) AS date)) AS bigint) AS g_month,
+             cast(grouping(o_orderstatus) AS bigint) AS g_status,
+             count(*) AS n_orders
+      FROM orders
+      GROUP BY GROUPING SETS ((cast(date_trunc('month', o_orderdate) AS date)), (o_orderstatus), ())
+      ORDER BY g_month ASC NULLS LAST, g_status ASC NULLS LAST,
+               month ASC NULLS FIRST, o_orderstatus ASC NULLS FIRST"""
+
+  private val q17 = Demo("q17_grouping_sets", Some(groupingSetsText),
+    (s, dir) => {
+      Tables.table(s, dir, "orders").createOrReplaceTempView("orders")
+      s.sql(groupingSetsText)
+    })
+
+  // -------------------------------------------------------------------
   // X9c: analytic window functions — row_number, lag, running total,
   // moving average over a 3-row frame, per customer in order-date order.
   // Scale: ALL four windows share one partitionBy(o_custkey) — Catalyst
@@ -246,5 +272,5 @@ object AdvancedRelationalDemos {
           col("o_orderkey").asc_nulls_last)
     })
 
-  val all: Seq[Demo] = Seq(q12, q13, q14, q15, q16, x9c)
+  val all: Seq[Demo] = Seq(q12, q13, q14, q15, q16, q17, x9c)
 }

@@ -176,8 +176,12 @@ object EventsDemos {
       .orderBy(col("purchase_id").asc_nulls_last,
         col("click_id").asc_nulls_last))
 
-  /** The shared batch/streaming purchase←clicks interval join. */
-  def intervalJoin(events: DataFrame): DataFrame = {
+  /** The shared batch/streaming purchase←clicks interval join. The
+    * `joinType` is "inner" (x6d) or "left_outer" (x6e — purchases with
+    * no preceding click survive NULL-padded; in streaming the outer row
+    * emits once the watermark closes its join window).
+    */
+  def intervalJoin(events: DataFrame, joinType: String = "inner"): DataFrame = {
     val clicks = events.filter(col("event_type") === "click")
       .select(col("event_id").as("click_id"), col("user_id").as("c_user"),
         col("ts").as("click_ts"))
@@ -187,10 +191,29 @@ object EventsDemos {
     purchases.join(clicks,
         col("user_id") === col("c_user") &&
           col("click_ts") >= col("purchase_ts") - expr("INTERVAL 1 HOUR") &&
-          col("click_ts") <= col("purchase_ts"))
+          col("click_ts") <= col("purchase_ts"), joinType)
       .select(col("purchase_id"), col("user_id"), col("purchase_ts"),
         col("click_id"), col("click_ts"))
   }
 
-  val all: Seq[Demo] = Seq(x4a, x6a, x6b, x6c, x6d)
+  // -------------------------------------------------------------------
+  // X6e: LEFT OUTER interval join — x6d plus the purchases that had NO
+  // click in the preceding hour (NULL-padded), the attribution-style
+  // "conversion without touchpoint" rows. Same physical shape; the
+  // streaming face needs watermarks on BOTH sides so state for the
+  // outer side can be declared complete and the NULL rows emitted.
+  // -------------------------------------------------------------------
+  private val x6e = Demo("x6e_interval_join_outer", Some("""
+      SELECT p.event_id AS purchase_id, p.user_id, p.ts AS purchase_ts,
+             c.event_id AS click_id, c.ts AS click_ts
+      FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+      LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        ON p.user_id = c.user_id
+       AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts <= p.ts
+      ORDER BY purchase_id ASC NULLS LAST, click_id ASC NULLS FIRST"""),
+    (s, dir) => intervalJoin(t(s, dir, "events"), "left_outer")
+      .orderBy(col("purchase_id").asc_nulls_last,
+        col("click_id").asc_nulls_first))
+
+  val all: Seq[Demo] = Seq(x4a, x6a, x6b, x6c, x6d, x6e)
 }

@@ -80,8 +80,10 @@ object StreamingPipelines {
     * (watermark delay + 1 hour) of rows per side — without the range
     * predicate Spark would have to retain every row forever.
     */
-  def intervalJoinStream(events: DataFrame): DataFrame =
-    EventsDemos.intervalJoin(events.withWatermark("ts", "10 minutes"))
+  def intervalJoinStream(events: DataFrame,
+      joinType: String = "inner"): DataFrame =
+    EventsDemos.intervalJoin(events.withWatermark("ts", "10 minutes"),
+      joinType)
 
   /** Streaming exact dedup (the streaming face of X1): duplicate keys
     * arriving within the watermark delay are dropped exactly once; state

@@ -245,4 +245,32 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.map(r => (r.getLong(0), r.getLong(3))).toSet ===
       Set((2L, 1L), (5L, 4L), (6L, 3L)))
   }
+
+  test("left-outer interval join: NULL rows emit once the watermark closes their window (X6e)") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val first = Seq(
+      Ev(1, ts(5), 1L, "click", 1.0, "{}"),
+      Ev(2, ts(30), 1L, "purchase", 2.0, "{}"),  // matched ← click 1
+      Ev(3, ts(35), 3L, "purchase", 3.0, "{}"))  // user 3 has NO click → outer NULL row
+    val advance = Seq(
+      Ev(4, ts(200), 1L, "click", 4.0, "{}"))    // watermark → 190: closes purchase 3's window
+    val mem = MemoryStream[Ev]
+    val q = StreamingPipelines.intervalJoinStream(mem.toDF(), "left_outer")
+      .writeStream.format("memory").queryName("t_ij_outer")
+      .outputMode("append").start()
+    try {
+      mem.addData(first: _*)
+      q.processAllAvailable()
+      mem.addData(advance: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = s.table("t_ij_outer").collect().toSeq
+    val batch = EventsDemos.intervalJoin((first ++ advance).toDF(), "left_outer")
+      .collect().toSeq
+    assert(sort(streamed) === sort(batch), s"streamed=$streamed\nbatch=$batch")
+    // the outer row is really there: purchase 3 with a NULL click
+    assert(streamed.exists(r => r.getLong(0) == 3L && r.isNullAt(3)), streamed.toString)
+  }
 }
