@@ -78,4 +78,35 @@ class ScaleOpsSpec extends SparkSpec {
       s.sql("DROP TABLE IF EXISTS b_orders")
     }
   }
+
+  test("runtime bloom filter prunes the fact scan under a selective dim filter") {
+    // the 100 TB mechanism: a selective filter on the build side injects
+    // a bloom_filter_might_contain predicate into the fact-side scan at
+    // optimization time, so most of the big table is dropped BEFORE the
+    // join shuffle. Thresholds are tuned for production sizes (apply
+    // side >= 10GB), so pin them down to make the injection observable
+    // at test scale; restore every conf afterwards.
+    val dir = "/root/testdata/sf0.001"
+    val confs = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100MB",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val li = Tables.table(spark, dir, "lineitem")
+      val p = Tables.table(spark, dir, "part")
+        .filter(col("p_brand") === "Brand#11") // selective build side
+      val joined = li.join(p, col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand")).agg(sum(col("l_quantity")).as("qty"))
+      val plan = joined.queryExecution.optimizedPlan.toString
+      assert(plan.contains("might_contain") && plan.contains("bloom_filter_agg"),
+        plan)
+      joined.collect() // and the plan actually executes
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
 }
