@@ -48,6 +48,30 @@ object Snapshot {
       .filter(col("__rn") === 1).drop("__rn")
   }
 
+  /** dbt `check` strategy: a key's version is superseded when any of
+    * `checkCols` CHANGED VALUE versus the open version (null-safe
+    * compare), regardless of source timestamps — the strategy for
+    * sources without a reliable `updated_at`. `effectiveTs` stamps the
+    * run (dbt uses the run's wall clock; callers pass it explicitly so
+    * snapshots stay deterministic and replayable). `source` must carry
+    * one row per key and exactly the key + check columns.
+    *
+    * Scale: identical shape to [[timestampStrategy]] — one open-slice
+    * equi-join per run, closed history untouched.
+    */
+  def checkStrategy(
+      existing: Option[DataFrame],
+      source: DataFrame,
+      key: Seq[String],
+      checkCols: Seq[String],
+      effectiveTs: java.sql.Timestamp): DataFrame = {
+    require(checkCols.nonEmpty, "check strategy needs at least one check column")
+    val stamped = source.withColumn("__eff", lit(effectiveTs))
+    val changed = (o: String, i: String) => checkCols
+      .map(c => !(col(s"$o.$c") <=> col(s"$i.$c"))).reduce(_ || _)
+    mergeRun(existing, stamped, key, "__eff", changed)
+  }
+
   /** One snapshot run. `source` must carry one row per key (use
     * [[latestPerKey]] on a feed) including the `updatedAt` column; the
     * result carries the source columns with `updatedAt` renamed
@@ -57,7 +81,21 @@ object Snapshot {
       existing: Option[DataFrame],
       source: DataFrame,
       key: Seq[String],
-      updatedAt: String): DataFrame = {
+      updatedAt: String): DataFrame =
+    mergeRun(existing, source, key, updatedAt,
+      // supersede iff the source's timestamp is strictly newer
+      (o, i) => col(s"$i.__new_from") > col(s"$o.$ValidFrom"))
+
+  /** The shared merge machinery: one open-slice full-outer join per run;
+    * `supersedes(openAlias, incomingAlias)` decides, per matched key,
+    * whether the incoming row closes the open version.
+    */
+  private def mergeRun(
+      existing: Option[DataFrame],
+      source: DataFrame,
+      key: Seq[String],
+      updatedAt: String,
+      supersedes: (String, String) => org.apache.spark.sql.Column): DataFrame = {
     val incoming = source.withColumnRenamed(updatedAt, ValidFrom)
       .withColumn(ValidTo, lit(null).cast(source.schema(updatedAt).dataType))
     existing match {
@@ -74,27 +112,31 @@ object Snapshot {
         val joined = open.alias("o").join(inc.alias("i"),
           key.map(k => col(s"o.$k") === col(s"i.$k")).reduce(_ && _),
           "full_outer")
-        val newerArrived = col("i.__new_from") > col(s"o.$ValidFrom")
+        // guard centrally: a key absent from the source (i side all-NULL)
+        // must NEVER supersede, whatever the strategy predicate says —
+        // the check strategy's value-diff would otherwise be true vs NULL
+        val superseded = col("i.__new_from").isNotNull && supersedes("o", "i")
         // 1. keys only in source → open a first version
         val inserted = joined.filter(col(s"o.$ValidFrom").isNull)
           .select(key.map(k => col(s"i.$k")) ++
             nonKeyIncoming.map(c => col(s"i.$c")): _*)
-        // 2. open versions superseded by a newer update → close them …
+        // 2. open versions superseded by the incoming state → close them …
         val nowClosed = joined
-          .filter(col(s"o.$ValidFrom").isNotNull && newerArrived)
+          .filter(col(s"o.$ValidFrom").isNotNull && superseded)
           .select(open.columns.toIndexedSeq.map {
             case ValidTo => col("i.__new_from").as(ValidTo)
             case c => col(s"o.$c")
           }: _*)
         // … and open the replacement version
         val reopened = joined
-          .filter(col(s"o.$ValidFrom").isNotNull && newerArrived)
+          .filter(col(s"o.$ValidFrom").isNotNull && superseded)
           .select(key.map(k => col(s"i.$k")) ++
             nonKeyIncoming.map(c => col(s"i.$c")): _*)
-        // 3. open versions with no newer update → untouched
+        // 3. open versions not superseded (incl. keys absent from the
+        // source) → untouched
         val stillOpen = joined
           .filter(col(s"o.$ValidFrom").isNotNull &&
-            (col("i.__new_from").isNull || !newerArrived))
+            (col("i.__new_from").isNull || !superseded))
           .select(open.columns.toIndexedSeq.map(c => col(s"o.$c")): _*)
         val opened = (inserted unionByName reopened)
           .withColumnRenamed("__new_from", ValidFrom)

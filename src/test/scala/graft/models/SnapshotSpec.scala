@@ -79,4 +79,48 @@ class SnapshotSpec extends SparkSpec {
       .select("id", "state").as[(String, String)].collect().toSet
     assert(latest === Set(("a", "z"), ("b", "w")))
   }
+
+  test("check strategy: version on VALUE change only, stamped with the run's effective ts") {
+    def srcC(rows: (String, String)*): org.apache.spark.sql.DataFrame =
+      rows.toSeq.toDF("id", "state")
+    val r1 = Snapshot.checkStrategy(None,
+      srcC(("a", "new"), ("b", "new")), Seq("id"), Seq("state"), ts("2024-01-01"))
+    // run 2: a changed, b identical (no new version despite a new run), c fresh
+    val r2 = Snapshot.checkStrategy(Some(r1),
+      srcC(("a", "active"), ("b", "new"), ("c", "new")),
+      Seq("id"), Seq("state"), ts("2024-02-01"))
+    assert(rows(r2) === Set(
+      ("a", "new", ts("2024-01-01"), Some(ts("2024-02-01"))),
+      ("a", "active", ts("2024-02-01"), None),
+      ("b", "new", ts("2024-01-01"), None),
+      ("c", "new", ts("2024-02-01"), None)))
+    // run 3: a flips BACK to "new" — check strategy versions it again
+    // (value differs from the open version); b absent → stays open
+    val r3 = Snapshot.checkStrategy(Some(r2),
+      srcC(("a", "new"), ("c", "new")), Seq("id"), Seq("state"), ts("2024-03-01"))
+    assert(rows(r3) === Set(
+      ("a", "new", ts("2024-01-01"), Some(ts("2024-02-01"))),
+      ("a", "active", ts("2024-02-01"), Some(ts("2024-03-01"))),
+      ("a", "new", ts("2024-03-01"), None),
+      ("b", "new", ts("2024-01-01"), None),
+      ("c", "new", ts("2024-02-01"), None)))
+  }
+
+  test("check strategy: NULL value transitions are tracked null-safely") {
+    val s2 = spark
+    import s2.implicits._
+    def srcN(rows: (String, Option[String])*): org.apache.spark.sql.DataFrame =
+      rows.toSeq.toDF("id", "state")
+    val r1 = Snapshot.checkStrategy(None,
+      srcN(("a", Some("x")), ("b", None)), Seq("id"), Seq("state"), ts("2024-01-01"))
+    // a: x→NULL is a change; b: NULL→NULL is NOT a change
+    val r2 = Snapshot.checkStrategy(Some(r1),
+      srcN(("a", None), ("b", None)), Seq("id"), Seq("state"), ts("2024-02-01"))
+    val got = r2.collect().map(r => (r.getString(0), Option(r.getString(1)),
+      r.getTimestamp(2), Option(r.getTimestamp(3)))).toSet
+    assert(got === Set(
+      ("a", Some("x"), ts("2024-01-01"), Some(ts("2024-02-01"))),
+      ("a", None, ts("2024-02-01"), None),
+      ("b", None, ts("2024-01-01"), None)))
+  }
 }
