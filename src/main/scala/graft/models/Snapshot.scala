@@ -67,8 +67,15 @@ object Snapshot {
       effectiveTs: java.sql.Timestamp): DataFrame = {
     require(checkCols.nonEmpty, "check strategy needs at least one check column")
     val stamped = source.withColumn("__eff", lit(effectiveTs))
-    val changed = (o: String, i: String) => checkCols
-      .map(c => !(col(s"$o.$c") <=> col(s"$i.$c"))).reduce(_ || _)
+    // value changed AND the run is strictly newer than the open version:
+    // the second conjunct preserves the SCD2 invariant (closed history
+    // immutable, valid_to always after valid_from) under out-of-order
+    // replays — the same guarantee timestampStrategy gives, which a
+    // backfilled run with an old effectiveTs would otherwise corrupt
+    // (valid_to < valid_from, overlapping versions)
+    val changed = (o: String, i: String) =>
+      checkCols.map(c => !(col(s"$o.$c") <=> col(s"$i.$c"))).reduce(_ || _) &&
+        col(s"$i.__new_from") > col(s"$o.$ValidFrom")
     mergeRun(existing, stamped, key, "__eff", changed)
   }
 
@@ -95,7 +102,7 @@ object Snapshot {
       source: DataFrame,
       key: Seq[String],
       updatedAt: String,
-      supersedes: (String, String) => org.apache.spark.sql.Column): DataFrame = {
+      supersedes: (String, String) => Column): DataFrame = {
     val incoming = source.withColumnRenamed(updatedAt, ValidFrom)
       .withColumn(ValidTo, lit(null).cast(source.schema(updatedAt).dataType))
     existing match {

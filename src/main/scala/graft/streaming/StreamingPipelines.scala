@@ -72,13 +72,17 @@ object StreamingPipelines {
   def sessionStream(events: DataFrame): DataFrame =
     EventsDemos.session(events.withWatermark("ts", "10 minutes"))
 
-  /** Stream-stream event-time interval join (x6d analogue): purchases
-    * joined to the same user's clicks from the preceding hour, as a
-    * self-join of the watermarked stream. Inner-join matches emit as
-    * soon as both sides arrive; the time-range condition plus the
-    * watermark bounds the symmetric hash-join state to
-    * (watermark delay + 1 hour) of rows per side — without the range
-    * predicate Spark would have to retain every row forever.
+  /** Stream-stream event-time interval join (x6d/x6e analogue):
+    * purchases joined to the same user's clicks from the preceding hour,
+    * as a self-join of the watermarked stream. Inner matches emit as
+    * soon as both sides arrive; with `joinType = "left_outer"` the
+    * NULL-padded row for an unmatched purchase emits only once the
+    * watermark CLOSES its join window (the engine must know no click can
+    * still arrive) — expect outer rows one watermark-delay late, not
+    * promptly. The time-range condition plus the watermark bounds the
+    * symmetric hash-join state to (watermark delay + 1 hour) of rows per
+    * side — without the range predicate Spark would have to retain every
+    * row forever.
     */
   def intervalJoinStream(events: DataFrame,
       joinType: String = "inner"): DataFrame =

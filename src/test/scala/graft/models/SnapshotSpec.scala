@@ -106,9 +106,19 @@ class SnapshotSpec extends SparkSpec {
       ("c", "new", ts("2024-02-01"), None)))
   }
 
+  test("check strategy: a backfilled run with an OLDER effectiveTs never rewrites history") {
+    def srcB(rows: (String, String)*): org.apache.spark.sql.DataFrame =
+      rows.toSeq.toDF("id", "state")
+    val r1 = Snapshot.checkStrategy(None,
+      srcB(("a", "x")), Seq("id"), Seq("state"), ts("2024-02-01"))
+    // out-of-order replay: value differs but the run predates the open
+    // version — superseding would emit valid_to < valid_from
+    val r2 = Snapshot.checkStrategy(Some(r1),
+      srcB(("a", "y")), Seq("id"), Seq("state"), ts("2024-01-01"))
+    assert(rows(r2) === Set(("a", "x", ts("2024-02-01"), None)))
+  }
+
   test("check strategy: NULL value transitions are tracked null-safely") {
-    val s2 = spark
-    import s2.implicits._
     def srcN(rows: (String, Option[String])*): org.apache.spark.sql.DataFrame =
       rows.toSeq.toDF("id", "state")
     val r1 = Snapshot.checkStrategy(None,

@@ -86,7 +86,6 @@ class ScaleOpsSpec extends SparkSpec {
     // join shuffle. Thresholds are tuned for production sizes (apply
     // side >= 10GB), so pin them down to make the injection observable
     // at test scale; restore every conf afterwards.
-    val dir = "/root/testdata/sf0.001"
     val confs = Seq(
       "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
       "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100MB",
@@ -95,8 +94,8 @@ class ScaleOpsSpec extends SparkSpec {
     val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
     confs.foreach { case (k, v) => spark.conf.set(k, v) }
     try {
-      val li = Tables.table(spark, dir, "lineitem")
-      val p = Tables.table(spark, dir, "part")
+      val li = Tables.table(spark, sfDir, "lineitem")
+      val p = Tables.table(spark, sfDir, "part")
         .filter(col("p_brand") === "Brand#11") // selective build side
       val joined = li.join(p, col("l_partkey") === col("p_partkey"))
         .groupBy(col("p_brand")).agg(sum(col("l_quantity")).as("qty"))
