@@ -30,6 +30,36 @@ object VectorSearch {
         call_function("dot_long", col("qv"), col("qv")).as("nq"))
   }
 
+  /** Vector preprocessing for embedding pipelines: per-dimension
+    * L2-unit-normalized value and symmetric int8 quantization (the
+    * storage format ANN indexes and cheap distance kernels consume).
+    * Both outputs are deterministic cross-engine: the unit value is one
+    * IEEE division of the exact integer component by the exact integer
+    * norm's sqrt (sqrt and division are correctly rounded everywhere);
+    * the int8 code rounds `qe·127/max_abs` where 0-decimal rounding of a
+    * double cannot diverge between engines (any double whose shortest
+    * repr is `k.5` IS exactly k.5, so tie-breaking agrees).
+    *
+    * Scale: quantize → posexplode (narrow), one window max per vector —
+    * a single hash shuffle on vec_id; no driver state. Zero-norm vectors
+    * yield NULL units (no direction); all-zero vectors quantize to 0.
+    */
+  def normalizeQuantize(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val w = Window.partitionBy(col("vec_id"))
+    quantize(df, idCol, vecCol)
+      .select(col("vec_id"), col("nq"),
+        posexplode(col("qv")).as(Seq("dim", "qe")))
+      .withColumn("max_abs", max(abs(col("qe"))).over(w))
+      .select(col("vec_id"), col("dim").cast("long").as("dim"),
+        when(col("nq") > 0,
+          col("qe").cast("double") / sqrt(col("nq").cast("double")))
+          .otherwise(lit(null)).as("unit"),
+        when(col("max_abs") > 0,
+          round(col("qe").cast("double") * lit(127.0) /
+            col("max_abs").cast("double")).cast("int"))
+          .otherwise(lit(0)).as("q_int8"))
+  }
+
   /** Exact cosine from an integer dot and the two squared norms. A
     * zero-norm vector (all components quantize to 0) has no direction:
     * NULL, not an ANSI division-by-zero error.

@@ -143,5 +143,39 @@ object SimilarityDemos {
       .orderBy(col("query_id").asc_nulls_last, col("cosine").desc_nulls_last,
         col("vec_id").asc_nulls_last))
 
-  val all: Seq[Demo] = Seq(x3a, x3b, x3c)
+  // -------------------------------------------------------------------
+  // X3d: VECTOR PREPROCESSING — unit normalization + symmetric int8
+  // quantization per dimension, the storage/compute format downstream
+  // ANN and distance kernels consume. Exactness per the library scaladoc
+  // (integer components, correctly-rounded sqrt/division, tie-safe
+  // 0-decimal rounding).
+  // -------------------------------------------------------------------
+  private val x3d = Demo("x3d_normalize_quantize", Some("""
+      WITH q AS (
+        SELECT vec_id,
+               list_transform(embedding, x ->
+                 cast(floor(cast(x AS double) * 10000) AS bigint)) AS qv
+        FROM embeddings),
+      n AS (
+        SELECT vec_id, qv,
+               cast(list_sum(list_transform(qv, v -> v * v)) AS bigint) AS nq
+        FROM q),
+      e0 AS (
+        SELECT vec_id, nq, qv, unnest(generate_series(1, 64)) AS i FROM n),
+      e AS (
+        SELECT vec_id, nq, i - 1 AS dim, qv[i] AS qe FROM e0),
+      m AS (SELECT vec_id, max(abs(qe)) AS max_abs FROM e GROUP BY 1)
+      SELECT e.vec_id, e.dim,
+             CASE WHEN e.nq > 0
+               THEN cast(e.qe AS double) / sqrt(cast(e.nq AS double)) END AS unit,
+             CASE WHEN m.max_abs > 0
+               THEN cast(round(cast(e.qe AS double) * 127.0e0
+                              / cast(m.max_abs AS double)) AS int)
+               ELSE 0 END AS q_int8
+      FROM e JOIN m USING (vec_id)
+      ORDER BY vec_id ASC NULLS LAST, dim ASC NULLS LAST"""),
+    (s, dir) => VectorSearch.normalizeQuantize(emb(s, dir), "vec_id", "embedding")
+      .orderBy(col("vec_id").asc_nulls_last, col("dim").asc_nulls_last))
+
+  val all: Seq[Demo] = Seq(x3a, x3b, x3c, x3d)
 }
