@@ -272,5 +272,88 @@ object AdvancedRelationalDemos {
           col("o_orderkey").asc_nulls_last)
     })
 
-  val all: Seq[Demo] = Seq(q12, q13, q14, q15, q16, q17, x9c)
+  // -------------------------------------------------------------------
+  // Q18: LATERAL explode with ordinality — array column → one row per
+  // element WITH its position (the `LATERAL unnest WITH ORDINALITY` /
+  // dbt-utils `unnest` surface). First 5 whitespace tokens per document;
+  // slicing BEFORE the explode bounds the fan-out at 5 rows per input
+  // row no matter how long the document is — at 100 TB an unbounded
+  // explode of token arrays is a 100× row blowup, a sliced one is ≤5×.
+  // No shuffle of its own: Generate is a narrow per-row operator; the
+  // only exchange is the final sort.
+  // -------------------------------------------------------------------
+  private val q18 = Demo("q18_lateral_explode", Some("""
+      WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+      SELECT doc_id, cast(i AS bigint) AS pos, toks[i] AS token
+      FROM d, unnest(generate_series(1, least(len(toks), 5))) AS t(i)
+      ORDER BY doc_id ASC NULLS LAST, pos ASC NULLS LAST"""),
+    (s, dir) => t(s, dir, "documents")
+      .select(col("doc_id"),
+        posexplode(slice(split(col("text"), " "), 1, 5)))
+      .select(col("doc_id"), (col("pos") + 1).cast(LongType).as("pos"),
+        col("col").as("token"))
+      .orderBy(col("doc_id").asc_nulls_last, col("pos").asc_nulls_last))
+
+  // -------------------------------------------------------------------
+  // Q19: top-N per group — the 3 highest-priced orders per priority via
+  // row_number over (price DESC, orderkey ASC). Scale: Spark plans a
+  // `rank <= k` filter over a window as WindowGroupLimit — each map task
+  // keeps only its local top-3 per group BEFORE the shuffle, so the
+  // exchange carries O(groups × k × tasks) rows, not the full fact
+  // table (plan-asserted in PlanSpec). The orderkey tiebreak makes the
+  // selection deterministic under ties.
+  // -------------------------------------------------------------------
+  private val q19 = Demo("q19_window_topn", Some("""
+      SELECT o_orderpriority, rnk, o_orderkey, o_totalprice FROM (
+        SELECT o_orderpriority, o_orderkey, o_totalprice,
+               row_number() OVER (PARTITION BY o_orderpriority
+                                  ORDER BY o_totalprice DESC, o_orderkey ASC) AS rnk
+        FROM orders)
+      WHERE rnk <= 3
+      ORDER BY o_orderpriority ASC NULLS LAST, rnk ASC NULLS LAST"""),
+    (s, dir) => {
+      val w = Window.partitionBy(col("o_orderpriority"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      t(s, dir, "orders")
+        .select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"))
+        .withColumn("rnk", row_number().over(w).cast(LongType))
+        .filter(col("rnk") <= 3)
+        .select(col("o_orderpriority"), col("rnk"), col("o_orderkey"),
+          col("o_totalprice"))
+        .orderBy(col("o_orderpriority").asc_nulls_last,
+          col("rnk").asc_nulls_last)
+    })
+
+  // -------------------------------------------------------------------
+  // Q20: theta self-join — unordered same-region nation pairs via an
+  // equi component (n_regionkey) plus an inequality (n_name <). Spark
+  // keys the hash join on the equi conjunct and applies the theta
+  // predicate as the join's residual condition — the plan stays a hash
+  // join, NOT a nested-loop product (the region key bounds each bucket,
+  // so the worst case is the largest region's pair count, not |n|²).
+  // A pure theta join with NO equi conjunct would be a
+  // BroadcastNestedLoopJoin — acceptable only for tiny dims; at scale,
+  // banded predicates get an equi band key first (the x8b pattern).
+  // -------------------------------------------------------------------
+  private val q20 = Demo("q20_theta_self_join", Some("""
+      SELECT r.r_name, a.n_name AS nation_a, b.n_name AS nation_b
+      FROM nation a
+      JOIN nation b ON a.n_regionkey = b.n_regionkey AND a.n_name < b.n_name
+      JOIN region r ON r.r_regionkey = a.n_regionkey
+      ORDER BY r_name ASC NULLS LAST, nation_a ASC NULLS LAST, nation_b ASC NULLS LAST"""),
+    (s, dir) => {
+      val a = t(s, dir, "nation")
+        .select(col("n_regionkey"), col("n_name").as("nation_a"))
+      val b = t(s, dir, "nation")
+        .select(col("n_regionkey").as("rk_b"), col("n_name").as("nation_b"))
+      val r = t(s, dir, "region")
+      a.join(b, col("n_regionkey") === col("rk_b")
+          && col("nation_a") < col("nation_b"))
+        .join(broadcast(r), col("r_regionkey") === col("n_regionkey"))
+        .select(col("r_name"), col("nation_a"), col("nation_b"))
+        .orderBy(col("r_name").asc_nulls_last,
+          col("nation_a").asc_nulls_last, col("nation_b").asc_nulls_last)
+    })
+
+  val all: Seq[Demo] = Seq(q12, q13, q14, q15, q16, q17, q18, q19, q20, x9c)
 }
