@@ -104,4 +104,127 @@ object Sketches {
           .cast("double")).as("n_estimate"),
       col("buckets_used"))
   }
+
+  // -------------------------------------------------------------------
+  // Count-min sketch — point-frequency estimation in O(depth × width)
+  // state. Like the HLL above, every stochastic ingredient is exact
+  // integer (the row hashes reuse mix31 on a row-salted key), so the
+  // whole sketch is oracle-verifiable.
+  // -------------------------------------------------------------------
+
+  /** CM rows (independent hash functions). */
+  val CmDepth = 4
+  /** CM counters per row. Overestimate bias ≈ n/width per row before
+    * taking the min across rows.
+    */
+  val CmWidth = 1024L
+  /** Row salt: key + r·CmSalt decorrelates the CmDepth hash functions
+    * through the mix31 avalanche (golden-ratio odd constant). Largest
+    * pre-mod value: key< 2^31 plus 3·CmSalt < 2^34 — no overflow.
+    */
+  val CmSalt = 2654435769L
+
+  /** Counter index of `key` in CM row `r`. */
+  def cmCell(key: Column, r: Column): Column =
+    pmod(mix31(key.cast("long") + r * lit(CmSalt)), lit(CmWidth))
+
+  /** Count-min frequency estimates for `probes` (a DataFrame with a long
+    * key column `probeCol`) against the frequency of `key` in `df`:
+    * `(probe_key, n_exact, n_cm)` with n_cm ≥ n_exact (the sketch only
+    * overestimates, by < depth·n/width with high probability).
+    *
+    * Scale: the sketch aggregation explodes each row CmDepth× but
+    * map-side combine collapses every partition to ≤ depth·width counter
+    * rows, so the shuffle is O(depth·width) regardless of input size —
+    * the counters then broadcast to the probe side. The exact branch
+    * (one groupBy on the probed keys) exists only for the error column.
+    */
+  def cmFrequency(df: DataFrame, key: Column, probes: DataFrame,
+      probeCol: String): DataFrame = {
+    def cells(in: DataFrame, k: String, carry: Seq[String]): DataFrame =
+      in.select((carry.map(col) :+ col(k)
+          :+ explode(sequence(lit(0L), lit(CmDepth - 1L))).as("r")): _*)
+        .select((carry.map(col) :+ col("r")
+          :+ cmCell(col(k), col("r")).as("c")): _*)
+    val keyed = df.filter(key.isNotNull).select(key.cast("long").as("k"))
+    val counters = cells(keyed, "k", Nil)
+      .groupBy(col("r"), col("c")).agg(count(lit(1)).as("cnt"))
+    val probeKeys = probes.select(col(probeCol).cast("long").as("probe_key"))
+    val est = cells(probeKeys, "probe_key", Seq("probe_key"))
+      .join(broadcast(counters), Seq("r", "c"), "left")
+      .groupBy(col("probe_key"))
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("n_cm"))
+    val exact = keyed.groupBy(col("k")).agg(count(lit(1)).as("cnt_exact"))
+    probeKeys
+      .join(exact, col("probe_key") === col("k"), "left")
+      .join(est, Seq("probe_key"))
+      .select(col("probe_key"),
+        coalesce(col("cnt_exact"), lit(0L)).as("n_exact"), col("n_cm"))
+  }
+
+  // -------------------------------------------------------------------
+  // Equi-width histogram sketch + interpolated quantile estimation —
+  // the fixed-size alternative to an exact sort-based quantile: O(bins)
+  // state per group, mergeable (bin counts are sums), and at 100 TB the
+  // shuffle carries ≤ bins rows per group instead of every value.
+  // -------------------------------------------------------------------
+
+  /** Histogram bins per group. Quantile estimate error ≤ bin width. */
+  val HistBins = 64L
+
+  /** Histogram-interpolated quantile estimates per group next to the
+    * exact interpolated percentile for error inspection:
+    * `(group, q, n, est_value, exact_value)` on the cents/100 scale.
+    *
+    * Determinism: bounds and bin counts are exact integers (bin index is
+    * one integer multiply + divide; `(hi−lo)·bins / (hi−lo+1) < bins`, so
+    * no clamp is needed); the only float ops are the final interpolation
+    * chain, written as the same single-rounding expression sequence on
+    * both engines (IEEE ops are exact-rounded; no transcendentals).
+    * Two passes over the input by design (bounds, then counts) — a
+    * production run at fixed domain skips the bounds pass.
+    */
+  def histQuantiles(df: DataFrame, group: String, cents: Column,
+      qs: Seq[(String, Double)]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = df.filter(cents.isNotNull)
+      .select(col(group), cents.cast("long").as("cents"))
+    val bounds = base.groupBy(col(group)).agg(
+      min(col("cents")).as("lo"), max(col("cents")).as("hi"),
+      count(lit(1)).as("n"))
+    val hist = base.join(broadcast(bounds), Seq(group))
+      .select(col(group),
+        expr(s"((cents - lo) * $HistBins) div (hi - lo + 1)").as("bin"))
+      .groupBy(col(group), col("bin")).agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy(col(group)).orderBy(col("bin"))
+    val cum = hist.withColumn("cum", sum(col("cnt")).over(w))
+    val qArr = array(qs.map { case (l, v) =>
+      struct(lit(l).as("q"), lit(v).as("qv")) }: _*)
+    val targets = bounds
+      .withColumn("qs", explode(qArr))
+      .select(col(group), col("lo"), col("hi"), col("n"),
+        col("qs.q").as("q"),
+        ceil(col("qs.qv") * col("n")).cast("long").as("target"))
+    val crossing = targets.join(broadcast(cum), Seq(group))
+      .filter(col("cum") >= col("target") && col("cum") - col("cnt") < col("target"))
+      .select(col(group), col("q"), col("n"),
+        ((col("lo").cast("double")
+          + (col("bin").cast("double")
+            + (col("target") - (col("cum") - col("cnt"))).cast("double")
+              / col("cnt").cast("double"))
+          * ((col("hi") - col("lo") + 1).cast("double")
+            / lit(HistBins).cast("double"))) / 100).as("est_value"))
+    val exactWide = base.groupBy(col(group)).agg(
+      qs.head match { case (l, v) =>
+        (expr(s"percentile(cents, ${v}e0)") / 100).as(l) },
+      qs.tail.map { case (l, v) =>
+        (expr(s"percentile(cents, ${v}e0)") / 100).as(l) }: _*)
+    val exact = exactWide.unpivot(
+      ids = Array(col(group)),
+      values = qs.map(p => col(p._1)).toArray,
+      variableColumnName = "q", valueColumnName = "exact_value")
+    crossing.join(broadcast(exact), Seq(group, "q"))
+      .select(col(group), col("q"), col("n"), col("est_value"),
+        col("exact_value"))
+  }
 }

@@ -136,5 +136,115 @@ object StatsDemos {
     (s, dir) => graft.operators.Sketches.approxDistinct(
       t(s, dir, "lineitem"), col("l_orderkey")))
 
-  val all: Seq[Demo] = Seq(x9a, x9b, x9d)
+  // -------------------------------------------------------------------
+  // X9e: COUNT-MIN SKETCH frequency estimates for 20 probe user_ids over
+  // the events stream, next to the exact counts. Same oracle-exactness
+  // recipe as x9d: the 4 row-hashes are mix31 over a row-salted key, the
+  // counters are exact integer sums, the estimate is an integer min — so
+  // the approximate operator hash-matches bit-for-bit. Scale: map-side
+  // combine bounds the counter shuffle at depth×width rows per
+  // partition; the 4096-row counter table broadcasts to the probes.
+  // -------------------------------------------------------------------
+  private val cmD = graft.operators.Sketches.CmDepth
+  private val cmW = graft.operators.Sketches.CmWidth
+  private val cmSalt = graft.operators.Sketches.CmSalt
+
+  /** Staged mix31 CTE chain over CTE `src` (column `k2`, carries `carry`)
+    * ending in CTE `out` with columns (carry..., h) — the same avalanche
+    * Sketches.mix31 folds, so the oracle cannot desynchronize from it.
+    */
+  private def mixCtes(src: String, carry: Seq[String], out: String): String = {
+    val cs = carry.map(_ + ", ").mkString
+    val M = graft.operators.Sketches.Mod31
+    s"""${src}_h0 AS (SELECT $cs k2 % $M AS h FROM $src),
+      ${src}_h1 AS (SELECT $cs (xor(h, h >> 16) * ${graft.operators.Sketches.C1}) % $M AS h FROM ${src}_h0),
+      ${src}_h2 AS (SELECT $cs (xor(h, h >> 13) * ${graft.operators.Sketches.C2}) % $M AS h FROM ${src}_h1),
+      $out AS (SELECT $cs xor(h, h >> 16) AS h FROM ${src}_h2)"""
+  }
+
+  private val x9e = Demo("x9e_cm_sketch", Some(s"""
+      WITH probes AS (
+        SELECT cast(unnest(generate_series(0, 19)) AS bigint) AS probe_key),
+      ev AS (SELECT user_id AS k FROM events WHERE user_id IS NOT NULL),
+      cells AS (SELECT k + r * $cmSalt AS k2, r
+                FROM ev, unnest(generate_series(0, ${cmD - 1})) AS t(r)),
+      ${mixCtes("cells", Seq("r"), "cellsh")},
+      counters AS (SELECT r, h % $cmW AS c, count(*) AS cnt
+                   FROM cellsh GROUP BY 1, 2),
+      pc AS (SELECT probe_key, probe_key + r * $cmSalt AS k2, r
+             FROM probes, unnest(generate_series(0, ${cmD - 1})) AS t(r)),
+      ${mixCtes("pc", Seq("probe_key", "r"), "pch")},
+      pcells AS (SELECT probe_key, r, h % $cmW AS c FROM pch),
+      est AS (SELECT probe_key, min(coalesce(cnt, 0)) AS n_cm
+              FROM pcells LEFT JOIN counters USING (r, c) GROUP BY 1),
+      exact AS (SELECT k AS probe_key, count(*) AS cnt_exact FROM ev GROUP BY 1)
+      SELECT p.probe_key, coalesce(e.cnt_exact, 0) AS n_exact, est.n_cm
+      FROM probes p
+      LEFT JOIN exact e USING (probe_key)
+      JOIN est USING (probe_key)
+      ORDER BY probe_key ASC NULLS LAST"""),
+    (s, dir) => {
+      val probes = s.range(0, 20).select(col("id").as("probe_key"))
+      graft.operators.Sketches
+        .cmFrequency(t(s, dir, "events"), col("user_id"), probes, "probe_key")
+        .orderBy(col("probe_key").asc_nulls_last)
+    })
+
+  // -------------------------------------------------------------------
+  // X9f: EQUI-WIDTH HISTOGRAM QUANTILE SKETCH per event_type — 64 exact
+  // integer bin counts per group, quantile estimated by linear
+  // interpolation inside the crossing bin, reported next to the exact
+  // interpolated percentile. The interpolation chain is the identical
+  // single-rounding float expression on both engines (arithmetic only —
+  // no transcendentals, so IEEE guarantees bit equality). Scale: the
+  // shuffle carries ≤64 bin rows per group no matter the input size —
+  // the mergeable-fixed-state alternative to x9b's exact sort; the
+  // exact column exists only for error inspection.
+  // -------------------------------------------------------------------
+  private val histB = graft.operators.Sketches.HistBins
+
+  private val x9f = Demo("x9f_hist_quantile", Some(s"""
+      WITH c AS (SELECT event_type, cast(round(value * 100) AS bigint) AS cents
+                 FROM events WHERE value IS NOT NULL),
+      bounds AS (SELECT event_type, min(cents) AS lo, max(cents) AS hi,
+                        count(*) AS n
+                 FROM c GROUP BY 1),
+      hist AS (SELECT c.event_type,
+                      ((cents - lo) * $histB) // (hi - lo + 1) AS bin,
+                      count(*) AS cnt
+               FROM c JOIN bounds USING (event_type) GROUP BY 1, 2),
+      cum AS (SELECT event_type, bin, cnt,
+                     sum(cnt) OVER (PARTITION BY event_type ORDER BY bin) AS cum
+              FROM hist),
+      targets AS (SELECT event_type, lo, hi, n, q,
+                         cast(ceil(qv * n) AS bigint) AS target
+                  FROM bounds,
+                       (VALUES ('p50', 0.5e0), ('p90', 0.9e0), ('p99', 0.99e0)) AS qs(q, qv)),
+      crossing AS (SELECT t.event_type, t.q, t.n,
+                          (cast(lo AS double)
+                           + (cast(bin AS double)
+                              + cast(target - (cum - cnt) AS double)
+                                / cast(cnt AS double))
+                           * (cast(hi - lo + 1 AS double)
+                              / cast($histB AS double))) / 100 AS est_value
+                   FROM targets t JOIN cum USING (event_type)
+                   WHERE cum >= target AND cum - cnt < target),
+      exactw AS (SELECT event_type,
+                        quantile_cont(cents, 0.5) / 100 AS p50,
+                        quantile_cont(cents, 0.9) / 100 AS p90,
+                        quantile_cont(cents, 0.99) / 100 AS p99
+                 FROM c GROUP BY 1),
+      ex AS (SELECT event_type, q, exact_value FROM (
+               UNPIVOT exactw ON p50, p90, p99
+               INTO NAME q VALUE exact_value))
+      SELECT cr.event_type, cr.q, cr.n, cr.est_value, ex.exact_value
+      FROM crossing cr JOIN ex USING (event_type, q)
+      ORDER BY event_type ASC NULLS LAST, q ASC NULLS LAST"""),
+    (s, dir) => graft.operators.Sketches.histQuantiles(
+        t(s, dir, "events"), "event_type",
+        round(col("value") * 100).cast("long"),
+        Seq("p50" -> 0.5, "p90" -> 0.9, "p99" -> 0.99))
+      .orderBy(col("event_type").asc_nulls_last, col("q").asc_nulls_last))
+
+  val all: Seq[Demo] = Seq(x9a, x9b, x9d, x9e, x9f)
 }
