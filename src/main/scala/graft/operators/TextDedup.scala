@@ -308,4 +308,41 @@ object TextDedup {
           col("a.nq"), col("b.nq")).as("cosine"))
       .filter(col("cosine") >= threshold)
   }
+
+  /** All 1-deletion variants of `strCol` plus the string itself — the
+    * symmetric-delete (SymSpell) candidate key set: two strings are
+    * within edit distance 1 iff their key sets intersect (equal →
+    * identity key; one insertion/deletion → one side's variant equals
+    * the other's original; one substitution → deleting the differing
+    * position from each yields the same string).
+    */
+  private def del1Keys(strCol: Column): Column =
+    array_distinct(concat(array(strCol),
+      transform(sequence(lit(1), length(strCol)),
+        p => concat(substring(strCol, lit(1), p - 1),
+          substring(strCol, p + 1, length(strCol))))))
+
+  /** Fuzzy entity-resolution join (X2g): all (left, right) string pairs
+    * within edit distance ≤ 1, without an all-pairs comparison. Candidate
+    * generation is an EQUI-join on symmetric-delete keys (each row emits
+    * length+1 keys), then the exact `levenshtein` verifies each distinct
+    * candidate pair — the string-world analog of the LSH bucket→verify
+    * shape. Scale: shuffle is O(n·len) key rows; a candidate bucket is
+    * bounded by the number of strings sharing a deletion variant (corpus-
+    * dependent, typically small), never n². The all-pairs alternative
+    * this avoids is O(n²) levenshtein calls — at 100 TB, unrunnable.
+    */
+  def editDistanceJoin(left: DataFrame, leftId: String, leftStr: String,
+      right: DataFrame, rightId: String, rightStr: String): DataFrame = {
+    val lk = left.select(col(leftId), col(leftStr),
+      explode(del1Keys(col(leftStr))).as("__k"))
+    val rk = right.select(col(rightId), col(rightStr),
+      explode(del1Keys(col(rightStr))).as("__k"))
+    lk.join(rk, "__k")
+      .select(col(leftId), col(leftStr), col(rightId), col(rightStr))
+      .distinct()
+      .withColumn("dist",
+        levenshtein(col(leftStr), col(rightStr)).cast("long"))
+      .filter(col("dist") <= 1)
+  }
 }

@@ -215,5 +215,56 @@ object DedupDemos {
         "vec_id", "embedding", threshold = 0.4)
       .orderBy(col("vec_a").asc_nulls_last, col("vec_b").asc_nulls_last))
 
-  val all: Seq[Demo] = Seq(x1, x2a, x2b, x2c, x2c2, x2d, x2e, x2f)
+  // X2g: fuzzy entity-resolution join — TextDedup.editDistanceJoin
+  // (symmetric-delete candidate keys → equi-join → exact levenshtein
+  // verify; the string analog of LSH bucket→verify). The harness has no
+  // misspelled column, so the dirty side is derived deterministically
+  // from the supplier names (drop the character at index
+  // s_suppkey % length — the x5e derive-then-replay recipe): every
+  // candidate-generation and verification path runs for real, and the
+  // oracle replays the identical construction.
+  private val x2g = Demo("x2g_fuzzy_join", Some("""
+      WITH dirty AS (
+        SELECT s_suppkey AS did,
+               substring(s_name, 1, cast(s_suppkey % length(s_name) AS int))
+               || substring(s_name, cast(s_suppkey % length(s_name) AS int) + 2,
+                            length(s_name)) AS dname
+        FROM supplier),
+      dk AS (SELECT did, dname,
+                    unnest(list_distinct(list_prepend(dname,
+                      list_transform(generate_series(1, length(dname)),
+                        p -> substring(dname, 1, p - 1)
+                             || substring(dname, p + 1, length(dname)))))) AS k
+             FROM dirty),
+      ck AS (SELECT s_suppkey, s_name,
+                    unnest(list_distinct(list_prepend(s_name,
+                      list_transform(generate_series(1, length(s_name)),
+                        p -> substring(s_name, 1, p - 1)
+                             || substring(s_name, p + 1, length(s_name)))))) AS k
+             FROM supplier),
+      cand AS (SELECT DISTINCT did, dname, s_suppkey, s_name
+               FROM dk JOIN ck USING (k))
+      SELECT did, s_suppkey AS clean_key, dname, s_name AS clean_name,
+             cast(levenshtein(dname, s_name) AS bigint) AS dist
+      FROM cand
+      WHERE levenshtein(dname, s_name) <= 1
+      ORDER BY did ASC NULLS LAST, clean_key ASC NULLS LAST"""),
+    (s, dir) => {
+      val sup = t(s, dir, "supplier")
+      val pos = pmod(col("s_suppkey"), length(col("s_name")).cast("long"))
+        .cast("int")
+      val dirty = sup.select(col("s_suppkey").as("did"),
+        concat(
+          substring(col("s_name"), lit(1), pos),
+          substring(col("s_name"), pos + lit(2), length(col("s_name"))))
+          .as("dname"))
+      val clean = sup.select(col("s_suppkey"), col("s_name"))
+      TextDedup.editDistanceJoin(dirty, "did", "dname",
+          clean, "s_suppkey", "s_name")
+        .select(col("did"), col("s_suppkey").as("clean_key"), col("dname"),
+          col("s_name").as("clean_name"), col("dist"))
+        .orderBy(col("did").asc_nulls_last, col("clean_key").asc_nulls_last)
+    })
+
+  val all: Seq[Demo] = Seq(x1, x2a, x2b, x2c, x2c2, x2d, x2e, x2f, x2g)
 }
