@@ -1,7 +1,7 @@
 package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
 import org.apache.spark.sql.functions._
-import graft.queries.{AdvancedRelationalDemos, CorpusCleanDemos, DedupDemos, EventsDemos, JoinDemos, ModelDemos, MultimodalDemos, RelationalDemos, SamplingDemos, SimilarityDemos, StatsDemos, TextDemos}
+import graft.queries.{AdvancedRelationalDemos, CorpusCleanDemos, DedupDemos, EventsDemos, JoinDemos, ModelDemos, MultimodalDemos, RelationalDemos, SamplingDemos, ScaleDemos, SimilarityDemos, StatsDemos, TextDemos}
 import graft.sources.Tables
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
@@ -10,7 +10,7 @@ object SparkEntry {
   /** Every registered demonstrator (SURVEY §2 inventory). */
   private def demos: Seq[RelationalDemos.Demo] =
     RelationalDemos.all ++ AdvancedRelationalDemos.all ++ DedupDemos.all ++ SimilarityDemos.all ++
-      TextDemos.all ++ EventsDemos.all ++ MultimodalDemos.all ++ JoinDemos.all ++ StatsDemos.all ++ SamplingDemos.all ++ CorpusCleanDemos.all ++ ModelDemos.all
+      TextDemos.all ++ EventsDemos.all ++ MultimodalDemos.all ++ JoinDemos.all ++ StatsDemos.all ++ SamplingDemos.all ++ CorpusCleanDemos.all ++ ModelDemos.all ++ ScaleDemos.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * Same shape as the reference's flagship business question (LTV + payment

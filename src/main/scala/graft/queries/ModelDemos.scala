@@ -139,5 +139,50 @@ object ModelDemos {
         .orderBy(col("day").asc_nulls_last, col("event_type").asc_nulls_last)
     })
 
-  val all: Seq[Demo] = Seq(x12, x13)
+  // -------------------------------------------------------------------
+  // X15: dbt `source freshness` — graft.models.SourceFreshness evaluated
+  // at a pinned anchor instant (2024-02-01T00:00:00Z; a wall-clock "now"
+  // would be unverifiable). Three monitored sources exercise all three
+  // statuses against the harness data: events is ~24h stale at the
+  // anchor (pass at 72h / warn at 12h thresholds) and orders' last
+  // o_orderdate is years old (error). Scale: one single-row max() agg
+  // per source. Timestamps floor to whole epoch seconds on both engines
+  // before any arithmetic (micros-vs-nanos physical precision would
+  // otherwise leak into the hash).
+  // -------------------------------------------------------------------
+  private val freshnessAnchorSec = 1706745600L // 2024-02-01T00:00:00Z
+
+  private val x15 = Demo("x15_source_freshness", Some(s"""
+      WITH ev AS (SELECT max(ts) AS mx FROM events),
+      od AS (SELECT max(o_orderdate) AS mx FROM orders),
+      src AS (
+        SELECT 'events_daily' AS source_name, epoch_us(mx) // 1000000 AS mxs,
+               72 AS warn_h, 720 AS err_h FROM ev
+        UNION ALL
+        SELECT 'events_strict', epoch_us(mx) // 1000000, 12, 8760 FROM ev
+        UNION ALL
+        SELECT 'orders_snapshot', epoch_us(mx) // 1000000, 24, 96 FROM od)
+      SELECT source_name,
+             make_timestamp(mxs * 1000000) AS max_loaded_at,
+             ($freshnessAnchorSec - mxs) // 3600 AS age_hours,
+             CASE WHEN mxs IS NULL
+                       OR ($freshnessAnchorSec - mxs) // 3600 >= err_h THEN 'error'
+                  WHEN ($freshnessAnchorSec - mxs) // 3600 >= warn_h THEN 'warn'
+                  ELSE 'pass' END AS status
+      FROM src
+      ORDER BY source_name ASC NULLS LAST"""),
+    (s, dir) => {
+      import graft.models.SourceFreshness
+      import graft.models.SourceFreshness.Source
+      val events = t(s, dir, "events")
+      val orders = t(s, dir, "orders")
+      SourceFreshness.check(Seq(
+          Source("events_daily", events, col("ts"), 72L, 720L),
+          Source("events_strict", events, col("ts"), 12L, 8760L),
+          Source("orders_snapshot", orders, col("o_orderdate"), 24L, 96L)),
+        freshnessAnchorSec)
+        .orderBy(col("source_name").asc_nulls_last)
+    })
+
+  val all: Seq[Demo] = Seq(x12, x13, x15)
 }

@@ -1,0 +1,52 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators.ScaleOps
+import graft.queries.RelationalDemos.Demo
+import graft.sources.Tables
+
+/** Scale-mechanics demonstrators: the skew-handling machinery of
+  * [[graft.operators.ScaleOps]] run as oracle-checked queries, proving
+  * the two-phase plans produce IDENTICAL results to their naive
+  * single-phase equivalents (the oracle IS the naive formulation).
+  * Bucketed/partitioned storage stays spec-only (ScaleOpsSpec pins the
+  * no-Exchange and partition-pruning plans) — materializing warehouse
+  * tables inside a read-only query demo would be a side effect.
+  */
+object ScaleDemos {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.table(s, dir, name)
+
+  // -------------------------------------------------------------------
+  // X14: salted two-phase aggregation over the 3-value l_returnflag key —
+  // the skew pattern: a direct groupBy on a 3-key column funnels 600k
+  // rows into 3 reducers; the salt spreads each hot key over 16 partials
+  // first, then re-aggregates 48 partial rows. The oracle is the PLAIN
+  // single-phase GROUP BY — same result by re-aggregability of
+  // sum/count; the salt never leaks into the output. l_quantity is
+  // integer-valued, so sums stay exact longs under any partial order.
+  // -------------------------------------------------------------------
+  private val x14 = Demo("x14_salted_agg", Some("""
+      SELECT l_returnflag,
+             cast(count(*) AS bigint) AS n_items,
+             cast(sum(cast(l_quantity AS bigint)) AS bigint) AS sum_qty
+      FROM lineitem
+      GROUP BY l_returnflag
+      ORDER BY l_returnflag ASC NULLS LAST"""),
+    (s, dir) => ScaleOps.saltedAgg(
+        t(s, dir, "lineitem"),
+        keys = Seq("l_returnflag"),
+        saltFrom = col("l_orderkey"),
+        saltBuckets = 16,
+        partials = Seq(
+          "n_p" -> count(lit(1)),
+          "sq_p" -> sum(col("l_quantity").cast("long"))),
+        finals = Seq(
+          "n_items" -> sum(col("n_p")),
+          "sum_qty" -> sum(col("sq_p"))))
+      .orderBy(col("l_returnflag").asc_nulls_last))
+
+  val all: Seq[Demo] = Seq(x14)
+}
