@@ -37,4 +37,55 @@ class SketchesSpec extends SparkSpec {
     assert(a.getDouble(1) === b.getDouble(1))
     assert(a.getLong(2) === b.getLong(2))
   }
+
+  test("cm sketch never underestimates; absent keys report zero exact count") {
+    // key k appears (k % 7 + 1) times; probes cover present AND absent keys
+    val df = (1L to 100L).flatMap(k => Seq.fill((k % 7).toInt + 1)(k)).toDF("k")
+    val probes = ((1L to 30L) ++ (900L to 905L)).toDF("probe_key")
+    val out = Sketches.cmFrequency(df, col("k"), probes, "probe_key")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.length === 36)
+    out.foreach { case (p, exact, cm) =>
+      assert(cm >= exact, s"probe $p: cm $cm < exact $exact")
+    }
+    out.filter(_._1 >= 900L).foreach { case (p, exact, _) =>
+      assert(exact === 0L, s"absent probe $p has exact $exact")
+    }
+    // 100 keys × 4 rows over 4096 counters — the min across 4 independent
+    // rows is exact here (deterministic hashes: a regression, not flake)
+    out.foreach { case (p, exact, cm) =>
+      assert(cm === exact, s"probe $p: collision inflated $exact to $cm")
+    }
+  }
+
+  test("cm sketch identical under repartitioning (integer counters)") {
+    val base = (1L to 500L).flatMap(k => Seq.fill(3)(k)).toDF("k")
+    val probes = (1L to 10L).toDF("probe_key")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Sketches.cmFrequency(df, col("k"), probes, "probe_key")
+        .orderBy("probe_key").collect().toSeq
+    assert(run(base.repartition(1)) === run(base.repartition(13)))
+  }
+
+  test("histogram quantile estimate lands within two bin widths of exact") {
+    val df = (1L to 10000L).map(c => ("g", c)).toDF("g", "cents")
+    val out = Sketches.histQuantiles(df, "g", col("cents"),
+        Seq("p50" -> 0.5, "p90" -> 0.9, "p99" -> 0.99))
+      .collect()
+    assert(out.length === 3)
+    val binWidth = 10000.0 / Sketches.HistBins / 100.0
+    out.foreach { r =>
+      val (est, exact) = (r.getDouble(3), r.getDouble(4))
+      assert(math.abs(est - exact) <= 2 * binWidth,
+        s"${r.getString(1)}: est $est vs exact $exact")
+    }
+  }
+
+  test("histogram quantiles identical under repartitioning (integer bin counts)") {
+    val df = (1L to 5000L).map(c => ("g", c * 3 % 977)).toDF("g", "cents")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Sketches.histQuantiles(d, "g", col("cents"), Seq("p50" -> 0.5))
+        .collect().toSeq
+    assert(run(df.repartition(1)) === run(df.repartition(13)))
+  }
 }

@@ -91,4 +91,33 @@ class TextDedupSpec extends SparkSpec {
       .orderBy("k").collect().map(r => (r.getInt(0), r.getString(1))).toList
     assert(out == List((1, "a"), (2, "y"), (3, "m")))
   }
+
+  test("editDistanceJoin matches identity/deletion/substitution/insertion, not distance 2") {
+    val s = spark
+    import s.implicits._
+    val left = Seq(
+      (1L, "kitten"),  // identity: distance 0
+      (2L, "kitte"),   // right has one insertion: distance 1
+      (3L, "xitten"),  // one substitution: distance 1
+      (4L, "kittenx"), // right has one deletion: distance 1
+      (5L, "sittin")   // distance 2 — must NOT match
+    ).toDF("lid", "lstr")
+    val right = Seq((10L, "kitten")).toDF("rid", "rstr")
+    val out = TextDedup.editDistanceJoin(left, "lid", "lstr", right, "rid", "rstr")
+      .orderBy("lid")
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(4))).toList
+    assert(out == List((1L, 10L, 0L), (2L, 10L, 1L), (3L, 10L, 1L), (4L, 10L, 1L)))
+  }
+
+  test("editDistanceJoin emits each matching pair once despite multiple shared keys") {
+    val s = spark
+    import s.implicits._
+    // "aa" vs "aa": key sets share "aa", "a" (×2 deletions dedup to one)
+    // — the DISTINCT collapse must keep the pair single
+    val l = Seq((1L, "aa")).toDF("lid", "lstr")
+    val r = Seq((2L, "aa"), (3L, "ab")).toDF("rid", "rstr")
+    val out = TextDedup.editDistanceJoin(l, "lid", "lstr", r, "rid", "rstr")
+      .orderBy("rid").collect().map(x => (x.getLong(2), x.getLong(4))).toList
+    assert(out == List((2L, 0L), (3L, 1L)))
+  }
 }

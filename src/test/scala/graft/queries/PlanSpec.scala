@@ -138,6 +138,38 @@ class PlanSpec extends SparkSpec {
     assert("""\(\d+\) HashAggregate""".r.findAllIn(p).size >= 4, p)
   }
 
+  test("q18 lateral explode: Generate is narrow — only the final sort exchanges") {
+    val p = plan("q18_lateral_explode")
+    assert(p.contains("Generate"), p)
+    assert("""\(\d+\) Exchange""".r.findAllIn(p).size == 1, p)
+  }
+
+  test("q19 top-n: rank filter compiles to a PARTIAL WindowGroupLimit before the shuffle") {
+    val p = plan("q19_window_topn")
+    // each map task keeps its local top-3 per group pre-exchange — the
+    // shuffle carries O(groups·k·tasks) rows, not the fact table
+    assert(p.contains("WindowGroupLimit"), p)
+    assert(p.contains("row_number(), 3, Partial"), p)
+  }
+
+  test("q20 theta self-join: equi conjunct keys a hash join, theta stays residual") {
+    val p = plan("q20_theta_self_join")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("x9e cm sketch: counter and estimate aggregations two-phase, counters broadcast") {
+    val p = plan("x9e_cm_sketch")
+    assert("""\(\d+\) HashAggregate""".r.findAllIn(p).size >= 4, p)
+    assert(p.contains("BroadcastExchange"), p)
+  }
+
+  test("x14 salted agg: two aggregation phases (salted partials, true-key final)") {
+    val p = plan("x14_salted_agg")
+    assert("""\(\d+\) HashAggregate""".r.findAllIn(p).size >= 4, p)
+  }
+
   test("flagship entry: broadcast join, no shuffle of the fact side") {
     val df: DataFrame = SparkEntry.entry(spark)
     val p = df.queryExecution.explainString(ExplainMode.fromString("formatted"))
