@@ -355,5 +355,27 @@ object AdvancedRelationalDemos {
           col("nation_a").asc_nulls_last, col("nation_b").asc_nulls_last)
     })
 
-  val all: Seq[Demo] = Seq(q12, q13, q14, q15, q16, q17, q18, q19, q20, x9c)
+  // -------------------------------------------------------------------
+  // Q21: correlated scalar subquery — each customer's most-expensive
+  // order(s), phrased as the textbook correlated filter. Catalyst
+  // DECORRELATES it (RewriteCorrelatedScalarSubquery): the inner
+  // per-customer max becomes one grouped aggregate joined back on
+  // custkey — no per-row re-execution, no nested loop (plan-asserted).
+  // ONE shared SQL text drives spark.sql and the oracle (q11 pattern).
+  // max() is order-independent, so raw DOUBLE comparison is exact.
+  // -------------------------------------------------------------------
+  private val correlatedText = """
+      SELECT o_orderkey, o_custkey, o_totalprice
+      FROM orders o
+      WHERE o_totalprice = (SELECT max(i.o_totalprice) FROM orders i
+                            WHERE i.o_custkey = o.o_custkey)
+      ORDER BY o_orderkey ASC NULLS LAST"""
+
+  private val q21 = Demo("q21_correlated_subquery", Some(correlatedText),
+    (s, dir) => {
+      Tables.table(s, dir, "orders").createOrReplaceTempView("orders")
+      s.sql(correlatedText)
+    })
+
+  val all: Seq[Demo] = Seq(q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, x9c)
 }

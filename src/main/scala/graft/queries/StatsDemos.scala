@@ -246,5 +246,80 @@ object StatsDemos {
         Seq("p50" -> 0.5, "p90" -> 0.9, "p99" -> 0.99))
       .orderBy(col("event_type").asc_nulls_last, col("q").asc_nulls_last))
 
-  val all: Seq[Demo] = Seq(x9a, x9b, x9d, x9e, x9f)
+  // -------------------------------------------------------------------
+  // X9g: covariance / Pearson correlation per l_returnflag from EXACT
+  // integer power sums (n, Σx, Σy, Σx², Σy², Σxy) — one grouped
+  // aggregation carrying 10 longs per group, then a fixed single-
+  // rounding float expression (sqrt/·// are IEEE exact-rounded; no
+  // transcendentals). ONE shared SQL text drives spark.sql AND the
+  // oracle (the q11/q17 pattern) so the op order cannot diverge.
+  // Magnitude contract: the quantity/discount/tax percent columns are
+  // small integers, so every power sum stays well inside int64 at any
+  // harness scale (the engines' sum types — Spark long, DuckDB HUGEINT —
+  // only widen headroom).
+  // -------------------------------------------------------------------
+  private val correlationText = """
+      WITH c AS (SELECT l_returnflag AS flag,
+                        cast(l_quantity AS bigint) AS q,
+                        cast(round(l_discount * 100) AS bigint) AS d,
+                        cast(round(l_tax * 100) AS bigint) AS t
+                 FROM lineitem),
+      s AS (SELECT flag, count(*) AS n,
+                   sum(q) AS sq, sum(d) AS sd, sum(t) AS st,
+                   sum(q * q) AS sqq, sum(d * d) AS sdd, sum(t * t) AS stt,
+                   sum(q * d) AS sqd, sum(q * t) AS sqt
+            FROM c GROUP BY 1)
+      SELECT flag, n,
+             CASE WHEN n > 1 THEN
+               cast(n * sqd - sq * sd AS double)
+                 / cast(n AS double) / cast(n - 1 AS double)
+             END AS cov_qty_discount,
+             CASE WHEN (n * sqq - sq * sq) > 0 AND (n * sdd - sd * sd) > 0 THEN
+               cast(n * sqd - sq * sd AS double)
+                 / (sqrt(cast(n * sqq - sq * sq AS double))
+                    * sqrt(cast(n * sdd - sd * sd AS double)))
+             END AS corr_qty_discount,
+             CASE WHEN (n * sqq - sq * sq) > 0 AND (n * stt - st * st) > 0 THEN
+               cast(n * sqt - sq * st AS double)
+                 / (sqrt(cast(n * sqq - sq * sq AS double))
+                    * sqrt(cast(n * stt - st * st AS double)))
+             END AS corr_qty_tax
+      FROM s
+      ORDER BY flag ASC NULLS LAST"""
+
+  private val x9g = Demo("x9g_correlation", Some(correlationText),
+    (s, dir) => {
+      Tables.table(s, dir, "lineitem").createOrReplaceTempView("lineitem")
+      s.sql(correlationText)
+    })
+
+  // -------------------------------------------------------------------
+  // X16: column profiling — graft.operators.Profile over events, with a
+  // derived null-bearing column (the harness has no NULLs, so the NULL
+  // path is exercised via the derive-then-replay recipe: CASE WHEN
+  // value > 100). ONE pass computes every column's counts (multi-
+  // distinct rides a single Expand aggregation — plan-asserted); the
+  // oracle states each column's profile as its own scalar aggregate.
+  // -------------------------------------------------------------------
+  private val x16 = Demo("x16_profile", Some("""
+      WITH ev AS (SELECT user_id, event_type, value,
+                         CASE WHEN value > 100 THEN value END AS big_value
+                  FROM events)
+      SELECT 'big_value' AS col_name, count(*) AS n_rows,
+             count(big_value) AS n_nonnull, count(DISTINCT big_value) AS n_distinct FROM ev
+      UNION ALL
+      SELECT 'event_type', count(*), count(event_type), count(DISTINCT event_type) FROM ev
+      UNION ALL
+      SELECT 'user_id', count(*), count(user_id), count(DISTINCT user_id) FROM ev
+      UNION ALL
+      SELECT 'value', count(*), count(value), count(DISTINCT value) FROM ev
+      ORDER BY col_name ASC NULLS LAST"""),
+    (s, dir) => graft.operators.Profile.profile(
+        t(s, dir, "events").select(col("user_id"), col("event_type"),
+          col("value"),
+          when(col("value") > 100, col("value")).as("big_value")),
+        Seq("user_id", "event_type", "value", "big_value"))
+      .orderBy(col("col_name").asc_nulls_last))
+
+  val all: Seq[Demo] = Seq(x9a, x9b, x9d, x9e, x9f, x9g, x16)
 }

@@ -170,6 +170,20 @@ class PlanSpec extends SparkSpec {
     assert("""\(\d+\) HashAggregate""".r.findAllIn(p).size >= 4, p)
   }
 
+  test("q21 correlated subquery decorrelates: one grouped agg joined back, no re-execution") {
+    val p = plan("q21_correlated_subquery")
+    assert(p.contains("HashAggregate"), p)
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("x16 profile: ONE scan feeds every column's counts (multi-distinct Expand)") {
+    val p = plan("x16_profile")
+    assert("""\(\d+\) Scan parquet""".r.findAllIn(p).size == 1, p)
+    assert(p.contains("Expand"), p)
+  }
+
   test("flagship entry: broadcast join, no shuffle of the fact side") {
     val df: DataFrame = SparkEntry.entry(spark)
     val p = df.queryExecution.explainString(ExplainMode.fromString("formatted"))
