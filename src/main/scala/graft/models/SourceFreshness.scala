@@ -31,7 +31,8 @@ object SourceFreshness {
     * pass/warn/error; a source with no rows (NULL max) reports `error`
     * with NULL age, like dbt's "could not compute freshness".
     */
-  def check(sources: Seq[Source], asOfEpochSec: Long): DataFrame =
+  def check(sources: Seq[Source], asOfEpochSec: Long): DataFrame = {
+    require(sources.nonEmpty, "no sources to check")
     sources.map { src =>
       val mxs = unix_timestamp(col("mx")) // whole seconds, floor
       val age = expr(s"(${asOfEpochSec}L - unix_timestamp(mx)) div 3600")
@@ -44,4 +45,5 @@ object SourceFreshness {
             .when(age >= src.warnAfterH, lit("warn"))
             .otherwise(lit("pass")).as("status"))
     }.reduce(_ unionByName _)
+  }
 }

@@ -24,6 +24,8 @@ object Profile {
     * convention).
     */
   def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty && cols.distinct.size == cols.size,
+      s"profiled columns must be non-empty and distinct: $cols")
     val aggs = cols.flatMap(c => Seq(
       count(col(c)).as(s"__nn_$c"),
       countDistinct(col(c)).as(s"__nd_$c"))) :+ count(lit(1)).as("__n")

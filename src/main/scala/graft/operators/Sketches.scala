@@ -124,9 +124,15 @@ object Sketches {
     */
   val CmSalt = 2654435769L
 
-  /** Counter index of `key` in CM row `r`. */
+  /** Counter index of `key` in CM row `r`. The key folds to 31 bits
+    * BEFORE the salt is added — `(k mod M + r·s) mod M = (k + r·s) mod M`,
+    * so the hash is unchanged for small keys while a key near
+    * Long.MaxValue can no longer overflow the addition (ANSI-safe for
+    * the full int64 key domain, like mix31 itself).
+    */
   def cmCell(key: Column, r: Column): Column =
-    pmod(mix31(key.cast("long") + r * lit(CmSalt)), lit(CmWidth))
+    pmod(mix31(pmod(key.cast("long"), lit(Mod31)) + r * lit(CmSalt)),
+      lit(CmWidth))
 
   /** Count-min frequency estimates for `probes` (a DataFrame with a long
     * key column `probeCol`) against the frequency of `key` in `df`:
@@ -136,8 +142,10 @@ object Sketches {
     * Scale: the sketch aggregation explodes each row CmDepth× but
     * map-side combine collapses every partition to ≤ depth·width counter
     * rows, so the shuffle is O(depth·width) regardless of input size —
-    * the counters then broadcast to the probe side. The exact branch
-    * (one groupBy on the probed keys) exists only for the error column.
+    * the counters then broadcast to the probe side. The exact branch is
+    * pre-filtered to the probed keys by a broadcast semi-join, so its
+    * shuffle is bounded by the probe cardinality, not the input's key
+    * cardinality; it exists only for the error column.
     */
   def cmFrequency(df: DataFrame, key: Column, probes: DataFrame,
       probeCol: String): DataFrame = {
@@ -154,7 +162,9 @@ object Sketches {
       .join(broadcast(counters), Seq("r", "c"), "left")
       .groupBy(col("probe_key"))
       .agg(min(coalesce(col("cnt"), lit(0L))).as("n_cm"))
-    val exact = keyed.groupBy(col("k")).agg(count(lit(1)).as("cnt_exact"))
+    val exact = keyed
+      .join(broadcast(probeKeys), col("k") === col("probe_key"), "left_semi")
+      .groupBy(col("k")).agg(count(lit(1)).as("cnt_exact"))
     probeKeys
       .join(exact, col("probe_key") === col("k"), "left")
       .join(est, Seq("probe_key"))
@@ -181,17 +191,27 @@ object Sketches {
     * no clamp is needed); the only float ops are the final interpolation
     * chain, written as the same single-rounding expression sequence on
     * both engines (IEEE ops are exact-rounded; no transcendentals).
-    * Two passes over the input by design (bounds, then counts) — a
-    * production run at fixed domain skips the bounds pass.
+    *
+    * Input passes: the bounds aggregate feeds TWO consumers (the bin
+    * computation and the quantile targets), so the default lazy plan may
+    * evaluate it twice — two-to-three scans of the input. At scale, pass
+    * `materializeBounds = Some(_.localCheckpoint(true))` to pin the
+    * bounds pass to one scan (the hook is opt-in because an eager
+    * barrier costs more than the re-read at small inputs); a production
+    * run with a FIXED domain skips the bounds pass entirely.
     */
   def histQuantiles(df: DataFrame, group: String, cents: Column,
-      qs: Seq[(String, Double)]): DataFrame = {
+      qs: Seq[(String, Double)],
+      materializeBounds: Option[DataFrame => DataFrame] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    require(qs.nonEmpty && qs.map(_._1).distinct.size == qs.size,
+      s"quantile labels must be non-empty and distinct: ${qs.map(_._1)}")
     val base = df.filter(cents.isNotNull)
       .select(col(group), cents.cast("long").as("cents"))
-    val bounds = base.groupBy(col(group)).agg(
+    val bounds0 = base.groupBy(col(group)).agg(
       min(col("cents")).as("lo"), max(col("cents")).as("hi"),
       count(lit(1)).as("n"))
+    val bounds = materializeBounds.map(_(bounds0)).getOrElse(bounds0)
     val hist = base.join(broadcast(bounds), Seq(group))
       .select(col(group),
         expr(s"((cents - lo) * $HistBins) div (hi - lo + 1)").as("bin"))
@@ -214,11 +234,14 @@ object Sketches {
               / col("cnt").cast("double"))
           * ((col("hi") - col("lo") + 1).cast("double")
             / lit(HistBins).cast("double"))) / 100).as("est_value"))
+    // plain-string literal: a raw Double interpolation renders small
+    // quantiles in scientific notation ("1.0E-4"), which the SQL parser
+    // rejects
+    def pctExpr(v: Double): Column =
+      expr(s"percentile(cents, ${BigDecimal(v).underlying.toPlainString}e0)") / 100
     val exactWide = base.groupBy(col(group)).agg(
-      qs.head match { case (l, v) =>
-        (expr(s"percentile(cents, ${v}e0)") / 100).as(l) },
-      qs.tail.map { case (l, v) =>
-        (expr(s"percentile(cents, ${v}e0)") / 100).as(l) }: _*)
+      pctExpr(qs.head._2).as(qs.head._1),
+      qs.tail.map { case (l, v) => pctExpr(v).as(l) }: _*)
     val exact = exactWide.unpivot(
       ids = Array(col(group)),
       values = qs.map(p => col(p._1)).toArray,

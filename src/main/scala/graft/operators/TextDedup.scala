@@ -332,17 +332,22 @@ object TextDedup {
     * dependent, typically small), never n². The all-pairs alternative
     * this avoids is O(n²) levenshtein calls — at 100 TB, unrunnable.
     */
+  /** Output columns are the CANONICAL `(left_id, left_str, right_id,
+    * right_str, dist)` — input column names may coincide across the two
+    * sides (the self-dedup call passes the same frame twice), so the
+    * operator renames internally and never leaks an ambiguous reference.
+    */
   def editDistanceJoin(left: DataFrame, leftId: String, leftStr: String,
       right: DataFrame, rightId: String, rightStr: String): DataFrame = {
-    val lk = left.select(col(leftId), col(leftStr),
-      explode(del1Keys(col(leftStr))).as("__k"))
-    val rk = right.select(col(rightId), col(rightStr),
-      explode(del1Keys(col(rightStr))).as("__k"))
+    val lk = left.select(col(leftId).as("left_id"), col(leftStr).as("left_str"))
+      .withColumn("__k", explode(del1Keys(col("left_str"))))
+    val rk = right.select(col(rightId).as("right_id"), col(rightStr).as("right_str"))
+      .withColumn("__k", explode(del1Keys(col("right_str"))))
     lk.join(rk, "__k")
-      .select(col(leftId), col(leftStr), col(rightId), col(rightStr))
+      .select(col("left_id"), col("left_str"), col("right_id"), col("right_str"))
       .distinct()
       .withColumn("dist",
-        levenshtein(col(leftStr), col(rightStr)).cast("long"))
+        levenshtein(col("left_str"), col("right_str")).cast("long"))
       .filter(col("dist") <= 1)
   }
 }

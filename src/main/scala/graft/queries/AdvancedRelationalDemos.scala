@@ -285,7 +285,7 @@ object AdvancedRelationalDemos {
   private val q18 = Demo("q18_lateral_explode", Some("""
       WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
       SELECT doc_id, cast(i AS bigint) AS pos, toks[i] AS token
-      FROM d, unnest(generate_series(1, least(len(toks), 5))) AS t(i)
+      FROM d, unnest(generate_series(1, least(coalesce(len(toks), 0), 5))) AS t(i)
       ORDER BY doc_id ASC NULLS LAST, pos ASC NULLS LAST"""),
     (s, dir) => t(s, dir, "documents")
       .select(col("doc_id"),

@@ -261,8 +261,9 @@ object DedupDemos {
       val clean = sup.select(col("s_suppkey"), col("s_name"))
       TextDedup.editDistanceJoin(dirty, "did", "dname",
           clean, "s_suppkey", "s_name")
-        .select(col("did"), col("s_suppkey").as("clean_key"), col("dname"),
-          col("s_name").as("clean_name"), col("dist"))
+        .select(col("left_id").as("did"), col("right_id").as("clean_key"),
+          col("left_str").as("dname"), col("right_str").as("clean_name"),
+          col("dist"))
         .orderBy(col("did").asc_nulls_last, col("clean_key").asc_nulls_last)
     })
 

@@ -81,6 +81,23 @@ class SketchesSpec extends SparkSpec {
     }
   }
 
+  test("cm sketch accepts keys across the full int64 domain (no ANSI overflow)") {
+    val df = Seq(Long.MaxValue, Long.MaxValue - 1, Long.MinValue + 1, 5L).toDF("k")
+    val probes = Seq(Long.MaxValue, 5L).toDF("probe_key")
+    val out = Sketches.cmFrequency(df, col("k"), probes, "probe_key")
+      .orderBy("probe_key").collect()
+    assert(out.map(r => (r.getLong(1), r.getLong(2))).forall {
+      case (exact, cm) => cm >= exact && exact == 1L
+    })
+  }
+
+  test("histQuantiles parses sub-millesimal quantiles (plain-string literal)") {
+    val df = (1L to 10000L).map(c => ("g", c)).toDF("g", "cents")
+    val r = Sketches.histQuantiles(df, "g", col("cents"), Seq("p001" -> 0.0001))
+      .head()
+    assert(r.getDouble(4) > 0) // exact percentile evaluated, no ParseException
+  }
+
   test("histogram quantiles identical under repartitioning (integer bin counts)") {
     val df = (1L to 5000L).map(c => ("g", c * 3 % 977)).toDF("g", "cents")
     def run(d: org.apache.spark.sql.DataFrame) =

@@ -104,9 +104,21 @@ class TextDedupSpec extends SparkSpec {
     ).toDF("lid", "lstr")
     val right = Seq((10L, "kitten")).toDF("rid", "rstr")
     val out = TextDedup.editDistanceJoin(left, "lid", "lstr", right, "rid", "rstr")
-      .orderBy("lid")
+      .orderBy("left_id")
       .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(4))).toList
     assert(out == List((1L, 10L, 0L), (2L, 10L, 1L), (3L, 10L, 1L), (4L, 10L, 1L)))
+  }
+
+  test("editDistanceJoin self-dedups one frame against itself (coinciding column names)") {
+    val s = spark
+    import s.implicits._
+    val corpus = Seq((1L, "alpha"), (2L, "alpha"), (3L, "alphx"), (4L, "gamma"))
+      .toDF("id", "name")
+    val out = TextDedup.editDistanceJoin(corpus, "id", "name", corpus, "id", "name")
+      .filter(col("left_id") < col("right_id")) // unordered pairs once
+      .orderBy("left_id", "right_id")
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(4))).toList
+    assert(out == List((1L, 2L, 0L), (1L, 3L, 1L), (2L, 3L, 1L)))
   }
 
   test("editDistanceJoin emits each matching pair once despite multiple shared keys") {
@@ -117,7 +129,7 @@ class TextDedupSpec extends SparkSpec {
     val l = Seq((1L, "aa")).toDF("lid", "lstr")
     val r = Seq((2L, "aa"), (3L, "ab")).toDF("rid", "rstr")
     val out = TextDedup.editDistanceJoin(l, "lid", "lstr", r, "rid", "rstr")
-      .orderBy("rid").collect().map(x => (x.getLong(2), x.getLong(4))).toList
+      .orderBy("right_id").collect().map(x => (x.getLong(2), x.getLong(4))).toList
     assert(out == List((2L, 0L), (3L, 1L)))
   }
 }
