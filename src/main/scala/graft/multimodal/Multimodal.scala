@@ -126,6 +126,79 @@ object Multimodal {
           .otherwise(lit(null)).as("resized_bytes"))
   }
 
+  /** Perceptual-hash bits and bands: a 60-bit dHash (difference hash —
+    * the sign sequence of adjacent-sample gradients, the classic image
+    * near-dup signature) computed over the stub decode's sample stream.
+    * 60 bits, not 64: bit 63 would need `1 << 63`, which overflows
+    * signed int64 differently across engines; 60 keeps every partial sum
+    * positive and ANSI-safe. 4 bands × 15 bits give the pigeonhole
+    * guarantee: hamming(a, b) ≤ 3 ⇒ at least one band is bit-identical.
+    */
+  val PhashBits = 60
+  val PhashBands = 4
+  val PhashBandBits: Int = PhashBits / PhashBands
+
+  private[multimodal] def dhashOne(docId: Long, mediaType: String,
+      bytes: Array[Byte]): (Long, String, Long) = {
+    val text = new String(bytes, StandardCharsets.UTF_8)
+    val cps = text.codePoints().toArray
+    val n = cps.length
+    val cp = (i: Int) => if (n == 0) 0 else cps(math.min(i, n - 1))
+    var sig = 0L
+    var i = 0
+    while (i < PhashBits) {
+      if (cp(i) > cp(i + 1)) sig |= (1L << i)
+      i += 1
+    }
+    (docId, mediaType, sig)
+  }
+
+  /** Per-payload perceptual hash `(doc_id, media_type, phash)` — same
+    * partition-wise decode seam as [[decodeFeatures]] (a real pipeline
+    * hashes the decoded pixel stream; the stub hashes the decoded
+    * character stream with identical shape).
+    */
+  def perceptualHash(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("doc_id"), col("media_type"), col("content"))
+      .as[(Long, String, Array[Byte])]
+      .mapPartitions(rows => rows.map {
+        case (id, mt, bytes) => dhashOne(id, mt, bytes)
+      })
+      .toDF("doc_id", "media_type", "phash")
+  }
+
+  /** Perceptual near-dup pairs at `hamming ≤ maxHamming` WITHOUT an
+    * all-pairs comparison: candidates come from an EQUI-join on the
+    * 4×15-bit bands (pigeonhole: a pair under the threshold must agree
+    * on ≥ ⌈bands − maxHamming⌉ ≥ 1 band), then `bit_count(xor)` verifies
+    * exactly — the multimodal sibling of the LSH/SymSpell bucket→verify
+    * shape. Scale: shuffle is bands× the hash table; a bucket is bounded
+    * by the count of hashes sharing a band value, never n².
+    */
+  def phashNearDupPairs(hashes: DataFrame, maxHamming: Int = 3): DataFrame = {
+    require(maxHamming < PhashBands,
+      s"pigeonhole blocking needs maxHamming < $PhashBands bands")
+    val banded = hashes
+      .select(col("doc_id"), col("phash"),
+        explode(sequence(lit(0), lit(PhashBands - 1))).as("band"))
+      .select(col("doc_id"), col("phash"), col("band"),
+        expr(s"(phash >> (band * $PhashBandBits)) & ${(1 << PhashBandBits) - 1}")
+          .as("band_value"))
+    banded.alias("a")
+      .join(banded.alias("b"),
+        col("a.band") === col("b.band")
+          && col("a.band_value") === col("b.band_value")
+          && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+        col("a.phash").as("ph_a"), col("b.phash").as("ph_b"))
+      .distinct()
+      .select(col("id_a"), col("id_b"),
+        expr("cast(bit_count(ph_a ^ ph_b) AS bigint)").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+  }
+
   /** Deterministic frame sampling: one row per sampled frame index, with a
     * per-frame fingerprint — the explode shape of video frame extraction.
     */

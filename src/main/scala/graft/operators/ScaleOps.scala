@@ -60,6 +60,30 @@ object ScaleOps {
         finals.tail.map { case (n, c) => c.as(n) }: _*)
   }
 
+  /** Key-distribution diagnostic: the top-`topK` heaviest values of a
+    * prospective shuffle key with counts and frequency share — the
+    * measurement that DECIDES whether [[saltedAgg]]/[[saltedJoin]] are
+    * needed (a key whose top value holds >1/shuffle-partitions of the
+    * rows will straggle). Scale: one map-side-combinable count per key,
+    * then a distributed TakeOrdered for the top-K (never a global sort
+    * of all keys); the total rides the already-aggregated counts.
+    */
+  def keySkewProfile(df: DataFrame, key: Column, topK: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(topK >= 1, s"topK must be >= 1, got $topK")
+    val counts = df.groupBy(key.as("key")).agg(count(lit(1)).as("cnt"))
+    val total = counts.agg(sum(col("cnt")).as("total"))
+    val order = Seq(col("cnt").desc, col("key").asc)
+    val top = counts.orderBy(order: _*).limit(topK)
+    // row_number over the ≤ topK surviving rows only (the unpartitioned
+    // window is bounded by topK, never by the key cardinality)
+    top.withColumn("rank",
+        row_number().over(Window.orderBy(order: _*)).cast("long"))
+      .crossJoin(broadcast(total))
+      .select(col("rank"), col("key"), col("cnt"),
+        (col("cnt").cast("double") / col("total").cast("double")).as("share"))
+  }
+
   /** Skew-safe equi-join of a large fact against a small-but-not-tiny
     * dimension: the fact side gets a deterministic salt in [0, n), the
     * dimension replicates n-fold, and the join key becomes (key, salt) —

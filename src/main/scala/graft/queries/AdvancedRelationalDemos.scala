@@ -377,5 +377,37 @@ object AdvancedRelationalDemos {
       s.sql(correlatedText)
     })
 
-  val all: Seq[Demo] = Seq(q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, x9c)
+  // -------------------------------------------------------------------
+  // Q22: NOT IN three-valued logic — the classic SQL-semantics trap,
+  // pinned: NOT IN over an empty set keeps every row; NOT IN over a set
+  // CONTAINING NULL keeps none (x <> NULL is UNKNOWN, so the conjunction
+  // never reaches TRUE); a real set anti-filters. ONE shared text drives
+  // spark.sql and the oracle, so both engines' ANSI semantics are
+  // hash-compared directly. Spark plans the nullable branch as a
+  // null-aware anti join rather than re-running the subquery per row.
+  // -------------------------------------------------------------------
+  private val notInText = """
+      SELECT 'not_in_empty_set' AS scenario, count(*) AS n FROM customer
+      WHERE c_custkey NOT IN (SELECT o_custkey FROM orders
+                              WHERE o_orderstatus = 'NOPE')
+      UNION ALL
+      SELECT 'not_in_null_set', count(*) FROM customer
+      WHERE c_custkey NOT IN (SELECT CASE WHEN o_orderstatus = 'NOPE'
+                                          THEN o_custkey END
+                              FROM orders)
+      UNION ALL
+      SELECT 'not_in_real_set', count(*) FROM customer
+      WHERE c_custkey NOT IN (SELECT o_custkey FROM orders
+                              WHERE o_orderpriority = '1-URGENT')
+      ORDER BY scenario ASC NULLS LAST"""
+
+  private val q22 = Demo("q22_not_in_semantics", Some(notInText),
+    (s, dir) => {
+      Tables.table(s, dir, "customer").createOrReplaceTempView("customer")
+      Tables.table(s, dir, "orders").createOrReplaceTempView("orders")
+      s.sql(notInText)
+    })
+
+  val all: Seq[Demo] =
+    Seq(q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, x9c)
 }

@@ -116,5 +116,50 @@ object MultimodalDemos {
         Multimodal.decodeFeatures(Multimodal.mediaTable(docs(s, dir))), maxDim = 48)
       .orderBy(col("doc_id").asc_nulls_last))
 
-  val all: Seq[Demo] = Seq(x4b, x4c, x4d, x4e)
+  // -------------------------------------------------------------------
+  // X4f: PERCEPTUAL-HASH NEAR-DUP over the image modality — 60-bit dHash
+  // per payload (gradient-sign sequence from the stub decode's sample
+  // stream), then hamming ≤ 3 pairs via the 4×15-bit pigeonhole band
+  // join + exact bit_count(xor) verify (Multimodal.phashNearDupPairs) —
+  // near-dup detection for media, where text shingles don't exist. The
+  // oracle recomputes the same hash with ascii/substr arithmetic and
+  // replays the band join declaratively.
+  // -------------------------------------------------------------------
+  private def cpSql(idx: String) =
+    s"CASE WHEN length(text) = 0 THEN 0 ELSE ascii(substr(text, least($idx, length(text) - 1) + 1, 1)) END"
+
+  private val phashSql =
+    s"""cast(list_sum(list_transform(generate_series(0, ${Multimodal.PhashBits - 1}),
+       i -> CASE WHEN (${cpSql("i")}) > (${cpSql("i + 1")})
+                 THEN (1::BIGINT << i) ELSE 0::BIGINT END)) AS bigint)"""
+
+  private val bandMask = (1 << Multimodal.PhashBandBits) - 1
+
+  private val x4f = Demo("x4f_phash_neardup", Some(s"""
+      WITH ph AS (
+        SELECT doc_id, $phashSql AS phash
+        FROM documents WHERE doc_id % 3 = 0),
+      banded AS (
+        SELECT doc_id, phash, band,
+               (phash >> (band * ${Multimodal.PhashBandBits})) & $bandMask AS band_value
+        FROM ph, unnest(generate_series(0, ${Multimodal.PhashBands - 1})) AS t(band)),
+      cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+               a.phash AS ph_a, b.phash AS ph_b
+        FROM banded a JOIN banded b
+          ON a.band = b.band AND a.band_value = b.band_value
+             AND a.doc_id < b.doc_id)
+      SELECT id_a, id_b, cast(bit_count(xor(ph_a, ph_b)) AS bigint) AS hamming
+      FROM cand
+      WHERE bit_count(xor(ph_a, ph_b)) <= 3
+      ORDER BY id_a ASC NULLS LAST, id_b ASC NULLS LAST"""),
+    (s, dir) => {
+      val images = docs(s, dir).filter(pmod(col("doc_id"), lit(3)) === 0)
+      Multimodal.phashNearDupPairs(
+          Multimodal.perceptualHash(Multimodal.mediaTable(images)),
+          maxHamming = 3)
+        .orderBy(col("id_a").asc_nulls_last, col("id_b").asc_nulls_last)
+    })
+
+  val all: Seq[Demo] = Seq(x4b, x4c, x4d, x4e, x4f)
 }

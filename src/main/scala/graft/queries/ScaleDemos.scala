@@ -48,5 +48,27 @@ object ScaleDemos {
           "sum_qty" -> sum(col("sq_p"))))
       .orderBy(col("l_returnflag").asc_nulls_last))
 
-  val all: Seq[Demo] = Seq(x14)
+  // -------------------------------------------------------------------
+  // X17: join-key skew diagnostic — ScaleOps.keySkewProfile over the
+  // events user_id key: top-10 heaviest values with count and frequency
+  // share. This is the measurement that decides whether x14's salting is
+  // warranted. The share division is one double op over exact integers;
+  // ties rank deterministically by (count DESC, key ASC).
+  // -------------------------------------------------------------------
+  private val x17 = Demo("x17_key_skew", Some("""
+      WITH counts AS (SELECT user_id AS key, count(*) AS cnt
+                      FROM events GROUP BY 1),
+      total AS (SELECT sum(cnt) AS total FROM counts),
+      top AS (SELECT key, cnt,
+                     row_number() OVER (ORDER BY cnt DESC, key ASC) AS rank
+              FROM counts ORDER BY cnt DESC, key ASC LIMIT 10)
+      SELECT rank, key, cnt,
+             cast(cnt AS double) / cast(total AS double) AS share
+      FROM top CROSS JOIN total
+      ORDER BY rank ASC NULLS LAST"""),
+    (s, dir) => ScaleOps.keySkewProfile(
+        t(s, dir, "events"), col("user_id"), topK = 10)
+      .orderBy(col("rank").asc_nulls_last))
+
+  val all: Seq[Demo] = Seq(x14, x17)
 }

@@ -13,7 +13,8 @@ class DemoSpec extends SparkSpec {
 
   // queries whose correct result CAN be empty at tiny scale
   private val mayBeEmpty = Set("q08_grain_test", "x2b_minhash_lsh",
-    "x2c_ngram_jaccard", "x2e_embed_neardup", "q07_having")
+    "x2c_ngram_jaccard", "x2e_embed_neardup", "q07_having",
+    "x4f_phash_neardup")
 
   test("flagship entry returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
