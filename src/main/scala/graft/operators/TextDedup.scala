@@ -97,6 +97,26 @@ object TextDedup {
     df.withColumn(outCol, fingerprintExpr(textCol))
   }
 
+  /** Incremental ingestion dedup — the production corpus-append pattern:
+    * fingerprint the incoming batch, keep one row per fingerprint WITHIN
+    * the batch (deterministic min-id tiebreak), then anti-join against
+    * the already-ingested fingerprint store so re-crawled content never
+    * lands twice. Scale: fingerprints are 8-byte keys, so the anti-join
+    * shuffles keys only — and co-locates with NO exchange at all when
+    * the store is bucketed by fingerprint ([[ScaleOps.writeBucketed]]).
+    */
+  def incrementalDedup(batch: DataFrame, idCol: String, textCol: String,
+      existingFingerprints: DataFrame): DataFrame = {
+    val fp = withFingerprint(
+        batch.select(col(idCol).as("doc_id"), col(textCol).as("__text")),
+        "__text")
+      .drop("__text")
+    exactDedup(fp, Seq("fingerprint"), col("doc_id"))
+      .join(existingFingerprints.select(col("fingerprint")),
+        Seq("fingerprint"), "left_anti")
+      .select(col("doc_id"), col("fingerprint"))
+  }
+
   /** MinHash+LSH near-dup pairs (X2b) — the 100 TB dedup path: shingle →
     * codegen hash → single-buffer 128-slot minhash signature (map-side
     * combinable) → 64 bands of r=2 → per-bucket candidate pairs → exact

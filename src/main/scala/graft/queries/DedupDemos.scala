@@ -86,10 +86,11 @@ object DedupDemos {
       .select(col("lang"), col("source"), col("doc_id"))
       .orderBy(col("lang").asc_nulls_last, col("source").asc_nulls_last))
 
-  // X2a: document fingerprint — rolling hash over codegen'd token hashes.
-  private val x2a = Demo("x2a_fingerprint", Some(s"""
-      SELECT doc_id,
-             list_reduce(
+  /** DuckDB replay of the `char_poly_hash`-based rolling document
+    * fingerprint (graft.functions.Hashing) — ONE definition site shared
+    * by every fingerprint-consuming oracle (x2a, x18).
+    */
+  private val fingerprintSql = s"""list_reduce(
                list_prepend(cast(0 AS bigint),
                  list_transform(string_split(text, ' '), tk ->
                    list_reduce(
@@ -97,7 +98,12 @@ object DedupDemos {
                        list_transform(generate_series(1, length(tk)), i ->
                          cast(ascii(substr(tk, i, 1)) AS bigint))),
                      (acc, v) -> (acc * 31 + v) % $Mod))),
-               (acc, h) -> (acc * 131 + h) % $Mod) AS fingerprint
+               (acc, h) -> (acc * 131 + h) % $Mod)"""
+
+  // X2a: document fingerprint — rolling hash over codegen'd token hashes.
+  private val x2a = Demo("x2a_fingerprint", Some(s"""
+      SELECT doc_id,
+             $fingerprintSql AS fingerprint
       FROM documents
       ORDER BY doc_id ASC NULLS LAST"""),
     (s, dir) => TextDedup.fingerprint(t(s, dir, "documents"), "doc_id", "text")
@@ -267,5 +273,38 @@ object DedupDemos {
         .orderBy(col("did").asc_nulls_last, col("clean_key").asc_nulls_last)
     })
 
-  val all: Seq[Demo] = Seq(x1, x2a, x2b, x2c, x2c2, x2d, x2e, x2f, x2g)
+  // X18: incremental ingestion dedup — TextDedup.incrementalDedup: the
+  // corpus-append pattern (within-batch exact dedup + anti-join against
+  // the already-ingested fingerprint store). The store/batch split is
+  // derived deterministically from the harness corpus (doc_id < 400 =
+  // already ingested; >= 400 = incoming crawl batch).
+  private val x18 = Demo("x18_incremental_dedup", Some(s"""
+      WITH fp_batch AS (
+        SELECT doc_id, $fingerprintSql AS fingerprint
+        FROM documents WHERE doc_id >= 400),
+      fp_store AS (
+        SELECT DISTINCT $fingerprintSql AS fingerprint
+        FROM documents WHERE doc_id < 400),
+      in_batch AS (
+        SELECT doc_id, fingerprint FROM (
+          SELECT doc_id, fingerprint,
+                 row_number() OVER (PARTITION BY fingerprint
+                                    ORDER BY doc_id) AS rn
+          FROM fp_batch)
+        WHERE rn = 1)
+      SELECT doc_id, fingerprint
+      FROM in_batch
+      WHERE NOT EXISTS (SELECT 1 FROM fp_store s
+                        WHERE s.fingerprint = in_batch.fingerprint)
+      ORDER BY doc_id ASC NULLS LAST"""),
+    (s, dir) => {
+      val d = t(s, dir, "documents")
+      val store = TextDedup.fingerprint(
+        d.filter(col("doc_id") < 400), "doc_id", "text")
+      TextDedup.incrementalDedup(
+          d.filter(col("doc_id") >= 400), "doc_id", "text", store)
+        .orderBy(col("doc_id").asc_nulls_last)
+    })
+
+  val all: Seq[Demo] = Seq(x1, x2a, x2b, x2c, x2c2, x2d, x2e, x2f, x2g, x18)
 }

@@ -109,6 +109,22 @@ class TextDedupSpec extends SparkSpec {
     assert(out == List((1L, 10L, 0L), (2L, 10L, 1L), (3L, 10L, 1L), (4L, 10L, 1L)))
   }
 
+  test("incrementalDedup drops within-batch dups (min id wins) and store collisions") {
+    val s = spark
+    import s.implicits._
+    val batch = Seq(
+      (10L, "alpha beta"),  // collides with store → dropped
+      (11L, "gamma delta"), // fresh, duplicated in batch → keep 11 only
+      (12L, "gamma delta"),
+      (13L, "epsilon")      // fresh and unique → kept
+    ).toDF("doc_id", "text")
+    val store = TextDedup.fingerprint(
+      Seq((1L, "alpha beta")).toDF("doc_id", "text"), "doc_id", "text")
+    val out = TextDedup.incrementalDedup(batch, "doc_id", "text", store)
+      .orderBy("doc_id").collect().map(_.getLong(0)).toList
+    assert(out == List(11L, 13L))
+  }
+
   test("editDistanceJoin self-dedups one frame against itself (coinciding column names)") {
     val s = spark
     import s.implicits._

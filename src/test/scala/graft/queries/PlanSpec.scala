@@ -184,6 +184,24 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("Expand"), p)
   }
 
+  test("x4f phash near-dup: band candidates come from an equi join, never a nested loop") {
+    val p = plan("x4f_phash_neardup")
+    assert(p.contains("Join"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("x17 key skew: top-K via distributed TakeOrdered, no global sort of all keys") {
+    val p = plan("x17_key_skew")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("x18 incremental dedup: store anti-join stays an equi anti join") {
+    val p = plan("x18_incremental_dedup")
+    assert(p.contains("LeftAnti"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("flagship entry: broadcast join, no shuffle of the fact side") {
     val df: DataFrame = SparkEntry.entry(spark)
     val p = df.queryExecution.explainString(ExplainMode.fromString("formatted"))
