@@ -161,5 +161,78 @@ object MultimodalDemos {
         .orderBy(col("id_a").asc_nulls_last, col("id_b").asc_nulls_last)
     })
 
-  val all: Seq[Demo] = Seq(x4b, x4c, x4d, x4e, x4f)
+  // -------------------------------------------------------------------
+  // X19: MEDIA-CLEANING CAPSTONE — the multimodal mirror of x11's text
+  // pipeline, composed from the library operators end-to-end:
+  // image modality → perceptual dHash → pigeonhole near-dup pairs →
+  // label-propagation clusters (TextDedup.dedupClusters — the same graph
+  // machinery as x2f, pair schema is operator-agnostic) → keep the
+  // min-id representative per cluster → decode features → resize into a
+  // 48px box. The oracle replays every stage declaratively (recursive-
+  // CTE closure for the clusters), so the driver hash-verifies the WHOLE
+  // composition, iterative pieces included.
+  // -------------------------------------------------------------------
+  private val x19 = Demo("x19_media_clean", Some(s"""
+      WITH RECURSIVE imgs AS (
+        SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0),
+      ph AS (SELECT doc_id, $phashSql AS phash FROM imgs),
+      banded AS (
+        SELECT doc_id, phash, band,
+               (phash >> (band * ${Multimodal.PhashBandBits})) & $bandMask AS band_value
+        FROM ph, unnest(generate_series(0, ${Multimodal.PhashBands - 1})) AS t(band)),
+      prs AS MATERIALIZED (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+               a.phash AS ph_a, b.phash AS ph_b
+        FROM banded a JOIN banded b
+          ON a.band = b.band AND a.band_value = b.band_value
+             AND a.doc_id < b.doc_id),
+      pairs AS MATERIALIZED (
+        SELECT id_a, id_b FROM prs WHERE bit_count(xor(ph_a, ph_b)) <= 3),
+      edges AS MATERIALIZED (
+        SELECT id_a AS s, id_b AS d FROM pairs
+        UNION
+        SELECT id_b AS s, id_a AS d FROM pairs),
+      reach(node, r) AS (
+        SELECT s, s FROM edges
+        UNION
+        SELECT e.d, reach.r FROM reach JOIN edges e ON e.s = reach.node),
+      clusters AS (SELECT node, min(r) AS cluster_id FROM reach GROUP BY node),
+      dropped AS (SELECT node FROM clusters WHERE node <> cluster_id),
+      kept AS (SELECT i.doc_id, i.text FROM imgs i
+               WHERE NOT EXISTS (SELECT 1 FROM dropped d WHERE d.node = i.doc_id)),
+      f AS (
+        SELECT doc_id,
+               $MediaTypeSql AS media_type,
+               $NBytesSql AS n_bytes,
+               $WidthSql AS width,
+               $HeightSql AS height
+        FROM kept),
+      r AS (
+        SELECT doc_id, media_type, n_bytes, width, height,
+               CASE WHEN greatest(width, height) <= 48 THEN width
+                    ELSE (width * 48) // greatest(width, height) END AS new_width,
+               CASE WHEN greatest(width, height) <= 48 THEN height
+                    ELSE (height * 48) // greatest(width, height) END AS new_height
+        FROM f)
+      SELECT doc_id, media_type, width, height, new_width, new_height,
+             cast((n_bytes * new_width * new_height + width * height - 1)
+                  // (width * height) AS bigint) AS resized_bytes
+      FROM r
+      ORDER BY doc_id ASC NULLS LAST"""),
+    (s, dir) => {
+      import graft.operators.TextDedup
+      val images = docs(s, dir).filter(pmod(col("doc_id"), lit(3)) === 0)
+      val media = Multimodal.mediaTable(images)
+      val pairs = Multimodal.phashNearDupPairs(
+        Multimodal.perceptualHash(media), maxHamming = 3)
+      val dropped = TextDedup.dedupClusters(pairs)
+        .filter(col("node") =!= col("cluster_id"))
+        .select(col("node"))
+      val kept = media.join(dropped,
+        media("doc_id") === dropped("node"), "left_anti")
+      Multimodal.resize(Multimodal.decodeFeatures(kept), maxDim = 48)
+        .orderBy(col("doc_id").asc_nulls_last)
+    })
+
+  val all: Seq[Demo] = Seq(x4b, x4c, x4d, x4e, x4f, x19)
 }
