@@ -284,4 +284,38 @@ object TextAnalysis {
         min(col("doc_id")).as("first_doc"),
         max(col("doc_id")).as("last_doc"))
   }
+
+  /** Bigram corpus-frequency coverage — the log-free language-model-ish
+    * quality score: the share of a document's DISTINCT (lowercased,
+    * adjacent-token) bigrams that appear in at least `minDf` corpus
+    * documents. Low coverage flags boilerplate-free but incoherent text
+    * the unigram heuristics of [[qualityMetrics]] miss; unlike a real LM
+    * perplexity there is NO log/exp (transcendentals hash-diverge across
+    * engines — SURVEY float-fn law), just exact counts and one division.
+    *
+    * Scale: per-doc distinct bigrams explode once (O(tokens) rows), the
+    * document-frequency table is vocabulary-bounded, and the score join
+    * shuffles on the bigram key — the x5h TF-IDF plan shape. Docs with
+    * fewer than 2 tokens are excluded (they have no bigrams; Spark's
+    * `sequence(1, 0)` would otherwise DESCEND rather than return empty).
+    */
+  def bigramCoverage(df: DataFrame, idCol: String, textCol: String,
+      minDf: Int): DataFrame = {
+    val toks = split(lower(col(textCol)), " ")
+    val bg = df
+      .select(col(idCol).as("doc_id"), toks.as("toks"))
+      .filter(size(col("toks")) >= 2)
+      .select(col("doc_id"), explode(array_distinct(expr(
+        "transform(sequence(1, size(toks) - 1)," +
+          " i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1)))")))
+        .as("bg"))
+    val dfc = bg.groupBy(col("bg")).agg(count(lit(1)).as("df"))
+    bg.join(dfc, "bg")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(when(col("df") >= minDf, 1L).otherwise(0L)).as("n_common"))
+      .select(col("doc_id"), col("n_bigrams"), col("n_common"),
+        (col("n_common").cast("double") / col("n_bigrams").cast("double"))
+          .as("coverage"))
+  }
 }

@@ -201,5 +201,33 @@ object TextDemos {
       .drop("score")
       .orderBy(col("doc_id").asc_nulls_last, col("rank").asc_nulls_last))
 
-  val all: Seq[Demo] = Seq(x5a, x5b, x5c, x5d, x5e, x5f, x5g, x5h)
+  // X5i: bigram corpus-frequency coverage — the log-free LM-ish quality
+  // score (TextAnalysis.bigramCoverage): share of a doc's distinct
+  // bigrams seen in >= 3 corpus documents. Exact counts + ONE division;
+  // no transcendentals (the float-fn law), so the score hash-matches.
+  private val x5i = Demo("x5i_bigram_coverage", Some("""
+      WITH tok AS (
+        SELECT doc_id, string_split(lower(text), ' ') AS toks
+        FROM documents
+        WHERE len(string_split(lower(text), ' ')) >= 2),
+      bg AS (
+        SELECT doc_id,
+               unnest(list_distinct(list_transform(generate_series(1, len(toks) - 1),
+                 i -> toks[i] || ' ' || toks[i + 1]))) AS bg
+        FROM tok),
+      dfc AS (SELECT bg, count(*) AS df FROM bg GROUP BY 1),
+      per AS (
+        SELECT doc_id, count(*) AS n_bigrams,
+               sum(CASE WHEN df >= 3 THEN 1 ELSE 0 END) AS n_common
+        FROM bg JOIN dfc USING (bg)
+        GROUP BY 1)
+      SELECT doc_id, n_bigrams, cast(n_common AS bigint) AS n_common,
+             cast(n_common AS double) / cast(n_bigrams AS double) AS coverage
+      FROM per
+      ORDER BY doc_id ASC NULLS LAST"""),
+    (s, dir) => TextAnalysis.bigramCoverage(docs(s, dir), "doc_id", "text",
+        minDf = 3)
+      .orderBy(col("doc_id").asc_nulls_last))
+
+  val all: Seq[Demo] = Seq(x5a, x5b, x5c, x5d, x5e, x5f, x5g, x5h, x5i)
 }
