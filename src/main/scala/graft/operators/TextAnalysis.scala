@@ -304,11 +304,9 @@ object TextAnalysis {
     val toks = split(lower(col(textCol)), " ")
     val bg = df
       .select(col(idCol).as("doc_id"), toks.as("toks"))
-      .filter(size(col("toks")) >= 2)
-      .select(col("doc_id"), explode(array_distinct(expr(
-        "transform(sequence(1, size(toks) - 1)," +
-          " i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1)))")))
-        .as("bg"))
+      .filter(size(col("toks")) >= 2) // nGramSet precondition
+      .select(col("doc_id"),
+        explode(TextDedup.nGramSet(col("toks"), 2)).as("bg"))
     val dfc = bg.groupBy(col("bg")).agg(count(lit(1)).as("df"))
     bg.join(dfc, "bg")
       .groupBy(col("doc_id"))

@@ -41,14 +41,21 @@ object TextDedup {
     df.select(col(idCol).as("doc_id"), split(col(textCol), " ").as("toks"))
       .filter(size(col("toks")) >= 3)
 
-  /** Distinct 3-token shingles of a token-array column. */
-  private def shingleSet(tokens: Column): Column =
+  /** Distinct space-joined n-token shingles of a token-array column —
+    * the ONE n-gram construction site (trigram shingles here, bigrams in
+    * [[TextAnalysis.bigramCoverage]]). Precondition: callers filter to
+    * `size(tokens) >= n` first — `sequence(0, negative)` DESCENDS in
+    * Spark rather than returning empty.
+    */
+  def nGramSet(tokens: Column, n: Int): Column = {
+    require(n >= 1, s"n-gram size must be >= 1, got $n")
     array_distinct(
-      transform(sequence(lit(0), size(tokens) - 3), i =>
-        concat_ws(" ",
-          element_at(tokens, i + 1),
-          element_at(tokens, i + 2),
-          element_at(tokens, i + 3))))
+      transform(sequence(lit(0), size(tokens) - n), i =>
+        concat_ws(" ", (1 to n).map(k => element_at(tokens, i + k)): _*)))
+  }
+
+  /** Distinct 3-token shingles of a token-array column. */
+  private def shingleSet(tokens: Column): Column = nGramSet(tokens, 3)
 
   private def shingleSets(df: DataFrame, idCol: String, textCol: String): DataFrame =
     tokArrays(df, idCol, textCol)

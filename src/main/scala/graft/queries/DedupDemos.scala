@@ -289,7 +289,7 @@ object DedupDemos {
         SELECT doc_id, fingerprint FROM (
           SELECT doc_id, fingerprint,
                  row_number() OVER (PARTITION BY fingerprint
-                                    ORDER BY doc_id) AS rn
+                                    ORDER BY doc_id ASC NULLS FIRST) AS rn
           FROM fp_batch)
         WHERE rn = 1)
       SELECT doc_id, fingerprint

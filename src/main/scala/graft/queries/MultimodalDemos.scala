@@ -93,24 +93,8 @@ object MultimodalDemos {
   // storage estimate in exact integer-ceil form.
   // -------------------------------------------------------------------
   private val x4e = Demo("x4e_resize", Some(s"""
-      WITH f AS (
-        SELECT doc_id,
-               $MediaTypeSql AS media_type,
-               $NBytesSql AS n_bytes,
-               $WidthSql AS width,
-               $HeightSql AS height
-        FROM documents),
-      r AS (
-        SELECT doc_id, media_type, n_bytes, width, height,
-               CASE WHEN greatest(width, height) <= 48 THEN width
-                    ELSE (width * 48) // greatest(width, height) END AS new_width,
-               CASE WHEN greatest(width, height) <= 48 THEN height
-                    ELSE (height * 48) // greatest(width, height) END AS new_height
-        FROM f)
-      SELECT doc_id, media_type, width, height, new_width, new_height,
-             cast((n_bytes * new_width * new_height + width * height - 1)
-                  // (width * height) AS bigint) AS resized_bytes
-      FROM r
+      WITH ${resizeCtesSql("documents")}
+      $resizeSelectSql
       ORDER BY doc_id ASC NULLS LAST"""),
     (s, dir) => Multimodal.resize(
         Multimodal.decodeFeatures(Multimodal.mediaTable(docs(s, dir))), maxDim = 48)
@@ -135,20 +119,58 @@ object MultimodalDemos {
 
   private val bandMask = (1 << Multimodal.PhashBandBits) - 1
 
-  private val x4f = Demo("x4f_phash_neardup", Some(s"""
-      WITH ph AS (
-        SELECT doc_id, $phashSql AS phash
-        FROM documents WHERE doc_id % 3 = 0),
-      banded AS (
+  /** Shared oracle fragments of the phash band-blocking and the resize
+    * arithmetic — ONE definition site each (the fingerprintSql pattern),
+    * consumed by x4f AND the x19 capstone so the two oracle texts cannot
+    * drift. `ph`/`banded` are pinned MATERIALIZED: both feed a self-join,
+    * and an unpinned CTE re-evaluates the 60-step hash per reference.
+    */
+  private def bandedSql(srcCte: String): String = s"""
         SELECT doc_id, phash, band,
                (phash >> (band * ${Multimodal.PhashBandBits})) & $bandMask AS band_value
-        FROM ph, unnest(generate_series(0, ${Multimodal.PhashBands - 1})) AS t(band)),
-      cand AS (
+        FROM $srcCte, unnest(generate_series(0, ${Multimodal.PhashBands - 1})) AS t(band)"""
+
+  // defs, not vals: x4e initializes BEFORE this declaration point in the
+  // object, and a forward val reference would interpolate null
+  private def candSql: String = """
         SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
                a.phash AS ph_a, b.phash AS ph_b
         FROM banded a JOIN banded b
           ON a.band = b.band AND a.band_value = b.band_value
-             AND a.doc_id < b.doc_id)
+             AND a.doc_id < b.doc_id"""
+
+  /** f/r resize CTEs over `srcCte` (must expose doc_id, text) + final
+    * projection — the declarative replay of [[Multimodal.resize]] at
+    * maxDim=48.
+    */
+  private def resizeCtesSql(srcCte: String): String = s"""
+      f AS (
+        SELECT doc_id,
+               $MediaTypeSql AS media_type,
+               $NBytesSql AS n_bytes,
+               $WidthSql AS width,
+               $HeightSql AS height
+        FROM $srcCte),
+      r AS (
+        SELECT doc_id, media_type, n_bytes, width, height,
+               CASE WHEN greatest(width, height) <= 48 THEN width
+                    ELSE (width * 48) // greatest(width, height) END AS new_width,
+               CASE WHEN greatest(width, height) <= 48 THEN height
+                    ELSE (height * 48) // greatest(width, height) END AS new_height
+        FROM f)"""
+
+  private def resizeSelectSql: String = """
+      SELECT doc_id, media_type, width, height, new_width, new_height,
+             cast((n_bytes * new_width * new_height + width * height - 1)
+                  // (width * height) AS bigint) AS resized_bytes
+      FROM r"""
+
+  private val x4f = Demo("x4f_phash_neardup", Some(s"""
+      WITH ph AS MATERIALIZED (
+        SELECT doc_id, $phashSql AS phash
+        FROM documents WHERE doc_id % 3 = 0),
+      banded AS MATERIALIZED (${bandedSql("ph")}),
+      cand AS ($candSql)
       SELECT id_a, id_b, cast(bit_count(xor(ph_a, ph_b)) AS bigint) AS hamming
       FROM cand
       WHERE bit_count(xor(ph_a, ph_b)) <= 3
@@ -175,17 +197,9 @@ object MultimodalDemos {
   private val x19 = Demo("x19_media_clean", Some(s"""
       WITH RECURSIVE imgs AS (
         SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0),
-      ph AS (SELECT doc_id, $phashSql AS phash FROM imgs),
-      banded AS (
-        SELECT doc_id, phash, band,
-               (phash >> (band * ${Multimodal.PhashBandBits})) & $bandMask AS band_value
-        FROM ph, unnest(generate_series(0, ${Multimodal.PhashBands - 1})) AS t(band)),
-      prs AS MATERIALIZED (
-        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
-               a.phash AS ph_a, b.phash AS ph_b
-        FROM banded a JOIN banded b
-          ON a.band = b.band AND a.band_value = b.band_value
-             AND a.doc_id < b.doc_id),
+      ph AS MATERIALIZED (SELECT doc_id, $phashSql AS phash FROM imgs),
+      banded AS MATERIALIZED (${bandedSql("ph")}),
+      prs AS MATERIALIZED ($candSql),
       pairs AS MATERIALIZED (
         SELECT id_a, id_b FROM prs WHERE bit_count(xor(ph_a, ph_b)) <= 3),
       edges AS MATERIALIZED (
@@ -200,24 +214,8 @@ object MultimodalDemos {
       dropped AS (SELECT node FROM clusters WHERE node <> cluster_id),
       kept AS (SELECT i.doc_id, i.text FROM imgs i
                WHERE NOT EXISTS (SELECT 1 FROM dropped d WHERE d.node = i.doc_id)),
-      f AS (
-        SELECT doc_id,
-               $MediaTypeSql AS media_type,
-               $NBytesSql AS n_bytes,
-               $WidthSql AS width,
-               $HeightSql AS height
-        FROM kept),
-      r AS (
-        SELECT doc_id, media_type, n_bytes, width, height,
-               CASE WHEN greatest(width, height) <= 48 THEN width
-                    ELSE (width * 48) // greatest(width, height) END AS new_width,
-               CASE WHEN greatest(width, height) <= 48 THEN height
-                    ELSE (height * 48) // greatest(width, height) END AS new_height
-        FROM f)
-      SELECT doc_id, media_type, width, height, new_width, new_height,
-             cast((n_bytes * new_width * new_height + width * height - 1)
-                  // (width * height) AS bigint) AS resized_bytes
-      FROM r
+      ${resizeCtesSql("kept")}
+      $resizeSelectSql
       ORDER BY doc_id ASC NULLS LAST"""),
     (s, dir) => {
       import graft.operators.TextDedup
