@@ -108,4 +108,40 @@ class ScaleOpsSpec extends SparkSpec {
       case (k, None) => spark.conf.unset(k)
     }
   }
+
+  test("AQE splits a skewed join partition at runtime (skew=true in the final plan)") {
+    // the RUNTIME complement of saltedJoin: when a shuffle partition's
+    // size exceeds factor×median and the threshold, AQE splits it across
+    // extra tasks mid-query with no code change. Thresholds are tuned
+    // for production sizes, so pin them down to observe the split at
+    // test scale; restore every conf afterwards.
+    val confs = Seq(
+      "spark.sql.adaptive.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "32KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "16KB",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      // key 7 carries 200k fact rows (~MBs on the shuffle); every other
+      // key is tiny — the canonical straggler shape
+      val fact = spark.range(0, 200000)
+        .select(lit(7L).as("k"), col("id").as("v"))
+        .unionByName(spark.range(0, 1000)
+          .select((col("id") % 97).as("k"), col("id").as("v")))
+      val dim = spark.range(0, 100)
+        .select(col("id").as("k"), (col("id") * 2).as("w"))
+      val joined = fact.join(dim, "k")
+      // collect() (not count()) — count builds a different plan tree and
+      // the AQE final plan lives on the executed query's own DF
+      assert(joined.collect().length === 201000)
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"), plan)
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
 }
