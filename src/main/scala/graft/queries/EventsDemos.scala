@@ -215,5 +215,50 @@ object EventsDemos {
       .orderBy(col("purchase_id").asc_nulls_last,
         col("click_id").asc_nulls_first))
 
-  val all: Seq[Demo] = Seq(x4a, x6a, x6b, x6c, x6d, x6e)
+  // -------------------------------------------------------------------
+  // X20: WINDOWED FUNNEL — graft.operators.Funnel over the canonical
+  // view → click → purchase progression: a user reaches step k+1 with an
+  // event strictly after their FIRST reach of step k AND within a
+  // 6-hour gap (the windowed funnel; the unbounded classic is the
+  // maxGap=None contract). The oracle pins `cast(ts AS timestamp)`
+  // (micros) in its base CTE: DuckDB reads the parquet as TIMESTAMP_NS,
+  // and a nanos-precision strict comparison could split a micro-tied
+  // pair differently from Spark's micros ts. Conversion = one double
+  // division of exact counts.
+  // -------------------------------------------------------------------
+  private val x20 = Demo("x20_funnel", Some("""
+      WITH ev AS (SELECT user_id, event_type,
+                         cast(ts AS timestamp) AS ts
+                  FROM events),
+      s1 AS (SELECT user_id, min(ts) AS t1 FROM ev
+             WHERE event_type = 'view' GROUP BY 1),
+      s2 AS (SELECT e.user_id, min(e.ts) AS t2
+             FROM ev e JOIN s1 USING (user_id)
+             WHERE e.event_type = 'click' AND e.ts > s1.t1
+               AND e.ts <= s1.t1 + INTERVAL 6 HOURS GROUP BY 1),
+      s3 AS (SELECT e.user_id, min(e.ts) AS t3
+             FROM ev e JOIN s2 USING (user_id)
+             WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+               AND e.ts <= s2.t2 + INTERVAL 6 HOURS GROUP BY 1),
+      c AS (SELECT (SELECT count(*) FROM s1) AS n1,
+                   (SELECT count(*) FROM s2) AS n2,
+                   (SELECT count(*) FROM s3) AS n3)
+      SELECT 1 AS step, 'view' AS step_name, n1 AS n_users,
+             CASE WHEN n1 > 0 THEN cast(n1 AS double) / cast(n1 AS double) END AS conversion
+      FROM c
+      UNION ALL
+      SELECT 2, 'click', n2,
+             CASE WHEN n1 > 0 THEN cast(n2 AS double) / cast(n1 AS double) END
+      FROM c
+      UNION ALL
+      SELECT 3, 'purchase', n3,
+             CASE WHEN n1 > 0 THEN cast(n3 AS double) / cast(n1 AS double) END
+      FROM c
+      ORDER BY step ASC NULLS LAST"""),
+    (s, dir) => graft.operators.Funnel.funnel(
+        t(s, dir, "events"), "user_id", "event_type", "ts",
+        Seq("view", "click", "purchase"), maxGap = Some("6 HOURS"))
+      .orderBy(col("step").asc_nulls_last))
+
+  val all: Seq[Demo] = Seq(x4a, x6a, x6b, x6c, x6d, x6e, x20)
 }
