@@ -260,5 +260,41 @@ object EventsDemos {
         Seq("view", "click", "purchase"), maxGap = Some("6 HOURS"))
       .orderBy(col("step").asc_nulls_last))
 
-  val all: Seq[Demo] = Seq(x4a, x6a, x6b, x6c, x6d, x6e, x20)
+  // -------------------------------------------------------------------
+  // X21: COHORT RETENTION — graft.operators.Retention: users cohorted by
+  // the calendar week (Monday-truncated, both engines) of their first
+  // signup; activity offset = whole weeks since the per-user anchor DAY
+  // (integer day arithmetic, no calendar boundary effects); retention =
+  // distinct-active / cohort-size, one double division. Micros ts pinned
+  // in the oracle base CTE (the x20 nanos note).
+  // -------------------------------------------------------------------
+  private val x21 = Demo("x21_cohort_retention", Some("""
+      WITH ev AS (SELECT user_id, event_type,
+                         cast(ts AS timestamp) AS ts
+                  FROM events),
+      cohorts AS (
+        SELECT user_id, min(ts) AS anchor,
+               cast(date_trunc('week', min(ts)) AS date) AS cohort_week
+        FROM ev WHERE event_type = 'signup' GROUP BY user_id),
+      sizes AS (SELECT cohort_week, count(DISTINCT user_id) AS cohort_size
+                FROM cohorts GROUP BY 1),
+      activity AS (
+        SELECT c.cohort_week, e.user_id,
+               date_diff('day', cast(c.anchor AS date), cast(e.ts AS date)) // 7
+                 AS week_offset
+        FROM ev e JOIN cohorts c USING (user_id)
+        WHERE e.ts >= c.anchor),
+      matrix AS (SELECT cohort_week, week_offset,
+                        count(DISTINCT user_id) AS n_active
+                 FROM activity GROUP BY 1, 2)
+      SELECT m.cohort_week, m.week_offset, m.n_active,
+             cast(n_active AS double) / cast(cohort_size AS double) AS retention
+      FROM matrix m JOIN sizes USING (cohort_week)
+      ORDER BY cohort_week ASC NULLS LAST, week_offset ASC NULLS LAST"""),
+    (s, dir) => graft.operators.Retention.cohortRetention(
+        t(s, dir, "events"), "user_id", "event_type", "ts", "signup")
+      .orderBy(col("cohort_week").asc_nulls_last,
+        col("week_offset").asc_nulls_last))
+
+  val all: Seq[Demo] = Seq(x4a, x6a, x6b, x6c, x6d, x6e, x20, x21)
 }
