@@ -321,5 +321,34 @@ object StatsDemos {
         Seq("user_id", "event_type", "value", "big_value"))
       .orderBy(col("col_name").asc_nulls_last))
 
-  val all: Seq[Demo] = Seq(x9a, x9b, x9d, x9e, x9f, x9g, x16)
+  // -------------------------------------------------------------------
+  // X22: IQR OUTLIER PROFILE — Profile.iqrOutliers per event_type:
+  // Tukey fences [Q1 − 1.5·IQR, Q3 + 1.5·IQR] from exact interpolated
+  // quartiles on integer cents (the x9b parity recipe), outlier counts
+  // and the kept range. Fence arithmetic is one pinned single-rounding
+  // float expression; the long-vs-double bound comparison promotes
+  // identically on both engines.
+  // -------------------------------------------------------------------
+  private val x22 = Demo("x22_iqr_outliers", Some("""
+      WITH c AS (SELECT event_type, cast(round(value * 100) AS bigint) AS cents
+                 FROM events WHERE value IS NOT NULL),
+      fences AS (
+        SELECT event_type,
+               quantile_cont(cents, 0.25e0) - 1.5e0 * (quantile_cont(cents, 0.75e0) - quantile_cont(cents, 0.25e0)) AS lo,
+               quantile_cont(cents, 0.75e0) + 1.5e0 * (quantile_cont(cents, 0.75e0) - quantile_cont(cents, 0.25e0)) AS hi
+        FROM c GROUP BY 1)
+      SELECT c.event_type,
+             count(*) AS n,
+             cast(sum(CASE WHEN cents < lo OR cents > hi THEN 1 ELSE 0 END) AS bigint) AS n_outliers,
+             cast(min(CASE WHEN cents >= lo AND cents <= hi THEN cents END) AS double) / 100 AS kept_min,
+             cast(max(CASE WHEN cents >= lo AND cents <= hi THEN cents END) AS double) / 100 AS kept_max
+      FROM c JOIN fences USING (event_type)
+      GROUP BY 1
+      ORDER BY event_type ASC NULLS LAST"""),
+    (s, dir) => graft.operators.Profile.iqrOutliers(
+        t(s, dir, "events"), "event_type",
+        round(col("value") * 100).cast("long"))
+      .orderBy(col("event_type").asc_nulls_last))
+
+  val all: Seq[Demo] = Seq(x9a, x9b, x9d, x9e, x9f, x9g, x16, x22)
 }
