@@ -29,6 +29,11 @@ object Funnel {
       maxGap: Option[String] = None): DataFrame = {
     require(steps.nonEmpty && steps.distinct.size == steps.size,
       s"funnel steps must be non-empty and distinct: $steps")
+    // fail at the call site with the parameter named, not with a parse
+    // error from deep inside stage-2 plan construction
+    maxGap.foreach(g => require(
+      g.matches("""(?i)\d+\s+(SECOND|MINUTE|HOUR|DAY|WEEK)S?"""),
+      s"maxGap must look like '6 HOURS', got '$g'"))
     val ev = df.select(col(userCol).as("u"), col(typeCol).as("et"),
       col(tsCol).as("t"))
     val reach = steps.foldLeft(List.empty[DataFrame]) { case (acc, st) =>

@@ -32,8 +32,10 @@ object Retention {
       .groupBy(col("u")).agg(min(col("t")).as("anchor"))
       .select(col("u"), col("anchor"),
         date_trunc("week", col("anchor")).cast("date").as("cohort_week"))
+    // cohorts is one row per user already (groupBy u) — a plain count is
+    // the cohort size without a second distinct-aggregation pass
     val sizes = cohorts.groupBy(col("cohort_week"))
-      .agg(countDistinct(col("u")).as("cohort_size"))
+      .agg(count(lit(1)).as("cohort_size"))
     val activity = ev.join(cohorts, Seq("u"))
       .filter(col("t") >= col("anchor"))
       .select(col("cohort_week"), col("u"),
