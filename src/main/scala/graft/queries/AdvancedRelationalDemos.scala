@@ -408,6 +408,57 @@ object AdvancedRelationalDemos {
       s.sql(notInText)
     })
 
+  // -------------------------------------------------------------------
+  // Q23: CUBE — the full 2^k subtotal lattice completing the q13 ROLLUP /
+  // q17 GROUPING SETS trio: (status, priority), (status), (priority) and
+  // the grand total in ONE Expand pass (4 grouping sets from 2 columns).
+  // GROUPING() flags disambiguate subtotal NULLs, as in q17. Scale: the
+  // Expand multiplies rows 4× pre-shuffle but partial aggregation
+  // collapses them map-side, so the exchange still carries group rows.
+  // -------------------------------------------------------------------
+  private val cubeText = """
+      SELECT o_orderstatus, o_orderpriority,
+             cast(grouping(o_orderstatus) AS bigint) AS g_status,
+             cast(grouping(o_orderpriority) AS bigint) AS g_priority,
+             count(*) AS n_orders,
+             cast(cast(sum(cast(o_totalprice AS decimal(18,2))) AS decimal(18,2)) AS double) AS total_price
+      FROM orders
+      GROUP BY CUBE (o_orderstatus, o_orderpriority)
+      ORDER BY g_status ASC NULLS LAST, g_priority ASC NULLS LAST,
+               o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST"""
+
+  private val q23 = Demo("q23_cube", Some(cubeText),
+    (s, dir) => {
+      Tables.table(s, dir, "orders").createOrReplaceTempView("orders")
+      s.sql(cubeText)
+    })
+
+  // -------------------------------------------------------------------
+  // Q24: RANGE window frame — a per-customer trailing-30-day spend sum,
+  // the time-based sibling of x9c's ROWS frames: the frame is defined by
+  // VALUE distance on the ordering column (orders within 30 days before
+  // this one), not row position, so variable-density histories aggregate
+  // correctly. One hash exchange on o_custkey carries all of it; exact
+  // DECIMAL accumulation with the final double cast. ORDER BY inside the
+  // window includes only o_orderdate (RANGE requires a single ordering
+  // expression); the output sort adds o_orderkey for total determinism —
+  // ties share an orderdate and therefore an identical frame value.
+  // -------------------------------------------------------------------
+  private val rangeFrameText = """
+      SELECT o_custkey, o_orderkey, o_orderdate,
+             cast(cast(sum(cast(o_totalprice AS decimal(18,2))) OVER (
+                    PARTITION BY o_custkey ORDER BY o_orderdate ASC
+                    RANGE BETWEEN INTERVAL 30 DAYS PRECEDING AND CURRENT ROW)
+                  AS decimal(18,2)) AS double) AS trailing_30d_spend
+      FROM orders
+      ORDER BY o_custkey ASC NULLS LAST, o_orderkey ASC NULLS LAST"""
+
+  private val q24 = Demo("q24_range_frame", Some(rangeFrameText),
+    (s, dir) => {
+      Tables.table(s, dir, "orders").createOrReplaceTempView("orders")
+      s.sql(rangeFrameText)
+    })
+
   val all: Seq[Demo] =
-    Seq(q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, x9c)
+    Seq(q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, x9c)
 }
