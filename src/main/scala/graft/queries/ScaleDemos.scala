@@ -70,5 +70,41 @@ object ScaleDemos {
         t(s, dir, "events"), col("user_id"), topK = 10)
       .orderBy(col("rank").asc_nulls_last))
 
-  val all: Seq[Demo] = Seq(x14, x17)
+  // -------------------------------------------------------------------
+  // X24: JSONL SINK → SOURCE round-trip — JSON-lines is the standard
+  // training-data interchange format; this demo writes the documents
+  // corpus as JSONL and reads it back with an EXPLICIT schema (no
+  // inference pre-scan — at 100 TB schema inference is a full extra
+  // read), emitting the round-tripped rows. The oracle reads the
+  // ORIGINAL parquet, so the hash-match proves the JSON escaping
+  // round-trip is lossless byte-for-byte, including multi-line and
+  // non-ASCII text. Scale: both sides are splittable line-oriented
+  // scans; the sink is a narrow per-partition write.
+  // -------------------------------------------------------------------
+  private def freshScratchDir(name: String): String = {
+    val root = java.nio.file.Paths.get(
+      sys.props("java.io.tmpdir"), s"graft_demo_$name")
+    if (java.nio.file.Files.exists(root)) {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(root).iterator().asScala.toSeq
+        .reverse.foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+    root.toString
+  }
+
+  private val x24 = Demo("x24_jsonl_roundtrip", Some("""
+      SELECT doc_id, text, lang, source, n_chars
+      FROM documents
+      ORDER BY doc_id ASC NULLS LAST"""),
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), col("text"), col("lang"), col("source"),
+          col("n_chars"))
+      val scratch = freshScratchDir("x24_jsonl")
+      docs.write.mode("overwrite").json(scratch)
+      s.read.schema(docs.schema).json(scratch)
+        .orderBy(col("doc_id").asc_nulls_last)
+    })
+
+  val all: Seq[Demo] = Seq(x14, x17, x24)
 }
