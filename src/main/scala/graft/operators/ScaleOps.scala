@@ -18,12 +18,17 @@ object ScaleOps {
     * of co-partitioned storage — at 100 TB the exchange this avoids is
     * the dominant cost of a fact-fact join.
     */
+  /** `path` makes the table EXTERNAL at that location (callers that must
+    * not write into the session warehouse dir — e.g. demos running from
+    * a repo checkout — pass an explicit scratch path).
+    */
   def writeBucketed(df: DataFrame, table: String, buckets: Int,
-      keys: Seq[String], sortCols: Seq[String] = Nil): Unit = {
-    val w = df.write.mode("overwrite").bucketBy(buckets, keys.head, keys.tail: _*)
-    (if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.tail: _*) else w)
-      .format("parquet")
-      .saveAsTable(table)
+      keys: Seq[String], sortCols: Seq[String] = Nil,
+      path: Option[String] = None): Unit = {
+    val w0 = df.write.mode("overwrite").bucketBy(buckets, keys.head, keys.tail: _*)
+    val w1 = if (sortCols.nonEmpty) w0.sortBy(sortCols.head, sortCols.tail: _*) else w0
+    val w2 = path.fold(w1)(p => w1.option("path", p))
+    w2.format("parquet").saveAsTable(table)
   }
 
   /** Materialize `df` hive-partitioned by `partitionCols` (e.g. a date

@@ -106,5 +106,74 @@ object ScaleDemos {
         .orderBy(col("doc_id").asc_nulls_last)
     })
 
-  val all: Seq[Demo] = Seq(x14, x17, x24)
+  // -------------------------------------------------------------------
+  // X25: HIVE-PARTITIONED WRITE + PRUNED READ — events materialized
+  // day-partitioned (ScaleOps.writePartitioned), then a one-day query
+  // over the partitioned store: the day filter prunes at the DIRECTORY
+  // level (1/30th of files touched here; 1/365th at a year of data,
+  // before any row is read — pruning itself is plan-asserted in
+  // ScaleOpsSpec). The oracle computes the same day from the ORIGINAL
+  // table, so the hash-match also proves the partitioned materialization
+  // is lossless.
+  // -------------------------------------------------------------------
+  private val x25 = Demo("x25_partition_pruning", Some("""
+      SELECT event_type,
+             count(*) AS n,
+             cast(sum(cast(round(value * 100) AS bigint)) AS bigint) AS cents
+      FROM events
+      WHERE cast(ts AS date) = DATE '2024-01-15'
+      GROUP BY 1
+      ORDER BY event_type ASC NULLS LAST"""),
+    (s, dir) => {
+      val ev = t(s, dir, "events").select(
+        to_date(col("ts")).as("day"), col("event_type"),
+        round(col("value") * 100).cast("long").as("cents"))
+      val scratch = freshScratchDir("x25_part")
+      ScaleOps.writePartitioned(ev, scratch, Seq("day"))
+      s.read.parquet(scratch)
+        .filter(col("day") === to_date(lit("2024-01-15")))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents"))
+        .orderBy(col("event_type").asc_nulls_last)
+    })
+
+  // -------------------------------------------------------------------
+  // X26: BUCKETED CO-LOCATED JOIN — orders and customer materialized
+  // bucketed on the join key (ScaleOps.writeBucketed, external tables in
+  // scratch), then joined bucket-for-bucket: NO exchange on either side
+  // (plan-asserted in ScaleOpsSpec; at 100 TB that exchange is the
+  // dominant cost of a fact-fact join). Oracle = the SAME join over the
+  // original tables — bucketed storage provably changes the plan, never
+  // the result.
+  // -------------------------------------------------------------------
+  private val x26 = Demo("x26_bucketed_join", Some("""
+      SELECT c_mktsegment,
+             count(*) AS n_orders,
+             cast(cast(sum(cast(o_totalprice AS decimal(18,2))) AS decimal(18,2)) AS double) AS total_price
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      GROUP BY 1
+      ORDER BY c_mktsegment ASC NULLS LAST"""),
+    (s, dir) => {
+      import org.apache.spark.sql.types.{DecimalType, DoubleType}
+      val dec2 = DecimalType(18, 2)
+      val scratch = freshScratchDir("x26_bucketed")
+      ScaleOps.writeBucketed(
+        t(s, dir, "orders").select(col("o_custkey"), col("o_totalprice")),
+        "x26_orders_b", buckets = 8, keys = Seq("o_custkey"),
+        path = Some(s"$scratch/orders"))
+      ScaleOps.writeBucketed(
+        t(s, dir, "customer").select(col("c_custkey"), col("c_mktsegment")),
+        "x26_customer_b", buckets = 8, keys = Seq("c_custkey"),
+        path = Some(s"$scratch/customer"))
+      s.table("x26_orders_b")
+        .join(s.table("x26_customer_b"),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("o_totalprice").cast(dec2)).cast(dec2).cast(DoubleType)
+            .as("total_price"))
+        .orderBy(col("c_mktsegment").asc_nulls_last)
+    })
+
+  val all: Seq[Demo] = Seq(x14, x17, x24, x25, x26)
 }
