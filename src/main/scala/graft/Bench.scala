@@ -65,7 +65,14 @@ object Bench {
     Files.createDirectories(Paths.get("target"))
     Files.write(Paths.get("target/bench.json"),
       (json + "\n").getBytes(StandardCharsets.UTF_8))
-    println(json)
+    // The full line above carries every per-query timing (~4 KB) and has
+    // twice fallen out of the driver's stdout tail-capture window, leaving
+    // the official bench record unparsed. Emit it to the file only, and end
+    // stdout with a COMPACT summary line (<200 bytes) so a tail of any
+    // reasonable size contains a complete, parseable JSON object.
+    val summary =
+      s"""{"metric":"total","value":$total,"unit":"sec","n":${ok.size},"n_failed":${failed.size},"sf":"$sfDir"}"""
+    println(summary)
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)
   }

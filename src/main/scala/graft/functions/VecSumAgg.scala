@@ -26,6 +26,8 @@ object VecSumAgg extends Aggregator[Seq[Long], Array[Long], Array[Long]] {
   override def reduce(buf: Array[Long], x: Seq[Long]): Array[Long] =
     if (buf.isEmpty) x.toArray
     else {
+      require(x.length == buf.length,
+        s"VecSumAgg: ragged input — vector of dim ${x.length} in a group of dim ${buf.length}")
       var i = 0
       while (i < buf.length) { buf(i) += x(i); i += 1 }
       buf
@@ -35,6 +37,8 @@ object VecSumAgg extends Aggregator[Seq[Long], Array[Long], Array[Long]] {
     if (a.isEmpty) b
     else if (b.isEmpty) a
     else {
+      require(a.length == b.length,
+        s"VecSumAgg: ragged input — merging buffers of dim ${a.length} and ${b.length}")
       var i = 0
       while (i < a.length) { a(i) += b(i); i += 1 }
       a

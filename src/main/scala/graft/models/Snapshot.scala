@@ -116,8 +116,13 @@ object Snapshot {
         val inc = incoming.withColumnRenamed(ValidFrom, "__new_from")
           .drop(ValidTo)
         val nonKeyIncoming = inc.columns.filterNot(key.contains).toSeq
+        // NULL-SAFE key equality: latestPerKey's window groups NULL keys
+        // into one key, so the merge must match them too — with plain `=`
+        // a NULL-keyed source row would never match its open version and
+        // would open a duplicate version on every run while the stale
+        // open rows silently persist.
         val joined = open.alias("o").join(inc.alias("i"),
-          key.map(k => col(s"o.$k") === col(s"i.$k")).reduce(_ && _),
+          key.map(k => col(s"o.$k") <=> col(s"i.$k")).reduce(_ && _),
           "full_outer")
         // guard centrally: a key absent from the source (i side all-NULL)
         // must NEVER supersede, whatever the strategy predicate says —

@@ -35,7 +35,13 @@ object SourceFreshness {
     require(sources.nonEmpty, "no sources to check")
     sources.map { src =>
       val mxs = unix_timestamp(col("mx")) // whole seconds, floor
-      val age = expr(s"(${asOfEpochSec}L - unix_timestamp(mx)) div 3600")
+      // FLOOR division, not Spark's truncating `div`: DuckDB's `//` floors,
+      // so a future-dated loaded_at (negative age, e.g. -30 min) must read
+      // -1 on both engines, not 0. The double division is floor-exact here:
+      // a non-divisible diff/3600 sits ≥ 1/3600 from any integer, far
+      // beyond one ulp.
+      val age = expr(
+        s"floor(cast(${asOfEpochSec}L - unix_timestamp(mx) as double) / 3600d)")
       src.df.agg(max(src.loadedAt).as("mx"))
         .select(
           lit(src.name).as("source_name"),

@@ -157,7 +157,13 @@ object Sketches {
     val keyed = df.filter(key.isNotNull).select(key.cast("long").as("k"))
     val counters = cells(keyed, "k", Nil)
       .groupBy(col("r"), col("c")).agg(count(lit(1)).as("cnt"))
+    // distinct: a duplicated probe key must yield one output row, not a
+    // duplicated (est/exact are aggregates, so only multiplicity — not
+    // values — would reflect the duplicates, which is worse: silently
+    // wrong row counts). Probe sets are small by contract, so the
+    // distinct is a broadcast-scale dedup.
     val probeKeys = probes.select(col(probeCol).cast("long").as("probe_key"))
+      .distinct()
     val est = cells(probeKeys, "probe_key", Seq("probe_key"))
       .join(broadcast(counters), Seq("r", "c"), "left")
       .groupBy(col("probe_key"))

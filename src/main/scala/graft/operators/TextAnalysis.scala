@@ -293,11 +293,15 @@ object TextAnalysis {
     * perplexity there is NO log/exp (transcendentals hash-diverge across
     * engines — SURVEY float-fn law), just exact counts and one division.
     *
-    * Scale: per-doc distinct bigrams explode once (O(tokens) rows), the
-    * document-frequency table is vocabulary-bounded, and the score join
-    * shuffles on the bigram key — the x5h TF-IDF plan shape. Docs with
-    * fewer than 2 tokens are excluded (they have no bigrams; Spark's
-    * `sequence(1, 0)` would otherwise DESCEND rather than return empty).
+    * Scale: per-doc distinct bigrams explode once (O(tokens) rows); the
+    * document frequency is `count(*) over (partition by bg)` — per-doc
+    * bigrams are DISTINCT (nGramSet), so the partition row count IS df.
+    * The window formulation reads the exploded frame exactly once with
+    * one hash exchange on the bigram key (asserted in TextAnalysisSpec),
+    * unlike the groupBy-then-self-join shape whose single-scan property
+    * rested on ReuseExchange firing. Docs with fewer than 2 tokens are
+    * excluded (they have no bigrams; Spark's `sequence(1, 0)` would
+    * otherwise DESCEND rather than return empty).
     */
   def bigramCoverage(df: DataFrame, idCol: String, textCol: String,
       minDf: Int): DataFrame = {
@@ -307,8 +311,8 @@ object TextAnalysis {
       .filter(size(col("toks")) >= 2) // nGramSet precondition
       .select(col("doc_id"),
         explode(TextDedup.nGramSet(col("toks"), 2)).as("bg"))
-    val dfc = bg.groupBy(col("bg")).agg(count(lit(1)).as("df"))
-    bg.join(dfc, "bg")
+    val byBg = org.apache.spark.sql.expressions.Window.partitionBy(col("bg"))
+    bg.withColumn("df", count(lit(1)).over(byBg))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_bigrams"),
         sum(when(col("df") >= minDf, 1L).otherwise(0L)).as("n_common"))

@@ -123,7 +123,7 @@ object StatsDemos {
         SELECT h % $skM AS bucket, max($rankCase) AS m_rho
         FROM h3 GROUP BY 1),
       sketch AS (
-        SELECT cast(sum(1::BIGINT << ($skSentinel - m_rho)) AS bigint) AS s_nonempty,
+        SELECT cast(coalesce(sum(1::BIGINT << ($skSentinel - m_rho)), 0) AS bigint) AS s_nonempty,
                count(*) AS buckets_used
         FROM registers),
       exact AS (SELECT count(DISTINCT l_orderkey) AS n_exact FROM lineitem)

@@ -85,6 +85,41 @@ class TextAnalysisSpec extends SparkSpec {
     assert(packed.toSeq === expected)
   }
 
+  test("bigramCoverage: df counts distinct docs, sub-2-token docs drop (X5i)") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (1L, "a b c"),   // bigrams {a b, b c}
+      (2L, "a b d"),   // bigrams {a b, b d}
+      (3L, "a b"),     // bigram  {a b}
+      (4L, "a a a"),   // repeated tokens -> ONE distinct bigram {a a}
+      (5L, "x")        // 1 token: no bigrams, excluded
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.bigramCoverage(docs, "doc_id", "text", 2)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(_._1)
+    // "a b" appears in docs 1,2,3 (df=3 >= 2); every other bigram df=1
+    assert(out.toSeq === Seq(
+      (1L, 2L, 1L, 0.5),
+      (2L, 2L, 1L, 0.5),
+      (3L, 1L, 1L, 1.0),
+      (4L, 1L, 0L, 0.0)))
+  }
+
+  test("bigramCoverage plan: single scan of the exploded frame, no join") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq((1L, "a b c"), (2L, "a b")).toDF("doc_id", "text")
+    val df = TextAnalysis.bigramCoverage(docs, "doc_id", "text", 2)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // the window formulation must not reintroduce the df-join whose
+    // single-scan property depended on ReuseExchange firing
+    assert(!p.contains("Join"), p.take(3000))
+    assert(p.contains("Window"), p.take(3000))
+  }
+
   test("tfIdf: smoothed tf-idf top-k with deterministic term tiebreak (X5h)") {
     val s2 = spark
     import s2.implicits._
