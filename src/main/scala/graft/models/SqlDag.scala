@@ -10,11 +10,21 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * table; reference: dbt_project.yml:19-22):
   *
   *  - `View`: registered as a temp view — downstream refs compose into
-  *    one Catalyst plan (dbt's ephemeral-ish view behavior).
+  *    one Catalyst plan (dbt's view behavior), and the relation stays
+  *    addressable after the run.
   *  - `Table`: written to parquet under the warehouse dir and RE-READ, so
   *    downstream refs scan the materialized table, not the live plan —
   *    dbt's cut-point semantics, and the scale behavior you want anyway
   *    (a mart computed once, consumed many times).
+  *  - `Ephemeral`: dbt's third strategy (not used by the reference, whose
+  *    dbt_project.yml:19-22 configures only view/table) — the model's
+  *    plan is INLINED into each consumer and nothing exists in the
+  *    warehouse afterward. Spark-native expression: analysis is eager
+  *    (`Dataset.ofRows` asserts it), so every consumer's analyzed plan
+  *    embeds the ephemeral subtree at build time exactly like dbt's CTE
+  *    interpolation; the temp view that carried the name during the
+  *    build is dropped before `run` returns, so the relation is not
+  *    addressable — same observable contract as dbt.
   *
   * Scale: the runner itself only orchestrates — per-model work is
   * whatever the SQL plans to; nothing is collected driver-side.
@@ -24,6 +34,7 @@ object SqlDag {
   sealed trait Materialization
   case object View extends Materialization
   case object Table extends Materialization
+  case object Ephemeral extends Materialization
 
   /** One model: a name, its Jinja-SQL text, and how to materialize it.
     * Companion-level type so model lists can be built once and shared
@@ -78,7 +89,7 @@ class SqlDag(spark: SparkSession, warehouseDir: String) {
       ready.foreach { m =>
         val df = spark.sql(FictionBankSql.render(m.jinjaSql))
         val materialized = m.materialization match {
-          case View => df
+          case View | Ephemeral => df
           case Table =>
             val path = s"$warehouseDir/${m.name}"
             df.write.mode("overwrite").parquet(path)
@@ -88,6 +99,14 @@ class SqlDag(spark: SparkSession, warehouseDir: String) {
         built += m.name -> materialized
       }
       remaining = blocked
+    }
+    // ephemeral models vanish after the build: consumers captured the
+    // inlined plan during (eager) analysis, so dropping the carrier view
+    // cannot break them — it only removes the name from the catalog,
+    // which is the dbt contract (no relation in the warehouse)
+    models.filter(_.materialization == Ephemeral).foreach { m =>
+      spark.catalog.dropTempView(m.name)
+      built -= m.name
     }
     built
   }

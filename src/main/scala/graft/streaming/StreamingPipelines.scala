@@ -120,6 +120,35 @@ object StreamingPipelines {
       .trigger(Trigger.AvailableNow())
       .start()
 
+  /** foreachBatch sink into a BUCKETED warehouse table — the streaming-
+    * ingest-to-warehouse shape ([[graft.operators.ScaleOps.writeBucketed]]
+    * is the batch face of the same table): each micro-batch of closed
+    * windows appends into an external parquet table bucketed on `keys`,
+    * so downstream batch joins/aggregations on those keys read co-located
+    * buckets with NO exchange while ingest remains incremental. The
+    * checkpoint makes re-runs resume instead of re-appending; appends
+    * add files per bucket id, which bucketed scans merge per bucket.
+    *
+    * Scale: each micro-batch writes only its own closed windows (append
+    * mode) — the table grows monotonically, nothing is rewritten; the
+    * bucket count is fixed at creation, sized for the table's final
+    * volume like any bucketed materialization.
+    */
+  def toBucketedTableSink(df: DataFrame, table: String, buckets: Int,
+      keys: Seq[String], path: String, checkpoint: String): StreamingQuery =
+    df.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        batch.write.mode("append")
+          .bucketBy(buckets, keys.head, keys.tail: _*)
+          .option("path", path)
+          .format("parquet")
+          .saveAsTable(table)
+      }
+      .start()
+
   // -------------------------------------------------------------------
   // Custom-state sessionization via flatMapGroupsWithState — the
   // KeyValueGroupedDataset state API (SURVEY.md §2B X6), for session

@@ -47,6 +47,113 @@ class SqlDagSpec extends SparkSpec {
     assert(dag.lineage(models)("mortgage_ltv_rank") === Set("fct_loan_details"))
   }
 
+  test("ephemeral models inline into consumers and vanish from the catalog") {
+    val wh = java.nio.file.Files.createTempDirectory("graft-sqldag-eph").toString
+    val dag = new SqlDag(spark, wh)
+    val models = Seq(
+      SqlModel("eph_big_loans", """
+        select loan_id, loan_amount from {{ ref('raw_loans') }}
+        where loan_amount >= 100000
+      """, Ephemeral),
+      SqlModel("big_loan_count", """
+        select count(*) as n from {{ ref('eph_big_loans') }}
+      """, View))
+    val built = dag.run(models, fictionBankSeeds)
+    // the consumer computed over the inlined plan... (5 seed loans are
+    // >= 100k: 250k, 450k, 320k, 280k, 195k)
+    assert(built("big_loan_count").head().getAs[Long]("n") === 5L)
+    // ...but the ephemeral relation exists nowhere afterward: not in the
+    // returned map, not in the catalog, not on disk (the dbt contract)
+    assert(!built.contains("eph_big_loans"))
+    assert(!spark.catalog.tableExists("eph_big_loans"))
+    assert(!new java.io.File(s"$wh/eph_big_loans").exists())
+    // and the consumer view still answers AFTER the drop — its analyzed
+    // plan embeds the ephemeral subtree, it does not re-resolve the name
+    assert(spark.sql("select n from big_loan_count").head().getLong(0) === 5L)
+  }
+
+  test("schema.yml text binds generic tests declaratively (no Scala authoring)") {
+    val wh = java.nio.file.Files.createTempDirectory("graft-sqldag-yml").toString
+    val dag = new SqlDag(spark, wh)
+    val built = dag.run(Seq(
+      SqlModel("stg_loans", FictionBankSql.StgLoans, View)), fictionBankSeeds)
+    val tests = SchemaConfig.tests("""
+      version: 2
+      models:
+        - name: stg_loans
+          columns:
+            - name: loan_id
+              tests:
+                - unique
+                - not_null
+            - name: loan_type_id
+              tests:
+                - accepted_values:
+                    values: [1, 2, 3]
+                - relationships:
+                    to: ref('loan_types')
+                    field: loan_type_id
+            - name: property_value
+              tests:
+                - not_null
+    """)
+    assert(tests.map(_.name) === Seq(
+      "unique_stg_loans_loan_id", "not_null_stg_loans_loan_id",
+      "accepted_values_stg_loans_loan_type_id",
+      "relationships_stg_loans_loan_type_id",
+      "not_null_stg_loans_property_value"))
+    val results = GenericTests.run(tests, built).toMap
+    // the seeds satisfy key/value/FK integrity...
+    assert(results("unique_stg_loans_loan_id") === 0L)
+    assert(results("not_null_stg_loans_loan_id") === 0L)
+    assert(results("accepted_values_stg_loans_loan_type_id") === 0L)
+    assert(results("relationships_stg_loans_loan_type_id") === 0L)
+    // ...and the deliberately-failing test counts the two NULL-property
+    // loans (L004/L008) — proving violations surface, not just passes
+    assert(results("not_null_stg_loans_property_value") === 2L)
+  }
+
+  test("schema config rejects unknown tests, malformed entries, bad refs") {
+    val unknown = intercept[IllegalArgumentException] {
+      SchemaConfig.tests("""
+        models:
+          - name: m
+            columns:
+              - name: c
+                tests: [uniq]
+      """)
+    }
+    assert(unknown.getMessage.contains("unknown generic test"))
+    val noValues = intercept[IllegalArgumentException] {
+      SchemaConfig.tests("""
+        models:
+          - name: m
+            columns:
+              - name: c
+                tests:
+                  - accepted_values: {}
+      """)
+    }
+    assert(noValues.getMessage.contains("values"))
+    val noModels = intercept[IllegalArgumentException] {
+      SchemaConfig.tests("version: 2")
+    }
+    assert(noModels.getMessage.contains("models"))
+    // a test against a relation that was never built fails AT RUN with a
+    // named error, not an empty pass
+    val tests = SchemaConfig.tests("""
+      models:
+        - name: ghost
+          columns:
+            - name: c
+              tests: [not_null]
+    """)
+    val ghost = intercept[IllegalArgumentException] {
+      GenericTests.run(tests, Map.empty)
+    }
+    assert(ghost.getMessage.contains("ghost"))
+  }
+
   test("unknown refs, cycles, duplicate names and seed shadowing fail fast") {
     val dag = new SqlDag(spark, "/tmp/unused-wh")
     val bad = intercept[IllegalArgumentException] {

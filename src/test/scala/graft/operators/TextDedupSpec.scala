@@ -41,6 +41,41 @@ class TextDedupSpec extends SparkSpec {
     }
   }
 
+  test("dedupClusters storage gate: superseded generations released, nothing leaks") {
+    val s = spark
+    import s.implicits._
+    val sc = spark.sparkContext
+    // long chain: 12 nodes forces many propagation rounds, so a leak of
+    // one checkpoint per round would show as many extra persisted RDDs
+    val pairs = (0L until 11L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val before = sc.getPersistentRDDs.keySet.toSet
+    val labels = TextDedup.dedupClusters(pairs)
+    val after = sc.getPersistentRDDs.keySet.toSet.diff(before)
+    // live storage after the run = the FINAL label generation only —
+    // per-round checkpoints and the edge frame were explicitly released
+    // (a localCheckpoint may span a couple of RDDs, but ~10 iterations
+    // leaking would blow well past this bound)
+    assert(after.size <= 2, s"leaked persisted RDDs: $after")
+    assert(labels.count() === 12L)
+  }
+
+  test("minhash LSH plan gate: ONE signature aggregate feeds the band expansion") {
+    val docs = Tables.table(spark, sfDir, "documents")
+    val pairs = TextDedup.minhashLshPairs(docs, "doc_id", "text", 0.5)
+    pairs.collect()
+    // AQE's toString appends an "== Initial Plan ==" section after the
+    // final plan — count nodes in the FINAL section only
+    val p = pairs.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    // the MinHash UDAF appears in exactly one partial+final aggregate
+    // node pair — a duplicated signature subtree (4+ aggregate nodes)
+    // would re-shingle and re-hash the whole corpus
+    val aggNodes = p.toLowerCase.linesIterator
+      .filter(l => l.contains("aggregate") && l.contains("minhashagg")).size
+    assert(aggNodes > 0, p.take(2000))
+    assert(aggNodes <= 2, s"signature aggregate duplicated ($aggNodes nodes)\n" + p.take(3000))
+  }
+
   test("ngram cap: high cap == uncapped; low cap == exact Jaccard of capped sets") {
     val docs = Tables.table(spark, sfDir, "documents")
     val uncapped = TextDedup.ngramJaccardPairs(docs, "doc_id", "text", 0.05)

@@ -110,6 +110,57 @@ class FileStreamSpec extends SparkSpec {
         s"missing=${batch.diff(streamed).take(3)} extra=${streamed.diff(batch).take(3)}")
   }
 
+  test("foreachBatch bucketed-table sink: streamed table equals batch agg, bucket-wise") {
+    val s = spark
+    import s.implicits._
+    val dir = Files.createTempDirectory("graft-bkt-src").toString
+    val path = Files.createTempDirectory("graft-bkt-tbl").toString
+    val ckpt = Files.createTempDirectory("graft-bkt-ckpt").toString
+    val table = "t_bucketed_ingest"
+    s.sql(s"DROP TABLE IF EXISTS $table")
+    Files.copy(
+      java.nio.file.Paths.get("/root/testdata/sf0.001/events.parquet"),
+      java.nio.file.Paths.get(s"$dir/events.parquet"))
+    val batchEvents = graft.sources.Tables.table(s, "/root/testdata/sf0.001", "events")
+    val batch = graft.queries.EventsDemos.tumbling(batchEvents)
+      .collect().map(_.mkString("|")).toSet
+    val maxTs = batchEvents.agg(org.apache.spark.sql.functions.max("ts"))
+      .head().getTimestamp(0)
+
+    // ingest run 1: the real events
+    StreamingPipelines.toBucketedTableSink(
+      StreamingPipelines.tumblingStream(
+        StreamingPipelines.readEventsStreamNanos(s, dir)),
+      table, buckets = 4, keys = Seq("event_type"), path, ckpt)
+      .awaitTermination()
+    // ingest run 2 (a NEW query over the same checkpoint): a far-future
+    // sentinel closes every real window, so append mode emits the rest
+    Seq((999999999L, (maxTs.getTime + 2 * 3600 * 1000L) * 1000000L,
+        999L, "sentinel", 0.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode(SaveMode.Append).parquet(dir)
+    StreamingPipelines.toBucketedTableSink(
+      StreamingPipelines.tumblingStream(
+        StreamingPipelines.readEventsStreamNanos(s, dir)),
+      table, buckets = 4, keys = Seq("event_type"), path, ckpt)
+      .awaitTermination()
+
+    // the ingested table IS the batch result (the sentinel's own window
+    // stays open and never emits)
+    val streamed = s.table(table).collect().map(_.mkString("|")).toSet
+    assert(streamed == batch,
+      s"streamed=${streamed.size} batch=${batch.size} " +
+        s"missing=${batch.diff(streamed).take(3)} extra=${streamed.diff(batch).take(3)}")
+    // and it really is bucketed: an aggregation on the bucket key plans
+    // with NO shuffle exchange (the point of bucketing the sink)
+    val agg = s.table(table).groupBy("event_type").count()
+    agg.collect()
+    val plan = agg.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(!plan.contains("Exchange"), plan.take(2000))
+    s.sql(s"DROP TABLE IF EXISTS $table")
+  }
+
   test("streaming parquet sink with checkpoint persists closed windows") {
     val s = spark
     import s.implicits._
