@@ -42,6 +42,17 @@ object Bench {
       evaluate(SparkEntry.entry(spark))
     } catch { case _: Throwable => }
 
+    // queries with iterative/materializing internals (SCD2 eras, label
+    // propagation, corpus-clean cuts) localCheckpoint into executor
+    // storage; release everything between timings so query N's storage
+    // never distorts query N+1's clock — each timing models the query
+    // run on its own cluster
+    def releaseStorage(): Unit = {
+      spark.sharedState.cacheManager.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
+    }
+
     // steady-state timing: two runs per query, report the min — the first
     // run still pays per-query codegen compilation, which a long-running
     // cluster amortizes away
@@ -49,8 +60,13 @@ object Bench {
       SparkEntry.queries.map { case (name, fn) =>
         val times = (1 to 2).flatMap { _ =>
           val t0 = System.nanoTime()
-          try { evaluate(fn(spark, sfDir)); Some((System.nanoTime() - t0) / 1e9) }
-          catch { case _: Throwable => None }
+          try {
+            evaluate(fn(spark, sfDir))
+            val dt = (System.nanoTime() - t0) / 1e9
+            releaseStorage()
+            Some(dt)
+          }
+          catch { case _: Throwable => releaseStorage(); None }
         }
         // both runs must succeed, else the query is a failure, not a time
         name -> (if (times.size == 2) Some(times.min) else None)
