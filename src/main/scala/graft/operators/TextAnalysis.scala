@@ -320,4 +320,66 @@ object TextAnalysis {
         (col("n_common").cast("double") / col("n_bigrams").cast("double"))
           .as("coverage"))
   }
+
+  // ---- intra-document repetition metrics (X5j) ------------------------
+
+  /** Non-distinct n-grams of a token array — every occurrence, unlike
+    * [[TextDedup.nGramSet]]. Caller must pre-filter `size(tokens) >= n`
+    * (Spark's `sequence(0, negative)` DESCENDS rather than returning
+    * empty).
+    */
+  private def nGrams(tokens: Column, n: Int): Column =
+    transform(sequence(lit(0), size(tokens) - n), i =>
+      concat_ws(" ", (1 to n).map(k => element_at(tokens, i + k)): _*))
+
+  /** Gopher-style intra-document repetition metrics — the quality family
+    * that catches looping/boilerplate generation the unigram heuristics of
+    * [[qualityMetrics]] miss: the character share of the single most
+    * frequent word bigram, and the character share of all word trigrams
+    * that occur more than once (occurrences counted WITH repeats, per the
+    * published rule; overlapping occurrences double-count characters, the
+    * standard approximation). `keep_repetition` = both shares within the
+    * given maxima. All metrics are exact integer counts plus one guarded
+    * IEEE division each — no transcendentals, hash-stable cross-engine.
+    *
+    * Scale: two explode→hash-agg passes keyed (doc, gram) — map-side
+    * combinable, no driver state, shuffle bounded by token count; the
+    * per-doc top-1 is a window over doc-bounded groups. Docs with fewer
+    * than 2 (resp. 3) tokens have no bigrams (trigrams): NULL top bigram,
+    * zero shares.
+    */
+  def repetitionMetrics(df: DataFrame, idCol: String, textCol: String,
+      topBigramMax: Double = 0.20, dupTrigramMax: Double = 0.60): DataFrame = {
+    val base = df.select(col(idCol).as("doc_id"),
+      length(col(textCol)).as("n_chars_r"),
+      split(lower(col(textCol)), " ").as("toks"))
+    val top2 = base.filter(size(col("toks")) >= 2)
+      .select(col("doc_id"), explode(nGrams(col("toks"), 2)).as("g"))
+      .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("cnt"))
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
+          .orderBy(col("cnt").desc, col("g").asc)))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("g").as("top_bigram"),
+        col("cnt").as("top_bigram_count"),
+        (col("cnt") * length(col("g"))).as("top2_chars"))
+    val dup3 = base.filter(size(col("toks")) >= 3)
+      .select(col("doc_id"), explode(nGrams(col("toks"), 3)).as("g"))
+      .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("cnt"))
+      .groupBy(col("doc_id"))
+      .agg(sum(when(col("cnt") >= 2, col("cnt") * length(col("g")))
+        .otherwise(0L)).as("dup3_chars"))
+    def share(chars: Column, n: Column): Column =
+      when(n > 0, coalesce(chars, lit(0L)).cast("double") / n.cast("double"))
+        .otherwise(lit(0.0)) // empty text: share 0, not an ANSI div error
+    base.select(col("doc_id"), col("n_chars_r"))
+      .join(top2, Seq("doc_id"), "left")
+      .join(dup3, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("top_bigram"), col("top_bigram_count"),
+        share(col("top2_chars"), col("n_chars_r")).as("top_bigram_char_frac"),
+        share(col("dup3_chars"), col("n_chars_r")).as("dup_trigram_char_frac"))
+      .withColumn("keep_repetition",
+        when(col("top_bigram_char_frac") <= topBigramMax
+          && col("dup_trigram_char_frac") <= dupTrigramMax, 1).otherwise(0))
+  }
 }

@@ -377,4 +377,37 @@ object TextDedup {
         levenshtein(col("left_str"), col("right_str")).cast("long"))
       .filter(col("dist") <= 1)
   }
+
+  // ---- benchmark decontamination --------------------------------------
+
+  /** Training-corpus decontamination — flag corpus documents sharing at
+    * least one distinct lowercased word `n`-gram with a benchmark/eval
+    * set (the published pre-training hygiene rule: an n-gram collision
+    * with the test set means the document may leak answers). Output: one
+    * row per contaminated corpus doc with the count of distinct shared
+    * n-grams; anti-join the result against the corpus to keep the clean
+    * remainder.
+    *
+    * Scale: both sides explode to DISTINCT n-grams (per doc on the corpus
+    * side, globally on the benchmark side) and meet in ONE equi-join on
+    * the n-gram string — never a doc×doc comparison. The benchmark side
+    * is a fixed eval suite (tiny vs a 100 TB corpus): Spark broadcasts it
+    * under the threshold, and at any size the join stays a bounded-key
+    * shuffle. For a pre-prune that avoids shuffling corpus n-grams at
+    * all, feed the benchmark n-gram set to a bloom filter on the scan
+    * (the ScaleOps.bloomPrune shape) and verify survivors here.
+    */
+  def decontaminate(corpus: DataFrame, benchmark: DataFrame, idCol: String,
+      textCol: String, n: Int): DataFrame = {
+    def grams(df: DataFrame) = df
+      .select(col(idCol).as("doc_id"), split(lower(col(textCol)), " ").as("toks"))
+      .filter(size(col("toks")) >= n) // nGramSet precondition
+      .select(col("doc_id"), explode(nGramSet(col("toks"), n)).as("g"))
+    val bench = grams(benchmark).select(col("g")).distinct()
+    // corpus grams are distinct per doc and bench grams globally distinct,
+    // so the join emits one row per (doc, shared gram): count == n_shared
+    grams(corpus).join(bench, "g")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shared"))
+  }
 }
