@@ -30,9 +30,18 @@ object SparkEntry {
           .otherwise(lit(null)).as("price_ratio"))
   }
 
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] =
-    demos.map(d => d.name -> d.build).toMap
+  /** One entry per implemented operator from SURVEY.md §2. Insertion-
+    * ordered (ListMap over the declared demo Seq) so consumers that
+    * iterate — Bench above all — see a STABLE, declared order: hash-Map
+    * iteration made per-round bench diffs noisy and let warmup effects
+    * land on a different first query each run (round-3 verdict).
+    */
+  def queries: Map[String, (SparkSession, String) => DataFrame] = {
+    val names = demos.map(_.name)
+    require(names.distinct.size == names.size,
+      s"duplicate demo names: ${names.diff(names.distinct).distinct}")
+    scala.collection.immutable.ListMap(demos.map(d => d.name -> d.build): _*)
+  }
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */

@@ -65,6 +65,21 @@ object Sketches {
     xs(h2, 16)
   }
 
+  /** Driver-side mirror of [[mix31]] — the identical avalanche over Scala
+    * longs, for operators that precompute probe bitmaps from a bounded
+    * collected key set ([[TextDedup.decontaminateBloom]]). All
+    * intermediates are non-negative (floorMod = Spark's pmod; >>> = >>
+    * on non-negatives), so the two forms agree bit-for-bit — pinned by a
+    * SketchesSpec property test.
+    */
+  def mix31L(key: Long): Long = {
+    def xs(h: Long, bits: Int): Long = h ^ (h >>> bits)
+    val h0 = Math.floorMod(key, Mod31)
+    val h1 = Math.floorMod(xs(h0, 16) * C1, Mod31)
+    val h2 = Math.floorMod(xs(h1, 13) * C2, Mod31)
+    xs(h2, 16)
+  }
+
   /** One-row HLL distinct estimate for `key`, alongside the exact
     * count(distinct) for error inspection: `(n_exact, n_estimate,
     * buckets_used)`. Raw HLL estimate only (no small/large-range

@@ -323,14 +323,12 @@ object TextAnalysis {
 
   // ---- intra-document repetition metrics (X5j) ------------------------
 
-  /** Non-distinct n-grams of a token array — every occurrence, unlike
-    * [[TextDedup.nGramSet]]. Caller must pre-filter `size(tokens) >= n`
-    * (Spark's `sequence(0, negative)` DESCENDS rather than returning
-    * empty).
+  /** Non-distinct n-grams — the shared construction site lives in
+    * [[TextDedup.nGrams]] (same precondition: pre-filter
+    * `size(tokens) >= n`).
     */
   private def nGrams(tokens: Column, n: Int): Column =
-    transform(sequence(lit(0), size(tokens) - n), i =>
-      concat_ws(" ", (1 to n).map(k => element_at(tokens, i + k)): _*))
+    TextDedup.nGrams(tokens, n)
 
   /** Gopher-style intra-document repetition metrics — the quality family
     * that catches looping/boilerplate generation the unigram heuristics of

@@ -41,18 +41,26 @@ object TextDedup {
     df.select(col(idCol).as("doc_id"), split(col(textCol), " ").as("toks"))
       .filter(size(col("toks")) >= 3)
 
-  /** Distinct space-joined n-token shingles of a token-array column —
-    * the ONE n-gram construction site (trigram shingles here, bigrams in
-    * [[TextAnalysis.bigramCoverage]]). Precondition: callers filter to
-    * `size(tokens) >= n` first — `sequence(0, negative)` DESCENDS in
-    * Spark rather than returning empty.
+  /** Every space-joined n-token gram of a token-array column, WITH
+    * repeats (one entry per occurrence) — the ONE n-gram construction
+    * site: [[nGramSet]] wraps it for distinct-set consumers, and
+    * occurrence-counting consumers ([[TextAnalysis.repetitionMetrics]])
+    * use it directly. Precondition: callers filter to `size(tokens) >= n`
+    * first — `sequence(0, negative)` DESCENDS in Spark rather than
+    * returning empty.
     */
-  def nGramSet(tokens: Column, n: Int): Column = {
+  def nGrams(tokens: Column, n: Int): Column = {
     require(n >= 1, s"n-gram size must be >= 1, got $n")
-    array_distinct(
-      transform(sequence(lit(0), size(tokens) - n), i =>
-        concat_ws(" ", (1 to n).map(k => element_at(tokens, i + k)): _*)))
+    transform(sequence(lit(0), size(tokens) - n), i =>
+      concat_ws(" ", (1 to n).map(k => element_at(tokens, i + k)): _*))
   }
+
+  /** Distinct space-joined n-token shingles of a token-array column
+    * (trigram shingles here, bigrams in [[TextAnalysis.bigramCoverage]]).
+    * Same precondition as [[nGrams]].
+    */
+  def nGramSet(tokens: Column, n: Int): Column =
+    array_distinct(nGrams(tokens, n))
 
   /** Distinct 3-token shingles of a token-array column. */
   private def shingleSet(tokens: Column): Column = nGramSet(tokens, 3)
@@ -393,20 +401,105 @@ object TextDedup {
     * the n-gram string — never a doc×doc comparison. The benchmark side
     * is a fixed eval suite (tiny vs a 100 TB corpus): Spark broadcasts it
     * under the threshold, and at any size the join stays a bounded-key
-    * shuffle. For a pre-prune that avoids shuffling corpus n-grams at
-    * all, feed the benchmark n-gram set to a bloom filter on the scan
-    * (the ScaleOps.bloomPrune shape) and verify survivors here.
+    * shuffle. For a pre-prune that drops non-colliding corpus grams
+    * BEFORE the shuffle, see [[decontaminateBloom]].
+    *
+    * Tokenization: whitespace-RUN split with empty tokens dropped (the
+    * normalize-then-ngram rule) — a raw single-space split would embed
+    * empty tokens from consecutive spaces and never split on
+    * newlines/tabs, yielding spurious or missed collisions on
+    * whitespace-structured text.
+    *
+    * The benchmark side needs only a text column (`benchTextCol`,
+    * defaulting to the corpus `textCol` name) — benchmark ids never
+    * appear in the output.
     */
   def decontaminate(corpus: DataFrame, benchmark: DataFrame, idCol: String,
-      textCol: String, n: Int): DataFrame = {
-    def grams(df: DataFrame) = df
-      .select(col(idCol).as("doc_id"), split(lower(col(textCol)), " ").as("toks"))
+      textCol: String, n: Int, benchTextCol: Option[String] = None): DataFrame =
+    corpusGrams(corpus, idCol, textCol, n)
+      .join(benchGrams(benchmark, benchTextCol.getOrElse(textCol), n), "g")
+      // corpus grams are distinct per doc and bench grams globally
+      // distinct, so the join emits one row per (doc, shared gram):
+      // count == n_shared
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shared"))
+
+  /** Lowercased whitespace-run token array with empty tokens removed. */
+  private def wsTokens(c: Column): Column =
+    filter(split(lower(c), "\\s+"), t => t =!= "")
+
+  /** One row per (corpus doc, distinct n-gram). */
+  private def corpusGrams(corpus: DataFrame, idCol: String, textCol: String,
+      n: Int): DataFrame =
+    corpus
+      .select(col(idCol).as("doc_id"), wsTokens(col(textCol)).as("toks"))
       .filter(size(col("toks")) >= n) // nGramSet precondition
       .select(col("doc_id"), explode(nGramSet(col("toks"), n)).as("g"))
-    val bench = grams(benchmark).select(col("g")).distinct()
-    // corpus grams are distinct per doc and bench grams globally distinct,
-    // so the join emits one row per (doc, shared gram): count == n_shared
-    grams(corpus).join(bench, "g")
+
+  /** Globally distinct benchmark n-grams (column `g`). */
+  private def benchGrams(benchmark: DataFrame, textCol: String,
+      n: Int): DataFrame =
+    benchmark
+      .select(wsTokens(col(textCol)).as("toks"))
+      .filter(size(col("toks")) >= n)
+      .select(explode(nGramSet(col("toks"), n)).as("g"))
+      .distinct()
+
+  /** Bloom probe count per gram. FP rate with m bits / k=3 probes and v
+    * benchmark grams ≈ (1 − e^(−3v/m))³ — at the default 2^20 bits a
+    * 50k-gram eval suite sits near 0.3%, and every FP is verified away.
+    */
+  val BloomProbes = 3
+
+  /** Bloom-pruned decontamination — identical output to [[decontaminate]]
+    * (spec-pinned), but corpus n-grams are pre-filtered against a LITERAL
+    * bloom bitmap of the benchmark grams, so the overwhelming majority of
+    * a clean corpus's grams die inside the scan stage's codegen'd filter
+    * instead of being shuffled to the join. This is the shape that
+    * matters at 100 TB: the exchange carries only (candidate gram, doc)
+    * survivors, a set bounded by the benchmark's true collisions plus the
+    * bitmap's small FP rate — the equi-join then verifies exactly, so
+    * false positives cannot reach the output.
+    *
+    * The bitmap is built from ONE bounded collect of the benchmark's
+    * distinct gram hashes — the benchmark is a fixed eval suite, tiny vs
+    * the corpus by contract (the same bounded-collect legitimacy as IVF's
+    * k centroids, VectorSearch.scala). Probes: [[BloomProbes]] rehashes of
+    * the gram's char-polynomial hash through the [[Sketches.mix31]]
+    * avalanche, computed by the SAME expression on both the driver
+    * (via [[Sketches.mix31L]]) and the corpus scan.
+    */
+  def decontaminateBloom(corpus: DataFrame, benchmark: DataFrame,
+      idCol: String, textCol: String, n: Int,
+      benchTextCol: Option[String] = None,
+      bloomBits: Int = 1 << 20): DataFrame = {
+    require(bloomBits >= 64 && Integer.bitCount(bloomBits) == 1,
+      s"bloomBits must be a power of two >= 64, got $bloomBits")
+    Hashing.registerAll(corpus.sparkSession)
+    def gramHash(g: Column): Column = call_function("char_poly_hash", g)
+    val bench = benchGrams(benchmark, benchTextCol.getOrElse(textCol), n)
+    val words = new Array[Long](bloomBits / 64)
+    bench.select(gramHash(col("g")).as("h")).collect().foreach { row =>
+      val h = row.getLong(0)
+      var r = 0
+      while (r < BloomProbes) {
+        val idx = (Sketches.mix31L(h + r * Sketches.CmSalt) % bloomBits).toInt
+        words(idx >> 6) |= 1L << (idx & 63)
+        r += 1
+      }
+    }
+    val bitmap = typedLit(words.toSeq)
+    def mightContain(h: Column): Column =
+      (0 until BloomProbes).map { r =>
+        val idx = pmod(Sketches.mix31(h + lit(r.toLong * Sketches.CmSalt)),
+          lit(bloomBits.toLong))
+        val word = element_at(bitmap, (shiftright(idx, 6) + 1).cast("int"))
+        call_function("shiftright", word, idx.bitwiseAND(lit(63L)).cast("int"))
+          .bitwiseAND(lit(1L)) === lit(1L)
+      }.reduce(_ && _)
+    corpusGrams(corpus, idCol, textCol, n)
+      .filter(mightContain(gramHash(col("g"))))
+      .join(bench, "g")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_shared"))
   }

@@ -306,5 +306,62 @@ object DedupDemos {
         .orderBy(col("doc_id").asc_nulls_last)
     })
 
-  val all: Seq[Demo] = Seq(x1, x2a, x2b, x2c, x2c2, x2d, x2e, x2f, x2g, x18)
+  // ----- X23: benchmark decontamination (TextDedup.decontaminate) —
+  // flag corpus docs sharing >= 1 distinct lowercased word 8-gram with a
+  // held-out "benchmark" split (doc_id % 10 == 0 plays the eval suite).
+  // Tokenization is the normalize-then-ngram rule: whitespace-RUN split,
+  // empty tokens dropped. Scale: both sides meet in ONE equi-join on the
+  // gram string — never doc×doc; the benchmark side broadcasts.
+  private val deconN = 8
+
+  private def deconOracle: String = {
+    val joins = (0 until deconN).map(k => s"toks[i + $k]").mkString(" || ' ' || ")
+    s"""
+      WITH tok AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '\\s+'),
+                 t -> t <> '') AS toks
+        FROM documents),
+      corp AS (
+        SELECT doc_id,
+               unnest(list_distinct(list_transform(
+                 generate_series(1, len(toks) - ${deconN - 1}), i -> $joins))) AS g
+        FROM tok WHERE doc_id % 10 <> 0 AND len(toks) >= $deconN),
+      bench AS (
+        SELECT DISTINCT
+               unnest(list_distinct(list_transform(
+                 generate_series(1, len(toks) - ${deconN - 1}), i -> $joins))) AS g
+        FROM tok WHERE doc_id % 10 = 0 AND len(toks) >= $deconN)
+      SELECT doc_id, count(*) AS n_shared
+      FROM corp JOIN bench USING (g)
+      GROUP BY 1
+      ORDER BY doc_id ASC NULLS LAST"""
+  }
+
+  private def deconSplit(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val d = t(s, dir, "documents")
+    (d.filter(col("doc_id") % 10 =!= 0), d.filter(col("doc_id") % 10 === 0))
+  }
+
+  private val x23 = Demo("x23_decontaminate", Some(deconOracle),
+    (s, dir) => {
+      val (corpus, bench) = deconSplit(s, dir)
+      TextDedup.decontaminate(corpus, bench, "doc_id", "text", deconN)
+        .orderBy(col("doc_id").asc_nulls_last)
+    })
+
+  // X23b: the 100 TB path of the same operator — corpus grams are
+  // pre-pruned by a literal bloom bitmap of the benchmark grams inside
+  // the scan stage, then the surviving candidates are verified by the
+  // exact equi-join, so the output is identical (same oracle). The
+  // bitmap build is one bounded collect of the tiny benchmark side.
+  private val x23b = Demo("x23b_decontaminate_bloom", Some(deconOracle),
+    (s, dir) => {
+      val (corpus, bench) = deconSplit(s, dir)
+      TextDedup.decontaminateBloom(corpus, bench, "doc_id", "text", deconN)
+        .orderBy(col("doc_id").asc_nulls_last)
+    })
+
+  val all: Seq[Demo] =
+    Seq(x1, x2a, x2b, x2c, x2c2, x2d, x2e, x2f, x2g, x18, x23, x23b)
 }

@@ -229,5 +229,58 @@ object TextDemos {
         minDf = 3)
       .orderBy(col("doc_id").asc_nulls_last))
 
-  val all: Seq[Demo] = Seq(x5a, x5b, x5c, x5d, x5e, x5f, x5g, x5h, x5i)
+  // X5j: Gopher-style intra-document repetition metrics
+  // (TextAnalysis.repetitionMetrics) — char share of the single most
+  // frequent bigram and of all duplicated trigrams, occurrences counted
+  // WITH repeats. All counts are exact integers; each share is ONE
+  // guarded IEEE division (the float-fn law), so the metrics
+  // hash-match. The e0-suffixed threshold literals pin DOUBLE on the
+  // oracle side (repo float-literal convention).
+  private val x5j = Demo("x5j_repetition", Some("""
+      WITH base AS (
+        SELECT doc_id, length(text) AS n_chars_r,
+               string_split(lower(text), ' ') AS toks
+        FROM documents),
+      bg AS (
+        SELECT doc_id, unnest(list_transform(generate_series(1, len(toks) - 1),
+                 i -> toks[i] || ' ' || toks[i + 1])) AS g
+        FROM base WHERE len(toks) >= 2),
+      bgc AS (SELECT doc_id, g, count(*) AS cnt FROM bg GROUP BY 1, 2),
+      top2 AS (
+        SELECT doc_id, g AS top_bigram, cnt AS top_bigram_count,
+               cnt * length(g) AS top2_chars
+        FROM (SELECT doc_id, g, cnt,
+                     row_number() OVER (PARTITION BY doc_id
+                                        ORDER BY cnt DESC, g ASC) AS rn
+              FROM bgc)
+        WHERE rn = 1),
+      tg AS (
+        SELECT doc_id, unnest(list_transform(generate_series(1, len(toks) - 2),
+                 i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2])) AS g
+        FROM base WHERE len(toks) >= 3),
+      tgc AS (SELECT doc_id, g, count(*) AS cnt FROM tg GROUP BY 1, 2),
+      dup3 AS (
+        SELECT doc_id,
+               sum(CASE WHEN cnt >= 2 THEN cnt * length(g) ELSE 0 END) AS dup3_chars
+        FROM tgc GROUP BY 1),
+      m AS (
+        SELECT b.doc_id, t.top_bigram, t.top_bigram_count,
+               CASE WHEN b.n_chars_r > 0
+                    THEN cast(coalesce(t.top2_chars, 0) AS double) / b.n_chars_r
+                    ELSE 0.0e0 END AS top_bigram_char_frac,
+               CASE WHEN b.n_chars_r > 0
+                    THEN cast(coalesce(d.dup3_chars, 0) AS double) / b.n_chars_r
+                    ELSE 0.0e0 END AS dup_trigram_char_frac
+        FROM base b LEFT JOIN top2 t USING (doc_id) LEFT JOIN dup3 d USING (doc_id))
+      SELECT doc_id, top_bigram, top_bigram_count,
+             top_bigram_char_frac, dup_trigram_char_frac,
+             CASE WHEN top_bigram_char_frac <= 0.20e0
+                   AND dup_trigram_char_frac <= 0.60e0
+                  THEN 1 ELSE 0 END AS keep_repetition
+      FROM m
+      ORDER BY doc_id ASC NULLS LAST, top_bigram ASC NULLS LAST"""),
+    (s, dir) => TextAnalysis.repetitionMetrics(docs(s, dir), "doc_id", "text")
+      .orderBy(col("doc_id").asc_nulls_last, col("top_bigram").asc_nulls_last))
+
+  val all: Seq[Demo] = Seq(x5a, x5b, x5c, x5d, x5e, x5f, x5g, x5h, x5i, x5j)
 }

@@ -105,4 +105,12 @@ class SketchesSpec extends SparkSpec {
         .collect().toSeq
     assert(run(df.repartition(1)) === run(df.repartition(13)))
   }
+
+  test("mix31L mirrors the column mix31 bit-for-bit across the key domain") {
+    val keys = Seq(0L, 1L, 5L, 12345L, (1L << 29) + 7, (1L << 31) - 1,
+      1L << 31, (1L << 33) + 11, Long.MaxValue, -1L, -12345L, Long.MinValue + 1)
+    val got = keys.toDF("k").select(Sketches.mix31(col("k")).as("h"))
+      .collect().map(_.getLong(0)).toSeq
+    assert(got === keys.map(Sketches.mix31L))
+  }
 }

@@ -141,4 +141,51 @@ class TextAnalysisSpec extends SparkSpec {
       (3L, 1, "durian", 1L, 1L, 1.0 * ln2),
       (3L, 2, "banana", 2L, 3L, 0.0)))
   }
+
+  test("repetitionMetrics: looping doc hand-computed shares (X5j)") {
+    // "ab ab ab ab" (11 chars): bigram "ab ab" ×3 → 3·5=15 chars;
+    // trigram "ab ab ab" ×2 (duplicated) → 2·8=16 chars — overlapping
+    // occurrences double-count characters per the published rule, so
+    // shares may exceed 1.
+    val r = TextAnalysis.repetitionMetrics(one("ab ab ab ab"), "doc_id", "text")
+      .head()
+    assert(r.getAs[String]("top_bigram") === "ab ab")
+    assert(r.getAs[Long]("top_bigram_count") === 3L)
+    assert(r.getAs[Double]("top_bigram_char_frac") === 15.0 / 11)
+    assert(r.getAs[Double]("dup_trigram_char_frac") === 16.0 / 11)
+    assert(r.getAs[Int]("keep_repetition") === 0)
+  }
+
+  test("repetitionMetrics: top-bigram tiebreak is (count desc, gram asc)") {
+    // "b a b a": "b a" ×2 beats "a b" ×1; "z y x": all count 1 → the
+    // lexicographically smallest bigram wins deterministically
+    val r1 = TextAnalysis.repetitionMetrics(one("b a b a"), "doc_id", "text").head()
+    assert(r1.getAs[String]("top_bigram") === "b a")
+    val r2 = TextAnalysis.repetitionMetrics(one("z y x"), "doc_id", "text").head()
+    assert(r2.getAs[String]("top_bigram") === "y x")
+  }
+
+  test("repetitionMetrics: short, empty, and NULL docs get zero shares, keep=1") {
+    val s2 = spark
+    import s2.implicits._
+    val df = Seq((1L, Some("solo")), (2L, Some("a b")), (3L, Some("")),
+      (4L, None: Option[String])).toDF("doc_id", "text")
+    val rows = TextAnalysis.repetitionMetrics(df, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    // 1 token: no bigrams/trigrams — NULL top, zero shares, kept
+    assert(rows(0).isNullAt(1))
+    assert(rows(0).getDouble(3) === 0.0 && rows(0).getDouble(4) === 0.0)
+    assert(rows(0).getInt(5) === 1)
+    // 2 tokens: the single bigram covers all 3 chars → share 1.0 → cut;
+    // no trigrams → zero trigram share
+    assert(rows(1).getString(1) === "a b")
+    assert(rows(1).getDouble(3) === 1.0 && rows(1).getDouble(4) === 0.0)
+    assert(rows(1).getInt(5) === 0)
+    // empty text: n_chars = 0 — guarded division, zero shares, kept
+    assert(rows(2).getDouble(3) === 0.0 && rows(2).getInt(5) === 1)
+    // NULL text: same guarded path
+    assert(rows(3).isNullAt(1))
+    assert(rows(3).getDouble(3) === 0.0 && rows(3).getDouble(4) === 0.0)
+    assert(rows(3).getInt(5) === 1)
+  }
 }

@@ -183,4 +183,70 @@ class TextDedupSpec extends SparkSpec {
       .orderBy("right_id").collect().map(x => (x.getLong(2), x.getLong(4))).toList
     assert(out == List((2L, 0L), (3L, 1L)))
   }
+
+  // ---- decontamination (X23) -----------------------------------------
+
+  private def deconCorpus = {
+    val s = spark
+    import s.implicits._
+    Seq(
+      (1L, "the quick brown fox jumps"), // 2 shared trigrams
+      (2L, "lazy dogs sleep here"), // 0 shared → absent from output
+      (3L, "The\t quick   brown fox"), // tabs/runs/case → normalized, 2 shared
+      (4L, "quick brown fox runs away")) // exactly 1 shared
+      .toDF("doc_id", "text")
+  }
+
+  private def deconBench = {
+    val s = spark
+    import s.implicits._
+    // different column name than the corpus — decontaminate must accept it
+    Seq((900L, "the quick brown fox")).toDF("bid", "prompt")
+  }
+
+  test("decontaminate: shared-gram counts, zero-collision docs absent, whitespace normalized") {
+    val out = TextDedup.decontaminate(deconCorpus,
+        deconBench, "doc_id", "text", 3, benchTextCol = Some("prompt"))
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getLong(1))).toList
+    assert(out === List((1L, 2L), (3L, 2L), (4L, 1L)))
+  }
+
+  test("decontaminate: benchmark with no qualifying docs yields an empty result") {
+    val s = spark
+    import s.implicits._
+    val tiny = Seq((901L, "too short")).toDF("bid", "prompt") // < n tokens
+    assert(TextDedup.decontaminate(deconCorpus, tiny, "doc_id", "text", 3,
+      benchTextCol = Some("prompt")).count() === 0L)
+  }
+
+  test("decontaminateBloom equals decontaminate, even with forced false positives") {
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("doc_id").collect().map(r => (r.getLong(0), r.getLong(1))).toList
+    val exact = rows(TextDedup.decontaminate(deconCorpus, deconBench,
+      "doc_id", "text", 3, benchTextCol = Some("prompt")))
+    val bloom = rows(TextDedup.decontaminateBloom(deconCorpus, deconBench,
+      "doc_id", "text", 3, benchTextCol = Some("prompt")))
+    assert(bloom === exact)
+    // a 64-bit bitmap saturates → every gram passes the prune, but the
+    // verification join still kills the false positives
+    val saturated = rows(TextDedup.decontaminateBloom(deconCorpus, deconBench,
+      "doc_id", "text", 3, benchTextCol = Some("prompt"), bloomBits = 64))
+    assert(saturated === exact)
+  }
+
+  test("decontaminateBloom plan gate: bloom bit-test filter below the gram join") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Filter, Join}
+    val df = TextDedup.decontaminateBloom(deconCorpus, deconBench,
+      "doc_id", "text", 3, benchTextCol = Some("prompt"))
+    val joins = df.queryExecution.optimizedPlan.collect { case j: Join => j }
+    assert(joins.nonEmpty)
+    // the literal-bitmap membership test (element_at over the bitmap)
+    // must sit UNDER the verification join — pruning before the shuffle
+    // is the operator's 100 TB claim
+    val pruned = joins.exists(j => Seq(j.left, j.right).exists(side =>
+      side.collect {
+        case f: Filter if f.condition.toString.contains("element_at") => f
+      }.nonEmpty))
+    assert(pruned, df.queryExecution.optimizedPlan.toString)
+  }
 }
