@@ -154,13 +154,16 @@ object Sketches {
     * `(probe_key, n_exact, n_cm)` with n_cm ≥ n_exact (the sketch only
     * overestimates, by < depth·n/width with high probability).
     *
-    * Scale: the sketch aggregation explodes each row CmDepth× but
-    * map-side combine collapses every partition to ≤ depth·width counter
-    * rows, so the shuffle is O(depth·width) regardless of input size —
-    * the counters then broadcast to the probe side. The exact branch is
-    * pre-filtered to the probed keys by a broadcast semi-join, so its
-    * shuffle is bounded by the probe cardinality, not the input's key
-    * cardinality; it exists only for the error column.
+    * Scale: ONE pass over the input. The cell fan-out explodes each row
+    * CmDepth×, but map-side combine collapses every partition to
+    * ≤ depth·width (+ depth·|probes|) rows, so the shuffle is
+    * O(depth·width) regardless of input size — the counters then
+    * broadcast to the probe side. The exact counts (error-inspection
+    * column) ride the SAME aggregate: probe keys are tagged in the
+    * exploded frame (one bounded collect of the tiny-by-contract probe
+    * set — the IVF-centroid legitimacy), and each probe's exact count is
+    * read off its r=0 cell row, eliminating the second input scan the
+    * previous exact branch paid.
     */
   def cmFrequency(df: DataFrame, key: Column, probes: DataFrame,
       probeCol: String): DataFrame = {
@@ -170,8 +173,6 @@ object Sketches {
         .select((carry.map(col) :+ col("r")
           :+ cmCell(col(k), col("r")).as("c")): _*)
     val keyed = df.filter(key.isNotNull).select(key.cast("long").as("k"))
-    val counters = cells(keyed, "k", Nil)
-      .groupBy(col("r"), col("c")).agg(count(lit(1)).as("cnt"))
     // distinct: a duplicated probe key must yield one output row, not a
     // duplicated (est/exact are aggregates, so only multiplicity — not
     // values — would reflect the duplicates, which is worse: silently
@@ -179,15 +180,26 @@ object Sketches {
     // distinct is a broadcast-scale dedup.
     val probeKeys = probes.select(col(probeCol).cast("long").as("probe_key"))
       .distinct()
+    // NULL probe keys stay out of the tag set (a NULL key matches no
+    // input row) but keep their output row via the probeKeys joins below
+    val probeSet: Seq[Long] = probeKeys.collect()
+      .filter(!_.isNullAt(0)).map(_.getLong(0)).toSeq
+    val cellCounts = cells(keyed, "k", Seq("k"))
+      .select(col("r"), col("c"),
+        when(col("k").isInCollection(probeSet), col("k")).as("pk"))
+      .groupBy(col("r"), col("c"), col("pk")).agg(count(lit(1)).as("cnt"))
+    val counters = cellCounts
+      .groupBy(col("r"), col("c")).agg(sum(col("cnt")).as("cnt"))
+    // a probe key's rows all share one cell per CM row, so its r=0 cell
+    // count IS its exact frequency
+    val exact = cellCounts.filter(col("pk").isNotNull && col("r") === 0L)
+      .groupBy(col("pk")).agg(sum(col("cnt")).as("cnt_exact"))
     val est = cells(probeKeys, "probe_key", Seq("probe_key"))
       .join(broadcast(counters), Seq("r", "c"), "left")
       .groupBy(col("probe_key"))
       .agg(min(coalesce(col("cnt"), lit(0L))).as("n_cm"))
-    val exact = keyed
-      .join(broadcast(probeKeys), col("k") === col("probe_key"), "left_semi")
-      .groupBy(col("k")).agg(count(lit(1)).as("cnt_exact"))
     probeKeys
-      .join(exact, col("probe_key") === col("k"), "left")
+      .join(exact, col("probe_key") === col("pk"), "left")
       .join(est, Seq("probe_key"))
       .select(col("probe_key"),
         coalesce(col("cnt_exact"), lit(0L)).as("n_exact"), col("n_cm"))

@@ -36,6 +36,14 @@ object TextDedup {
   /** id + whitespace token array, docs with >= 3 tokens. The token array
     * gets its own projection so split() materializes once per row (see
     * DedupDemos scaladoc for the CollapseProject reasoning).
+    *
+    * Deliberately NOT pre-repartitioned: fanning a single-file corpus
+    * across cores before the shingle explode was measured (sf0.1,
+    * local[32]) to make the downstream posting-list aggregation ~12×
+    * SLOWER — 32 concurrent object-hash aggregates in one JVM hit the
+    * sort-based fallback together and thrash spill I/O, while the
+    * explode itself is ~2 s warm either way. On a real cluster the scan
+    * arrives pre-split across executors and no repartition is needed.
     */
   private def tokArrays(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.select(col(idCol).as("doc_id"), split(col(textCol), " ").as("toks"))
@@ -199,12 +207,13 @@ object TextDedup {
       .filter(col("jaccard") >= threshold)
   }
 
-  /** Exact n-gram Jaccard pairs (X2c) via an inverted-index join: group
-    * postings per shingle, expand in-list pairs, count shared shingles.
-    * Equals the all-pairs scan for every pair sharing ≥1 shingle while
-    * touching only co-occurring docs. `maxDocFreq` drops stop-shingles
-    * (posting lists longer than the cap) — the frequency cut that bounds
-    * the worst bucket at open-web scale. With a cap, BOTH the shared
+  /** Exact n-gram Jaccard pairs (X2c) via an inverted-index self-join:
+    * co-occurring docs meet on their shared shingle, shared-shingle
+    * counts fall out of a pair aggregate. Equals the all-pairs scan for
+    * every pair sharing ≥1 shingle while touching only co-occurring
+    * docs. `maxDocFreq` drops stop-shingles (document frequency above
+    * the cap) — the frequency cut that bounds the worst bucket at
+    * open-web scale. With a cap, BOTH the shared
     * counts AND the per-doc set sizes are computed over the capped
     * shingle universe, so the reported value is the exact Jaccard of the
     * capped sets (pairs whose similarity rode on stop-shingles drop out —
@@ -214,29 +223,31 @@ object TextDedup {
       threshold: Double, maxDocFreq: Option[Int] = None): DataFrame = {
     val td = tokArrays(df, idCol, textCol)
     val posts = td.select(col("doc_id"), explode(shingleSet(col("toks"))).as("sh"))
-    // one posting-list aggregate feeds everything downstream: both the
-    // capped sizes and the pair buckets derive from the SAME groupBy(sh)
-    // subtree, so the physical plan shuffles the exploded postings once
-    // and ReuseExchange shares the aggregate between the two consumers
-    // (the previous posts⋈ok-shingles formulation shuffled posts three
-    // times in capped mode)
-    val lists = posts.groupBy(col("sh"))
-      .agg(sort_array(collect_set(col("doc_id"))).as("ds"))
+    // Everything below stays inside whole-stage codegen: per-shingle
+    // document frequency is a two-phase COUNT, the in-bucket pair
+    // expansion is a sh-equi SELF-JOIN with a doc_id< residual, and both
+    // hang off the SAME hash-partitioning of `posts`, so ReuseExchange
+    // shuffles the postings once. The previous formulation materialized
+    // per-shingle id arrays (sort_array(collect_set)) — an
+    // ObjectHashAggregate that falls back to sort-based aggregation past
+    // 128 groups and dominated the operator's runtime at sf0.1.
+    val dfc = posts.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+    // postings restricted to the capped shingle universe (df = 1 kept:
+    // they count toward set sizes even though they pair with nothing)
+    val okPosts =
+      posts.join(maxDocFreq.fold(dfc)(cap => dfc.filter(col("df") <= cap)), "sh")
     val sizes = maxDocFreq match {
       case None =>
         td.select(col("doc_id"), size(shingleSet(col("toks"))).as("n"))
-      case Some(cap) =>
-        // per-doc size over the capped universe: count only shingles whose
-        // document frequency is within the cap (df = 1 shingles included)
-        lists.filter(size(col("ds")) <= cap)
-          .select(explode(col("ds")).as("doc_id"))
-          .groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+      case Some(_) =>
+        // per-doc size over the capped universe
+        okPosts.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     }
-    val buckets = lists.filter(size(col("ds")) >= 2)
-    val capped = maxDocFreq.fold(buckets)(cap => buckets.filter(size(col("ds")) <= cap))
-    capped
-      .select(explode(pairsOf(col("ds"))).as("p"))
-      .groupBy(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
+    val pairPosts = okPosts.filter(col("df") >= 2).select(col("doc_id"), col("sh"))
+    pairPosts.as("a")
+      .join(pairPosts.as("b"),
+        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
       .agg(count(lit(1)).as("inter"))
       .join(sizes.select(col("doc_id").as("id_a"), col("n").as("na")), "id_a")
       .join(sizes.select(col("doc_id").as("id_b"), col("n").as("nb")), "id_b")
