@@ -42,6 +42,20 @@ object Bench {
       evaluate(SparkEntry.entry(spark))
     } catch { case _: Throwable => }
 
+    // machine-speed calibration: a fixed CPU-bound job (range sum +
+    // hash agg), timed after warmup. Reported as "calib" in the JSON so
+    // per-round query times can be normalized — container throughput was
+    // observed to vary several-fold between rounds, which would
+    // otherwise read as query regressions/improvements that are really
+    // the machine.
+    val calib = {
+      val t0 = System.nanoTime()
+      spark.range(200000000L)
+        .selectExpr("id % 97 AS k", "id")
+        .groupBy("k").sum("id").collect()
+      (System.nanoTime() - t0) / 1e9
+    }
+
     // queries with iterative/materializing internals (SCD2 eras, label
     // propagation, corpus-clean cuts) localCheckpoint into executor
     // storage; release everything between timings so query N's storage
@@ -56,8 +70,13 @@ object Bench {
     // steady-state timing: two runs per query, report the min — the first
     // run still pays per-query codegen compilation, which a long-running
     // cluster amortizes away
+    // SPARK_GRAFT_ONLY: comma-separated name prefixes for local builder
+    // iteration on a query subset (the driver never sets it → full run)
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(',').toSeq)
     val results: Map[String, Option[Double]] =
-      SparkEntry.queries.map { case (name, fn) =>
+      SparkEntry.queries
+        .filter { case (name, _) => only.forall(_.exists(name.startsWith)) }
+        .map { case (name, fn) =>
         val times = (1 to 2).flatMap { _ =>
           val t0 = System.nanoTime()
           try {
@@ -77,7 +96,7 @@ object Bench {
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = if (ok.nonEmpty) ok.values.sum else 0.0
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","calib":$calib,"queries":$qs,"failed":$failedJson,"sf":"$sfDir"}"""
     Files.createDirectories(Paths.get("target"))
     Files.write(Paths.get("target/bench.json"),
       (json + "\n").getBytes(StandardCharsets.UTF_8))
@@ -87,7 +106,7 @@ object Bench {
     // stdout with a COMPACT summary line (<200 bytes) so a tail of any
     // reasonable size contains a complete, parseable JSON object.
     val summary =
-      s"""{"metric":"total","value":$total,"unit":"sec","n":${ok.size},"n_failed":${failed.size},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","calib":$calib,"n":${ok.size},"n_failed":${failed.size},"sf":"$sfDir"}"""
     println(summary)
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)

@@ -342,7 +342,9 @@ object TextAnalysis {
     *
     * Scale: two explode→hash-agg passes keyed (doc, gram) — map-side
     * combinable, no driver state, shuffle bounded by token count; the
-    * per-doc top-1 is a window over doc-bounded groups. Docs with fewer
+    * per-doc top-1 is a second hash aggregate (`min_by` over the
+    * `(-count, gram)` struct order), not a window — no per-partition
+    * sort of the (doc, bigram) frame. Docs with fewer
     * than 2 (resp. 3) tokens have no bigrams (trigrams): NULL top bigram,
     * zero shares.
     */
@@ -351,16 +353,19 @@ object TextAnalysis {
     val base = df.select(col(idCol).as("doc_id"),
       length(col(textCol)).as("n_chars_r"),
       split(lower(col(textCol)), " ").as("toks"))
+    // per-doc argmax via min_by over the (−count, gram) order — a second
+    // hash aggregate instead of a window, so no per-partition sort of
+    // the full (doc, bigram) frame; the (−cnt, g) struct order IS the
+    // (count desc, gram asc) tiebreak
     val top2 = base.filter(size(col("toks")) >= 2)
       .select(col("doc_id"), explode(nGrams(col("toks"), 2)).as("g"))
       .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("cnt"))
-      .withColumn("rn", row_number().over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
-          .orderBy(col("cnt").desc, col("g").asc)))
-      .filter(col("rn") === 1)
-      .select(col("doc_id"), col("g").as("top_bigram"),
-        col("cnt").as("top_bigram_count"),
-        (col("cnt") * length(col("g"))).as("top2_chars"))
+      .groupBy(col("doc_id"))
+      .agg(min_by(struct(col("g"), col("cnt")), struct(-col("cnt"), col("g")))
+        .as("t"))
+      .select(col("doc_id"), col("t.g").as("top_bigram"),
+        col("t.cnt").as("top_bigram_count"),
+        (col("t.cnt") * length(col("t.g"))).as("top2_chars"))
     val dup3 = base.filter(size(col("toks")) >= 3)
       .select(col("doc_id"), explode(nGrams(col("toks"), 3)).as("g"))
       .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("cnt"))
