@@ -47,4 +47,108 @@ object Sampling {
     }
     df.filter(hashBucket(key) < rateCol)
   }
+
+  /** [[hashBucket]] at parts-per-million resolution — for rate-valued
+    * (data-dependent) sampling where integer percents are too coarse.
+    * Same Knuth mix, same contracts (non-negative keys, NULL never
+    * passes); the ~46 post-shift bits give every ppm bucket ~2^26
+    * distinct residues, so ppm-level rates stay unbiased.
+    */
+  def hashBucketPpm(key: Column): Column =
+    pmod(shiftright(pmod(key.cast("long"), lit(2147483648L)) * 2654435761L,
+      16), lit(1000000L))
+
+  /** Deterministic downsample to TARGET DOMAIN PROPORTIONS — the
+    * training-corpus "data mixing" step: given integer weights per
+    * domain value (source, language, …), keep the LARGEST subset whose
+    * domain counts are proportional to the weights. The binding domain
+    * (the one that runs out first, i.e. minimal count/weight) is kept at
+    * 100%; every other domain's keep-rate follows in exact integer
+    * parts-per-million:
+    *
+    *   rate_ppm(d) = (1e6 · cnt(binding) · w(d)) div (w(binding) · cnt(d))
+    *
+    * All-integer arithmetic end to end — the rates (and therefore the
+    * kept set) are bit-identical on any engine that replays the formula.
+    * Overflow bound: 1e6·cnt·w must fit int64, i.e. cnt·w ≤ 9.2e12 per
+    * domain — comfortable for any real corpus (1e10 docs × w≤100);
+    * switch the rate expression to DECIMAL(38,0) beyond that. Rows whose
+    * domain is absent from `weights` (or NULL) are dropped.
+    *
+    * Scale: one hash-agg for the per-domain counts (|domains| rows), a
+    * 1-row binding selection with a (ratio, domain) tiebreak, and a
+    * broadcast rate join back onto the scan — the data path itself is a
+    * narrow filter, exactly like [[hashSample]]; nothing all-pairs,
+    * nothing driver-side.
+    */
+  def mixToTarget(df: DataFrame, key: Column, domainCol: String,
+      weights: Map[String, Int]): DataFrame = {
+    require(weights.nonEmpty && weights.values.forall(_ > 0),
+      s"positive weights required, got $weights")
+    val spark = df.sparkSession
+    val wdf = spark.createDataFrame(
+      weights.toSeq.map { case (d, w) => (d, w.toLong) }).toDF("__dom", "__w")
+    val counts = df.groupBy(col(domainCol).as("__dom"))
+      .agg(count(lit(1)).as("__cnt"))
+      .join(wdf, "__dom") // inner: unlisted/NULL domains drop here
+    // binding = argmin count/weight; the double ratio is the same IEEE
+    // division on every engine, and equal ratios as REALS yield equal
+    // rates below regardless of which argmin wins, so the domain
+    // tiebreak only needs to match when ratios are double-equal (it
+    // does: lexicographic on both sides)
+    val binding = counts
+      .orderBy((col("__cnt").cast("double") / col("__w")).asc,
+        col("__dom").asc)
+      .limit(1)
+      .select(col("__cnt").as("__bc"), col("__w").as("__bw"))
+    val rates = counts.crossJoin(binding) // scalar × |domains|
+      .select(col("__dom"),
+        expr("(1000000L * __bc * __w) div (__bw * __cnt)").as("rate_ppm"))
+    df.join(broadcast(rates), col(domainCol) === col("__dom"))
+      .filter(hashBucketPpm(key) < col("rate_ppm"))
+      .drop("__dom")
+  }
+
+  /** Deterministic pseudo-random SORT key from a row key: a 31-bit
+    * multiply–xorshift mixer (two rounds of ·odd-constant mod 2^31 then
+    * h ^= h >> k — each step a bijection, so distinct keys in a 2^31
+    * window get distinct sort keys), with the salt added BEFORE mixing
+    * so each salt is an independent permutation. The [[hashBucket]]
+    * shape (multiply, keep HIGH bits) is NOT enough here: without a
+    * final mod the product is monotonic in the key until it first
+    * overflows (key ~3.5e9), i.e. no shuffle at all — an ORDERING needs
+    * the mod-2^31 wraparound plus xor-shifts to break the resulting
+    * arithmetic lattice. Every intermediate stays below 2^62, so engines
+    * with checked int64 arithmetic (DuckDB) replay it verbatim.
+    * Contracts as [[hashBucket]]: non-negative keys, NULL yields NULL.
+    */
+  def shuffleKey(key: Column, salt: Long): Column = {
+    require(salt >= 0, s"non-negative salt required, got $salt")
+    val m = lit(2147483648L)
+    val h1 = pmod(pmod(key.cast("long") + lit(salt), m) * 2654435761L, m)
+    val h2 = h1.bitwiseXOR(shiftright(h1, 15))
+    val h3 = pmod(h2 * 2246822519L, m)
+    h3.bitwiseXOR(shiftright(h3, 13))
+  }
+
+  /** Deterministic training-order shuffle + shard assignment — the
+    * "shuffle the corpus before training, reproducibly" step: adds
+    * `shuffle_key` (sort by it, tiebreak on the row key, for a global
+    * pseudo-random order that replays bit-identically across runs,
+    * engines, and partitionings — `df.orderBy(rand())` does not) and
+    * `shard` = shuffle_key mod `numShards` (which training file the row
+    * lands in; a different salt gives an independent epoch order).
+    *
+    * Scale: the columns are narrow codegen'd projections — zero
+    * shuffles here. Consumers sort with a range-partitioned exchange on
+    * `shuffle_key` (uniform by construction — no skew, every partition
+    * an even slice) or `partitionBy("shard")` at write time; both are
+    * the plans you want at 100 TB.
+    */
+  def shuffleShard(df: DataFrame, key: Column, numShards: Int,
+      salt: Long = 0L): DataFrame = {
+    require(numShards >= 1, s"numShards must be >= 1, got $numShards")
+    df.withColumn("shuffle_key", shuffleKey(key, salt))
+      .withColumn("shard", pmod(col("shuffle_key"), lit(numShards.toLong)))
+  }
 }

@@ -103,4 +103,38 @@ object ScaleOps {
       explode(sequence(lit(0), lit(saltBuckets - 1))))
     saltedFact.join(saltedDim, Seq(key, "__salt"), joinType).drop("__salt")
   }
+
+  /** Z-order (Morton) interleave of two non-negative integer columns —
+    * the multi-dimensional data-CLUSTERING key: sort/range-partition a
+    * table by `zOrderValue(x, y, bits)` and rows close in BOTH
+    * dimensions land in the same partitions, so per-file min/max stats
+    * prune selective predicates on EITHER column (a single-column sort
+    * clusters only its own column). This is the layout step behind
+    * "OPTIMIZE ZORDER BY" in lakehouse engines, expressed as a pure
+    * codegen'd integer column usable with `repartitionByRange` + write.
+    *
+    * Bit k of `x` lands at z-bit 2k, bit k of `y` at 2k+1 — a plain
+    * sum of shifted bit tests, exactly replayable in any SQL engine
+    * ([[zOrderSql]] emits the same formula as text). Inputs must be in
+    * [0, 2^bits); callers bucket raw values first (e.g. `pmod`, or
+    * value div cell-width for range domains).
+    */
+  def zOrderValue(x: Column, y: Column, bits: Int): Column = {
+    require(bits >= 1 && bits <= 31, s"bits must be in [1, 31], got $bits")
+    (0 until bits).map { k =>
+      shiftright(x.cast("long"), k).bitwiseAND(lit(1L)) * lit(1L << (2 * k)) +
+        shiftright(y.cast("long"), k).bitwiseAND(lit(1L)) * lit(1L << (2 * k + 1))
+    }.reduce(_ + _)
+  }
+
+  /** The identical formula as SQL text (for oracles / other engines):
+    * `xExpr`/`yExpr` are SQL expressions for the bucketed coordinates.
+    */
+  def zOrderSql(xExpr: String, yExpr: String, bits: Int): String = {
+    require(bits >= 1 && bits <= 31, s"bits must be in [1, 31], got $bits")
+    (0 until bits).map { k =>
+      s"((($xExpr) >> $k) & 1) * ${1L << (2 * k)}" +
+        s" + ((($yExpr) >> $k) & 1) * ${1L << (2 * k + 1)}"
+    }.mkString(" + ")
+  }
 }

@@ -385,4 +385,54 @@ object TextAnalysis {
         when(col("top_bigram_char_frac") <= topBigramMax
           && col("dup_trigram_char_frac") <= dupTrigramMax, 1).otherwise(0))
   }
+
+  // ---- unigram-LM document scoring (X5k) -----------------------------
+
+  /** Log-free unigram language-model document score — the KenLM-style
+    * corpus-fit signal without the transcendental: train the unigram LM
+    * on the corpus itself (term frequency / total tokens), then score
+    * each document by the MEAN PROBABILITY of its token occurrences plus
+    * two exact side-signals:
+    *
+    *   - `mean_tok_p`  = (Σ_tokens tf(token)) / (n_toks · total_tokens)
+    *     — high ⇒ the doc is built from globally common words
+    *     (boilerplate/repetitive), low ⇒ rare/noisy vocabulary;
+    *   - `min_tf`      = corpus frequency of the doc's rarest token
+    *     (1 ⇒ contains a corpus hapax — OOV-ish);
+    *   - `hapax_share` = fraction of the doc's token occurrences whose
+    *     corpus frequency is 1.
+    *
+    * Everything is exact integer counting except two final IEEE
+    * divisions, so results hash-match any engine replaying the SQL (the
+    * same float-fn law as [[bigramCoverage]]; contrast [[tfIdf]], whose
+    * log forces an ulp-robust rank encoding). Tokenization matches
+    * [[wordTopK]]: lowercased single-space split, empty tokens dropped —
+    * docs with no tokens (NULL/empty text) have no LM score and are
+    * absent from the output.
+    *
+    * Scale: one explode feeding a word-keyed hash-agg (the LM), reused
+    * by the score join on the SAME word partitioning (ReuseExchange —
+    * the corpus is shingled once structurally); the per-doc aggregate is
+    * doc-keyed and map-side combinable; `total_tokens` is the 1-row
+    * scalar-subquery cross-join. Shuffles bounded by token count and
+    * vocabulary at any corpus size; no driver state.
+    */
+  def unigramLmScore(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = df.select(col(idCol).as("doc_id"),
+        explode(split(lower(col(textCol)), " ")).as("word"))
+      .filter(col("word") =!= "")
+    val tf = toks.groupBy(col("word")).agg(count(lit(1)).as("tf"))
+    val total = tf.agg(sum(col("tf")).as("total_tokens"))
+    toks.join(tf, "word")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_toks"),
+        sum(col("tf")).as("sum_tf"),
+        min(col("tf")).as("min_tf"),
+        sum(when(col("tf") === 1, lit(1L)).otherwise(lit(0L))).as("n_hapax"))
+      .crossJoin(total) // scalar × per-doc rows
+      .select(col("doc_id"), col("n_toks"), col("min_tf"),
+        (col("n_hapax").cast("double") / col("n_toks")).as("hapax_share"),
+        (col("sum_tf").cast("double") / col("n_toks") / col("total_tokens"))
+          .as("mean_tok_p"))
+  }
 }

@@ -520,4 +520,67 @@ object TextDedup {
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_shared"))
   }
+
+  // ---- exact substring-span dedup -------------------------------------
+
+  /** Exact substring-span deduplication — the sub-document sibling of
+    * [[exactDedup]]: instead of dropping whole duplicate documents, remove
+    * REPEATED TOKEN SPANS (boilerplate headers, license blocks, quoted
+    * chunks) wherever the same `n`-token window occurs more than once in
+    * the corpus, keeping exactly one canonical occurrence (the published
+    * "deduplicating training data" rule, applied at window granularity so
+    * it stays a join, not a suffix array).
+    *
+    * Semantics: every length-`n` token window is an occurrence keyed by
+    * its text. For each window text with ≥ 2 occurrences (across OR
+    * within documents), the occurrence with the smallest `(doc, start)`
+    * is canonical; every token position covered by a NON-canonical
+    * occurrence is deleted. Output: one row per tokenizable doc —
+    * `n_toks` (original), `n_removed`, and `cleaned_text` (surviving
+    * tokens in original order; empty string when the whole doc was
+    * duplicated spans). NULL-text docs have no tokens and are absent.
+    *
+    * Determinism: the canonical choice is a total order, so results are
+    * partition- and engine-independent (replayed declaratively by the
+    * DuckDB oracle).
+    *
+    * Scale: tokenize/explode is token-bounded; the duplicate-window
+    * aggregate is keyed by window text (vocabulary-bounded, map-side
+    * combinable `min(struct)` — no window sort); only duplicated windows
+    * survive to the position explode, which is bounded by n × duplicate
+    * occurrences; reassembly is one doc-keyed aggregate whose per-group
+    * state is the doc's own tokens. Nothing is ever doc × doc.
+    */
+  def dedupSpans(df: DataFrame, idCol: String, textCol: String,
+      n: Int): DataFrame = {
+    require(n >= 1, s"span window must be >= 1 token, got $n")
+    val toks = df.select(col(idCol).as("doc_id"), split(col(textCol), " ").as("toks"))
+    // 1-based token positions; 1-based window start positions
+    val tokpos = toks
+      .select(col("doc_id"), posexplode(col("toks")).as(Seq("p0", "word")))
+      .select(col("doc_id"), (col("p0") + 1).as("pos"), col("word"))
+    val occ = toks.filter(size(col("toks")) >= n)
+      .select(col("doc_id"), posexplode(nGrams(col("toks"), n)).as(Seq("p0", "g")))
+      .select(col("doc_id"), (col("p0") + 1).as("pos"), col("g"))
+    val dup = occ.groupBy(col("g"))
+      .agg(min(struct(col("doc_id"), col("pos"))).as("can"),
+        count(lit(1)).as("occs"))
+      .filter(col("occs") >= 2)
+      .select(col("g"), col("can"))
+    val removed = occ.join(dup, "g")
+      .filter(struct(col("doc_id"), col("pos")) =!= col("can"))
+      .select(col("doc_id"),
+        explode(sequence(col("pos"), col("pos") + (n - 1))).as("pos"))
+      .distinct()
+    tokpos
+      .join(removed.withColumn("__rm", lit(true)), Seq("doc_id", "pos"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_toks"),
+        sum(when(col("__rm"), lit(1L)).otherwise(lit(0L))).as("n_removed"),
+        concat_ws(" ", transform(
+          filter(array_sort(collect_list(
+            struct(col("pos"), col("word"), coalesce(col("__rm"), lit(false)).as("rm")))),
+            s => !s.getField("rm")),
+          s => s.getField("word"))).as("cleaned_text"))
+  }
 }

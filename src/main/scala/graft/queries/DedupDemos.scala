@@ -362,6 +362,45 @@ object DedupDemos {
         .orderBy(col("doc_id").asc_nulls_last)
     })
 
+  // -------------------------------------------------------------------
+  // X28: EXACT SUBSTRING-SPAN DEDUP — TextDedup.dedupSpans: remove every
+  // repeated 5-token window occurrence except the globally-first one,
+  // token-exactly (the sub-document dedup rule). Canonical choice is the
+  // min (doc_id, pos) total order, so the oracle replays it
+  // declaratively with a row_number window; Spark computes the same
+  // canonical with a min(struct) hash agg — no window sort.
+  // -------------------------------------------------------------------
+  private val spanN = 5
+
+  private val x28 = Demo("x28_span_dedup", Some {
+    val joins = (0 until spanN).map(k => s"toks[i+$k]").mkString("concat_ws(' ', ", ", ", ")")
+    s"""
+      WITH tok AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      tp AS (SELECT doc_id, i AS pos, toks[i] AS word
+             FROM tok, unnest(generate_series(1, len(toks))) t(i)),
+      occ AS (SELECT doc_id, i AS pos, $joins AS g
+              FROM tok, unnest(generate_series(1, len(toks) - ${spanN - 1})) t(i)
+              WHERE len(toks) >= $spanN),
+      r AS (SELECT doc_id, pos,
+                   row_number() OVER (PARTITION BY g ORDER BY doc_id, pos) AS rn,
+                   count(*) OVER (PARTITION BY g) AS occs
+            FROM occ),
+      rm AS (SELECT DISTINCT doc_id, pos + k AS pos
+             FROM r, unnest(generate_series(0, ${spanN - 1})) t(k)
+             WHERE occs >= 2 AND rn > 1),
+      m AS (SELECT tp.doc_id, tp.pos, tp.word, rm.pos IS NOT NULL AS is_rm
+            FROM tp LEFT JOIN rm ON tp.doc_id = rm.doc_id AND tp.pos = rm.pos)
+      SELECT doc_id, count(*) AS n_toks,
+             cast(sum(CASE WHEN is_rm THEN 1 ELSE 0 END) AS bigint) AS n_removed,
+             coalesce(string_agg(word, ' ' ORDER BY pos)
+               FILTER (WHERE NOT is_rm), '') AS cleaned_text
+      FROM m GROUP BY 1
+      ORDER BY doc_id ASC NULLS LAST"""
+  },
+    (s, dir) => TextDedup.dedupSpans(t(s, dir, "documents"), "doc_id", "text",
+        spanN)
+      .orderBy(col("doc_id").asc_nulls_last))
+
   val all: Seq[Demo] =
-    Seq(x1, x2a, x2b, x2c, x2c2, x2d, x2e, x2f, x2g, x18, x23, x23b)
+    Seq(x1, x2a, x2b, x2c, x2c2, x2d, x2e, x2f, x2g, x18, x23, x23b, x28)
 }

@@ -296,5 +296,38 @@ object EventsDemos {
       .orderBy(col("cohort_week").asc_nulls_last,
         col("week_offset").asc_nulls_last))
 
-  val all: Seq[Demo] = Seq(x4a, x6a, x6b, x6c, x6d, x6e, x20, x21)
+  // -------------------------------------------------------------------
+  // X6f: FIRST-TOUCH ATTRIBUTION — per-user earliest event with the
+  // deterministic (ts, event_id) tiebreak. One min_by hash aggregate
+  // (map-side combinable, one user_id exchange, no window sort); the
+  // streaming face is StreamingPipelines.firstTouchStream
+  // (mapGroupsWithState running-min state), equivalence spec-pinned.
+  // Micros ts pinned in the oracle base CTE (the x20 nanos note).
+  // -------------------------------------------------------------------
+  private val x6f = Demo("x6f_first_touch", Some("""
+      WITH e AS (SELECT user_id, cast(ts AS timestamp) AS ts,
+                        event_id, event_type
+                 FROM events),
+      r AS (SELECT user_id, ts, event_id, event_type,
+                   row_number() OVER (PARTITION BY user_id
+                                      ORDER BY ts ASC, event_id ASC) AS rn
+            FROM e)
+      SELECT user_id, ts AS first_ts, event_id AS first_event_id,
+             event_type AS first_event_type
+      FROM r WHERE rn = 1
+      ORDER BY user_id ASC NULLS LAST"""),
+    (s, dir) => firstTouch(t(s, dir, "events"))
+      .orderBy(col("user_id").asc_nulls_last))
+
+  /** The shared batch face of streaming first-touch (X6f). */
+  def firstTouch(events: DataFrame): DataFrame =
+    events.groupBy(col("user_id"))
+      .agg(min_by(
+        struct(col("ts"), col("event_id"), col("event_type")),
+        struct(col("ts"), col("event_id"))).as("f"))
+      .select(col("user_id"), col("f.ts").as("first_ts"),
+        col("f.event_id").as("first_event_id"),
+        col("f.event_type").as("first_event_type"))
+
+  val all: Seq[Demo] = Seq(x4a, x6a, x6b, x6c, x6d, x6e, x6f, x20, x21)
 }

@@ -43,5 +43,65 @@ object SamplingDemos {
       .select(col("doc_id"), col("lang"))
       .orderBy(col("doc_id").asc_nulls_last))
 
-  val all: Seq[Demo] = Seq(x10a, x10b)
+  // -------------------------------------------------------------------
+  // X27: DOMAIN MIXING — Sampling.mixToTarget: downsample the corpus so
+  // per-language counts hit the 2:1:1:1 target proportions (the
+  // training-data "data mixing" step). The binding domain (minimal
+  // count/weight — `de` at every SF for these weights) keeps 100%; all
+  // rates are exact integer ppm, so the kept set replays bit-identically
+  // in the oracle (Spark `div` == DuckDB `//`). `fr` is unlisted → dropped.
+  // -------------------------------------------------------------------
+  private val mixWeights = Map("en" -> 2, "zh" -> 1, "es" -> 1, "de" -> 1)
+
+  /** VALUES list generated from the same map the Spark side uses. */
+  private def mixValues: String =
+    mixWeights.toSeq.sortBy(_._1)
+      .map { case (d, w) => s"('$d', $w)" }.mkString(", ")
+
+  private val x27 = Demo("x27_domain_mix", Some(s"""
+      WITH w(dom, wt) AS (VALUES $mixValues),
+      c AS (SELECT lang AS dom, count(*) AS cnt
+            FROM documents GROUP BY 1),
+      cw AS (SELECT dom, cnt, wt FROM c JOIN w USING (dom)),
+      b AS (SELECT cnt AS bc, wt AS bw FROM cw
+            ORDER BY cast(cnt AS double) / wt ASC, dom ASC LIMIT 1),
+      r AS (SELECT dom, (1000000 * b.bc * cw.wt) // (b.bw * cw.cnt) AS rate_ppm
+            FROM cw, b)
+      SELECT d.doc_id, d.lang, r.rate_ppm
+      FROM documents d JOIN r ON d.lang = r.dom
+      WHERE (((doc_id % 2147483648) * 2654435761) >> 16) % 1000000 < r.rate_ppm
+      ORDER BY doc_id ASC NULLS LAST"""),
+    (s, dir) => Sampling.mixToTarget(docs(s, dir), col("doc_id"), "lang",
+        mixWeights)
+      .select(col("doc_id"), col("lang"), col("rate_ppm"))
+      .orderBy(col("doc_id").asc_nulls_last))
+
+  // -------------------------------------------------------------------
+  // X29: DETERMINISTIC TRAINING-ORDER SHUFFLE + SHARDING —
+  // Sampling.shuffleShard: global pseudo-random order as a pure function
+  // of doc_id (salted multiply–xorshift mixer — reproducible across
+  // runs/engines, unlike orderBy(rand())) plus the shard each row lands
+  // in. The demo's
+  // ORDER BY shuffle_key IS the shuffled training order, replayed
+  // bit-identically by the oracle.
+  // -------------------------------------------------------------------
+  private val (shuffleSalt, shuffleShards) = (7L, 8)
+
+  private val x29 = Demo("x29_shuffle_shard", Some(s"""
+      WITH h1 AS (SELECT doc_id,
+                    (((doc_id + $shuffleSalt) % 2147483648) * 2654435761)
+                      % 2147483648 AS h
+                  FROM documents),
+      h2 AS (SELECT doc_id, xor(h, h >> 15) AS h FROM h1),
+      h3 AS (SELECT doc_id, (h * 2246822519) % 2147483648 AS h FROM h2),
+      h4 AS (SELECT doc_id, xor(h, h >> 13) AS h FROM h3)
+      SELECT doc_id, h AS shuffle_key, h % $shuffleShards AS shard
+      FROM h4
+      ORDER BY shuffle_key ASC NULLS LAST, doc_id ASC NULLS LAST"""),
+    (s, dir) => Sampling.shuffleShard(docs(s, dir), col("doc_id"),
+        numShards = shuffleShards, salt = shuffleSalt)
+      .select(col("doc_id"), col("shuffle_key"), col("shard"))
+      .orderBy(col("shuffle_key").asc_nulls_last, col("doc_id").asc_nulls_last))
+
+  val all: Seq[Demo] = Seq(x10a, x10b, x27, x29)
 }

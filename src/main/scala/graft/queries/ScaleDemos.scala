@@ -175,5 +175,36 @@ object ScaleDemos {
         .orderBy(col("c_mktsegment").asc_nulls_last)
     })
 
-  val all: Seq[Demo] = Seq(x14, x17, x24, x25, x26)
+  // -------------------------------------------------------------------
+  // X30: Z-ORDER CLUSTERING KEY — ScaleOps.zOrderValue over the classic
+  // (user, day) pair: the layout key that lets per-file min/max stats
+  // prune BOTH user- and time-predicates after a single range-partition
+  // sort (the pruning effect itself is spec-asserted in ScaleOpsSpec;
+  // the demo pins the interleave arithmetic cell-for-cell against the
+  // oracle via the shared zOrderSql text).
+  // -------------------------------------------------------------------
+  private val zBits = 6 // 64×64 cells
+
+  private val x30 = Demo("x30_zorder_cluster", Some(s"""
+      WITH c AS (SELECT user_id % 64 AS xb,
+                        date_diff('day', DATE '2024-01-01', cast(ts AS date)) % 64 AS yb
+                 FROM events)
+      SELECT ${ScaleOps.zOrderSql("xb", "yb", zBits)} AS z, xb, yb,
+             count(*) AS n_events
+      FROM c GROUP BY z, xb, yb
+      ORDER BY z ASC NULLS LAST"""),
+    (s, dir) => {
+      val cells = t(s, dir, "events").select(
+        pmod(col("user_id"), lit(64L)).as("xb"),
+        pmod(datediff(col("ts").cast("date"),
+          lit(java.sql.Date.valueOf("2024-01-01"))), lit(64))
+          .cast("long").as("yb")) // long: match the oracle's BIGINT
+      cells
+        .groupBy(ScaleOps.zOrderValue(col("xb"), col("yb"), zBits).as("z"),
+          col("xb"), col("yb"))
+        .agg(count(lit(1)).as("n_events"))
+        .orderBy(col("z").asc_nulls_last)
+    })
+
+  val all: Seq[Demo] = Seq(x14, x17, x24, x25, x26, x30)
 }

@@ -282,5 +282,30 @@ object TextDemos {
     (s, dir) => TextAnalysis.repetitionMetrics(docs(s, dir), "doc_id", "text")
       .orderBy(col("doc_id").asc_nulls_last, col("top_bigram").asc_nulls_last))
 
-  val all: Seq[Demo] = Seq(x5a, x5b, x5c, x5d, x5e, x5f, x5g, x5h, x5i, x5j)
+  // X5k: unigram-LM document scoring (TextAnalysis.unigramLmScore) —
+  // corpus-trained unigram LM, doc scored by mean token probability plus
+  // min corpus frequency and hapax share. Exact integer counts + two
+  // final IEEE divisions (the float-fn law — no log, contrast x5h's
+  // rank-encoded TF-IDF), so every value hash-matches the oracle.
+  private val x5k = Demo("x5k_unigram_lm", Some("""
+      WITH toks AS (
+        SELECT doc_id, unnest(string_split(lower(text), ' ')) AS word
+        FROM documents),
+      t2 AS (SELECT doc_id, word FROM toks WHERE word <> ''),
+      tf AS (SELECT word, count(*) AS tf FROM t2 GROUP BY 1),
+      tot AS (SELECT sum(tf) AS total_tokens FROM tf),
+      d AS (SELECT doc_id, count(*) AS n_toks, sum(tf) AS sum_tf,
+                   min(tf) AS min_tf,
+                   sum(CASE WHEN tf = 1 THEN 1 ELSE 0 END) AS n_hapax
+            FROM t2 JOIN tf USING (word) GROUP BY 1)
+      SELECT doc_id, n_toks, min_tf,
+             cast(n_hapax AS double) / n_toks AS hapax_share,
+             cast(sum_tf AS double) / n_toks / total_tokens AS mean_tok_p
+      FROM d, tot
+      ORDER BY doc_id ASC NULLS LAST"""),
+    (s, dir) => TextAnalysis.unigramLmScore(docs(s, dir), "doc_id", "text")
+      .orderBy(col("doc_id").asc_nulls_last))
+
+  val all: Seq[Demo] = Seq(x5a, x5b, x5c, x5d, x5e, x5f, x5g, x5h, x5i, x5j,
+    x5k)
 }

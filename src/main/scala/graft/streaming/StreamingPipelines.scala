@@ -267,4 +267,101 @@ object StreamingPipelines {
           out.reverseIterator
       }
   }
+
+  // -------------------------------------------------------------------
+  // Streaming first-touch attribution via mapGroupsWithState — the
+  // running-min state shape (X6f): per user, the earliest event ever
+  // seen, with a deterministic (ts, event_id) tiebreak. The batch face
+  // is EventsDemos.firstTouch (a min_by aggregate, oracle-checked).
+  // -------------------------------------------------------------------
+
+  /** The per-user first event — both the state AND the emitted row. */
+  case class FirstTouch(user_id: Long, first_ts: java.sql.Timestamp,
+      first_event_id: Long, first_event_type: String)
+
+  /** Streaming first-touch: emits each user's current first event on
+    * every micro-batch that touches the user (Update mode — the LAST
+    * emission per user is the answer; a keyed sink upserts it). Ties and
+    * out-of-order arrivals are handled by the total (ts, event_id)
+    * order at FULL timestamp precision (`Timestamp.compareTo` includes
+    * nanos), so replaying batches in any split yields the same state.
+    *
+    * Scale: state is ONE small row per user ever seen — the attribution
+    * contract ("first touch, forever") genuinely needs it; for an
+    * unbounded id space use [[firstTouchStreamTtl]], which evicts on an
+    * event-time horizon.
+    * Shuffle is one hash exchange on user_id; per-batch work is a fold
+    * over the group's rows (no sort, no buffering).
+    */
+  def firstTouchStream(events: DataFrame): Dataset[FirstTouch] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+    events.select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .as[(Long, java.sql.Timestamp, Long, String)]
+      .groupByKey(_._1)
+      .mapGroupsWithState[FirstTouch, FirstTouch](GroupStateTimeout.NoTimeout) {
+        case (user, rows, state: GroupState[FirstTouch]) =>
+          def earlier(ts: java.sql.Timestamp, id: Long, cur: FirstTouch): Boolean = {
+            val c = ts.compareTo(cur.first_ts)
+            c < 0 || (c == 0 && id < cur.first_event_id)
+          }
+          var best = state.getOption
+          rows.foreach { case (_, ts, id, et) =>
+            if (best.forall(earlier(ts, id, _)))
+              best = Some(FirstTouch(user, ts, id, et))
+          }
+          state.update(best.get) // rows is non-empty for a data-triggered group
+          best.get
+      }
+  }
+
+  /** [[firstTouchStream]] with a bounded attribution horizon — the
+    * unbounded-id-space variant its contract calls for: a user's
+    * first-touch state lives until the WATERMARK passes
+    * `first_ts + ttl`, then is evicted (EventTimeTimeout). Events
+    * arriving after eviction open a NEW attribution epoch with a fresh
+    * first touch — the "first touch within a campaign window" semantics.
+    * Requires a watermark on `ts` (the caller chooses the lateness
+    * bound); emits via flatMap so timeout wakeups emit nothing.
+    *
+    * Scale: state is one small row per user seen WITHIN the horizon —
+    * bounded by active users × ttl, not by the id space; eviction is the
+    * state store's timestamp scan, no full-state sweep per batch.
+    */
+  def firstTouchStreamTtl(events: DataFrame, watermark: String,
+      ttl: java.time.Duration): Dataset[FirstTouch] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    events.withWatermark("ts", watermark)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .as[(Long, java.sql.Timestamp, Long, String)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[FirstTouch, FirstTouch](
+        OutputMode.Update, GroupStateTimeout.EventTimeTimeout) {
+        case (_, _, state: GroupState[FirstTouch]) if state.hasTimedOut =>
+          state.remove()
+          Iterator.empty
+        case (user, rows, state: GroupState[FirstTouch]) =>
+          def earlier(ts: java.sql.Timestamp, id: Long, cur: FirstTouch): Boolean = {
+            val c = ts.compareTo(cur.first_ts)
+            c < 0 || (c == 0 && id < cur.first_event_id)
+          }
+          var best = state.getOption
+          rows.foreach { case (_, ts, id, et) =>
+            if (best.forall(earlier(ts, id, _)))
+              best = Some(FirstTouch(user, ts, id, et))
+          }
+          state.update(best.get)
+          // an epoch opened entirely BEHIND the watermark (late first
+          // touch) still lives one batch: a timeout at/before the
+          // current watermark is rejected by the state store, so clamp
+          // to watermark + 1ms
+          state.setTimeoutTimestamp(
+            math.max(best.get.first_ts.getTime + ttl.toMillis,
+              state.getCurrentWatermarkMs() + 1L))
+          Iterator.single(best.get)
+      }
+  }
 }

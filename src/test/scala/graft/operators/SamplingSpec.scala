@@ -1,0 +1,107 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** mixToTarget (X27) — the data-mixing resampler. hashBucket itself is
+  * oracle-pinned via x10a/x10b; these cases pin the rate computation
+  * (exact integer ppm), the binding-domain selection, and the drop
+  * semantics for unlisted/NULL domains.
+  */
+class SamplingSpec extends SparkSpec {
+
+  private def mixInput = {
+    val s = spark
+    import s.implicits._
+    // a×4, b×2, c×3 (unlisted), one NULL-domain row
+    Seq((1L, "a"), (2L, "a"), (3L, "a"), (4L, "a"),
+      (5L, "b"), (6L, "b"),
+      (7L, "c"), (8L, "c"), (9L, "c")).toDF("id", "dom")
+      .union(Seq((10L, Option.empty[String])).toDF("id", "dom"))
+  }
+
+  test("mixToTarget: exact ppm rates, binding kept whole, unlisted/NULL dropped") {
+    val s = spark
+    import s.implicits._
+    val out = Sampling.mixToTarget(mixInput, col("id"), "dom",
+      Map("a" -> 1, "b" -> 1)).cache()
+    // binding = b (count/weight 2 < 4): rate(b) = 1e6, rate(a) = 1e6·2/4
+    val rates = out.select($"dom", $"rate_ppm").distinct()
+      .as[(String, Long)].collect().toMap
+    assert(rates.get("b").contains(1000000L), rates.toString)
+    assert(rates.get("a").forall(_ == 500000L), rates.toString)
+    // the binding domain survives in full
+    assert(out.filter($"dom" === "b").select("id").as[Long].collect().toSet
+      == Set(5L, 6L))
+    // unlisted + NULL domains are gone entirely
+    assert(out.filter($"dom".isNull || $"dom" === "c").count() == 0)
+    // kept `a` rows are exactly the hash filter at the computed rate
+    val keptA = out.filter($"dom" === "a").select("id").as[Long].collect().toSet
+    val manualA = mixInput.filter($"dom" === "a")
+      .filter(Sampling.hashBucketPpm(col("id")) < 500000L)
+      .select("id").as[Long].collect().toSet
+    assert(keptA == manualA)
+    out.unpersist()
+  }
+
+  test("mixToTarget: rates depend only on weight RATIOS, and reruns are identical") {
+    val s = spark
+    import s.implicits._
+    def ids(w: Map[String, Int]): Seq[(Long, String)] =
+      Sampling.mixToTarget(mixInput, col("id"), "dom", w)
+        .select($"id", $"dom").as[(Long, String)].collect().toSeq.sorted
+    val base = ids(Map("a" -> 1, "b" -> 1))
+    assert(ids(Map("a" -> 7, "b" -> 7)) == base) // scale-invariant
+    assert(ids(Map("a" -> 1, "b" -> 1)) == base) // deterministic
+  }
+
+  test("mixToTarget: already-on-target input is kept in full") {
+    val s = spark
+    import s.implicits._
+    // a×4 with weight 2, b×2 with weight 1 — proportions already 2:1,
+    // every domain is binding (equal count/weight), all rows kept
+    val out = Sampling.mixToTarget(mixInput, col("id"), "dom",
+      Map("a" -> 2, "b" -> 1))
+    assert(out.select("id").as[Long].collect().toSet
+      == Set(1L, 2L, 3L, 4L, 5L, 6L))
+  }
+
+  test("mixToTarget: positive weights required") {
+    intercept[IllegalArgumentException] {
+      Sampling.mixToTarget(mixInput, col("id"), "dom", Map("a" -> 0))
+    }
+    intercept[IllegalArgumentException] {
+      Sampling.mixToTarget(mixInput, col("id"), "dom", Map.empty)
+    }
+  }
+
+  test("shuffleShard: a reproducible permutation — ids preserved, reruns identical") {
+    val s = spark
+    import s.implicits._
+    val ids = (0L until 1000L).toDF("id")
+    def order(salt: Long): Seq[Long] =
+      Sampling.shuffleShard(ids, col("id"), numShards = 8, salt = salt)
+        .orderBy($"shuffle_key".asc, $"id".asc)
+        .select("id").as[Long].collect().toSeq
+    val o0 = order(0L)
+    assert(o0.sorted == (0L until 1000L)) // permutation: nothing lost or duplicated
+    assert(o0 != (0L until 1000L))        // and it actually shuffles
+    assert(order(0L) == o0)               // deterministic
+    assert(order(1L) != o0)               // each salt an independent epoch order
+  }
+
+  test("shuffleShard: shards cover [0, n) and stay balanced for uniform keys") {
+    val s = spark
+    import s.implicits._
+    val ids = (0L until 1000L).toDF("id")
+    val byShard = Sampling.shuffleShard(ids, col("id"), numShards = 8)
+      .groupBy("shard").count().as[(Long, Long)].collect().toMap
+    assert(byShard.keySet == (0L until 8L).toSet)
+    // 125 expected per shard; generous 3σ-ish bounds
+    byShard.values.foreach(n => assert(n > 60 && n < 190, byShard.toString))
+    intercept[IllegalArgumentException] {
+      Sampling.shuffleShard(ids, col("id"), numShards = 0)
+    }
+  }
+}

@@ -144,4 +144,54 @@ class ScaleOpsSpec extends SparkSpec {
       case (k, None) => spark.conf.unset(k)
     }
   }
+
+  test("zOrderValue: exact bit interleave, bijective on the grid") {
+    val s = spark
+    import s.implicits._
+    val bits = 3
+    val grid = (for (x <- 0 until 8; y <- 0 until 8) yield (x.toLong, y.toLong))
+      .toDF("x", "y")
+    val out = grid.select(col("x"), col("y"),
+        ScaleOps.zOrderValue(col("x"), col("y"), bits).as("z"))
+      .as[(Long, Long, Long)].collect()
+    def interleave(x: Long, y: Long): Long =
+      (0 until bits).map(k => (((x >> k) & 1L) << (2 * k)) | (((y >> k) & 1L) << (2 * k + 1))).sum
+    out.foreach { case (x, y, z) => assert(z == interleave(x, y), s"($x,$y)") }
+    assert(out.map(_._3).toSet == (0L until 64L).toSet) // bijection
+    intercept[IllegalArgumentException] {
+      ScaleOps.zOrderValue(col("x"), col("y"), 0)
+    }
+  }
+
+  test("zOrder layout: one range-sort prunes min/max stats on BOTH dimensions") {
+    val s = spark
+    import s.implicits._
+    // full 64×64 grid, one row per cell — the clustering claim in its
+    // purest form. 16 range partitions on z = 16 contiguous z-runs of
+    // 256 cells = 16×16 squares, so an 8-wide band in EITHER dimension
+    // overlaps only the square-row (or column) it cuts through.
+    val grid = (for (x <- 0 until 64; y <- 0 until 64) yield (x.toLong, y.toLong))
+      .toDF("x", "y")
+      .withColumn("z", ScaleOps.zOrderValue(col("x"), col("y"), 6))
+    def overlapping(df: org.apache.spark.sql.DataFrame, dim: String,
+        lo: Long, hi: Long): Long =
+      df.groupBy(spark_partition_id().as("p"))
+        .agg(min(col(dim)).as("mn"), max(col(dim)).as("mx"))
+        .filter(col("mn") <= hi && col("mx") >= lo)
+        .count()
+    val zSorted = grid.repartitionByRange(16, col("z")).cache()
+    try {
+      assert(zSorted.rdd.getNumPartitions == 16)
+      val byX = overlapping(zSorted, "x", 8, 15)
+      val byY = overlapping(zSorted, "y", 8, 15)
+      // a single-column sort leaves the OTHER dimension unprunable —
+      // every partition spans it
+      val xSorted = grid.repartitionByRange(16, col("x")).cache()
+      val xSortedByY = overlapping(xSorted, "y", 8, 15)
+      assert(byX <= 8, s"x-band overlaps $byX of 16")
+      assert(byY <= 8, s"y-band overlaps $byY of 16")
+      assert(xSortedByY == 16, s"expected no y-pruning under x-sort, got $xSortedByY")
+      xSorted.unpersist()
+    } finally zSorted.unpersist()
+  }
 }

@@ -188,4 +188,38 @@ class TextAnalysisSpec extends SparkSpec {
     assert(rows(3).getDouble(3) === 0.0 && rows(3).getDouble(4) === 0.0)
     assert(rows(3).getInt(5) === 1)
   }
+
+  test("unigramLmScore: hand-computed LM scores; empty/NULL docs absent (X5k)") {
+    val s2 = spark
+    import s2.implicits._
+    // corpus LM: tf(a)=3, tf(b)=1, tf(c)=1, total=5
+    val df = Seq((1L, Some("a a b")), (2L, Some("a c")), (3L, Some("")),
+      (4L, None: Option[String])).toDF("doc_id", "text")
+    val rows = TextAnalysis.unigramLmScore(df, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    assert(rows.map(_.getLong(0)).toSeq == Seq(1L, 2L)) // tokenless docs absent
+    // doc 1: tokens a,a,b → n=3, sum_tf=3+3+1=7, min=1, hapax {b}: 1/3
+    assert(rows(0).getLong(1) == 3L && rows(0).getLong(2) == 1L)
+    assert(rows(0).getDouble(3) == 1.0 / 3)
+    assert(rows(0).getDouble(4) == 7.0 / 3 / 5)
+    // doc 2: tokens a,c → n=2, sum_tf=4, min=1, hapax {c}: 1/2
+    assert(rows(1).getLong(1) == 2L && rows(1).getLong(2) == 1L)
+    assert(rows(1).getDouble(3) == 0.5)
+    assert(rows(1).getDouble(4) == 4.0 / 2 / 5)
+  }
+
+  test("unigramLmScore: single-word corpus — every token is the modal word") {
+    val s2 = spark
+    import s2.implicits._
+    val df = Seq((1L, "x x"), (2L, "x")).toDF("doc_id", "text")
+    val rows = TextAnalysis.unigramLmScore(df, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    // tf(x)=3, total=3: every doc's mean_tok_p = 3/(n·3) = 1/n... with
+    // sum_tf = n·3 → mean = 3·n/(n·3) = 1.0; hapax 0; min_tf 3
+    rows.foreach { r =>
+      assert(r.getLong(2) == 3L)
+      assert(r.getDouble(3) == 0.0)
+      assert(r.getDouble(4) == 1.0)
+    }
+  }
 }

@@ -249,4 +249,56 @@ class TextDedupSpec extends SparkSpec {
       }.nonEmpty))
     assert(pruned, df.queryExecution.optimizedPlan.toString)
   }
+
+  private def spanRows(df: org.apache.spark.sql.DataFrame, n: Int) =
+    TextDedup.dedupSpans(df, "doc_id", "text", n)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      .toList
+
+  test("dedupSpans: cross-doc span removed from the later doc only; canonical untouched") {
+    val s = spark
+    import s.implicits._
+    val df = Seq((1L, "a b c d"), (2L, "x a b c y")).toDF("doc_id", "text")
+    // "a b c" occurs at (1,1) [canonical] and (2,2) → doc 2 loses pos 2-4
+    assert(spanRows(df, 3) === List(
+      (1L, 4L, 0L, "a b c d"),
+      (2L, 5L, 3L, "x y")))
+  }
+
+  test("dedupSpans: within-doc repeat keeps the first occurrence") {
+    val s = spark
+    import s.implicits._
+    val df = Seq((7L, "p q r p q r")).toDF("doc_id", "text")
+    assert(spanRows(df, 3) === List((7L, 6L, 3L, "p q r")))
+  }
+
+  test("dedupSpans: overlapping duplicate windows delete each position once") {
+    val s = spark
+    import s.implicits._
+    // n=2 grams of "u v u v u": "u v"@1*, "v u"@2*, "u v"@3, "v u"@4 —
+    // removals cover {3,4} ∪ {4,5} = 3 tokens, not 4
+    val df = Seq((9L, "u v u v u")).toDF("doc_id", "text")
+    assert(spanRows(df, 2) === List((9L, 5L, 3L, "u v")))
+  }
+
+  test("dedupSpans: identical docs — later doc fully removed, empty text kept as a row") {
+    val s = spark
+    import s.implicits._
+    val df = Seq((5L, "m n o"), (6L, "m n o")).toDF("doc_id", "text")
+    assert(spanRows(df, 3) === List(
+      (5L, 3L, 0L, "m n o"),
+      (6L, 3L, 3L, "")))
+  }
+
+  test("dedupSpans: short docs pass through, NULL text absent") {
+    val s = spark
+    import s.implicits._
+    val df = Seq((1L, Some("a b")), (2L, None: Option[String]),
+      (3L, Some(""))).toDF("doc_id", "text")
+    // doc 1 has < 3 tokens (no windows), doc 3 is the single "" token
+    assert(spanRows(df, 3) === List(
+      (1L, 2L, 0L, "a b"),
+      (3L, 1L, 0L, "")))
+  }
 }

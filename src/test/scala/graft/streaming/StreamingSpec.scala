@@ -273,4 +273,74 @@ class StreamingSpec extends SparkSpec {
     // the outer row is really there: purchase 3 with a NULL click
     assert(streamed.exists(r => r.getLong(0) == 3L && r.isNullAt(3)), streamed.toString)
   }
+
+  test("first-touch: running-min state survives out-of-order micro-batches == batch face (X6f)") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val batch1 = Seq(
+      Ev(10, ts(50), 1L, "click", 1.0, "{}"),
+      Ev(11, ts(40), 2L, "view", 1.0, "{}"))
+    val batch2 = Seq(
+      Ev(12, ts(5), 1L, "signup", 1.0, "{}"), // EARLIER, out of order → state must move down
+      Ev(13, ts(60), 2L, "view", 1.0, "{}"))  // later → user 2 unchanged
+    val mem = MemoryStream[Ev]
+    val q = StreamingPipelines.firstTouchStream(mem.toDF())
+      .writeStream.format("memory").queryName("t_firsttouch")
+      .outputMode("update").start()
+    try {
+      mem.addData(batch1: _*)
+      q.processAllAvailable()
+      mem.addData(batch2: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    // update-mode memory sink APPENDS each emission; emissions per user are
+    // a running minimum, so the overall min per user IS the final state
+    val streamedFinal = s.table("t_firsttouch").collect()
+      .groupBy(_.getLong(0)).map { case (u, rs) =>
+        u -> rs.minBy(r => (r.getTimestamp(1).getTime, r.getLong(2)))
+      }
+    val batchFace = EventsDemos.firstTouch((batch1 ++ batch2).toDF())
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(streamedFinal.keySet == batchFace.keySet)
+    streamedFinal.foreach { case (u, r) =>
+      val b = batchFace(u)
+      assert(r.getTimestamp(1) == b.getTimestamp(1)
+        && r.getLong(2) == b.getLong(2)
+        && r.getString(3) == b.getString(3),
+        s"user $u: streamed=$r batch=$b")
+    }
+    // and the out-of-order correction really happened
+    assert(streamedFinal(1L).getLong(2) == 12L)
+    assert(streamedFinal(2L).getLong(2) == 11L)
+  }
+
+  test("first-touch TTL: state evicted at the event-time horizon, re-arrival opens a new epoch (X6f)") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val mem = MemoryStream[Ev]
+    val q = StreamingPipelines
+      .firstTouchStreamTtl(mem.toDF(), watermark = "0 seconds",
+        ttl = java.time.Duration.ofMinutes(60))
+      .writeStream.format("memory").queryName("t_firsttouch_ttl")
+      .outputMode("update").start()
+    try {
+      mem.addData(Ev(1, ts(100), 1L, "click", 1.0, "{}"))
+      q.processAllAvailable() // u1 epoch 1 opens; timeout armed at ts(160)
+      mem.addData(Ev(2, ts(400), 9L, "view", 1.0, "{}"))
+      q.processAllAvailable() // watermark → ts(400) after this batch
+      mem.addData(Ev(3, ts(410), 9L, "view", 1.0, "{}"))
+      q.processAllAvailable() // wm ts(400) > ts(160): u1 evicted, silently
+      // the re-arrival must sit AT/AFTER the watermark — anything behind
+      // it is late data the watermark filter drops before the state fn
+      mem.addData(Ev(99, ts(500), 1L, "click", 1.0, "{}"))
+      q.processAllAvailable() // post-eviction arrival → NEW first touch
+    } finally q.stop()
+    val u1 = s.table("t_firsttouch_ttl").collect()
+      .filter(_.getLong(0) == 1L).map(r => (r.getTimestamp(1), r.getLong(2)))
+    // epoch 1 was emitted, then evicted; epoch 2 re-attributed afresh —
+    // the unbounded variant would have kept event 1 forever
+    assert(u1.toSeq == Seq((ts(100), 1L), (ts(500), 99L)), u1.mkString(","))
+  }
 }
