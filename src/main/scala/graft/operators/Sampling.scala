@@ -109,6 +109,29 @@ object Sampling {
       .drop("__dom")
   }
 
+  /** Quality-aware resampling — the "don't throw ALL the low-quality
+    * data away" step of a training-corpus pipeline (a quality-filtered
+    * corpus still wants a small, reproducible slice of the rejected tail
+    * for robustness and for auditing the filter itself): rows passing
+    * `keepFlag` sample at `keepPct`%, the rest at `tailPct`%. Selection
+    * composes the deterministic [[hashBucket]] with ANY boolean quality
+    * signal (a metrics threshold, a classifier verdict), so the sample
+    * replays bit-identically wherever the flag does. NULL flags take the
+    * tail rate (a row of unknown quality is not a keeper).
+    *
+    * Scale: like [[hashSample]] — a narrow codegen'd filter over the
+    * scan (the flag is a projection, the rate a CASE); no shuffle, no
+    * driver state, regardless of corpus size.
+    */
+  def qualityResample(df: DataFrame, key: Column, keepFlag: Column,
+      keepPct: Int, tailPct: Int): DataFrame = {
+    require(keepPct >= 0 && keepPct <= 100 && tailPct >= 0 && tailPct <= 100,
+      s"percents must be in [0,100], got keep=$keepPct tail=$tailPct")
+    df.filter(hashBucket(key) <
+      when(coalesce(keepFlag, lit(false)), lit(keepPct.toLong))
+        .otherwise(lit(tailPct.toLong)))
+  }
+
   /** Deterministic pseudo-random SORT key from a row key: a 31-bit
     * multiply–xorshift mixer (two rounds of ·odd-constant mod 2^31 then
     * h ^= h >> k — each step a bijection, so distinct keys in a 2^31

@@ -435,4 +435,100 @@ object TextAnalysis {
         (col("sum_tf").cast("double") / col("n_toks") / col("total_tokens"))
           .as("mean_tok_p"))
   }
+
+  /** CCNet-style head/middle/tail corpus partitioning (Wenzek et al.
+    * 2020, arXiv:1911.00359 §4.3) on a log-free perplexity proxy: a
+    * doc's `score_ppm` = fixed-point mean corpus frequency of its tokens
+    * (`10⁶·Σtf div n_toks` — exact integer; higher = more common tokens
+    * = lower perplexity), bucketed at the corpus-wide 33rd/67th
+    * percentile boundaries: `head` ≥ p67, `middle` ≥ p33, else `tail`.
+    *
+    * Determinism: the score is an integer (floor-div, Spark `div` ≡
+    * DuckDB `//`), and percentile interpolation over INTEGER inputs is
+    * the bit-identical lower+(upper−lower)·frac chain on both engines
+    * (the x9b law) — so boundary comparisons replay exactly.
+    * Tokenization and the no-token exclusion match [[unigramLmScore]].
+    *
+    * Scale: same shuffle shape as [[unigramLmScore]] (token explode →
+    * word-keyed LM agg reused by the score join, doc-keyed combinable
+    * agg), plus ONE corpus-wide percentile aggregate whose result is a
+    * 2-value broadcast — no global sort, no single-partition window (the
+    * naive ntile(3) formulation moves the corpus to one partition; this
+    * is the boundary-broadcast alternative that survives 100×).
+    * `10⁶·Σtf` stays under int64 for corpora up to ~9e12 total tokens —
+    * beyond that, widen to decimal.
+    */
+  def perplexityBuckets(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = df.select(col(idCol).as("doc_id"),
+        explode(split(lower(col(textCol)), " ")).as("word"))
+      .filter(col("word") =!= "")
+    val tf = toks.groupBy(col("word")).agg(count(lit(1)).as("tf"))
+    val scored = toks.join(tf, "word")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_toks"), sum(col("tf")).as("sum_tf"))
+      .select(col("doc_id"), col("n_toks"),
+        expr("1000000 * sum_tf div n_toks").as("score_ppm"))
+    val bounds = scored.agg(
+      expr("percentile(score_ppm, 0.33)").as("t1"),
+      expr("percentile(score_ppm, 0.67)").as("t2"))
+    scored.crossJoin(broadcast(bounds)) // 1-row boundary × per-doc rows
+      .select(col("doc_id"), col("n_toks"), col("score_ppm"),
+        when(col("score_ppm") >= col("t2"), lit("head"))
+          .when(col("score_ppm") >= col("t1"), lit("middle"))
+          .otherwise(lit("tail")).as("bucket"))
+  }
+
+  /** BM25 retrieval scoring (Robertson–Spärck Jones; the Okapi form with
+    * k1=1.2, b=0.75) of every document against a fixed query-term set —
+    * the classic lexical ranker next to [[tfIdf]]. Log-free idf variant
+    * `(N+1)/(df+1)` (monotone in df like the ln form, exactly the x5h
+    * family's choice) so every per-term score is a fixed chain of IEEE
+    * mul/div over exact integers — bit-identical on any engine. The
+    * per-DOC score is the sum of per-term scores; float summation order
+    * is partition-dependent, so each per-term score is first quantized
+    * to an integer (`floor(score·10⁶)`) and the doc score is the exact
+    * integer sum — associative, engine-identical (the repo's
+    * deterministic-hash law applied to floats). Returns the top `k` docs
+    * by `(score_scaled DESC, doc_id ASC)` with their matched-term count.
+    *
+    * Scale: token explode → doc-keyed length agg (combinable), a
+    * broadcast-size tf/df table (|terms| is tiny by construction), one
+    * doc-keyed score agg, and a distributed TakeOrdered top-k — the
+    * final row_number runs over k rows, never the corpus. No shuffle
+    * carries more than (docs × matched query terms) rows.
+    */
+  def bm25TopK(df: DataFrame, idCol: String, textCol: String,
+      terms: Seq[String], k: Int): DataFrame = {
+    require(terms.nonEmpty, "bm25TopK needs at least one query term")
+    val toks = df.select(col(idCol).as("doc_id"),
+        explode(split(lower(col(textCol)), " ")).as("word"))
+      .filter(col("word") =!= "")
+    val dl = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+    val totals = dl.agg(sum(col("dl")).as("total_toks"),
+      count(lit(1)).as("nd"))
+    val tf = toks.filter(col("word").isin(terms: _*))
+      .groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("word")).agg(count(lit(1)).as("df"))
+    // one fixed expression tree — written IDENTICALLY in the oracle SQL:
+    // idf = (nd+1)/(df+1); tfn = tf·2.2; den = tf + 1.2·(0.25 + 0.75·(dl·nd/total))
+    val score = (
+      (col("nd") + 1).cast("double") / (col("df") + 1)) * (
+      (col("tf") * lit(2.2)) / (
+        col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) *
+          ((col("dl") * col("nd")).cast("double") / col("total_toks")))))
+    val perDoc = tf
+      .join(broadcast(dfreq), "word")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(totals)) // 1-row scalar
+      .select(col("doc_id"), floor(score * lit(1000000.0)).cast("long").as("s"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("s")).as("score_scaled"), count(lit(1)).as("n_terms"))
+    val top = perDoc
+      .orderBy(col("score_scaled").desc, col("doc_id").asc)
+      .limit(k) // TakeOrdered — distributed partial top-k, no global sort
+    top.withColumn("rank", row_number().over( // k rows only
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("score_scaled").desc, col("doc_id").asc)))
+      .select(col("rank"), col("doc_id"), col("score_scaled"), col("n_terms"))
+  }
 }

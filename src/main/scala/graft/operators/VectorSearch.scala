@@ -243,4 +243,40 @@ object VectorSearch {
           col("q_nq"), col("nq")).as("cosine"))
     rankTopK(scored, k)
   }
+
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    * arXiv:2303.09540): cluster the corpus with the [[ivfTrain]] k-means
+    * coarse quantizer, then within each cluster drop every vector whose
+    * cosine to a LOWER-id cluster member reaches `minCosine` — the min-id
+    * keeper convention shared with the x2 dedup family. Output: one row
+    * per corpus vector `(vec_id, cid, kept ∈ {0,1}, dup_of)`, `dup_of`
+    * the minimal in-cluster witness (NULL when kept).
+    *
+    * Scale: the published SemDeDup shape — pairwise work is confined to
+    * clusters, O(Σ m_c²) not corpus²; grow `kCells` with the corpus
+    * (k ≈ n / target-cell-size) so cells stay bounded. The pair step is
+    * a self-equi-join on `cid` (one hash shuffle per side, AQE handles a
+    * skewed cell); assignment itself is a narrow projection against
+    * broadcast centroid literals. Determinism: cosines are the library's
+    * exact-integer dot plus correctly-rounded IEEE sqrt/div, so the
+    * threshold test replays bit-identically in the DuckDB oracle.
+    * Zero-norm vectors have no direction (NULL cosine) → never dropped.
+    */
+  def semDeDup(corpus: DataFrame, idCol: String, vecCol: String,
+      kCells: Int, iters: Int, minCosine: Double): DataFrame = {
+    val model = ivfTrain(corpus, idCol, vecCol, kCells, iters)
+    val assigned = ivfAssign(quantize(corpus, idCol, vecCol), model, nProbe = 1)
+    val wit = assigned.select(col("vec_id").as("w_id"), col("qv").as("w_qv"),
+      col("nq").as("w_nq"), col("cid").as("w_cid"))
+    val dups = assigned
+      .join(wit, col("cid") === col("w_cid") && col("w_id") < col("vec_id"))
+      .where(cosineOf(call_function("dot_long", col("qv"), col("w_qv")),
+        col("nq"), col("w_nq")) >= lit(minCosine))
+      .groupBy(col("vec_id")).agg(min(col("w_id")).as("dup_of"))
+    assigned.select(col("vec_id"), col("cid"))
+      .join(dups, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cid"),
+        when(col("dup_of").isNull, lit(1)).otherwise(lit(0)).as("kept"),
+        col("dup_of"))
+  }
 }

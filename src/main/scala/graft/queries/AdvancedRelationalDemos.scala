@@ -459,6 +459,101 @@ object AdvancedRelationalDemos {
       s.sql(rangeFrameText)
     })
 
+  // -------------------------------------------------------------------
+  // Q25: MEDIAN + DETERMINISTIC MODE per group — median as interpolated
+  // p50 over integer cents (the x9b bit-identical law); mode pinned
+  // deterministically as "min value among the max-count values" (both
+  // engines' native mode() breaks frequency ties arbitrarily, so the
+  // demo encodes the tiebreak explicitly — two combinable aggregations,
+  // no window over the raw rows).
+  // -------------------------------------------------------------------
+  private val q25 = Demo("q25_median_mode", Some("""
+      WITH c AS (SELECT o_orderpriority, o_orderstatus,
+                        cast(round(o_totalprice * 100) AS bigint) AS cents
+                 FROM orders),
+      vc AS (SELECT o_orderpriority, o_orderstatus, count(*) AS cnt
+             FROM c GROUP BY 1, 2),
+      vm AS (SELECT o_orderpriority, o_orderstatus, cnt,
+                    max(cnt) OVER (PARTITION BY o_orderpriority) AS mx
+             FROM vc),
+      md AS (SELECT o_orderpriority, min(o_orderstatus) AS mode_status
+             FROM vm WHERE cnt = mx GROUP BY 1),
+      me AS (SELECT o_orderpriority,
+                    quantile_cont(cents, 0.5) / 100 AS median_price
+             FROM c GROUP BY 1)
+      SELECT o_orderpriority, median_price, mode_status
+      FROM me JOIN md USING (o_orderpriority)
+      ORDER BY o_orderpriority ASC NULLS LAST"""),
+    (s, dir) => {
+      val c = t(s, dir, "orders").select(col("o_orderpriority"),
+        col("o_orderstatus"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      val me = c.groupBy(col("o_orderpriority"))
+        .agg((expr("percentile(cents, 0.5)") / 100).as("median_price"))
+      val md = c.groupBy(col("o_orderpriority"), col("o_orderstatus"))
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn("mx",
+          max(col("cnt")).over(Window.partitionBy(col("o_orderpriority"))))
+        .filter(col("cnt") === col("mx"))
+        .groupBy(col("o_orderpriority"))
+        .agg(min(col("o_orderstatus")).as("mode_status"))
+      me.join(md, "o_orderpriority")
+        .orderBy(col("o_orderpriority").asc_nulls_last)
+    })
+
+  // -------------------------------------------------------------------
+  // Q26: REGEXP surface — extract / replace / rlike over order comments
+  // (patterns restricted to character classes + quantifiers, the subset
+  // where Java regex and DuckDB's RE2 agree; both engines yield '' for a
+  // no-match extract). Narrow codegen'd projections over the scan.
+  // -------------------------------------------------------------------
+  private val q26 = Demo("q26_regexp_funcs", Some("""
+      SELECT doc_id,
+             regexp_extract(text, '([a-z]{8,})', 1) AS first_long_word,
+             regexp_replace(text, '[0-9]+', '#', 'g') AS masked_digits,
+             CASE WHEN regexp_matches(text, '[Tt]he') THEN 1 ELSE 0 END AS has_the
+      FROM documents
+      WHERE doc_id <= 500
+      ORDER BY doc_id ASC NULLS LAST"""),
+    (s, dir) => t(s, dir, "documents")
+      .filter(col("doc_id") <= 500)
+      .select(col("doc_id"),
+        regexp_extract(col("text"), "([a-z]{8,})", 1).as("first_long_word"),
+        regexp_replace(col("text"), "[0-9]+", "#").as("masked_digits"),
+        when(col("text").rlike("[Tt]he"), lit(1)).otherwise(lit(0))
+          .as("has_the"))
+      .orderBy(col("doc_id").asc_nulls_last))
+
+  // -------------------------------------------------------------------
+  // Q27: STRING-FUNCTION surface — case/pad/trim/slice/translate/
+  // levenshtein composite over customer names; every function is a
+  // deterministic character-level operation both engines define
+  // identically. Narrow projection; the levenshtein argument is a
+  // constant so the comparison is a per-row scalar, not a join.
+  // -------------------------------------------------------------------
+  private val q27 = Demo("q27_string_funcs", Some("""
+      SELECT c_custkey,
+             upper(c_name) AS up_name,
+             lpad(cast(c_custkey AS varchar), 12, '0') AS padded_key,
+             substr(c_name, 1, 8) AS name_prefix,
+             translate(c_mktsegment, 'AEIOU', 'aeiou') AS seg_lowvowel,
+             levenshtein(c_mktsegment, 'BUILDING') AS seg_dist,
+             length(trim(c_name)) AS name_len
+      FROM customer
+      WHERE c_custkey <= 500
+      ORDER BY c_custkey ASC NULLS LAST"""),
+    (s, dir) => t(s, dir, "customer")
+      .filter(col("c_custkey") <= 500)
+      .select(col("c_custkey"),
+        upper(col("c_name")).as("up_name"),
+        lpad(col("c_custkey").cast("string"), 12, "0").as("padded_key"),
+        substring(col("c_name"), 1, 8).as("name_prefix"),
+        translate(col("c_mktsegment"), "AEIOU", "aeiou").as("seg_lowvowel"),
+        levenshtein(col("c_mktsegment"), lit("BUILDING")).as("seg_dist"),
+        length(trim(col("c_name"))).as("name_len"))
+      .orderBy(col("c_custkey").asc_nulls_last))
+
   val all: Seq[Demo] =
-    Seq(q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, x9c)
+    Seq(q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25,
+      q26, q27, x9c)
 }

@@ -329,5 +329,40 @@ object EventsDemos {
         col("f.event_id").as("first_event_id"),
         col("f.event_type").as("first_event_type"))
 
-  val all: Seq[Demo] = Seq(x4a, x6a, x6b, x6c, x6d, x6e, x6f, x20, x21)
+  // -------------------------------------------------------------------
+  // X6g: THROTTLE DEDUP — first event per (user, event_type, minute
+  // bucket), the batch face of ingestion dedup
+  // (StreamingPipelines.dedupStream keys the SAME bucket columns; the
+  // watermark-state runtime semantics are spec-pinned in StreamingSpec).
+  // Deterministic keeper: min (ts, event_id) within the bucket — the
+  // library's exactDedup convention — unlike dropDuplicates' arrival-
+  // order keeper. Micros ts pinned in the oracle base CTE (x20 note).
+  // Scale: ONE hash exchange on the composite key feeding a combinable
+  // min_by — no window sort, state bounded by distinct keys per bucket.
+  // -------------------------------------------------------------------
+  private val x6g = Demo("x6g_throttle_dedup", Some("""
+      WITH e AS (SELECT event_id, user_id, event_type,
+                        cast(ts AS timestamp) AS ts
+                 FROM events),
+      r AS (SELECT event_id, user_id, event_type, ts,
+                   row_number() OVER (
+                     PARTITION BY user_id, event_type, date_trunc('minute', ts)
+                     ORDER BY ts ASC, event_id ASC) AS rn
+            FROM e)
+      SELECT event_id, user_id, event_type, ts
+      FROM r WHERE rn = 1
+      ORDER BY event_id ASC NULLS LAST"""),
+    (s, dir) => throttleDedup(t(s, dir, "events"))
+      .orderBy(col("event_id").asc_nulls_last))
+
+  /** The shared batch face of streaming ingestion dedup (X6g). */
+  def throttleDedup(events: DataFrame): DataFrame =
+    events.groupBy(col("user_id"), col("event_type"),
+        date_trunc("minute", col("ts")).as("minute"))
+      .agg(min_by(col("event_id"), struct(col("ts"), col("event_id")))
+          .as("event_id"),
+        min(col("ts")).as("ts"))
+      .select(col("event_id"), col("user_id"), col("event_type"), col("ts"))
+
+  val all: Seq[Demo] = Seq(x4a, x6a, x6b, x6c, x6d, x6e, x6f, x6g, x20, x21)
 }

@@ -103,5 +103,43 @@ object SamplingDemos {
       .select(col("doc_id"), col("shuffle_key"), col("shard"))
       .orderBy(col("shuffle_key").asc_nulls_last, col("doc_id").asc_nulls_last))
 
-  val all: Seq[Demo] = Seq(x10a, x10b, x27, x29)
+  // -------------------------------------------------------------------
+  // X32: QUALITY-AWARE RESAMPLING — Sampling.qualityResample over the
+  // x5b quality verdict: keep-flagged docs sample at 100%, the rejected
+  // tail at 10% (reproducible low-quality retention for robustness /
+  // filter audits). The flag is x5b's exact CASE (integer counts + one
+  // guarded IEEE division), the bucket the shared Knuth hash — so the
+  // kept set replays bit-identically in the oracle.
+  // -------------------------------------------------------------------
+  private val x32 = Demo("x32_quality_resample", Some("""
+      WITH m AS (
+        SELECT doc_id,
+               length(text) AS n_chars_m,
+               len(string_split(text, ' ')) AS n_tokens,
+               length(text) - length(regexp_replace(text, '[.,;:!?''"()]', '', 'g')) AS n_punct,
+               len(list_filter(string_split(lower(text), ' '),
+                 w -> list_contains(['the','a','an','and','or','of','to','in','is','it'], w))) AS n_stop
+        FROM documents),
+      k AS (
+        SELECT doc_id,
+               CASE WHEN n_tokens >= 5 AND n_stop > 0
+                         AND coalesce(CASE WHEN n_chars_m > 0
+                               THEN cast(n_punct AS double) / n_chars_m END, 1.0) < 0.2
+                    THEN 1 ELSE 0 END AS keep
+        FROM m)
+      SELECT doc_id, keep
+      FROM k
+      WHERE (((doc_id % 2147483648) * 2654435761) >> 16) % 100
+              < CASE WHEN keep = 1 THEN 100 ELSE 10 END
+      ORDER BY doc_id ASC NULLS LAST"""),
+    (s, dir) => {
+      val scored = graft.operators.TextAnalysis.qualityMetrics(
+        docs(s, dir), "text")
+      Sampling.qualityResample(scored, col("doc_id"), col("keep") === 1,
+          keepPct = 100, tailPct = 10)
+        .select(col("doc_id"), col("keep"))
+        .orderBy(col("doc_id").asc_nulls_last)
+    })
+
+  val all: Seq[Demo] = Seq(x10a, x10b, x27, x29, x32)
 }

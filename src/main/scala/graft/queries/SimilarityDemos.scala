@@ -177,5 +177,43 @@ object SimilarityDemos {
     (s, dir) => VectorSearch.normalizeQuantize(emb(s, dir), "vec_id", "embedding")
       .orderBy(col("vec_id").asc_nulls_last, col("dim").asc_nulls_last))
 
-  val all: Seq[Demo] = Seq(x3a, x3b, x3c, x3d)
+  // -------------------------------------------------------------------
+  // X31: SEMDEDUP — semantic dedup (VectorSearch.semDeDup): k-means
+  // cluster the embeddings (4 cells, 2 Lloyd rounds, init = 4 lowest
+  // ids — the exact x3c quantizer), then inside each cluster drop any
+  // vector whose cosine to a lower-id member is >= 0.35 (threshold
+  // chosen to split the harness data: max pairwise cosine ~0.51, p99.9
+  // ~0.38, so both outcomes occur). The oracle replays the whole
+  // training loop unrolled (same CTEs as x3c) plus the in-cluster
+  // pairwise prune — every cosine is exact-int dot + correctly-rounded
+  // IEEE sqrt/div, so the 0.35 comparison is bit-identical.
+  // -------------------------------------------------------------------
+  private val x31 = Demo("x31_semdedup", Some(s"""
+      $oracleQuantCtes,
+      init AS (
+        SELECT cast(row_number() OVER (ORDER BY vec_id) - 1 AS int) AS cid,
+               qv AS sums, cast(1 AS bigint) AS cnt
+        FROM n ORDER BY vec_id LIMIT 4),
+      a1 AS (${oracleAssign("init", "rn = 1")}),
+      c1 AS (${oracleCentroidUpdate("a1")}),
+      a2 AS (${oracleAssign("c1", "rn = 1")}),
+      c2 AS (${oracleCentroidUpdate("a2")}),
+      asg AS (${oracleAssign("c2", "rn = 1")}),
+      dup AS (
+        SELECT x.vec_id, min(y.vec_id) AS dup_of
+        FROM asg x JOIN asg y ON y.cid = x.cid AND y.vec_id < x.vec_id
+        WHERE x.nq > 0 AND y.nq > 0
+          AND cast(cast(list_sum(list_transform(generate_series(1, 64),
+                d -> x.qv[d] * y.qv[d])) AS bigint) AS double)
+              / (sqrt(cast(x.nq AS double)) * sqrt(cast(y.nq AS double))) >= 0.35
+        GROUP BY x.vec_id)
+      SELECT a.vec_id, a.cid,
+             CASE WHEN d.dup_of IS NULL THEN 1 ELSE 0 END AS kept, d.dup_of
+      FROM asg a LEFT JOIN dup d USING (vec_id)
+      ORDER BY vec_id ASC NULLS LAST"""),
+    (s, dir) => VectorSearch.semDeDup(emb(s, dir), "vec_id", "embedding",
+        kCells = 4, iters = 2, minCosine = 0.35)
+      .orderBy(col("vec_id").asc_nulls_last))
+
+  val all: Seq[Demo] = Seq(x3a, x3b, x3c, x3d, x31)
 }

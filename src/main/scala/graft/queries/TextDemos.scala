@@ -306,6 +306,76 @@ object TextDemos {
     (s, dir) => TextAnalysis.unigramLmScore(docs(s, dir), "doc_id", "text")
       .orderBy(col("doc_id").asc_nulls_last))
 
+  // X5l: CCNet-style head/middle/tail terciles
+  // (TextAnalysis.perplexityBuckets) — docs bucketed at the corpus-wide
+  // p33/p67 boundaries of an integer perplexity proxy (fixed-point mean
+  // corpus token frequency). Exact-integer score (Spark div ≡ DuckDB //)
+  // + integer-input percentile interpolation (the x9b law) ⇒ the
+  // boundary CASE replays bit-identically.
+  private val x5l = Demo("x5l_ppl_buckets", Some("""
+      WITH toks AS (
+        SELECT doc_id, unnest(string_split(lower(text), ' ')) AS word
+        FROM documents),
+      t2 AS (SELECT doc_id, word FROM toks WHERE word <> ''),
+      tf AS (SELECT word, count(*) AS tf FROM t2 GROUP BY 1),
+      d AS (SELECT doc_id, count(*) AS n_toks, sum(tf) AS sum_tf
+            FROM t2 JOIN tf USING (word) GROUP BY 1),
+      s AS (SELECT doc_id, n_toks,
+                   cast((1000000 * sum_tf) // n_toks AS bigint) AS score_ppm
+            FROM d),
+      b AS (SELECT quantile_cont(score_ppm, 0.33) AS t1,
+                   quantile_cont(score_ppm, 0.67) AS t2 FROM s)
+      SELECT doc_id, n_toks, score_ppm,
+             CASE WHEN score_ppm >= b.t2 THEN 'head'
+                  WHEN score_ppm >= b.t1 THEN 'middle'
+                  ELSE 'tail' END AS bucket
+      FROM s, b
+      ORDER BY doc_id ASC NULLS LAST"""),
+    (s, dir) => TextAnalysis.perplexityBuckets(docs(s, dir), "doc_id", "text")
+      .orderBy(col("doc_id").asc_nulls_last))
+
+  // X33: BM25 TOP-K RETRIEVAL (TextAnalysis.bm25TopK) — Okapi BM25
+  // (k1=1.2, b=0.75) of the whole corpus against a fixed query-term
+  // set, log-free idf (N+1)/(df+1). Per-term scores are one fixed IEEE
+  // expression tree over exact integers (bit-identical in DuckDB — the
+  // SQL spells the SAME tree), quantized to ×10⁶ integers BEFORE the
+  // per-doc sum so the accumulation is exact integer arithmetic
+  // (float-sum order is partition-dependent; integer sums are not).
+  private val bm25Terms = Seq("spark", "hash", "merge", "window", "partition")
+
+  private val x33 = Demo("x33_bm25", Some(s"""
+      WITH toks AS (
+        SELECT doc_id, unnest(string_split(lower(text), ' ')) AS word
+        FROM documents),
+      t2 AS (SELECT doc_id, word FROM toks WHERE word <> ''),
+      dl AS (SELECT doc_id, count(*) AS dl FROM t2 GROUP BY 1),
+      tot AS (SELECT cast(sum(dl) AS bigint) AS total_toks,
+                     count(*) AS nd FROM dl),
+      tf AS (SELECT doc_id, word, count(*) AS tf FROM t2
+             WHERE word IN (${bm25Terms.map(t => s"'$t'").mkString(", ")})
+             GROUP BY 1, 2),
+      dfq AS (SELECT word, count(*) AS df FROM tf GROUP BY 1),
+      sc AS (SELECT t.doc_id,
+                    cast(floor(
+                      (cast(o.nd + 1 AS double) / (d.df + 1))
+                      * ((t.tf * 2.2) / (t.tf + 1.2 * (0.25 + 0.75
+                           * (cast(l.dl * o.nd AS double) / o.total_toks))))
+                      * 1000000.0) AS bigint) AS s
+             FROM tf t JOIN dfq d USING (word) JOIN dl l USING (doc_id)
+             CROSS JOIN tot o),
+      agg AS (SELECT doc_id, cast(sum(s) AS bigint) AS score_scaled,
+                     count(*) AS n_terms
+              FROM sc GROUP BY 1),
+      top AS (SELECT doc_id, score_scaled, n_terms FROM agg
+              ORDER BY score_scaled DESC, doc_id ASC LIMIT 20)
+      SELECT row_number() OVER (ORDER BY score_scaled DESC, doc_id ASC) AS rank,
+             doc_id, score_scaled, n_terms
+      FROM top
+      ORDER BY rank ASC NULLS LAST"""),
+    (s, dir) => TextAnalysis.bm25TopK(docs(s, dir), "doc_id", "text",
+        bm25Terms, k = 20)
+      .orderBy(col("rank").asc_nulls_last))
+
   val all: Seq[Demo] = Seq(x5a, x5b, x5c, x5d, x5e, x5f, x5g, x5h, x5i, x5j,
-    x5k)
+    x5k, x5l, x33)
 }

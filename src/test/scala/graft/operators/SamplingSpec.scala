@@ -104,4 +104,28 @@ class SamplingSpec extends SparkSpec {
       Sampling.shuffleShard(ids, col("id"), numShards = 0)
     }
   }
+
+  test("qualityResample: flagged rows at keepPct, tail at tailPct, NULL flag = tail") {
+    val s = spark
+    import s.implicits._
+    val df = (0L until 1000L).map(i =>
+      (i, if (i % 3 == 0) Some(i % 2 == 0) else if (i % 3 == 1) Some(false) else None))
+      .toDF("id", "good")
+    val kept = Sampling.qualityResample(df, col("id"), col("good"),
+      keepPct = 100, tailPct = 0).select("id").as[Long].collect().toSet
+    // keepPct=100/tailPct=0 keeps EXACTLY the true-flagged rows
+    assert(kept == (0L until 1000L).filter(i => i % 3 == 0 && i % 2 == 0).toSet)
+    // a 100/10 split retains a strict, deterministic subset of the tail
+    val mixed = Sampling.qualityResample(df, col("id"), col("good"), 100, 10)
+      .select("id").as[Long].collect().toSet
+    val tailKept = mixed -- kept
+    val tailAll = (0L until 1000L).toSet -- (0L until 1000L)
+      .filter(i => i % 3 == 0 && i % 2 == 0).toSet
+    assert(tailKept.nonEmpty && tailKept.size < tailAll.size / 5)
+    assert(Sampling.qualityResample(df, col("id"), col("good"), 100, 10)
+      .select("id").as[Long].collect().toSet == mixed) // deterministic
+    intercept[IllegalArgumentException] {
+      Sampling.qualityResample(df, col("id"), col("good"), 101, 0)
+    }
+  }
 }

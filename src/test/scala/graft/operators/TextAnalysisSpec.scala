@@ -222,4 +222,60 @@ class TextAnalysisSpec extends SparkSpec {
       assert(r.getDouble(4) == 1.0)
     }
   }
+
+  test("perplexityBuckets: terciles on the integer commonness score, hand-checked") {
+    val s2 = spark
+    import s2.implicits._
+    // corpus tf: a=6 (docs 1,2,3 twice each), b=2, c=1
+    // doc 1 "a a"     → sum_tf 12, n 2 → score 6_000_000
+    // doc 2 "a a b b" → sum_tf 16, n 4 → score 4_000_000
+    // doc 3 "a a c"   → sum_tf 13, n 3 → score 4_333_333
+    // doc 4 ""        → no tokens, absent
+    val df = Seq((1L, "a a"), (2L, "a a b b"), (3L, "a a c"), (4L, ""))
+      .toDF("doc_id", "text")
+    val rows = TextAnalysis.perplexityBuckets(df, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    assert(rows.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L))
+    assert(rows.map(_.getLong(2)).toSeq ==
+      Seq(6000000L, 4000000L, 4333333L))
+    // p33/p67 of (4000000, 4333333, 6000000): t1=4219999.78, t2=4899999.78
+    // → doc1 head, doc2 tail, doc3 middle
+    assert(rows.map(_.getString(3)).toSeq == Seq("head", "tail", "middle"))
+  }
+
+  test("bm25TopK: matched docs only, rank order, matched-term counts") {
+    val s2 = spark
+    import s2.implicits._
+    val df = Seq(
+      (1L, "spark hash x"),       // 2 matched terms, one a rarer (higher-idf) one
+      (2L, "spark spark y z"),    // 1 matched term, tf 2, longer doc
+      (3L, "no match here"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.bm25TopK(df, "doc_id", "text",
+      Seq("spark", "hash"), k = 10).collect()
+    assert(out.map(_.getLong(1)).toSet === Set(1L, 2L)) // doc 3 absent
+    assert(out.map(_.getInt(0)).toSeq === Seq(1, 2))    // dense ranks from 1
+    val byDoc = out.map(r => r.getLong(1) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(byDoc(1L)._2 === 2L && byDoc(2L)._2 === 1L)  // matched-term counts
+    out.foreach(r => assert(r.getLong(2) > 0L))
+    // two-term doc with the rare term outranks the tf-2 single-term doc
+    assert(out.head.getLong(1) === 1L)
+    // k truncates
+    val k1 = TextAnalysis.bm25TopK(df, "doc_id", "text",
+      Seq("spark", "hash"), k = 1).collect()
+    assert(k1.length === 1 && k1.head.getLong(1) === 1L)
+  }
+
+  test("perplexityBuckets: every scored doc lands in exactly one bucket") {
+    val docs = graft.sources.Tables.table(spark, "/root/testdata/sf0.001", "documents")
+    val out = TextAnalysis.perplexityBuckets(docs, "doc_id", "text")
+    val n = out.count()
+    assert(n > 0)
+    assert(out.where(org.apache.spark.sql.functions.col("bucket")
+      .isin("head", "middle", "tail")).count() == n)
+    // boundaries split roughly in thirds (ties can bunch, allow slack)
+    val byBucket = out.groupBy("bucket").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    byBucket.values.foreach(c => assert(c > n / 6, byBucket.toString))
+  }
 }

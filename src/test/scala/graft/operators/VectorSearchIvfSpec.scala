@@ -43,4 +43,36 @@ class VectorSearchIvfSpec extends SparkSpec {
     val recall = ivf.intersect(exact).size.toDouble / exact.size
     assert(recall >= 0.5, s"recall=$recall")
   }
+
+  test("semDeDup drops in-cluster near-dups with min-id witness; zero-norm never dropped") {
+    import spark.implicits._
+    // one cell (kCells=1) isolates the prune semantics from clustering
+    val df = Seq(
+      (0L, Seq(1.0f, 0.0f, 0.0f, 0.0f)),   // keeper (lowest id)
+      (1L, Seq(0.9f, 0.1f, 0.0f, 0.0f)),   // cos(1,0) ≈ 0.9939 → dup of 0
+      (2L, Seq(0.0f, 1.0f, 0.0f, 0.0f)),   // orthogonal → kept
+      (3L, Seq(0.0f, 0.0f, 0.0f, 0.0f)),   // zero norm → NULL cosine, kept
+      (4L, Seq(1.0f, 0.0f, 0.0f, 0.0f))    // exact dup: witnesses 0 AND 1; min wins
+    ).toDF("vec_id", "embedding")
+    val out = VectorSearch.semDeDup(df, "vec_id", "embedding",
+        kCells = 1, iters = 1, minCosine = 0.9)
+      .orderBy("vec_id")
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3)))
+    assert(out === Array(
+      (0L, 1, -1L), (1L, 0, 0L), (2L, 1, -1L), (3L, 1, -1L), (4L, 0, 0L)))
+  }
+
+  test("semDeDup is total (one row per vector), deterministic, witnesses are lower ids") {
+    val out = VectorSearch.semDeDup(emb, "vec_id", "embedding",
+      kCells = 4, iters = 2, minCosine = 0.35)
+    assert(out.count() === emb.count())
+    val dropped = out.filter(col("kept") === 0)
+    assert(dropped.filter(col("dup_of") >= col("vec_id")).count() === 0)
+    val again = VectorSearch.semDeDup(emb, "vec_id", "embedding",
+      kCells = 4, iters = 2, minCosine = 0.35)
+    assert(out.orderBy("vec_id").collect().toSeq ===
+      again.orderBy("vec_id").collect().toSeq)
+  }
 }

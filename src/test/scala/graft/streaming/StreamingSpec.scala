@@ -212,6 +212,37 @@ class StreamingSpec extends SparkSpec {
     assert(ids === Seq(1L, 1L, 2L, 3L), ids.toString)
   }
 
+  test("throttle dedup: streaming face equals the X6g batch face under in-order arrival") {
+    val s = spark
+    import org.apache.spark.sql.functions.{col, date_trunc}
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    def sec(str: String): Timestamp = Timestamp.valueOf(s"2024-01-01 $str")
+    // arrival order == (ts, event_id) order per key, so the streaming
+    // first-arrival keeper coincides with the batch min-(ts,id) keeper
+    val evs = Seq(
+      Ev(1, sec("10:00:05"), 1L, "click", 1.0, "{}"),
+      Ev(2, sec("10:00:30"), 1L, "click", 1.0, "{}"),  // same minute → dropped
+      Ev(3, sec("10:00:50"), 2L, "view", 1.0, "{}"),
+      Ev(4, sec("10:01:10"), 1L, "click", 1.0, "{}"),  // new minute → kept
+      Ev(5, sec("10:01:20"), 1L, "view", 1.0, "{}"))   // other type → kept
+    val mem = MemoryStream[Ev]
+    val q = StreamingPipelines.dedupStream(
+        mem.toDF().withColumn("minute", date_trunc("minute", col("ts"))),
+        keys = Seq("user_id", "event_type", "minute"))
+      .writeStream.format("memory").queryName("t_throttle")
+      .outputMode("append").start()
+    mem.addData(evs: _*)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = s.table("t_throttle").select("event_id").collect()
+      .map(_.getLong(0)).toSet
+    val batch = EventsDemos.throttleDedup(evs.toDF())
+      .select("event_id").collect().map(_.getLong(0)).toSet
+    assert(streamed === batch && batch === Set(1L, 3L, 4L, 5L),
+      s"streamed=$streamed batch=$batch")
+  }
+
   test("session window: streaming == batch on closed sessions (X6c)") {
     val (streamed, batch) = runBoth("t_session", StreamingPipelines.sessionStream)
     assert(streamed.toSet.subsetOf(batch.toSet),
