@@ -154,6 +154,31 @@ object Sampling {
     h3.bitwiseXOR(shiftright(h3, 13))
   }
 
+  /** Per-domain document cap — the web-corpus "no single domain may
+    * dominate" step (cap docs per registrable domain / source before
+    * training): keep at most `maxPerDomain` rows per `domainCol` value.
+    * The keepers are the first `maxPerDomain` in [[shuffleKey]] order
+    * (tiebreak on the row key), i.e. a REPRODUCIBLE uniform sample of
+    * each domain rather than a lowest-id prefix — so the kept set is
+    * unbiased w.r.t. crawl/insert order and replays bit-identically on
+    * any engine that mixes the same key. NULL domains form one group
+    * (both Spark and SQL window semantics put them together).
+    *
+    * Scale: one hash exchange on the domain key feeding a partitioned
+    * window — rank state is O(1) per row; a pathologically hot domain is
+    * exactly the AQE-skew case and still ranks within its partition. At
+    * 100 TB pre-aggregate nothing: the window IS the single pass.
+    */
+  def capPerDomain(df: DataFrame, key: Column, domainCol: String,
+      maxPerDomain: Int, salt: Long = 0L): DataFrame = {
+    require(maxPerDomain >= 1, s"maxPerDomain must be >= 1, got $maxPerDomain")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(domainCol))
+      .orderBy(shuffleKey(key, salt).asc, key.asc)
+    df.withColumn("domain_rank", row_number().over(w))
+      .filter(col("domain_rank") <= maxPerDomain)
+  }
+
   /** Deterministic training-order shuffle + shard assignment — the
     * "shuffle the corpus before training, reproducibly" step: adds
     * `shuffle_key` (sort by it, tiebreak on the row key, for a global

@@ -141,5 +141,35 @@ object SamplingDemos {
         .orderBy(col("doc_id").asc_nulls_last)
     })
 
-  val all: Seq[Demo] = Seq(x10a, x10b, x27, x29, x32)
+  // -------------------------------------------------------------------
+  // X34: PER-DOMAIN CAP — Sampling.capPerDomain: at most 10 docs per
+  // source (the web-corpus "no domain may dominate" step), keepers =
+  // first 10 in salted shuffle-key order (a reproducible uniform sample
+  // of each domain, not a lowest-id prefix). The oracle replays the
+  // exact x29 mixer chain + a partitioned row_number.
+  // -------------------------------------------------------------------
+  private val (capSalt, capN) = (3L, 10)
+
+  private val x34 = Demo("x34_domain_cap", Some(s"""
+      WITH h1 AS (SELECT doc_id, source,
+                    (((doc_id + $capSalt) % 2147483648) * 2654435761)
+                      % 2147483648 AS h
+                  FROM documents),
+      h2 AS (SELECT doc_id, source, xor(h, h >> 15) AS h FROM h1),
+      h3 AS (SELECT doc_id, source, (h * 2246822519) % 2147483648 AS h FROM h2),
+      h4 AS (SELECT doc_id, source, xor(h, h >> 13) AS h FROM h3),
+      r AS (SELECT doc_id, source,
+                   row_number() OVER (PARTITION BY source
+                                      ORDER BY h ASC, doc_id ASC)
+                     AS domain_rank
+            FROM h4)
+      SELECT doc_id, source, domain_rank
+      FROM r WHERE domain_rank <= $capN
+      ORDER BY doc_id ASC NULLS LAST"""),
+    (s, dir) => Sampling.capPerDomain(docs(s, dir), col("doc_id"), "source",
+        maxPerDomain = capN, salt = capSalt)
+      .select(col("doc_id"), col("source"), col("domain_rank"))
+      .orderBy(col("doc_id").asc_nulls_last))
+
+  val all: Seq[Demo] = Seq(x10a, x10b, x27, x29, x32, x34)
 }

@@ -128,4 +128,33 @@ class SamplingSpec extends SparkSpec {
       Sampling.qualityResample(df, col("id"), col("good"), 101, 0)
     }
   }
+
+  test("capPerDomain: caps each domain, shuffled keeper, deterministic") {
+    val s = spark
+    import s.implicits._
+    // domain a: 100 rows (over cap), b: 3 rows (under cap)
+    val df = ((0L until 100L).map(i => (i, "a")) ++
+      (100L until 103L).map(i => (i, "b"))).toDF("id", "dom")
+    val out = Sampling.capPerDomain(df, col("id"), "dom", maxPerDomain = 5)
+      .select("id", "dom", "domain_rank").collect()
+    val byDom = out.groupBy(_.getString(1))
+    assert(byDom("a").length === 5 && byDom("b").length === 3)
+    // ranks are 1..k within each domain
+    assert(byDom("a").map(_.getInt(2)).sorted.toSeq === Seq(1, 2, 3, 4, 5))
+    // the keeper set is a shuffle, not the lowest-id prefix
+    val aIds = byDom("a").map(_.getLong(0)).sorted.toSeq
+    assert(aIds !== (0L until 5L).toSeq, aIds.toString)
+    // deterministic
+    val again = Sampling.capPerDomain(df, col("id"), "dom", maxPerDomain = 5)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(again === out.map(_.getLong(0)).toSet)
+    // a different salt keeps a different subset of the over-cap domain
+    val salted = Sampling.capPerDomain(df, col("id"), "dom", 5, salt = 9L)
+      .filter(col("dom") === "a").select("id").collect()
+      .map(_.getLong(0)).toSet
+    assert(salted !== byDom("a").map(_.getLong(0)).toSet)
+    intercept[IllegalArgumentException] {
+      Sampling.capPerDomain(df, col("id"), "dom", 0)
+    }
+  }
 }

@@ -208,4 +208,30 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), p)
     assert(!p.contains("SortMergeJoin"), p)
   }
+
+  test("x5l ppl buckets: boundary broadcast, NO window over the corpus") {
+    val p = plan("x5l_ppl_buckets")
+    // the design claim: percentile boundaries ride a 1-row broadcast —
+    // the naive ntile(3) global window (single partition) must not appear
+    assert(!p.contains("Window"), p)
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("x32 quality resample: narrow codegen filter (only the output-sort exchange)") {
+    val p = plan("x32_quality_resample")
+    // one range exchange for the final ORDER BY is the only shuffle
+    assert("Exchange".r.findAllIn(p).size <= 2, p) // node + detail section
+  }
+
+  test("x33 bm25: distributed TakeOrdered top-k, rank window only after the cut") {
+    val p = plan("x33_bm25")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("x31 semdedup: pair step is an equi hash join on the cell id, never a nested loop") {
+    val p = plan("x31_semdedup")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+  }
 }
