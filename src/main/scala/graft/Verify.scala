@@ -21,12 +21,23 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // A query that throws must leave a visible scar in the correctness
+    // record, not silently vanish from it (round-4 advice: 23 runtime
+    // failures read as an all-green round because failed queries produced
+    // no output at all). Write a one-row sentinel with an impossible
+    // schema so the driver's compare reports a red row for the query.
+    var failed = List.empty[String]
     SparkEntry.queries.foreach { case (name, fn) =>
       if (selected(name))
         try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
           .parquet(s"$outDir/$name")
         catch { case e: Throwable =>
+          failed ::= name
           System.err.println(s"[verify] $name failed: ${e.getMessage}")
+          import spark.implicits._
+          Seq(s"${e.getClass.getName}: ${String.valueOf(e.getMessage).take(500)}")
+            .toDF("__verify_error")
+            .coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
         }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
@@ -45,6 +56,12 @@ object Verify {
       .filter { case (k, _) => selected(k) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    if (failed.nonEmpty) {
+      val fj = failed.sorted.map(q).mkString("[", ",", "]")
+      Files.writeString(Paths.get(s"$outDir/verify_failures.json"), fj)
+      System.err.println(s"[verify] ${failed.size} queries FAILED: " +
+        failed.sorted.mkString(", "))
+    }
     spark.stop()
   }
 }

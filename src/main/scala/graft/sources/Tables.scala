@@ -29,6 +29,22 @@ object Tables {
   def enableNanosAsLong(spark: SparkSession): Unit =
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
 
+  /** Read parquet TIMESTAMP(MICROS, isAdjustedToUTC=false) columns as
+    * session-local TimestampType instead of TIMESTAMP_NTZ. SESSION-WIDE for
+    * the same capture-at-planning reason as [[enableNanosAsLong]].
+    *
+    * Why: the harness tables store naive micros (`timestamp[us]`, no tz),
+    * which Spark 4 infers as TIMESTAMP_NTZ by default. Under the UTC
+    * session timezone every graft entry point sets, the two types carry
+    * identical values — but NTZ breaks downstream consumers that expect
+    * TimestampType (java.sql.Timestamp rows, streaming schemas declared
+    * LTZ). Disabling inference at the SCAN keeps the column TimestampType
+    * with zero per-row conversion, so `ts` predicates still push down to
+    * parquet (a cast-on-top-of-scan would block pushdown at 100 TB).
+    */
+  def enableLtzTimestamps(spark: SparkSession): Unit =
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+
   /** The shared nanos→micros `ts` conversion used by BOTH the batch and
     * streaming events readers — `timestamp_micros(ts DIV 1000)` (integer
     * division; `/` would round-trip through double and lose precision at
@@ -42,14 +58,41 @@ object Tables {
   /** Read one harness table. Column pruning + predicate pushdown reach the
     * parquet scan because this is a plain datasource relation.
     *
-    * `events.ts` is physically parquet TIMESTAMP(NANOS), which Spark's
-    * vectorized reader rejects; see [[enableNanosAsLong]]/[[nanosTsToMicros]].
+    * `events.ts` has shipped in multiple physical layouts across harness
+    * generations: parquet TIMESTAMP(NANOS) (which Spark's vectorized reader
+    * rejects — read as raw Long nanos via [[enableNanosAsLong]] and truncate
+    * with [[nanosTsToMicros]]) and TIMESTAMP(MICROS), either UTC-adjusted or
+    * naive (the naive form would infer as TIMESTAMP_NTZ — normalized to
+    * TimestampType at the scan via [[enableLtzTimestamps]]). The conversion
+    * is type-conditional on the actual file schema so every generation reads
+    * correctly.
     */
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
-    if (name == "events") {
-      enableNanosAsLong(spark)
-      nanosTsToMicros(spark.read.parquet(s"$dir/$name.parquet"))
-    } else spark.read.parquet(s"$dir/$name.parquet")
+    if (name == "events") events(spark, s"$dir/$name.parquet")
+    else {
+      enableLtzTimestamps(spark)
+      spark.read.parquet(s"$dir/$name.parquet")
+    }
+
+  /** Events reader handling all three physical `ts` layouts (see [[table]]):
+    * legacy TIMESTAMP(NANOS) read as raw Long nanos and truncated, naive
+    * TIMESTAMP(MICROS) read as LTZ via [[enableLtzTimestamps]], and
+    * UTC-adjusted TIMESTAMP(MICROS) passed through.
+    */
+  def events(spark: SparkSession, path: String): DataFrame = {
+    enableNanosAsLong(spark)
+    enableLtzTimestamps(spark)
+    val df = spark.read.parquet(path)
+    df.schema("ts").dataType match {
+      case LongType => nanosTsToMicros(df)
+      // Spark-WRITTEN NTZ files keep their footer-recorded schema regardless
+      // of the inference conf (which only governs metadata-free files like
+      // the pyarrow-written harness tables) — normalize those by cast, which
+      // is value-identical under the UTC session timezone.
+      case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => df
+    }
+  }
 
   /** Register every harness table as a temp view so demonstrators can be
     * written in either the DataFrame API or `spark.sql` (same names the

@@ -39,8 +39,33 @@ object StreamingPipelines {
   def readEventsStream(spark: SparkSession, dir: String): DataFrame =
     spark.readStream.schema(eventsSchema).parquet(dir)
 
-  /** Streaming reader for the harness-shaped events files, whose `ts` is
-    * parquet TIMESTAMP(NANOS) (see [[graft.sources.Tables.table]]): read
+  /** Streaming reader for harness-shaped events directories that detects
+    * the physical `ts` layout from the files already present (a streaming
+    * source needs its schema up front, so we peek with a batch read):
+    * legacy TIMESTAMP(NANOS) files go through the nanos→micros conversion,
+    * TIMESTAMP(MICROS) files stream as-is — mirroring the type-conditional
+    * batch reader ([[graft.sources.Tables.events]]) so batch and streaming
+    * agree on either generation.
+    */
+  def readEventsStreamAuto(spark: SparkSession, dir: String): DataFrame = {
+    graft.sources.Tables.enableNanosAsLong(spark)
+    graft.sources.Tables.enableLtzTimestamps(spark)
+    spark.read.parquet(dir).schema("ts").dataType match {
+      case LongType => readEventsStreamNanos(spark, dir)
+      // Spark-written NTZ files keep their footer schema despite the
+      // inference conf — stream them with an NTZ schema, then cast (same
+      // normalization as the batch reader, value-identical under UTC).
+      case TimestampNTZType =>
+        val ntz = StructType(eventsSchema.map(f =>
+          if (f.name == "ts") f.copy(dataType = TimestampNTZType) else f))
+        spark.readStream.schema(ntz).parquet(dir)
+          .withColumn("ts", col("ts").cast(TimestampType))
+      case _ => readEventsStream(spark, dir)
+    }
+  }
+
+  /** Streaming reader for legacy harness events files whose `ts` is
+    * parquet TIMESTAMP(NANOS) (see [[graft.sources.Tables.events]]): read
     * nanos as raw longs and truncate to microsecond TIMESTAMP — the same
     * conversion the batch reader applies, so batch and streaming agree.
     */

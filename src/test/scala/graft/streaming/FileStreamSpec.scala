@@ -51,7 +51,7 @@ class FileStreamSpec extends SparkSpec {
       s"hour-5 window should still be open: $rows")
   }
 
-  test("harness nanos-timestamp events stream equals the batch tumbling agg") {
+  test("harness events stream (auto ts layout) equals the batch tumbling agg") {
     val s = spark
     val dir = Files.createTempDirectory("graft-nanos").toString
     Files.copy(
@@ -59,7 +59,7 @@ class FileStreamSpec extends SparkSpec {
       java.nio.file.Paths.get(s"$dir/events.parquet"))
     val q = StreamingPipelines.toMemorySink(
       StreamingPipelines.tumblingStream(
-        StreamingPipelines.readEventsStreamNanos(s, dir)), "t_nanos")
+        StreamingPipelines.readEventsStreamAuto(s, dir)), "t_nanos")
     q.awaitTermination()
     val streamed = s.table("t_nanos").collect()
       .map(_.mkString("|")).toSet
@@ -91,16 +91,15 @@ class FileStreamSpec extends SparkSpec {
       .head().getTimestamp(0)
 
     val q = StreamingPipelines.tumblingStream(
-        StreamingPipelines.readEventsStreamNanos(s, dir))
+        StreamingPipelines.readEventsStreamAuto(s, dir))
       .writeStream.format("memory").queryName("t_sf01")
       .outputMode("append").start()
     q.processAllAvailable()
-    // sentinel 2h past the max real event, written in the nanos layout the
-    // reader expects (ts as raw nanosecond long)
-    Seq((999999999L, (maxTs.getTime + 2 * 3600 * 1000L) * 1000000L,
+    // sentinel 2h past the max real event, in the same micros-timestamp
+    // layout as the harness files the auto reader detected
+    Seq(Ev(999999999L, new Timestamp(maxTs.getTime + 2 * 3600 * 1000L),
         999L, "sentinel", 0.0, "{}"))
-      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
-      .coalesce(1).write.mode(SaveMode.Append).parquet(dir)
+      .toDF().coalesce(1).write.mode(SaveMode.Append).parquet(dir)
     q.processAllAvailable()
     q.stop()
 
@@ -130,18 +129,17 @@ class FileStreamSpec extends SparkSpec {
     // ingest run 1: the real events
     StreamingPipelines.toBucketedTableSink(
       StreamingPipelines.tumblingStream(
-        StreamingPipelines.readEventsStreamNanos(s, dir)),
+        StreamingPipelines.readEventsStreamAuto(s, dir)),
       table, buckets = 4, keys = Seq("event_type"), path, ckpt)
       .awaitTermination()
     // ingest run 2 (a NEW query over the same checkpoint): a far-future
     // sentinel closes every real window, so append mode emits the rest
-    Seq((999999999L, (maxTs.getTime + 2 * 3600 * 1000L) * 1000000L,
+    Seq(Ev(999999999L, new Timestamp(maxTs.getTime + 2 * 3600 * 1000L),
         999L, "sentinel", 0.0, "{}"))
-      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
-      .coalesce(1).write.mode(SaveMode.Append).parquet(dir)
+      .toDF().coalesce(1).write.mode(SaveMode.Append).parquet(dir)
     StreamingPipelines.toBucketedTableSink(
       StreamingPipelines.tumblingStream(
-        StreamingPipelines.readEventsStreamNanos(s, dir)),
+        StreamingPipelines.readEventsStreamAuto(s, dir)),
       table, buckets = 4, keys = Seq("event_type"), path, ckpt)
       .awaitTermination()
 
@@ -159,6 +157,28 @@ class FileStreamSpec extends SparkSpec {
       .split("== Initial Plan ==").head
     assert(!plan.contains("Exchange"), plan.take(2000))
     s.sql(s"DROP TABLE IF EXISTS $table")
+  }
+
+  test("auto reader streams legacy Long-nanos events via the nanos path") {
+    val s = spark
+    import s.implicits._
+    val dir = Files.createTempDirectory("graft-legacy-nanos").toString
+    def nanos(min: Int): Long = ts(min).getTime * 1000000L
+    Seq(
+      (1L, nanos(10), 1L, "click", 10.0, "{}"),
+      (2L, nanos(300), 1L, "click", 30.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode(SaveMode.Append).parquet(dir)
+    val q = StreamingPipelines.tumblingStream(
+        StreamingPipelines.readEventsStreamAuto(s, dir))
+      .writeStream.format("memory").queryName("t_legacy")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    q.stop()
+    // hour-0 window closed by the hour-5 row advancing the watermark
+    val rows = s.table("t_legacy")
+      .collect().map(r => (r.getTimestamp(0).toString, r.getLong(2))).toMap
+    assert(rows("2024-01-01 00:00:00.0") == 1L, rows.toString)
   }
 
   test("streaming parquet sink with checkpoint persists closed windows") {
