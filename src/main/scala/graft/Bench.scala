@@ -100,6 +100,13 @@ object Bench {
     Files.createDirectories(Paths.get("target"))
     Files.write(Paths.get("target/bench.json"),
       (json + "\n").getBytes(StandardCharsets.UTF_8))
+    // Also write the full record (per-query timings + failed list) to a
+    // TRACKED path: the driver's BENCH_r{N}.json captures only the stdout
+    // tail, so without this the per-query numbers and the names of failed
+    // queries exist solely in the untracked target/ dir (round-4 advice).
+    // Committed once per round alongside BENCHNOTES.md.
+    Files.write(Paths.get("BENCH_FULL.json"),
+      (json + "\n").getBytes(StandardCharsets.UTF_8))
     // The full line above carries every per-query timing (~4 KB) and has
     // twice fallen out of the driver's stdout tail-capture window, leaving
     // the official bench record unparsed. Emit it to the file only, and end
