@@ -199,4 +199,46 @@ object Sampling {
     df.withColumn("shuffle_key", shuffleKey(key, salt))
       .withColumn("shard", pmod(col("shuffle_key"), lit(numShards.toLong)))
   }
+
+  /** Token-weighted mixture EPOCH plan — the complement of
+    * [[mixToTarget]] (which downsamples): given target mixture shares in
+    * ppm per domain, compute per-domain token counts and how many
+    * EPOCHS (repeat passes) of each domain a training run needs so the
+    * effective mixture hits the target without discarding scarce-domain
+    * data. This is the planning step of a curated pretraining mix: the
+    * output drives a downstream repeat-and-interleave materialization.
+    *
+    * Output per listed domain: `n_docs`, `n_tokens`, `actual_ppm`
+    * (floor(tokens·10⁶ / total) — the domain's organic share) and
+    * `epochs` = ceil(target_ppm / actual_ppm), all in exact bigint
+    * arithmetic (floor-div + ceil-div round identically on every
+    * engine; no doubles anywhere). Domains absent from `targetPpm` are
+    * excluded from BOTH the totals and the output, mirroring
+    * mixToTarget's inner-join contract.
+    *
+    * Scale: one map-side-combinable aggregate over the corpus (tokens
+    * counted with size(split) — a codegen projection), then arithmetic
+    * on |domains| rows. The exact bigint form holds to ~9·10¹² total
+    * tokens (long overflow in tokens·10⁶); past that switch the ppm
+    * computation to decimal(38,0).
+    */
+  def mixtureEpochs(df: DataFrame, domainCol: String, textCol: String,
+      targetPpm: Map[String, Long]): DataFrame = {
+    require(targetPpm.nonEmpty && targetPpm.values.forall(_ > 0),
+      s"positive target ppm shares required, got $targetPpm")
+    val spark = df.sparkSession
+    val tdf = spark.createDataFrame(targetPpm.toSeq)
+      .toDF("__dom", "target_ppm")
+    val counts = df.groupBy(col(domainCol).as("__dom"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(split(col(textCol), " ")).cast("long")).as("n_tokens"))
+      .join(broadcast(tdf), "__dom") // inner: unlisted domains drop here
+    val total = counts.agg(sum(col("n_tokens")).as("__total"))
+    counts.crossJoin(total) // scalar × |domains|
+      .select(col("__dom").as(domainCol), col("n_docs"), col("n_tokens"),
+        expr("(n_tokens * 1000000L) div __total").as("actual_ppm"),
+        col("target_ppm"))
+      .withColumn("epochs",
+        expr("(target_ppm + actual_ppm - 1L) div actual_ppm"))
+  }
 }

@@ -583,4 +583,49 @@ object TextDedup {
             s => !s.getField("rm")),
           s => s.getField("word"))).as("cleaned_text"))
   }
+
+  /** Segment-level corpus dedup (CCNet-style paragraph dedup, adapted to
+    * the harness corpus which has no newlines): cut each document into
+    * consecutive NON-overlapping `width`-token segments, drop every
+    * corpus-wide repeat of a segment (keep-first by (doc_id, seg_idx) —
+    * a total order, so deterministic), and reassemble each document from
+    * its surviving segments in original order.
+    *
+    * Returns one row per input doc: doc_id, n_segs, n_kept, clean_text
+    * (empty string when every segment of the doc was seen earlier —
+    * i.e. the doc is fully boilerplate/duplicate).
+    *
+    * Differs from [[dedupSpans]] (overlapping n-gram windows, canonical
+    * occurrence kept in place): here segments tile the document, which is
+    * the CCNet/CommonCrawl boilerplate-removal shape — cheap enough to
+    * run over every snapshot because state is one row per DISTINCT
+    * segment, not per occurrence pair.
+    *
+    * Scale: explode is token-bounded (n/width rows per doc); keep-first
+    * is one row_number window keyed by segment text (shuffle on segment
+    * hash — by far the dominant key space, so skew-free); reassembly is
+    * one doc-keyed aggregate whose state is the doc's own segments.
+    */
+  def segmentDedup(df: DataFrame, idCol: String, textCol: String,
+      width: Int): DataFrame = {
+    require(width >= 1, s"segment width must be >= 1 token, got $width")
+    val toks = df.select(col(idCol).as("doc_id"), split(col(textCol), " ").as("toks"))
+    val segs = toks.select(col("doc_id"),
+      posexplode(transform(
+        sequence(lit(0), floor((size(col("toks")) - 1) / width).cast("int")),
+        i => array_join(slice(col("toks"), i * width + 1, lit(width)), " ")))
+        .as(Seq("seg_idx", "seg")))
+    val keepFirst = Window.partitionBy(col("seg"))
+      .orderBy(col("doc_id"), col("seg_idx"))
+    segs.withColumn("__rn", row_number().over(keepFirst))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_segs"),
+        sum(when(col("__rn") === 1, lit(1L)).otherwise(lit(0L))).as("n_kept"),
+        concat_ws(" ", transform(
+          filter(array_sort(collect_list(
+            struct(col("seg_idx"), col("seg"), (col("__rn") === 1).as("keep")))),
+            s => s.getField("keep")),
+          s => s.getField("seg"))).as("clean_text"))
+  }
 }

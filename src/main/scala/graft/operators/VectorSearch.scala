@@ -21,6 +21,9 @@ import graft.functions.{Hashing, VecSumAgg}
   */
 object VectorSearch {
 
+  /** Embedding dimensionality of the harness tables (TESTDATA.md). */
+  val dims = 64
+
   /** id + int64-quantized vector + exact squared norm. */
   def quantize(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
     Hashing.registerAll(df.sparkSession)
@@ -278,5 +281,36 @@ object VectorSearch {
       .select(col("vec_id"), col("cid"),
         when(col("dup_of").isNull, lit(1)).otherwise(lit(0)).as("kept"),
         col("dup_of"))
+  }
+
+  /** Signed random projection (SRP) dimensionality reduction: project the
+    * 64-dim quantized embedding onto `outDims` pseudo-random ±1
+    * hyperplanes — out[j] = Σ_d qv[d]·sign(h(j,d)) — the
+    * Johnson–Lindenstrauss workhorse that shrinks an embedding store
+    * before ANN indexing (dot products in projected space approximate
+    * scaled cosines in the original).
+    *
+    * The "random" signs are the library's deterministic Knuth-hash parity
+    * (same constant as [[bucketOf]]'s hyperplanes), seeded by (j,d) — no
+    * RNG, so the projection is a pure function replayed exactly by the
+    * DuckDB oracle and stable across runs/partitionings.
+    *
+    * Output: one row per (vec_id, dim 0..outDims-1) with the exact bigint
+    * projection value. Scale: a narrow per-row projection (built-in
+    * `transform`/`aggregate` higher-order functions — codegen, no UDF, no
+    * shuffle); 64·outDims multiply-adds per row streamed through
+    * whole-stage codegen.
+    */
+  def signedRandomProjection(df: DataFrame, idCol: String, vecCol: String,
+      outDims: Int): DataFrame = {
+    require(outDims >= 1, s"outDims must be >= 1, got $outDims")
+    quantize(df, idCol, vecCol)
+      .select(col("vec_id"),
+        posexplode(transform(sequence(lit(0), lit(outDims - 1)), j =>
+          aggregate(sequence(lit(1), lit(dims)), lit(0L), (acc, d) =>
+            acc + element_at(col("qv"), d) *
+              when(((j * dims + d - 1) * lit(2654435761L)) % lit(2147483648L)
+                % 2 === 0, lit(1L)).otherwise(lit(-1L)))))
+          .as(Seq("dim", "proj")))
   }
 }

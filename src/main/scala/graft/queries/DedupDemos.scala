@@ -401,6 +401,33 @@ object DedupDemos {
         spanN)
       .orderBy(col("doc_id").asc_nulls_last))
 
+  // -------------------------------------------------------------------
+  // X35: SEGMENT-LEVEL CORPUS DEDUP (TextDedup.segmentDedup) — CCNet-
+  // style boilerplate removal: tile each doc into non-overlapping 8-token
+  // segments, drop corpus-wide repeats keep-first, reassemble. The
+  // oracle replays segmentation (lateral generate_series + list slice),
+  // the keep-first window, and the ordered reassembly declaratively.
+  // -------------------------------------------------------------------
+  private val segW = 8
+
+  private val x35 = Demo("x35_segment_dedup", Some(s"""
+      WITH tok AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      seg AS (SELECT doc_id, i AS seg_idx,
+                     array_to_string(toks[(i*$segW+1):least(len(toks), (i+1)*$segW)], ' ') AS seg
+              FROM tok, unnest(generate_series(0, (len(toks)-1)//$segW)) t(i)),
+      r AS (SELECT doc_id, seg_idx, seg,
+                   row_number() OVER (PARTITION BY seg ORDER BY doc_id, seg_idx) AS rn
+            FROM seg)
+      SELECT doc_id, count(*) AS n_segs,
+             cast(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS bigint) AS n_kept,
+             coalesce(string_agg(seg, ' ' ORDER BY seg_idx)
+               FILTER (WHERE rn = 1), '') AS clean_text
+      FROM r GROUP BY 1
+      ORDER BY doc_id ASC NULLS LAST"""),
+    (s, dir) => TextDedup.segmentDedup(t(s, dir, "documents"), "doc_id", "text",
+        width = segW)
+      .orderBy(col("doc_id").asc_nulls_last))
+
   val all: Seq[Demo] =
-    Seq(x1, x2a, x2b, x2c, x2c2, x2d, x2e, x2f, x2g, x18, x23, x23b, x28)
+    Seq(x1, x2a, x2b, x2c, x2c2, x2d, x2e, x2f, x2g, x18, x23, x23b, x28, x35)
 }

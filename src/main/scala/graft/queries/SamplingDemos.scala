@@ -171,5 +171,40 @@ object SamplingDemos {
       .select(col("doc_id"), col("source"), col("domain_rank"))
       .orderBy(col("doc_id").asc_nulls_last))
 
-  val all: Seq[Demo] = Seq(x10a, x10b, x27, x29, x32, x34)
+  // -------------------------------------------------------------------
+  // X36: TOKEN-WEIGHTED MIXTURE EPOCH PLAN — Sampling.mixtureEpochs:
+  // given target mixture shares (ppm), how many repeat passes (epochs)
+  // of each language domain reach the target without discarding scarce
+  // data — the planning complement of x27's downsampling mix. Exact
+  // bigint floor/ceil division on both engines; `fr` unlisted → excluded
+  // from totals and output (inner-join contract).
+  // -------------------------------------------------------------------
+  private val epochTargets = Map(
+    "en" -> 400000L, "de" -> 200000L, "es" -> 200000L, "zh" -> 200000L)
+
+  /** VALUES list generated from the same map the Spark side uses. */
+  private def epochValues: String =
+    epochTargets.toSeq.sortBy(_._1)
+      .map { case (d, p) => s"('$d', $p)" }.mkString(", ")
+
+  private val x36 = Demo("x36_mixture_epochs", Some(s"""
+      WITH tgt(lang, target_ppm) AS (VALUES $epochValues),
+      c AS (SELECT d.lang, count(*) AS n_docs,
+                   cast(sum(len(string_split(d.text, ' '))) AS bigint) AS n_tokens,
+                   any_value(t.target_ppm) AS target_ppm
+            FROM documents d JOIN tgt t ON d.lang = t.lang
+            GROUP BY d.lang),
+      tot AS (SELECT cast(sum(n_tokens) AS bigint) AS total FROM c)
+      SELECT c.lang, c.n_docs, c.n_tokens,
+             (c.n_tokens * 1000000) // tot.total AS actual_ppm,
+             cast(c.target_ppm AS bigint) AS target_ppm,
+             (c.target_ppm + (c.n_tokens * 1000000) // tot.total - 1)
+               // ((c.n_tokens * 1000000) // tot.total) AS epochs
+      FROM c, tot
+      ORDER BY lang ASC NULLS LAST"""),
+    (s, dir) => Sampling.mixtureEpochs(docs(s, dir), "lang", "text",
+        targetPpm = epochTargets)
+      .orderBy(col("lang").asc_nulls_last))
+
+  val all: Seq[Demo] = Seq(x10a, x10b, x27, x29, x32, x34, x36)
 }

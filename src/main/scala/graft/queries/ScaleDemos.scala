@@ -206,5 +206,30 @@ object ScaleDemos {
         .orderBy(col("z").asc_nulls_last)
     })
 
-  val all: Seq[Demo] = Seq(x14, x17, x24, x25, x26, x30)
+  // -------------------------------------------------------------------
+  // X38: ORC ROUNDTRIP — the second columnar interchange format (x24
+  // covers line-JSONL): documents written to ORC, read back through a
+  // pushed-down predicate. The oracle runs the same filtered projection
+  // on the ORIGINAL parquet, so the hash-match proves the ORC
+  // materialization lossless AND the filtered re-read correct. The
+  // n_chars filter reaching the ORC scan as a PushedFilter is asserted
+  // in ScaleOpsSpec (ORC carries min/max stripe stats like parquet —
+  // at 100 TB the filter skips stripes before any row decodes).
+  // -------------------------------------------------------------------
+  private val x38 = Demo("x38_orc_roundtrip", Some("""
+      SELECT doc_id, lang, source, n_chars
+      FROM documents
+      WHERE n_chars >= 300
+      ORDER BY doc_id ASC NULLS LAST"""),
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+      val scratch = freshScratchDir("x38_orc")
+      docs.write.mode("overwrite").orc(scratch)
+      s.read.orc(scratch)
+        .filter(col("n_chars") >= 300)
+        .orderBy(col("doc_id").asc_nulls_last)
+    })
+
+  val all: Seq[Demo] = Seq(x14, x17, x24, x25, x26, x30, x38)
 }

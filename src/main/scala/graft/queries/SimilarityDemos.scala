@@ -215,5 +215,34 @@ object SimilarityDemos {
         kCells = 4, iters = 2, minCosine = 0.35)
       .orderBy(col("vec_id").asc_nulls_last))
 
-  val all: Seq[Demo] = Seq(x3a, x3b, x3c, x3d, x31)
+  // -------------------------------------------------------------------
+  // X37: SIGNED RANDOM PROJECTION (VectorSearch.signedRandomProjection) —
+  // Johnson–Lindenstrauss dim reduction 64 → 16 under deterministic
+  // ±1 hyperplanes (Knuth-hash parity seeded by (out-dim, in-dim)).
+  // Exact bigint multiply-adds on the quantized vectors, so the oracle
+  // replays the projection bit-identically; output exploded to
+  // (vec_id, dim, proj) scalar rows.
+  // -------------------------------------------------------------------
+  private val srpDims = 16
+
+  private val x37 = Demo("x37_random_projection", Some(s"""
+      WITH q AS (
+        SELECT vec_id,
+               list_transform(embedding, x ->
+                 cast(floor(cast(x AS double) * 10000) AS bigint)) AS qv
+        FROM embeddings),
+      p AS (SELECT vec_id, qv, unnest(generate_series(0, ${srpDims - 1})) AS j
+            FROM q)
+      SELECT vec_id, j AS dim,
+             cast(list_sum(list_transform(generate_series(1, 64), d ->
+               qv[d] * (CASE WHEN ((j*64 + d - 1) * 2654435761)
+                               % 2147483648 % 2 = 0
+                        THEN 1 ELSE -1 END))) AS bigint) AS proj
+      FROM p
+      ORDER BY vec_id ASC NULLS LAST, dim ASC NULLS LAST"""),
+    (s, dir) => VectorSearch.signedRandomProjection(emb(s, dir), "vec_id",
+        "embedding", outDims = srpDims)
+      .orderBy(col("vec_id").asc_nulls_last, col("dim").asc_nulls_last))
+
+  val all: Seq[Demo] = Seq(x3a, x3b, x3c, x3d, x31, x37)
 }

@@ -157,4 +157,27 @@ class SamplingSpec extends SparkSpec {
       Sampling.capPerDomain(df, col("id"), "dom", 0)
     }
   }
+
+  test("mixtureEpochs: exact integer plan; scarce domain repeats, dominant stays at 1") {
+    val s = spark
+    import s.implicits._
+    // en: 2 docs × 4 tokens = 8; de: 1 doc × 2 tokens = 2 → total 10
+    // (fr unlisted → excluded from totals and output)
+    val df = Seq(
+      (1L, "en", "a b c d"), (2L, "en", "e f g h"),
+      (3L, "de", "x y"), (4L, "fr", "q r s t")).toDF("id", "lang", "text")
+    val out = Sampling.mixtureEpochs(df, "lang", "text",
+        targetPpm = Map("en" -> 500000L, "de" -> 500000L))
+      .orderBy("lang").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toList
+    assert(out === List(
+      // de: actual 200000 ppm, target 500000 → ceil(2.5) = 3 epochs
+      ("de", 1L, 2L, 200000L, 500000L, 3L),
+      // en: actual 800000 ppm ≥ target → 1 epoch (never drops below one pass)
+      ("en", 2L, 8L, 800000L, 500000L, 1L)))
+    intercept[IllegalArgumentException] {
+      Sampling.mixtureEpochs(df, "lang", "text", Map.empty)
+    }
+  }
 }

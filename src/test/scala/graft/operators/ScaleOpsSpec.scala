@@ -194,4 +194,23 @@ class ScaleOpsSpec extends SparkSpec {
       xSorted.unpersist()
     } finally zSorted.unpersist()
   }
+
+  test("ORC roundtrip (x38 shape): lossless, filter pushed to the ORC scan") {
+    val s = spark
+    val dir = java.nio.file.Files.createTempDirectory("graft-orc").toString
+    val docs = Tables.table(s, sfDir, "documents")
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+    docs.write.mode("overwrite").orc(dir)
+    val back = s.read.orc(dir)
+    assert(back.count() === docs.count())
+    val filtered = back.filter(col("n_chars") >= 300)
+    val plan = filtered.queryExecution.executedPlan.toString
+    // the predicate must reach the ORC scan's PushedFilters (stripe-stat
+    // skipping at scale), not survive only as a post-scan Filter
+    assert(plan.contains("PushedFilters") &&
+      plan.replaceAll("\\s", "").contains("GreaterThanOrEqual(n_chars,300)"),
+      plan)
+    assert(filtered.count() ===
+      docs.filter(col("n_chars") >= 300).count())
+  }
 }

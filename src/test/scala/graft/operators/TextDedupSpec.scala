@@ -301,4 +301,37 @@ class TextDedupSpec extends SparkSpec {
       (1L, 2L, 0L, "a b"),
       (3L, 1L, 0L, "")))
   }
+
+  private def segRows(df: org.apache.spark.sql.DataFrame, w: Int) =
+    TextDedup.segmentDedup(df, "doc_id", "text", w)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      .toList
+
+  test("segmentDedup: repeated segment dropped from later doc, tail segment kept") {
+    val s = spark
+    import s.implicits._
+    // doc 1: segments [a b], [c d]; doc 2: [a b], [x y], [z] — doc 2's
+    // first segment repeats doc 1's and is dropped; its others survive
+    val df = Seq((1L, "a b c d"), (2L, "a b x y z")).toDF("doc_id", "text")
+    assert(segRows(df, 2) === List(
+      (1L, 2L, 2L, "a b c d"),
+      (2L, 3L, 2L, "x y z")))
+  }
+
+  test("segmentDedup: exact-dup doc collapses to empty text; keep-first by doc id") {
+    val s = spark
+    import s.implicits._
+    val df = Seq((7L, "p q r"), (9L, "p q r")).toDF("doc_id", "text")
+    assert(segRows(df, 8) === List(
+      (7L, 1L, 1L, "p q r"),
+      (9L, 1L, 0L, "")))
+  }
+
+  test("segmentDedup: repeat INSIDE one doc dedups by segment index order") {
+    val s = spark
+    import s.implicits._
+    val df = Seq((4L, "u v u v")).toDF("doc_id", "text")
+    assert(segRows(df, 2) === List((4L, 2L, 1L, "u v")))
+  }
 }

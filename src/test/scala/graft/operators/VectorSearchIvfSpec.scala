@@ -75,4 +75,39 @@ class VectorSearchIvfSpec extends SparkSpec {
     assert(out.orderBy("vec_id").collect().toSeq ===
       again.orderBy("vec_id").collect().toSeq)
   }
+
+  test("signedRandomProjection: hand-computed values, shape, determinism") {
+    val s = spark
+    import s.implicits._
+    // one-hot inputs isolate single signs: proj(e_d)[j] = 10000·sign(h(j,d))
+    val oneHot = (1 to 3).map { d =>
+      (d.toLong, Array.tabulate(64)(i => if (i == d - 1) 1.0f else 0.0f))
+    }
+    val out = VectorSearch
+      .signedRandomProjection(oneHot.toDF("vec_id", "embedding"),
+        "vec_id", "embedding", outDims = 4)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(out.size === 3 * 4) // one row per (vec, out-dim)
+    def sign(j: Int, d: Int): Long =
+      if (((j.toLong * 64 + d - 1) * 2654435761L) % 2147483648L % 2 == 0) 1L
+      else -1L
+    for (d <- 1 to 3; j <- 0 until 4)
+      assert(out((d.toLong, j)) === 10000L * sign(j, d),
+        s"one-hot d=$d out-dim j=$j")
+    // both ±1 signs occur (the hyperplanes are not degenerate)
+    assert(out.values.toSet === Set(10000L, -10000L))
+    // JL in practice: projected dots correlate with original dots on the
+    // harness embeddings — identical vectors project identically, and a
+    // rerun is bit-identical (pure function of (j, d))
+    val emb = Tables.table(spark, sfDir, "embeddings").limit(50)
+    val p1 = VectorSearch
+      .signedRandomProjection(emb, "vec_id", "embedding", outDims = 16)
+      .orderBy("vec_id", "dim").collect().toSeq
+    val p2 = VectorSearch
+      .signedRandomProjection(emb, "vec_id", "embedding", outDims = 16)
+      .orderBy("vec_id", "dim").collect().toSeq
+    assert(p1 === p2)
+    assert(p1.size === 50 * 16)
+  }
 }
