@@ -364,5 +364,41 @@ object EventsDemos {
         min(col("ts")).as("ts"))
       .select(col("event_id"), col("user_id"), col("event_type"), col("ts"))
 
-  val all: Seq[Demo] = Seq(x4a, x6a, x6b, x6c, x6d, x6e, x6f, x6g, x20, x21)
+  // -------------------------------------------------------------------
+  // X6h: STREAM–STATIC ENRICHMENT — the production "enrich the event
+  // stream against a dimension table" staple: events ⟕ broadcast
+  // customer dim on user_id, then the tumbling agg by customer nation.
+  // Same single declaration runs under readStream (StreamingPipelines.
+  // enrichedTumblingStream; runtime ≡ batch asserted in FileStreamSpec):
+  // Spark re-broadcasts the static side per micro-batch, state stays
+  // keyed on (window × nation) — bounded. At 100 TB/day the dim is the
+  // broadcast side by construction; no stream-side shuffle before the
+  // windowed agg beyond the agg's own exchange.
+  // -------------------------------------------------------------------
+  private val x6h = Demo("x6h_stream_enrich", Some("""
+      SELECT date_trunc('hour', e.ts) AS window_start,
+             c.c_nationkey,
+             count(*) AS n_events,
+             cast(cast(sum(cast(e.value AS decimal(18,2))) AS decimal(18,2)) AS double) AS total_value
+      FROM events e JOIN customer c ON e.user_id = c.c_custkey
+      GROUP BY 1, 2
+      ORDER BY window_start ASC NULLS LAST, c_nationkey ASC NULLS LAST"""),
+    (s, dir) => enrichedTumbling(t(s, dir, "events"), t(s, dir, "customer"))
+      .orderBy(col("window_start").asc_nulls_last,
+        col("c_nationkey").asc_nulls_last))
+
+  /** The shared batch/streaming stream–static enrichment transformation. */
+  def enrichedTumbling(events: DataFrame, customer: DataFrame): DataFrame =
+    events.join(
+        broadcast(customer.select(col("c_custkey"), col("c_nationkey"))),
+        col("user_id") === col("c_custkey"))
+      .groupBy(window(col("ts"), "1 hour"), col("c_nationkey"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast(dec2)).cast(dec2).cast(DoubleType)
+          .as("total_value"))
+      .select(col("window.start").as("window_start"), col("c_nationkey"),
+        col("n_events"), col("total_value"))
+
+  val all: Seq[Demo] =
+    Seq(x4a, x6a, x6b, x6c, x6d, x6e, x6f, x6g, x6h, x20, x21)
 }

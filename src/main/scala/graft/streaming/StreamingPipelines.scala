@@ -114,6 +114,19 @@ object StreamingPipelines {
     EventsDemos.intervalJoin(events.withWatermark("ts", "10 minutes"),
       joinType)
 
+  /** Stream–static enrichment (x6h analogue): the watermarked event
+    * stream broadcast-joined to a STATIC dimension DataFrame, then the
+    * tumbling agg by customer nation — the same declaration as the batch
+    * face (EventsDemos.enrichedTumbling). Spark re-plans the static side
+    * per micro-batch (picking up dim refreshes between batches); the
+    * stateful agg keys on (window × nation), so state is bounded by the
+    * watermark exactly as in the un-enriched tumbling stream.
+    */
+  def enrichedTumblingStream(events: DataFrame,
+      customer: DataFrame): DataFrame =
+    EventsDemos.enrichedTumbling(
+      events.withWatermark("ts", "10 minutes"), customer)
+
   /** Streaming exact dedup (the streaming face of X1): duplicate keys
     * arriving within the watermark delay are dropped exactly once; state
     * holds one entry per key seen inside the watermark window and is

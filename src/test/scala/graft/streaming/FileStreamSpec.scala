@@ -159,6 +159,30 @@ class FileStreamSpec extends SparkSpec {
     s.sql(s"DROP TABLE IF EXISTS $table")
   }
 
+  test("stream-static enrichment: streamed result equals the batch x6h face") {
+    val s = spark
+    val dir = Files.createTempDirectory("graft-enrich").toString
+    Files.copy(
+      java.nio.file.Paths.get("/root/testdata/sf0.001/events.parquet"),
+      java.nio.file.Paths.get(s"$dir/events.parquet"))
+    val dim = graft.sources.Tables.table(s, "/root/testdata/sf0.001", "customer")
+    val q = StreamingPipelines.toMemorySink(
+      StreamingPipelines.enrichedTumblingStream(
+        StreamingPipelines.readEventsStreamAuto(s, dir), dim), "t_enrich")
+    q.awaitTermination()
+    val streamed = s.table("t_enrich").collect()
+      .map(_.mkString("|")).toSet
+    val batch = graft.queries.EventsDemos.enrichedTumbling(
+        graft.sources.Tables.table(s, "/root/testdata/sf0.001", "events"), dim)
+      .collect().map(_.mkString("|")).toSet
+    // append mode withholds windows the watermark hasn't passed; all
+    // emitted rows must match the batch result and cover most of it
+    assert(streamed.subsetOf(batch), s"diff=${streamed.diff(batch).take(3)}")
+    // only the final open hour's windows (≤ one per nation) are withheld
+    assert(streamed.nonEmpty && streamed.size >= batch.size - 25,
+      s"${streamed.size} vs ${batch.size}")
+  }
+
   test("auto reader streams legacy Long-nanos events via the nanos path") {
     val s = spark
     import s.implicits._
