@@ -241,4 +241,26 @@ object Sampling {
       .withColumn("epochs",
         expr("(target_ppm + actual_ppm - 1L) div actual_ppm"))
   }
+
+  /** Materialize a [[mixtureEpochs]] plan: replicate every row of its
+    * domain `epochs` times, tagged with the 1-based `epoch` index — the
+    * repeat half of repeat-and-interleave (compose with [[shuffleShard]]
+    * keyed on (row key, epoch) for the interleave). Domains outside the
+    * plan are dropped (same inner-join contract as the planner).
+    *
+    * Scale: the per-domain plan is |domains| rows → broadcast join onto
+    * the corpus scan (no shuffle), and the explode is a narrow Generate
+    * whose fan-out IS the intended output volume. At 100 TB the
+    * materialized epochs feed `partitionBy(shard)` writers — rows never
+    * concentrate on one executor because replication happens inside
+    * each scan partition.
+    */
+  def materializeEpochs(df: DataFrame, domainCol: String, textCol: String,
+      targetPpm: Map[String, Long]): DataFrame = {
+    val plan = mixtureEpochs(df, domainCol, textCol, targetPpm)
+      .select(col(domainCol), col("epochs"))
+    df.join(broadcast(plan), domainCol)
+      .withColumn("epoch", explode(sequence(lit(1L), col("epochs"))))
+      .drop("epochs")
+  }
 }

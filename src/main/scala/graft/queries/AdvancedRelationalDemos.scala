@@ -553,7 +553,42 @@ object AdvancedRelationalDemos {
         length(trim(col("c_name"))).as("name_len"))
       .orderBy(col("c_custkey").asc_nulls_last))
 
+  // -------------------------------------------------------------------
+  // Q28: RANKING-FUNCTION FAMILY — ntile / percent_rank / cume_dist over
+  // a UNIQUE order (totalprice, orderkey tiebreak: rank-based functions
+  // are only engine-portable under a total order), plus dense_rank over
+  // a genuinely tied key (order month) to exercise tie semantics. All
+  // four share one Window partitioning → a single exchange + sort pass.
+  // percent_rank/cume_dist are exact integer ratios → bit-identical
+  // doubles on both engines.
+  // -------------------------------------------------------------------
+  private val q28 = Demo("q28_rank_family", Some("""
+      SELECT o_orderkey, o_orderpriority,
+             cast(ntile(4) OVER w AS bigint) AS quartile,
+             percent_rank() OVER w AS pct_rank,
+             cume_dist() OVER w AS cum_dist,
+             cast(dense_rank() OVER (PARTITION BY o_orderpriority
+                    ORDER BY date_trunc('month', o_orderdate))
+                  AS bigint) AS month_rank
+      FROM orders
+      WINDOW w AS (PARTITION BY o_orderpriority
+                   ORDER BY o_totalprice ASC, o_orderkey ASC)
+      ORDER BY o_orderkey ASC NULLS LAST"""),
+    (s, dir) => {
+      val w = Window.partitionBy(col("o_orderpriority"))
+        .orderBy(col("o_totalprice").asc, col("o_orderkey").asc)
+      val wm = Window.partitionBy(col("o_orderpriority"))
+        .orderBy(date_trunc("month", col("o_orderdate")))
+      Tables.table(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          ntile(4).over(w).cast(LongType).as("quartile"),
+          percent_rank().over(w).as("pct_rank"),
+          cume_dist().over(w).as("cum_dist"),
+          dense_rank().over(wm).cast(LongType).as("month_rank"))
+        .orderBy(col("o_orderkey").asc_nulls_last)
+    })
+
   val all: Seq[Demo] =
     Seq(q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25,
-      q26, q27, x9c)
+      q26, q27, q28, x9c)
 }

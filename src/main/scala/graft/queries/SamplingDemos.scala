@@ -206,5 +206,34 @@ object SamplingDemos {
         targetPpm = epochTargets)
       .orderBy(col("lang").asc_nulls_last))
 
-  val all: Seq[Demo] = Seq(x10a, x10b, x27, x29, x32, x34, x36)
+  // -------------------------------------------------------------------
+  // X40: EPOCH MATERIALIZATION — Sampling.materializeEpochs: replicate
+  // each doc `epochs` times per the x36 plan, tagged with the epoch
+  // index (the repeat half of repeat-and-interleave; x29's shuffle-shard
+  // is the interleave half). Broadcast plan join + narrow explode — the
+  // fan-out IS the intended output. Oracle replays the plan CTE and a
+  // lateral generate_series.
+  // -------------------------------------------------------------------
+  private val x40 = Demo("x40_epoch_materialize", Some(s"""
+      WITH tgt(lang, target_ppm) AS (VALUES $epochValues),
+      c AS (SELECT d.lang, cast(sum(len(string_split(d.text, ' '))) AS bigint) AS n_tokens,
+                   any_value(t.target_ppm) AS target_ppm
+            FROM documents d JOIN tgt t ON d.lang = t.lang
+            GROUP BY d.lang),
+      tot AS (SELECT cast(sum(n_tokens) AS bigint) AS total FROM c),
+      plan AS (SELECT c.lang,
+                      (c.target_ppm + (c.n_tokens * 1000000) // tot.total - 1)
+                        // ((c.n_tokens * 1000000) // tot.total) AS epochs
+               FROM c, tot)
+      SELECT d.doc_id, d.lang, e.epoch
+      FROM documents d
+      JOIN plan p ON d.lang = p.lang,
+      unnest(generate_series(1, p.epochs)) e(epoch)
+      ORDER BY doc_id ASC NULLS LAST, epoch ASC NULLS LAST"""),
+    (s, dir) => Sampling.materializeEpochs(docs(s, dir), "lang", "text",
+        targetPpm = epochTargets)
+      .select(col("doc_id"), col("lang"), col("epoch"))
+      .orderBy(col("doc_id").asc_nulls_last, col("epoch").asc_nulls_last))
+
+  val all: Seq[Demo] = Seq(x10a, x10b, x27, x29, x32, x34, x36, x40)
 }

@@ -180,4 +180,18 @@ class SamplingSpec extends SparkSpec {
       Sampling.mixtureEpochs(df, "lang", "text", Map.empty)
     }
   }
+
+  test("materializeEpochs: rows replicate per the plan with 1-based epoch tags") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      (1L, "en", "a b c d"), (2L, "en", "e f g h"),
+      (3L, "de", "x y"), (4L, "fr", "q r s t")).toDF("id", "lang", "text")
+    val out = Sampling.materializeEpochs(df, "lang", "text",
+        targetPpm = Map("en" -> 500000L, "de" -> 500000L))
+      .select("id", "epoch").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // de (id 3) gets epochs 1..3; en docs 1 epoch; fr unlisted → absent
+    assert(out === Set((1L, 1L), (2L, 1L), (3L, 1L), (3L, 2L), (3L, 3L)))
+  }
 }
