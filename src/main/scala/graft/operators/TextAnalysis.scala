@@ -531,4 +531,52 @@ object TextAnalysis {
           .orderBy(col("score_scaled").desc, col("doc_id").asc)))
       .select(col("rank"), col("doc_id"), col("score_scaled"), col("n_terms"))
   }
+
+  /** Chi-square word-frequency drift between two corpus slices (A =
+    * rows where `inA`, B = the rest) — the distribution-shift check a
+    * training pipeline runs between snapshots, sources, or train/held-out
+    * splits, log-free by construction (vs KL divergence). Per word with
+    * total count ≥ `minCount`: observed counts, expectations under the
+    * pooled distribution, and the word's chi-square contribution
+    * (obs−exp)²/exp summed over both slices — quantized to a ×10⁶ bigint
+    * BEFORE any ordering (the x33 law: per-word values are one fixed
+    * IEEE expression tree over exact integers → bit-identical across
+    * engines; a float SUM across words would be partition-order-
+    * dependent, so totals stay with the consumer). Top `topK` drifting
+    * words, ties broken on the word.
+    *
+    * Scale: one word-keyed map-combinable aggregate (conditional sums),
+    * scalar totals broadcast back (crossJoin of 1 row), a narrow
+    * arithmetic projection, distributed TakeOrdered top-k. Word counts
+    * stay exact longs; at corpora past ~9·10¹⁸ tokens per word, nothing
+    * here overflows before the doubles do.
+    */
+  def chisqDrift(df: DataFrame, textCol: String, inA: Column,
+      minCount: Int, topK: Int): DataFrame = {
+    require(minCount >= 1 && topK >= 1,
+      s"need minCount,topK >= 1, got $minCount, $topK")
+    val words = df.select(inA.as("a"),
+        explode(split(col(textCol), " ")).as("word"))
+    val counts = words.groupBy(col("word"))
+      .agg(sum(when(col("a"), lit(1L)).otherwise(lit(0L))).as("cnt_a"),
+        sum(when(col("a"), lit(0L)).otherwise(lit(1L))).as("cnt_b"))
+    val totals = counts.agg(sum(col("cnt_a")).as("na"), sum(col("cnt_b")).as("nb"))
+    // every step below is ONE correctly-rounded IEEE op; the identical
+    // expression tree in the oracle yields identical bits (no pow: even
+    // squaring goes through an explicit product)
+    val cab = (col("cnt_a") + col("cnt_b")).cast("double")
+    val ra = col("na").cast("double") / (col("na") + col("nb")).cast("double")
+    val rb = col("nb").cast("double") / (col("na") + col("nb")).cast("double")
+    val ea = cab * ra
+    val eb = cab * rb
+    val da = col("cnt_a").cast("double") - ea
+    val db = col("cnt_b").cast("double") - eb
+    counts.crossJoin(totals) // scalar × |vocabulary|
+      .filter(col("cnt_a") + col("cnt_b") >= minCount)
+      .select(col("word"), col("cnt_a"), col("cnt_b"),
+        floor(lit(1000000.0) * (da * da / ea + db * db / eb))
+          .cast("long").as("contrib_q6"))
+      .orderBy(col("contrib_q6").desc, col("word").asc)
+      .limit(topK)
+  }
 }

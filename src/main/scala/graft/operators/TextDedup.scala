@@ -628,4 +628,61 @@ object TextDedup {
             s => s.getField("keep")),
           s => s.getField("seg"))).as("clean_text"))
   }
+
+  /** MOSS-style winnowing fingerprints (Schleimer et al. 2003): hash every
+    * k-token gram (char-polynomial, oracle-replayable), then in each
+    * sliding window of `w` consecutive gram hashes select the minimum —
+    * the classic guarantee that any shared run of ≥ w+k-1 tokens yields at
+    * least one shared fingerprint, with only ~2/(w+1) of grams kept.
+    * Returns the DISTINCT (doc_id, fp) fingerprint set.
+    *
+    * Scale: gram explode is token-bounded; the sliding min and the
+    * window-count guard ride ONE doc-keyed sort (two window functions,
+    * same exchange); output is the winnowed set — w+1× smaller than the
+    * gram stream, which is the point: downstream joins index fingerprints,
+    * not grams.
+    */
+  def winnowFingerprints(df: DataFrame, idCol: String, textCol: String,
+      k: Int, w: Int): DataFrame = {
+    require(k >= 1 && w >= 1, s"need k,w >= 1, got k=$k w=$w")
+    Hashing.registerAll(df.sparkSession)
+    val toks = df.select(col(idCol).as("doc_id"), split(col(textCol), " ").as("toks"))
+      .filter(size(col("toks")) >= k)
+    val grams = toks
+      .select(col("doc_id"), posexplode(nGrams(col("toks"), k)).as(Seq("p0", "g")))
+      .select(col("doc_id"), (col("p0") + 1).as("pos"),
+        call_function("char_poly_hash", col("g")).as("h"))
+    val slide = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      .rowsBetween(Window.currentRow, w - 1)
+    grams
+      .withColumn("fp", min(col("h")).over(slide))
+      .withColumn("mg", count(lit(1)).over(Window.partitionBy(col("doc_id"))))
+      // only full windows select (positions 1 .. m-w+1)
+      .filter(col("pos") <= col("mg") - (w - 1))
+      .select(col("doc_id"), col("fp")).distinct()
+  }
+
+  /** Winnowing near-dup candidates: docs sharing ≥ `minShared` winnowed
+    * fingerprints. The fingerprint equi-join is the same inverted-index
+    * shape as [[ngramJaccardPairs]], but over the w+1×-compressed
+    * fingerprint sets — the copy-detection formulation that scales to
+    * corpus-wide sweeps. `maxDocFreq` drops boilerplate fingerprints
+    * (document frequency above the cap) before the self-join, bounding
+    * the worst key at C(cap, 2) pairs exactly like the capped Jaccard.
+    */
+  def winnowPairs(df: DataFrame, idCol: String, textCol: String,
+      k: Int, w: Int, minShared: Int, maxDocFreq: Int): DataFrame = {
+    val fps = winnowFingerprints(df, idCol, textCol, k, w)
+    val capped = fps
+      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("fp"))))
+      .filter(col("df") <= maxDocFreq)
+      .select(col("doc_id"), col("fp"))
+    val b = capped.select(col("doc_id").as("id_b"), col("fp"))
+    capped.select(col("doc_id").as("id_a"), col("fp"))
+      .join(b, Seq("fp"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= minShared)
+  }
 }

@@ -428,6 +428,55 @@ object DedupDemos {
         width = segW)
       .orderBy(col("doc_id").asc_nulls_last))
 
+  // -------------------------------------------------------------------
+  // X41: WINNOWING COPY DETECTION (TextDedup.winnowPairs) — MOSS-style
+  // fingerprinting: char-poly hash every 4-token gram, select the min in
+  // each sliding window of 4 gram hashes (any shared run of ≥ 7 tokens
+  // yields a shared fingerprint), then pair docs sharing ≥ 2 winnowed
+  // fingerprints via the capped inverted-index join. The oracle replays
+  // the hash polynomial, the sliding-window min, and the pair join.
+  // -------------------------------------------------------------------
+  private val (winK, winW, winShared, winCap) = (4, 4, 2, 50)
+
+  /** Char-polynomial hash of a string expression, as DuckDB SQL (the
+    * exact char_poly_hash formula: base 31 mod 2^30).
+    */
+  private def charPolySql(e: String): String = s"""
+      list_reduce(list_prepend(cast(0 AS bigint),
+        list_transform(generate_series(1, length($e)), j ->
+          cast(ascii(substr($e, j, 1)) AS bigint))),
+        (acc, v) -> (acc * 31 + v) % $Mod)"""
+
+  private val x41 = Demo("x41_winnow_pairs", Some(s"""
+      WITH tok AS (
+        SELECT doc_id, string_split(text, ' ') AS toks
+        FROM documents
+        WHERE len(string_split(text, ' ')) >= $winK),
+      g AS (
+        SELECT doc_id, i AS pos,
+               ${charPolySql(s"concat_ws(' ', toks[i], toks[i+1], toks[i+2], toks[i+3])")} AS h
+        FROM tok, unnest(generate_series(1, len(toks) - ${winK - 1})) t(i)),
+      f AS (
+        SELECT doc_id, pos,
+               min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                 ROWS BETWEEN CURRENT ROW AND ${winW - 1} FOLLOWING) AS fp,
+               count(*) OVER (PARTITION BY doc_id) AS mg
+        FROM g),
+      fps AS (SELECT DISTINCT doc_id, fp FROM f WHERE pos <= mg - ${winW - 1}),
+      capped AS (
+        SELECT doc_id, fp FROM (
+          SELECT doc_id, fp, count(*) OVER (PARTITION BY fp) AS df FROM fps)
+        WHERE df <= $winCap)
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+      FROM capped a JOIN capped b ON a.fp = b.fp AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+      HAVING count(*) >= $winShared
+      ORDER BY id_a ASC NULLS LAST, id_b ASC NULLS LAST"""),
+    (s, dir) => TextDedup.winnowPairs(t(s, dir, "documents"), "doc_id", "text",
+        k = winK, w = winW, minShared = winShared, maxDocFreq = winCap)
+      .orderBy(col("id_a").asc_nulls_last, col("id_b").asc_nulls_last))
+
   val all: Seq[Demo] =
-    Seq(x1, x2a, x2b, x2c, x2c2, x2d, x2e, x2f, x2g, x18, x23, x23b, x28, x35)
+    Seq(x1, x2a, x2b, x2c, x2c2, x2d, x2e, x2f, x2g, x18, x23, x23b, x28, x35,
+      x41)
 }

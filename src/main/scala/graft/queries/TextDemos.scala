@@ -376,6 +376,52 @@ object TextDemos {
         bm25Terms, k = 20)
       .orderBy(col("rank").asc_nulls_last))
 
+  // -------------------------------------------------------------------
+  // X42: CHI-SQUARE WORD DRIFT (TextAnalysis.chisqDrift) — distribution
+  // shift between the English and non-English slices: per word (total
+  // count ≥ 5) the chi-square contribution under the pooled expectation,
+  // quantized ×10⁶ to a bigint BEFORE ordering (x33 law: one fixed IEEE
+  // expression tree per word — no cross-word float sums, no logs). Top
+  // 50 drifting words, word-tiebroken.
+  // -------------------------------------------------------------------
+  private val x42 = Demo("x42_chisq_drift", Some("""
+      WITH w AS (
+        SELECT lang = 'en' AS a, unnest(string_split(text, ' ')) AS word
+        FROM documents),
+      c AS (
+        SELECT word,
+               cast(sum(CASE WHEN a THEN 1 ELSE 0 END) AS bigint) AS cnt_a,
+               cast(sum(CASE WHEN a THEN 0 ELSE 1 END) AS bigint) AS cnt_b
+        FROM w GROUP BY word),
+      tot AS (SELECT cast(sum(cnt_a) AS bigint) AS na,
+                     cast(sum(cnt_b) AS bigint) AS nb FROM c)
+      SELECT word, cnt_a, cnt_b,
+             cast(floor(1000000.0 * (
+               (cast(cnt_a AS double)
+                  - cast(cnt_a + cnt_b AS double)
+                    * (cast(na AS double) / cast(na + nb AS double)))
+               * (cast(cnt_a AS double)
+                  - cast(cnt_a + cnt_b AS double)
+                    * (cast(na AS double) / cast(na + nb AS double)))
+               / (cast(cnt_a + cnt_b AS double)
+                  * (cast(na AS double) / cast(na + nb AS double)))
+               + (cast(cnt_b AS double)
+                  - cast(cnt_a + cnt_b AS double)
+                    * (cast(nb AS double) / cast(na + nb AS double)))
+               * (cast(cnt_b AS double)
+                  - cast(cnt_a + cnt_b AS double)
+                    * (cast(nb AS double) / cast(na + nb AS double)))
+               / (cast(cnt_a + cnt_b AS double)
+                  * (cast(nb AS double) / cast(na + nb AS double)))
+             )) AS bigint) AS contrib_q6
+      FROM c, tot
+      WHERE cnt_a + cnt_b >= 5
+      ORDER BY contrib_q6 DESC, word ASC
+      LIMIT 50"""),
+    (s, dir) => TextAnalysis.chisqDrift(docs(s, dir), "text",
+        inA = col("lang") === "en", minCount = 5, topK = 50)
+      .orderBy(col("contrib_q6").desc, col("word").asc))
+
   val all: Seq[Demo] = Seq(x5a, x5b, x5c, x5d, x5e, x5f, x5g, x5h, x5i, x5j,
-    x5k, x5l, x33)
+    x5k, x5l, x33, x42)
 }

@@ -278,4 +278,30 @@ class TextAnalysisSpec extends SparkSpec {
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     byBucket.values.foreach(c => assert(c > n / 6, byBucket.toString))
   }
+
+  test("chisqDrift: identical distributions score 0; a slice-exclusive word tops") {
+    val s = spark
+    import s.implicits._
+    // NA = NB = 8 → pooled ratio 1/2 is EXACT in double, so the zero and
+    // integer-χ² assertions below are bit-deterministic, not approximate
+    val df = Seq(
+      (true, "x x x y y drift drift w"),
+      (false, "x x x y y w w n")).toDF("a", "text")
+    val out = TextAnalysis.chisqDrift(df, "text",
+        inA = org.apache.spark.sql.functions.col("a"),
+        minCount = 2, topK = 10)
+      .collect().map(r =>
+        (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toList
+    val byWord = out.map(t => t._1 -> t).toMap
+    // x (3:3) and y (2:2) match the pooled split exactly → contribution 0
+    assert(byWord("x") === ("x", 3L, 3L, 0L), out.toString)
+    assert(byWord("y") === ("y", 2L, 2L, 0L), out.toString)
+    // drift: A-only, 2 occurrences; eA = eB = 1 → χ² = 1 + 1 = 2 exactly
+    assert(byWord("drift") === ("drift", 2L, 0L, 2000000L), out.toString)
+    // w (1:2): χ² = 0.25/1.5 + 0.25/1.5 = 1/3 → floor → 333333
+    assert(byWord("w") === ("w", 1L, 2L, 333333L), out.toString)
+    // n: total 1 < minCount → excluded; ordering by contribution desc
+    assert(!byWord.contains("n") && out.map(_._1) ===
+      List("drift", "w", "x", "y"), out.toString)
+  }
 }

@@ -334,4 +334,36 @@ class TextDedupSpec extends SparkSpec {
     val df = Seq((4L, "u v u v")).toDF("doc_id", "text")
     assert(segRows(df, 2) === List((4L, 2L, 1L, "u v")))
   }
+
+  test("winnowing: shared run of >= w+k-1 tokens guarantees a shared fingerprint") {
+    val s = spark
+    import s.implicits._
+    // k=3, w=3: guarantee threshold = 5 shared tokens. Docs 1/2 share
+    // "p q r s t" (5 tokens) inside different contexts; doc 3 is disjoint.
+    val df = Seq(
+      (1L, "a b p q r s t c d"),
+      (2L, "x y p q r s t z w"),
+      (3L, "m n o m n o m n o")).toDF("doc_id", "text")
+    val fps = TextDedup.winnowFingerprints(df, "doc_id", "text", k = 3, w = 3)
+    val byDoc = fps.collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).map { case (d, a) => d -> a.map(_._2).toSet }
+    assert(byDoc(1L).intersect(byDoc(2L)).nonEmpty, byDoc.toString)
+    assert(byDoc(1L).intersect(byDoc(3L)).isEmpty, byDoc.toString)
+    // fingerprints are a subset of the doc's gram hashes: every doc with
+    // >= k tokens selects at least one
+    assert(byDoc.keySet === Set(1L, 2L, 3L))
+    val pairs = TextDedup.winnowPairs(df, "doc_id", "text",
+        k = 3, w = 3, minShared = 1, maxDocFreq = 50)
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toList
+    assert(pairs.map(_._1) === List(2L)) // only (1,2) pair survives
+  }
+
+  test("winnowing: short docs (< k tokens) yield no fingerprints") {
+    val s = spark
+    import s.implicits._
+    val df = Seq((1L, "a b"), (2L, "a b c d")).toDF("doc_id", "text")
+    val fps = TextDedup.winnowFingerprints(df, "doc_id", "text", k = 3, w = 2)
+    assert(fps.select("doc_id").distinct().collect().map(_.getLong(0)).toSet
+      === Set(2L))
+  }
 }
