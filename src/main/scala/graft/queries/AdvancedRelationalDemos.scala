@@ -588,7 +588,44 @@ object AdvancedRelationalDemos {
         .orderBy(col("o_orderkey").asc_nulls_last)
     })
 
+  // -------------------------------------------------------------------
+  // Q29: RECURSIVE CTE — a calendar month spine generated by WITH
+  // RECURSIVE (Spark 4's recursive-CTE surface), left-joined to monthly
+  // urgent-order revenue: the gap-filled-time-series idiom every
+  // reporting layer needs (months with no orders appear as 0 rows, not
+  // holes). ONE SQL text drives both engines (q11/q21 pattern). The
+  // recursion depth is the month count — driver-side plan unrolling of a
+  // tiny spine, joined to the distributed aggregate; the fact-side scan
+  // and agg shuffle are unchanged at any scale.
+  // -------------------------------------------------------------------
+  private val recursiveCteText = """
+      WITH RECURSIVE spine(mon) AS (
+        SELECT cast('1995-01-01' AS date)
+        UNION ALL
+        SELECT cast(mon + INTERVAL 1 MONTH AS date) FROM spine
+        WHERE mon < cast('2001-08-01' AS date)
+      )
+      SELECT s.mon,
+             coalesce(r.n_orders, 0) AS n_orders,
+             coalesce(r.revenue, 0.0e0) AS revenue
+      FROM spine s
+      LEFT JOIN (
+        SELECT cast(date_trunc('month', o_orderdate) AS date) AS mon,
+               count(*) AS n_orders,
+               cast(cast(sum(cast(o_totalprice AS decimal(18,2)))
+                    AS decimal(18,2)) AS double) AS revenue
+        FROM orders
+        WHERE o_orderpriority = '1-URGENT'
+        GROUP BY 1) r ON s.mon = r.mon
+      ORDER BY s.mon ASC NULLS LAST"""
+
+  private val q29 = Demo("q29_recursive_cte", Some(recursiveCteText),
+    (s, dir) => {
+      Tables.table(s, dir, "orders").createOrReplaceTempView("orders")
+      s.sql(recursiveCteText)
+    })
+
   val all: Seq[Demo] =
     Seq(q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25,
-      q26, q27, q28, x9c)
+      q26, q27, q28, q29, x9c)
 }

@@ -60,6 +60,25 @@ object EventsDemos {
       .orderBy(col("event_type").asc_nulls_last))
 
   // -------------------------------------------------------------------
+  // X4g: VARIANT JSON PATH — the same extraction as x4a through Spark 4's
+  // VARIANT type (parse_json → variant_get): schema-on-read without
+  // declaring a struct up front, the semi-structured ingestion surface a
+  // lakehouse exposes. One parse per row, typed scalar out — stays in
+  // whole-stage codegen like from_json. Oracle = DuckDB's json_extract.
+  // -------------------------------------------------------------------
+  private val x4g = Demo("x4g_variant_json", Some("""
+      SELECT event_id, event_type,
+             cast(json_extract(props, '$.k') AS bigint) AS k
+      FROM events
+      WHERE event_id <= 500
+      ORDER BY event_id ASC NULLS LAST"""),
+    (s, dir) => t(s, dir, "events")
+      .filter(col("event_id") <= 500)
+      .select(col("event_id"), col("event_type"),
+        expr("variant_get(parse_json(props), '$.k', 'bigint')").as("k"))
+      .orderBy(col("event_id").asc_nulls_last))
+
+  // -------------------------------------------------------------------
   // X6a: tumbling 1-hour window aggregation by event_type — the canonical
   // streaming agg, declared with window() so the identical expression runs
   // under readStream+watermark.
@@ -400,5 +419,5 @@ object EventsDemos {
         col("n_events"), col("total_value"))
 
   val all: Seq[Demo] =
-    Seq(x4a, x6a, x6b, x6c, x6d, x6e, x6f, x6g, x6h, x20, x21)
+    Seq(x4a, x4g, x6a, x6b, x6c, x6d, x6e, x6f, x6g, x6h, x20, x21)
 }
