@@ -234,4 +234,37 @@ class PlanSpec extends SparkSpec {
       p.contains("BroadcastHashJoin"), p)
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
   }
+
+  test("x37 random projection: shuffle-free before the declared output sort") {
+    // the projection itself is a narrow codegen expression chain — the
+    // ONLY exchange allowed is the demo's own orderBy range partition
+    val df = graft.operators.VectorSearch.signedRandomProjection(
+      graft.sources.Tables.table(spark, sfDir, "embeddings"),
+      "vec_id", "embedding", outDims = 16)
+    val p = df.queryExecution
+      .explainString(ExplainMode.fromString("formatted"))
+    assert(!p.contains("Exchange"), p)
+    assert(!p.contains("BatchEvalPython") && !p.contains("SQLAppendColumn"), p)
+  }
+
+  test("x42 chisq drift: scalar totals join is broadcast, never shuffled; TakeOrdered cut") {
+    val p = plan("x42_chisq_drift")
+    // totals (1 row) × vocabulary must be a broadcast nested-loop of the
+    // scalar side, not a sort-merge/cartesian of the big side
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
+    // top-k is a distributed TakeOrdered, not a global sort of the vocab
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("x35 segment dedup: exactly the two semantic shuffles (segment window, doc agg)") {
+    val df = graft.operators.TextDedup.segmentDedup(
+      graft.sources.Tables.table(spark, sfDir, "documents"),
+      "doc_id", "text", width = 8)
+    val p = df.queryExecution
+      .explainString(ExplainMode.fromString("formatted"))
+    // one exchange keyed on the segment (keep-first window), one on the
+    // doc id (reassembly aggregate) — a third would be a regression
+    assert("\\(\\d+\\) Exchange".r.findAllIn(p).size == 2, p)
+  }
 }
