@@ -625,7 +625,60 @@ object AdvancedRelationalDemos {
       s.sql(recursiveCteText)
     })
 
+  // -------------------------------------------------------------------
+  // Q30: ARRAY-FUNCTION SURFACE — the collection verbs (size, distinct,
+  // slice, element access, sort, contains, join-to-string) exercised
+  // over tokenized documents; Spark array_* ≡ DuckDB list_* modulo
+  // naming. Array-valued outputs are joined to strings so the oracle
+  // hash stays scalar. Narrow codegen projections — no shuffle except
+  // the output sort.
+  // -------------------------------------------------------------------
+  private val q30 = Demo("q30_array_funcs", Some("""
+      WITH tok AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+      SELECT doc_id,
+             cast(len(toks) AS bigint) AS n_toks,
+             cast(len(list_distinct(toks)) AS bigint) AS n_distinct,
+             array_to_string(toks[1:3], ' ') AS first3,
+             toks[-1] AS last_tok,
+             array_to_string(list_sort(list_distinct(toks))[1:5], ' ') AS sorted5,
+             list_contains(toks, 'the') AS has_the
+      FROM tok
+      ORDER BY doc_id ASC NULLS LAST"""),
+    (s, dir) => Tables.table(s, dir, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .select(col("doc_id"),
+        size(col("toks")).cast(LongType).as("n_toks"),
+        size(array_distinct(col("toks"))).cast(LongType).as("n_distinct"),
+        array_join(slice(col("toks"), 1, 3), " ").as("first3"),
+        element_at(col("toks"), -1).as("last_tok"),
+        array_join(slice(sort_array(array_distinct(col("toks"))), 1, 5), " ")
+          .as("sorted5"),
+        array_contains(col("toks"), "the").as("has_the"))
+      .orderBy(col("doc_id").asc_nulls_last))
+
+  // -------------------------------------------------------------------
+  // Q31: SAFE-CAST / GUARDED-ARITHMETIC SURFACE — try_cast (bad input →
+  // NULL, never an exception: the ingest posture for dirty data) and the
+  // nullif division guard; ONE shared SQL text on both engines.
+  // -------------------------------------------------------------------
+  private val tryCastText = """
+      SELECT c_custkey,
+             try_cast(CASE WHEN c_custkey % 2 = 0
+                           THEN cast(c_custkey AS varchar(20))
+                           ELSE c_name END AS bigint) AS maybe_key,
+             try_cast(c_mktsegment AS double) AS not_a_number,
+             c_acctbal / nullif(cast(c_custkey % 3 AS double), 0.0e0) AS safe_div
+      FROM customer
+      WHERE c_custkey <= 1000
+      ORDER BY c_custkey ASC NULLS LAST"""
+
+  private val q31 = Demo("q31_try_cast", Some(tryCastText),
+    (s, dir) => {
+      Tables.table(s, dir, "customer").createOrReplaceTempView("customer")
+      s.sql(tryCastText)
+    })
+
   val all: Seq[Demo] =
     Seq(q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25,
-      q26, q27, q28, q29, x9c)
+      q26, q27, q28, q29, q30, q31, x9c)
 }
