@@ -88,4 +88,27 @@ class EdgeCaseSpec extends SparkSpec {
         .otherwise(lit(null)).as("stddev"))
     assert(df.collect().head.isNullAt(0))
   }
+
+  test("segmentDedup: NULL text absent, empty text is the single '' segment") {
+    val s = spark
+    import s.implicits._
+    val df = Seq((1L, Some("a b")), (2L, None: Option[String]),
+      (3L, Some(""))).toDF("doc_id", "text")
+    val out = TextDedup.segmentDedup(df, "doc_id", "text", width = 2)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    // NULL split yields no exploded rows → doc 2 absent (same contract
+    // as dedupSpans); "" splits to the single empty token → one segment
+    assert(out.toList === List((1L, 1L, 1L, "a b"), (3L, 1L, 1L, "")))
+  }
+
+  test("winnowing degenerate w=1 selects every gram hash") {
+    val s = spark
+    import s.implicits._
+    val df = Seq((1L, "a b c d")).toDF("doc_id", "text")
+    val w1 = TextDedup.winnowFingerprints(df, "doc_id", "text", k = 2, w = 1)
+    // w=1 windows are the grams themselves → one fingerprint per distinct
+    // gram hash (3 grams here, all distinct)
+    assert(w1.count() === 3L)
+  }
 }
