@@ -126,6 +126,45 @@ object Multimodal {
           .otherwise(lit(null)).as("resized_bytes"))
   }
 
+  /** Typed audio-decode output: one row per fixed-width sample frame. */
+  final case class AudioFrame(
+      doc_id: Long,
+      frame_idx: Long,
+      n_samples: Long,
+      energy: Long)
+
+  /** Audio frame energy through the same stubbed codec seam: for
+    * audio-typed payloads, fake-decode the byte stream to "PCM samples"
+    * (code points — the real-codec swap point is the flatMap body), tile
+    * into non-overlapping `frame`-sample windows, and emit each frame's
+    * energy Σ sample² as an EXACT integer (a real pipeline would follow
+    * with silence trimming / VAD on these frames). Empty payloads emit no
+    * frames.
+    *
+    * Scale: partition-wise flatMap (decoder init once per partition), one
+    * output row per frame — fan-out n/frame per payload, no shuffle; the
+    * frame explode happens inside the scan partition.
+    */
+  def audioFrameEnergy(media: DataFrame, frame: Int): Dataset[AudioFrame] = {
+    require(frame >= 1, s"frame width must be >= 1 sample, got $frame")
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.filter(col("media_type") === "audio")
+      .select(col("doc_id"), col("content"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        // per-partition decoder init would go here
+        rows.flatMap { case (id, bytes) =>
+          val cps = new String(bytes, StandardCharsets.UTF_8)
+            .codePoints().toArray
+          cps.grouped(frame).zipWithIndex.map { case (g, j) =>
+            AudioFrame(id, j.toLong, g.length.toLong,
+              g.map(c => c.toLong * c).sum)
+          }
+        }
+      }
+  }
+
   /** Perceptual-hash bits and bands: a 60-bit dHash (difference hash —
     * the sign sequence of adjacent-sample gradients, the classic image
     * near-dup signature) computed over the stub decode's sample stream.

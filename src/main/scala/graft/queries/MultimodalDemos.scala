@@ -232,5 +232,36 @@ object MultimodalDemos {
         .orderBy(col("doc_id").asc_nulls_last)
     })
 
-  val all: Seq[Demo] = Seq(x4b, x4c, x4d, x4e, x4f, x19)
+  // -------------------------------------------------------------------
+  // X4h: AUDIO FRAME ENERGY — the audio verb of the stub-codec seam:
+  // audio-typed payloads fake-decode to code-point "PCM", tile into
+  // 8-sample frames, emit exact-integer Σ sample² per frame (the input
+  // to silence-trim/VAD). The oracle replays the decode and framing with
+  // character arithmetic and a lateral generate_series.
+  // -------------------------------------------------------------------
+  private val audioFrame = 8
+
+  private val x4h = Demo("x4h_audio_energy", Some(s"""
+      WITH a AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 = 1),
+      cps AS (SELECT doc_id,
+                     list_transform(generate_series(1, length(text)), i ->
+                       cast(ascii(substr(text, i, 1)) AS bigint)) AS cp
+              FROM a),
+      fr AS (SELECT doc_id, cp, i AS frame_idx
+             FROM cps, unnest(generate_series(0,
+               (len(cp) + ${audioFrame - 1})//$audioFrame - 1)) t(i))
+      SELECT doc_id, frame_idx,
+             cast(len(cp[(frame_idx*$audioFrame+1):least(len(cp), (frame_idx+1)*$audioFrame)])
+                  AS bigint) AS n_samples,
+             cast(list_sum(list_transform(
+                    cp[(frame_idx*$audioFrame+1):least(len(cp), (frame_idx+1)*$audioFrame)],
+                    v -> v*v)) AS bigint) AS energy
+      FROM fr
+      ORDER BY doc_id ASC NULLS LAST, frame_idx ASC NULLS LAST"""),
+    (s, dir) => Multimodal.audioFrameEnergy(
+        Multimodal.mediaTable(docs(s, dir)), frame = audioFrame)
+      .toDF()
+      .orderBy(col("doc_id").asc_nulls_last, col("frame_idx").asc_nulls_last))
+
+  val all: Seq[Demo] = Seq(x4b, x4c, x4d, x4e, x4f, x4h, x19)
 }

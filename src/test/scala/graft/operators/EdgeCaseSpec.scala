@@ -102,6 +102,20 @@ class EdgeCaseSpec extends SparkSpec {
     assert(out.toList === List((1L, 1L, 1L, "a b"), (3L, 1L, 1L, "")))
   }
 
+  test("audioFrameEnergy: hand-computed frames, non-audio filtered, empty silent") {
+    val s = spark
+    import s.implicits._
+    // doc 1 → 'audio' (1 % 3 == 1); doc 2 → 'video'; doc 4 → audio, empty
+    val docs = Seq((1L, "abcd", "en"), (2L, "zz", "en"), (4L, "", "en"))
+      .toDF("doc_id", "text", "lang")
+    val out = graft.multimodal.Multimodal
+      .audioFrameEnergy(graft.multimodal.Multimodal.mediaTable(docs), frame = 3)
+      .collect().map(f => (f.doc_id, f.frame_idx, f.n_samples, f.energy))
+      .sortBy(t => (t._1, t._2)).toList
+    // 'a'..'d' = 97..100: frame 0 = 97²+98²+99² = 28814, frame 1 = 100²
+    assert(out === List((1L, 0L, 3L, 28814L), (1L, 1L, 1L, 10000L)))
+  }
+
   test("winnowing degenerate w=1 selects every gram hash") {
     val s = spark
     import s.implicits._
