@@ -678,7 +678,45 @@ object AdvancedRelationalDemos {
       s.sql(tryCastText)
     })
 
+  // -------------------------------------------------------------------
+  // Q32: DATE-FUNCTION SURFACE — the calendar verbs every reporting
+  // model leans on (year/month/quarter/day extraction, month-end, date
+  // offset, day difference), pinned over the engine-portable subset
+  // (week-of-year and day-of-week numbering differ between engines and
+  // are deliberately excluded). Narrow codegen projections.
+  // -------------------------------------------------------------------
+  private val q32 = Demo("q32_date_funcs", Some("""
+      SELECT o_orderkey,
+             cast(o_orderdate AS date) AS od,
+             cast(extract(year FROM o_orderdate) AS bigint) AS yr,
+             cast(extract(month FROM o_orderdate) AS bigint) AS mo,
+             cast(extract(quarter FROM o_orderdate) AS bigint) AS qtr,
+             cast(extract(day FROM o_orderdate) AS bigint) AS dom,
+             last_day(cast(o_orderdate AS date)) AS eom,
+             cast(cast(o_orderdate AS date) + INTERVAL 30 DAY AS date) AS plus30,
+             cast(date_diff('day', DATE '1995-01-01',
+                            cast(o_orderdate AS date)) AS bigint) AS days_in
+      FROM orders
+      WHERE o_orderkey <= 2000
+      ORDER BY o_orderkey ASC NULLS LAST"""),
+    (s, dir) => {
+      val od = col("o_orderdate").cast(DateType)
+      Tables.table(s, dir, "orders")
+        .filter(col("o_orderkey") <= 2000)
+        .select(col("o_orderkey"),
+          od.as("od"),
+          year(od).cast(LongType).as("yr"),
+          month(od).cast(LongType).as("mo"),
+          quarter(od).cast(LongType).as("qtr"),
+          dayofmonth(od).cast(LongType).as("dom"),
+          last_day(od).as("eom"),
+          date_add(od, 30).as("plus30"),
+          datediff(od, lit(java.sql.Date.valueOf("1995-01-01")))
+            .cast(LongType).as("days_in"))
+        .orderBy(col("o_orderkey").asc_nulls_last)
+    })
+
   val all: Seq[Demo] =
     Seq(q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25,
-      q26, q27, q28, q29, q30, q31, x9c)
+      q26, q27, q28, q29, q30, q31, q32, x9c)
 }
