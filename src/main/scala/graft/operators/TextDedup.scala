@@ -630,28 +630,40 @@ object TextDedup {
   }
 
   /** MOSS-style winnowing fingerprints (Schleimer et al. 2003): hash every
-    * k-token gram (char-polynomial, oracle-replayable), then in each
-    * sliding window of `w` consecutive gram hashes select the minimum —
-    * the classic guarantee that any shared run of ≥ w+k-1 tokens yields at
-    * least one shared fingerprint, with only ~2/(w+1) of grams kept.
-    * Returns the DISTINCT (doc_id, fp) fingerprint set.
+    * k-token gram, then in each sliding window of `w` consecutive gram
+    * hashes select the minimum — the classic guarantee that any shared
+    * run of ≥ w+k-1 tokens yields at least one shared fingerprint, with
+    * only ~2/(w+1) of grams kept. Returns the DISTINCT (doc_id, fp)
+    * fingerprint set.
     *
-    * Scale: gram explode is token-bounded; the sliding min and the
-    * window-count guard ride ONE doc-keyed sort (two window functions,
-    * same exchange); output is the winnowed set — w+1× smaller than the
-    * gram stream, which is the point: downstream joins index fingerprints,
-    * not grams.
+    * Gram hashes COMPOSE from per-token char-polynomial hashes (token
+    * hash once per position, then k multiply-adds per gram) rather than
+    * re-hashing each gram's full character string: identical determinism,
+    * but the per-gram cost drops from O(k·word_len) char ops to O(k) —
+    * and the DuckDB oracle replays the same composition with one
+    * char-reduce per TOKEN instead of per gram (measured intractable at
+    * sf0.1 in the per-gram-string form).
+    *
+    * Scale: token hashing and gram composition are narrow codegen'd HOF
+    * projections; the sliding min and the window-count guard ride ONE
+    * doc-keyed sort (two window functions, same exchange); output is the
+    * winnowed set — w+1× smaller than the gram stream, which is the
+    * point: downstream joins index fingerprints, not grams.
     */
   def winnowFingerprints(df: DataFrame, idCol: String, textCol: String,
       k: Int, w: Int): DataFrame = {
     require(k >= 1 && w >= 1, s"need k,w >= 1, got k=$k w=$w")
-    Hashing.registerAll(df.sparkSession)
-    val toks = df.select(col(idCol).as("doc_id"), split(col(textCol), " ").as("toks"))
-      .filter(size(col("toks")) >= k)
+    import Hashing.Mod
+    val toks = df.select(col(idCol).as("doc_id"),
+        transform(split(col(textCol), " "), w => Hashing.charPolyHash(w)).as("ths"))
+      .filter(size(col("ths")) >= k)
     val grams = toks
-      .select(col("doc_id"), posexplode(nGrams(col("toks"), k)).as(Seq("p0", "g")))
-      .select(col("doc_id"), (col("p0") + 1).as("pos"),
-        call_function("char_poly_hash", col("g")).as("h"))
+      .select(col("doc_id"), posexplode(
+        transform(sequence(lit(0), size(col("ths")) - k), i =>
+          aggregate(sequence(lit(1), lit(k)), lit(0L), (acc, j) =>
+            (acc * 131 + element_at(col("ths"), i + j)) % Mod)))
+        .as(Seq("p0", "h")))
+      .select(col("doc_id"), (col("p0") + 1).as("pos"), col("h"))
     val slide = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
       .rowsBetween(Window.currentRow, w - 1)
     grams

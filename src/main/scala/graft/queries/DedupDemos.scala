@@ -447,15 +447,24 @@ object DedupDemos {
           cast(ascii(substr($e, j, 1)) AS bigint))),
         (acc, v) -> (acc * 31 + v) % $Mod)"""
 
+  /** The k=4 gram-hash composition over token hashes (base 131 mod 2^30),
+    * unrolled — matches TextDedup.winnowFingerprints' aggregate fold.
+    */
+  private def gramHashSql: String =
+    s"((((ths[i] * 131 + ths[i+1]) % $Mod) * 131 + ths[i+2]) % $Mod * 131 + ths[i+3]) % $Mod"
+
   private val x41 = Demo("x41_winnow_pairs", Some(s"""
       WITH tok AS (
         SELECT doc_id, string_split(text, ' ') AS toks
         FROM documents
         WHERE len(string_split(text, ' ')) >= $winK),
+      th AS (
+        SELECT doc_id,
+               list_transform(toks, w -> ${charPolySql("w")}) AS ths
+        FROM tok),
       g AS (
-        SELECT doc_id, i AS pos,
-               ${charPolySql(s"concat_ws(' ', toks[i], toks[i+1], toks[i+2], toks[i+3])")} AS h
-        FROM tok, unnest(generate_series(1, len(toks) - ${winK - 1})) t(i)),
+        SELECT doc_id, i AS pos, $gramHashSql AS h
+        FROM th, unnest(generate_series(1, len(ths) - ${winK - 1})) t(i)),
       f AS (
         SELECT doc_id, pos,
                min(h) OVER (PARTITION BY doc_id ORDER BY pos
