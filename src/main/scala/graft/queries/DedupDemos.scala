@@ -88,9 +88,9 @@ object DedupDemos {
 
   /** DuckDB replay of the `char_poly_hash`-based rolling document
     * fingerprint (graft.functions.Hashing) — ONE definition site shared
-    * by every fingerprint-consuming oracle (x2a, x18).
+    * by every fingerprint-consuming oracle (x2a, x18, x43).
     */
-  private val fingerprintSql = s"""list_reduce(
+  private[queries] val fingerprintSql = s"""list_reduce(
                list_prepend(cast(0 AS bigint),
                  list_transform(string_split(text, ' '), tk ->
                    list_reduce(

@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.operators.ScaleOps
+import graft.operators.{Sampling, ScaleOps, TextDedup}
 import graft.queries.RelationalDemos.Demo
 import graft.sources.Tables
 
@@ -231,5 +231,56 @@ object ScaleDemos {
         .orderBy(col("doc_id").asc_nulls_last)
     })
 
-  val all: Seq[Demo] = Seq(x14, x17, x24, x25, x26, x30, x38)
+  // -------------------------------------------------------------------
+  // X43: TRAINING-SHARD PIPELINE CAPSTONE — the end-of-pipeline "write
+  // the training shards" composition: fingerprint exact-dedup →
+  // deterministic shuffle-shard (8 shards, salt 7) → shard-partitioned
+  // parquet write → read back and report per-shard doc/token counts.
+  // The oracle replays dedup + mixer + shard aggregation over the
+  // ORIGINAL table, so the hash-match proves the partitioned shard
+  // store lossless AND the shard assignment reproducible. At 100 TB
+  // this is one narrow projection chain into a partitionBy writer —
+  // the only exchanges are the dedup window and the final stats agg.
+  // -------------------------------------------------------------------
+  private val (shardN, shardSalt) = (8, 7L)
+
+  private val x43 = Demo("x43_shard_pipeline", Some(s"""
+      WITH fp AS (SELECT doc_id, text, ${DedupDemos.fingerprintSql} AS fingerprint
+                  FROM documents),
+      ek AS (SELECT doc_id, text
+             FROM (SELECT *, row_number() OVER (PARTITION BY fingerprint
+                                                ORDER BY doc_id) AS rn
+                   FROM fp)
+             WHERE rn = 1),
+      h1 AS (SELECT doc_id, text,
+                    (((doc_id + $shardSalt) % 2147483648) * 2654435761)
+                      % 2147483648 AS h
+             FROM ek),
+      h2 AS (SELECT doc_id, text, xor(h, h >> 15) AS h FROM h1),
+      h3 AS (SELECT doc_id, text, (h * 2246822519) % 2147483648 AS h FROM h2),
+      h4 AS (SELECT doc_id, text, xor(h, h >> 13) AS h FROM h3)
+      SELECT h % $shardN AS shard, count(*) AS n_docs,
+             cast(sum(len(string_split(text, ' '))) AS bigint) AS n_tokens
+      FROM h4
+      GROUP BY 1
+      ORDER BY shard ASC NULLS LAST"""),
+    (s, dir) => {
+      val deduped = TextDedup.exactDedup(
+        TextDedup.withFingerprint(t(s, dir, "documents"), "text"),
+        keys = Seq("fingerprint"), tiebreak = col("doc_id"))
+      val sharded = Sampling.shuffleShard(deduped, col("doc_id"),
+        numShards = shardN, salt = shardSalt)
+      val scratch = freshScratchDir("x43_shards")
+      ScaleOps.writePartitioned(
+        sharded.select(col("doc_id"), col("text"), col("shard")),
+        scratch, Seq("shard"))
+      s.read.parquet(scratch)
+        // partition-column inference reads `shard` back as int
+        .groupBy(col("shard").cast("long").as("shard"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(size(split(col("text"), " ")).cast("long")).as("n_tokens"))
+        .orderBy(col("shard").asc_nulls_last)
+    })
+
+  val all: Seq[Demo] = Seq(x14, x17, x24, x25, x26, x30, x38, x43)
 }
