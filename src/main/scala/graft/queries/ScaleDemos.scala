@@ -9,10 +9,14 @@ import graft.sources.Tables
 /** Scale-mechanics demonstrators: the skew-handling machinery of
   * [[graft.operators.ScaleOps]] run as oracle-checked queries, proving
   * the two-phase plans produce IDENTICAL results to their naive
-  * single-phase equivalents (the oracle IS the naive formulation).
-  * Bucketed/partitioned storage stays spec-only (ScaleOpsSpec pins the
-  * no-Exchange and partition-pruning plans) — materializing warehouse
-  * tables inside a read-only query demo would be a side effect.
+  * single-phase equivalents (the oracle IS the naive formulation), plus
+  * the storage-layout demos (JSONL/ORC roundtrips, partitioned and
+  * bucketed stores, shard pipeline, schema evolution) — each of which
+  * materializes into a FRESH scratch dir under java.io.tmpdir and
+  * re-reads it, with the oracle computing the same answer from the
+  * original table so the hash-match proves the store lossless. Plan
+  * shapes (no-Exchange bucketed join, partition pruning, ORC pushdown)
+  * are additionally pinned in ScaleOpsSpec.
   */
 object ScaleDemos {
 
@@ -282,5 +286,33 @@ object ScaleDemos {
         .orderBy(col("shard").asc_nulls_last)
     })
 
-  val all: Seq[Demo] = Seq(x14, x17, x24, x25, x26, x30, x38, x43)
+  // -------------------------------------------------------------------
+  // X44: SCHEMA-EVOLUTION READ — a store written by two pipeline
+  // generations (batch 1: doc_id+lang; batch 2 adds n_chars) read as ONE
+  // table via mergeSchema: the added column back-fills NULL for
+  // old-generation rows, the lakehouse column-add contract. The oracle
+  // reproduces the generation split (and its NULL pattern) from the
+  // ORIGINAL table. Scale note: mergeSchema footer-merges at planning —
+  // pay it only on evolving stores; pin an explicit schema otherwise.
+  // -------------------------------------------------------------------
+  private val x44 = Demo("x44_schema_evolution", Some("""
+      SELECT doc_id, lang,
+             CASE WHEN doc_id % 2 = 1 THEN n_chars END AS n_chars
+      FROM documents
+      ORDER BY doc_id ASC NULLS LAST"""),
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val scratch = freshScratchDir("x44_evolve")
+      docs.filter(pmod(col("doc_id"), lit(2)) === 0)
+        .select(col("doc_id"), col("lang"))
+        .write.mode("overwrite").parquet(s"$scratch/gen=1")
+      docs.filter(pmod(col("doc_id"), lit(2)) === 1)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .write.mode("overwrite").parquet(s"$scratch/gen=2")
+      s.read.option("mergeSchema", "true").parquet(scratch)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .orderBy(col("doc_id").asc_nulls_last)
+    })
+
+  val all: Seq[Demo] = Seq(x14, x17, x24, x25, x26, x30, x38, x43, x44)
 }
