@@ -205,6 +205,31 @@ class FileStreamSpec extends SparkSpec {
     assert(rows("2024-01-01 00:00:00.0") == 1L, rows.toString)
   }
 
+  test("JSONL file source streams the x24 interchange format; agg equals batch") {
+    val s = spark
+    import s.implicits._
+    val dir = Files.createTempDirectory("graft-jsonl-stream").toString
+    val docs = graft.sources.Tables
+      .table(s, "/root/testdata/sf0.001", "documents")
+      .select("doc_id", "lang", "n_chars")
+    docs.write.mode(SaveMode.Overwrite).json(dir)
+    // stream the JSONL directory with an EXPLICIT schema (no inference
+    // pre-scan — the same contract as the x24 batch reader)
+    val q = s.readStream.schema(docs.schema).json(dir)
+      .groupBy("lang")
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("n"))
+      .writeStream.format("memory").queryName("t_jsonl")
+      .outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val streamed = s.table("t_jsonl").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val batch = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(streamed === batch)
+  }
+
   test("streaming parquet sink with checkpoint persists closed windows") {
     val s = spark
     import s.implicits._
