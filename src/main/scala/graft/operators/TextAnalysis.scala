@@ -436,6 +436,44 @@ object TextAnalysis {
           .as("mean_tok_p"))
   }
 
+  /** Corpus-trained BIGRAM language-model scoring — the conditional
+    * sibling of [[unigramLmScore]]: each bigram occurrence scores the
+    * MLE conditional P(w₂|w₁) = c(w₁w₂)/c(w₁), quantized per bigram to
+    * an exact ppm integer (`10⁶·c₂ div c₁` — Spark `div` ≡ DuckDB `//`)
+    * BEFORE the per-doc sum, so the aggregate is an exact long under any
+    * partial-aggregation order (the x33 law; a float sum of rationals
+    * would be partition-order-dependent). Output per ≥2-token doc:
+    * `n_bigrams`, `min_c2` (the doc's rarest bigram count — a
+    * fabricated-text signal), `mean_p_ppm` (floor mean conditional ppm).
+    * c₁ is the corpus-wide unigram count over ALL docs (empty tokens
+    * excluded, mirroring unigramLmScore's tokenization).
+    *
+    * Scale: bigram and unigram aggregates are vocabulary-keyed and
+    * map-side combinable; the score join shuffles on the bigram /
+    * first-word keys; the per-doc rollup is one combinable aggregate.
+    * `10⁶·c₂` stays under int64 to ~9·10¹² occurrences of one bigram —
+    * beyond that, widen to decimal.
+    */
+  def bigramLmScore(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = df.select(col(idCol).as("doc_id"),
+        split(lower(col(textCol)), " ").as("toks"))
+      .filter(size(col("toks")) >= 2)
+    val bgs = toks.select(col("doc_id"),
+        explode(TextDedup.nGrams(col("toks"), 2)).as("bg"))
+      .withColumn("w1", element_at(split(col("bg"), " "), 1))
+    val c2 = bgs.groupBy(col("bg")).agg(count(lit(1)).as("c2"))
+    val c1 = df.select(explode(split(lower(col(textCol)), " ")).as("w1"))
+      .filter(col("w1") =!= "")
+      .groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+    bgs.join(c2, "bg").join(c1, "w1")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        min(col("c2")).as("min_c2"),
+        sum(expr("(1000000L * c2) div c1")).as("sum_ppm"))
+      .select(col("doc_id"), col("n_bigrams"), col("min_c2"),
+        expr("sum_ppm div n_bigrams").as("mean_p_ppm"))
+  }
+
   /** CCNet-style head/middle/tail corpus partitioning (Wenzek et al.
     * 2020, arXiv:1911.00359 §4.3) on a log-free perplexity proxy: a
     * doc's `score_ppm` = fixed-point mean corpus frequency of its tokens

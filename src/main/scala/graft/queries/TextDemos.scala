@@ -422,6 +422,36 @@ object TextDemos {
         inA = col("lang") === "en", minCount = 5, topK = 50)
       .orderBy(col("contrib_q6").desc, col("word").asc))
 
+  // -------------------------------------------------------------------
+  // X5m: BIGRAM LM SCORING (TextAnalysis.bigramLmScore) — conditional
+  // P(w2|w1) = c2/c1 per bigram occurrence, ppm-quantized BEFORE the
+  // per-doc sum (exact integers under any partial-agg order); per-doc
+  // rarest-bigram count + floor mean conditional ppm.
+  // -------------------------------------------------------------------
+  private val x5m = Demo("x5m_bigram_lm", Some("""
+      WITH tok AS (
+        SELECT doc_id, string_split(lower(text), ' ') AS toks
+        FROM documents
+        WHERE len(string_split(lower(text), ' ')) >= 2),
+      bg AS (
+        SELECT doc_id, toks[i] AS w1,
+               concat_ws(' ', toks[i], toks[i+1]) AS bg
+        FROM tok, unnest(generate_series(1, len(toks) - 1)) t(i)),
+      c2 AS (SELECT bg, count(*) AS c2 FROM bg GROUP BY bg),
+      c1 AS (SELECT w1, count(*) AS c1
+             FROM (SELECT unnest(string_split(lower(text), ' ')) AS w1
+                   FROM documents)
+             WHERE w1 <> '' GROUP BY w1)
+      SELECT doc_id,
+             count(*) AS n_bigrams,
+             cast(min(c2) AS bigint) AS min_c2,
+             cast(sum((1000000 * c2) // c1) AS bigint) // count(*) AS mean_p_ppm
+      FROM bg JOIN c2 USING (bg) JOIN c1 USING (w1)
+      GROUP BY doc_id
+      ORDER BY doc_id ASC NULLS LAST"""),
+    (s, dir) => TextAnalysis.bigramLmScore(docs(s, dir), "doc_id", "text")
+      .orderBy(col("doc_id").asc_nulls_last))
+
   val all: Seq[Demo] = Seq(x5a, x5b, x5c, x5d, x5e, x5f, x5g, x5h, x5i, x5j,
-    x5k, x5l, x33, x42)
+    x5k, x5l, x5m, x33, x42)
 }
