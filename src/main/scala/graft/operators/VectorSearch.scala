@@ -283,6 +283,39 @@ object VectorSearch {
         col("dup_of"))
   }
 
+  /** Hard-negative mining for contrastive training: for each query
+    * vector, the top-k most cosine-similar corpus vectors with a
+    * DIFFERENT label — the "hard" negatives that actually move a
+    * retriever/embedding model, vs easy random negatives. Exact integer
+    * dots + correctly-rounded IEEE sqrt/div (the library's cosine), so
+    * the mined set replays bit-identically in the oracle; ties rank
+    * deterministically (cosine desc, candidate id asc).
+    *
+    * Scale: same shape as [[topKCosine]] — bounded query batch
+    * broadcast against the corpus scan, per-query WindowGroupLimit
+    * top-k; the label inequality rides the broadcast join as a residual.
+    * For corpus-scale query sets, swap the broadcast for [[bucketedAnn]]
+    * buckets and apply the same label residual in-cell.
+    */
+  def hardNegatives(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, labelCol: String, k: Int): DataFrame = {
+    val labels = corpus.select(col(idCol).as("vec_id"), col(labelCol).as("label"))
+    val c = quantize(corpus, idCol, vecCol).join(labels, "vec_id")
+    val q = quantize(queries, idCol, vecCol).join(labels, "vec_id")
+      .select(col("vec_id").as("query_id"), col("qv").as("q_qv"),
+        col("nq").as("q_nq"), col("label").as("q_label"))
+    val scored = broadcast(q)
+      .join(c, col("label") =!= col("q_label"))
+      .select(col("query_id"), col("vec_id"), col("label"),
+        cosineOf(call_function("dot_long", col("q_qv"), col("qv")),
+          col("q_nq"), col("nq")).as("cosine"))
+    scored.withColumn("rn", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("cosine").desc, col("vec_id"))))
+      .filter(col("rn") <= k)
+      .select(col("query_id"), col("vec_id"), col("label"), col("cosine"))
+  }
+
   /** Signed random projection (SRP) dimensionality reduction: project the
     * 64-dim quantized embedding onto `outDims` pseudo-random ±1
     * hyperplanes — out[j] = Σ_d qv[d]·sign(h(j,d)) — the

@@ -244,5 +244,35 @@ object SimilarityDemos {
         "embedding", outDims = srpDims)
       .orderBy(col("vec_id").asc_nulls_last, col("dim").asc_nulls_last))
 
-  val all: Seq[Demo] = Seq(x3a, x3b, x3c, x3d, x31, x37)
+  // -------------------------------------------------------------------
+  // X3e: HARD-NEGATIVE MINING (VectorSearch.hardNegatives) — per query,
+  // the top-3 most cosine-similar corpus vectors with a DIFFERENT label:
+  // the contrastive-training negatives that actually move a retriever.
+  // Same exact-integer cosine + deterministic tiebreak as x3a, with the
+  // label inequality riding the broadcast join as a residual.
+  // -------------------------------------------------------------------
+  private val x3e = Demo("x3e_hard_negatives", Some(s"""
+      $oracleQuantCtes,
+      lab AS (SELECT vec_id, label FROM embeddings),
+      nl AS (SELECT n.vec_id, n.qv, n.nq, lab.label
+             FROM n JOIN lab USING (vec_id))
+      SELECT qr.vec_id AS query_id, c.vec_id AS vec_id, c.label AS label,
+             CASE WHEN qr.nq > 0 AND c.nq > 0 THEN
+               cast(cast(list_sum(list_transform(generate_series(1, 64),
+                      i -> qr.qv[i] * c.qv[i])) AS bigint) AS double)
+                 / (sqrt(cast(qr.nq AS double)) * sqrt(cast(c.nq AS double)))
+             END AS cosine
+      FROM (SELECT * FROM nl WHERE vec_id < 5) qr
+      JOIN nl c ON c.label != qr.label
+      QUALIFY row_number() OVER (PARTITION BY query_id
+                                 ORDER BY cosine DESC, c.vec_id) <= 3
+      ORDER BY query_id ASC NULLS LAST, cosine DESC NULLS LAST,
+               vec_id ASC NULLS LAST"""),
+    (s, dir) => VectorSearch.hardNegatives(
+        emb(s, dir), emb(s, dir).filter(col("vec_id") < 5),
+        "vec_id", "embedding", "label", k = 3)
+      .orderBy(col("query_id").asc_nulls_last, col("cosine").desc_nulls_last,
+        col("vec_id").asc_nulls_last))
+
+  val all: Seq[Demo] = Seq(x3a, x3b, x3c, x3d, x3e, x31, x37)
 }

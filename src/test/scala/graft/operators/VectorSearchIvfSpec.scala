@@ -76,6 +76,26 @@ class VectorSearchIvfSpec extends SparkSpec {
       again.orderBy("vec_id").collect().toSeq)
   }
 
+  test("hardNegatives: nearest other-label vector wins; own label never mined") {
+    val s = spark
+    import s.implicits._
+    def v(x: Float, y: Float) =
+      Array.tabulate(64)(i => if (i == 0) x else if (i == 1) y else 0.0f)
+    // query 1 (label 0) points at +x; vector 2 (label 0) is IDENTICAL
+    // (cosine 1 but same label — must not be mined); 3 (label 1) is close
+    // (cos ≈ 0.995), 4 (label 1) orthogonal, 5 (label 2) opposite
+    val df = Seq(
+      (1L, v(1f, 0f), 0), (2L, v(1f, 0f), 0), (3L, v(1f, 0.1f), 1),
+      (4L, v(0f, 1f), 1), (5L, v(-1f, 0f), 2))
+      .toDF("vec_id", "embedding", "label")
+    val out = VectorSearch.hardNegatives(
+        df, df.filter(col("vec_id") === 1), "vec_id", "embedding", "label", k = 2)
+      .orderBy(col("cosine").desc).collect()
+      .map(r => (r.getLong(1), r.getInt(2))).toList
+    // top-2 negatives: 3 (closest other-label), then 4; never 2 (same label)
+    assert(out === List((3L, 1), (4L, 1)), out.toString)
+  }
+
   test("signedRandomProjection: hand-computed values, shape, determinism") {
     val s = spark
     import s.implicits._
