@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators (SURVEY.md §2B X5) — library API behind the
@@ -568,6 +569,69 @@ object TextAnalysis {
         org.apache.spark.sql.expressions.Window
           .orderBy(col("score_scaled").desc, col("doc_id").asc)))
       .select(col("rank"), col("doc_id"), col("score_scaled"), col("n_terms"))
+  }
+
+  /** Tokenizer-vocabulary construction by coverage cut: rank words by
+    * corpus frequency (count desc, word asc — a total order) and keep
+    * the prefix whose PRECEDING cumulative coverage is below
+    * `coveragePpm` (so the word that crosses the threshold is the last
+    * kept) — the classic "top words covering 95% of tokens" vocabulary
+    * builder. Output per kept word: global `rank`, `cnt`, and the
+    * cumulative coverage ppm THROUGH the word; the threshold test is the
+    * cross-multiplied bigint inequality 10⁶·(cum−cnt) < ppm·total — no
+    * division, exact on both engines.
+    *
+    * Scale: the global rank/cumulative-sum does NOT use a single-
+    * partition window — the vocabulary range-partitions on the rank
+    * order and per-partition (total, row-count) offsets are collected
+    * (one row per partition, bounded by construction — the x5g
+    * distributed prefix-sum shape) and added back as a broadcast map.
+    * Bigint cross-products stay exact to ~9·10¹² total tokens.
+    */
+  def vocabCoverage(df: DataFrame, textCol: String,
+      coveragePpm: Long): DataFrame = {
+    require(coveragePpm >= 1 && coveragePpm <= 1000000,
+      s"coveragePpm must be in [1, 1000000], got $coveragePpm")
+    val counts = df.select(explode(split(lower(col(textCol)), " ")).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+    // same materialize-the-partitioning contract as packSequences: the
+    // offsets are keyed by __pid, so the exact physical partitioning
+    // must serve both the offset job and the final plan
+    val t = counts
+      .repartitionByRange(col("cnt").desc, col("word").asc)
+      .withColumn("__pid", spark_partition_id())
+      .localCheckpoint(true)
+    val partStats = t.groupBy(col("__pid"))
+      .agg(sum(col("cnt")).as("tot"), count(lit(1)).as("n"))
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    var accTot = 0L
+    var accN = 0L
+    val offs = partStats.map { case (pid, tot, n) =>
+      val o = (accTot, accN); accTot += tot; accN += n; pid -> o
+    }.toMap
+    val total = math.max(accTot, 1L) // guard: empty corpus divides by 1
+    def offCol(pick: ((Long, Long)) => Long): Column =
+      if (offs.isEmpty) lit(0L)
+      else coalesce(
+        element_at(
+          map(offs.toSeq.sortBy(_._1)
+            .flatMap { case (p, o) => Seq(lit(p), lit(pick(o))) }: _*),
+          col("__pid")),
+        lit(0L))
+    val order = Window.partitionBy(col("__pid"))
+      .orderBy(col("cnt").desc, col("word").asc)
+    val cum = Window.partitionBy(col("__pid"))
+      .orderBy(col("cnt").desc, col("word").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t.withColumn("__cum", sum(col("cnt")).over(cum) + offCol(_._1))
+      .withColumn("rank", row_number().over(order).cast("long") + offCol(_._2))
+      .filter(lit(1000000L) * (col("__cum") - col("cnt")) <
+        lit(coveragePpm) * lit(total))
+      .select(col("rank"), col("word"), col("cnt"),
+        expr(s"(1000000L * __cum) div ${total}L").as("cum_ppm"))
   }
 
   /** Chi-square word-frequency drift between two corpus slices (A =

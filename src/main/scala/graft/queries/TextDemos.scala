@@ -452,6 +452,33 @@ object TextDemos {
     (s, dir) => TextAnalysis.bigramLmScore(docs(s, dir), "doc_id", "text")
       .orderBy(col("doc_id").asc_nulls_last))
 
+  // -------------------------------------------------------------------
+  // X5n: VOCABULARY COVERAGE CUT (TextAnalysis.vocabCoverage) — the
+  // tokenizer-vocab builder: words ranked by corpus frequency, keep the
+  // prefix covering 95% of tokens. The threshold is the cross-multiplied
+  // bigint inequality (no division); the global rank/cumsum runs as the
+  // x5g distributed prefix-sum, never a single-partition window.
+  // -------------------------------------------------------------------
+  private val x5n = Demo("x5n_vocab_coverage", Some("""
+      WITH c AS (
+        SELECT w AS word, count(*) AS cnt
+        FROM (SELECT unnest(string_split(lower(text), ' ')) AS w
+              FROM documents)
+        WHERE w <> '' GROUP BY w),
+      t AS (SELECT cast(sum(cnt) AS bigint) AS total FROM c),
+      r AS (SELECT word, cast(cnt AS bigint) AS cnt,
+                   row_number() OVER (ORDER BY cnt DESC, word ASC) AS rank,
+                   cast(sum(cnt) OVER (ORDER BY cnt DESC, word ASC
+                     ROWS UNBOUNDED PRECEDING) AS bigint) AS cum
+            FROM c)
+      SELECT rank, word, cnt, (1000000 * cum) // total AS cum_ppm
+      FROM r, t
+      WHERE 1000000 * (cum - cnt) < 950000 * total
+      ORDER BY rank ASC NULLS LAST"""),
+    (s, dir) => TextAnalysis.vocabCoverage(docs(s, dir), "text",
+        coveragePpm = 950000L)
+      .orderBy(col("rank").asc_nulls_last))
+
   val all: Seq[Demo] = Seq(x5a, x5b, x5c, x5d, x5e, x5f, x5g, x5h, x5i, x5j,
-    x5k, x5l, x5m, x33, x42)
+    x5k, x5l, x5m, x5n, x33, x42)
 }

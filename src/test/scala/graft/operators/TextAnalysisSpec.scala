@@ -279,6 +279,41 @@ class TextAnalysisSpec extends SparkSpec {
     byBucket.values.foreach(c => assert(c > n / 6, byBucket.toString))
   }
 
+  test("vocabCoverage: threshold keeps the crossing word, drops the tail") {
+    val s = spark
+    import s.implicits._
+    val df = Seq((1L, "a a a b b c")).toDF("doc_id", "text")
+    val out = TextAnalysis.vocabCoverage(df, "text", coveragePpm = 800000L)
+      .orderBy("rank").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .toList
+    // total 6: a covers 50% (kept), b crosses 80% at 83.3% (kept — its
+    // PRECEDING coverage 50% is under the bar), c starts at 83.3% (cut)
+    assert(out === List((1L, "a", 3L, 500000L), (2L, "b", 2L, 833333L)))
+    // randomized agreement with a single-node reference replay
+    val rnd = new scala.util.Random(48)
+    val vocab = ('a' to 'j').map(_.toString)
+    val docs = (1L to 10L).map(id =>
+      (id, Seq.fill(30)(vocab(rnd.nextInt(vocab.size))).mkString(" ")))
+    val got = TextAnalysis.vocabCoverage(docs.toDF("doc_id", "text"),
+        "text", coveragePpm = 900000L)
+      .orderBy("rank").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .toList
+    val counts = docs.flatMap(_._2.split(" ")).groupBy(identity)
+      .map { case (w, a) => (w, a.size.toLong) }.toSeq
+      .sortBy { case (w, c) => (-c, w) }
+    val total = counts.map(_._2).sum
+    var cum = 0L
+    val want = counts.zipWithIndex.flatMap { case ((w, c), i) =>
+      val pre = cum; cum += c
+      if (1000000L * pre < 900000L * total)
+        Some((i + 1L, w, c, 1000000L * cum / total))
+      else None
+    }.toList
+    assert(got === want, s"docs=$docs")
+  }
+
   test("bigramLmScore: hand-computed conditional ppm; 1-token docs absent") {
     val s = spark
     import s.implicits._
