@@ -68,4 +68,27 @@ object CorpusClean {
     Sampling.stratifiedSample(nearKept, col(idCol), col(stratumCol),
       rates, defaultPercent)
   }
+
+  /** Dataset-card report: per `groupCol` (language, source, snapshot —
+    * whatever the card slices on) the corpus stats a release writes down:
+    * doc and token counts, docs passing the C4-style quality bar
+    * ([[TextAnalysis.qualityMetrics]]), distinct content fingerprints
+    * ([[TextDedup.withFingerprint]]), and the exact-duplicate rate in
+    * ppm (`10⁶·(n_docs − n_unique) div n_docs` — exact integer).
+    *
+    * Scale: metrics and fingerprints are narrow per-row projections; the
+    * report is ONE group-keyed aggregate (count-distinct rides Spark's
+    * Expand); output is |groups| rows.
+    */
+  def datasetReport(docs: DataFrame, idCol: String, textCol: String,
+      groupCol: String): DataFrame =
+    TextDedup.withFingerprint(
+        TextAnalysis.qualityMetrics(docs, textCol), textCol)
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens").cast("long")).as("n_tokens"),
+        sum(col("keep").cast("long")).as("n_quality"),
+        countDistinct(col("fingerprint")).as("n_unique"))
+      .withColumn("dup_ppm",
+        expr("(1000000L * (n_docs - n_unique)) div n_docs"))
 }

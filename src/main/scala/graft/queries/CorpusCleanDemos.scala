@@ -85,5 +85,38 @@ object CorpusCleanDemos {
       .select(col("doc_id"), col("lang"), col("source"))
       .orderBy(col("doc_id").asc_nulls_last))
 
-  val all: Seq[Demo] = Seq(x11)
+  // -------------------------------------------------------------------
+  // X45: DATASET-CARD REPORT (CorpusClean.datasetReport) — the per-slice
+  // stats a corpus release publishes: docs, tokens, quality-bar passes,
+  // distinct fingerprints, exact-dup rate (ppm). One group-keyed
+  // aggregate over narrow per-row metric/fingerprint projections.
+  // -------------------------------------------------------------------
+  private val x45 = Demo("x45_dataset_report", Some(s"""
+      WITH m AS (
+        SELECT lang,
+               len(string_split(text, ' ')) AS n_tokens,
+               CASE WHEN len(string_split(text, ' ')) >= 5
+                         AND len(list_filter(string_split(lower(text), ' '),
+                               w -> list_contains(['the','a','an','and','or','of','to','in','is','it'], w))) > 0
+                         AND coalesce(CASE WHEN length(text) > 0
+                               THEN cast(length(text) - length(regexp_replace(text, '[.,;:!?''"()]', '', 'g')) AS double)
+                                    / length(text) END, 1.0) < 0.2
+                    THEN 1 ELSE 0 END AS keep,
+               ${DedupDemos.fingerprintSql} AS fingerprint
+        FROM documents)
+      SELECT lang,
+             count(*) AS n_docs,
+             cast(sum(n_tokens) AS bigint) AS n_tokens,
+             cast(sum(keep) AS bigint) AS n_quality,
+             cast(count(DISTINCT fingerprint) AS bigint) AS n_unique,
+             (1000000 * (count(*) - count(DISTINCT fingerprint))) // count(*)
+               AS dup_ppm
+      FROM m
+      GROUP BY lang
+      ORDER BY lang ASC NULLS LAST"""),
+    (s, dir) => CorpusClean.datasetReport(
+        Tables.table(s, dir, "documents"), "doc_id", "text", "lang")
+      .orderBy(col("lang").asc_nulls_last))
+
+  val all: Seq[Demo] = Seq(x11, x45)
 }

@@ -205,6 +205,32 @@ class FileStreamSpec extends SparkSpec {
     assert(rows("2024-01-01 00:00:00.0") == 1L, rows.toString)
   }
 
+  test("maxFilesPerTrigger paces ingestion into multiple micro-batches") {
+    val s = spark
+    val dir = Files.createTempDirectory("graft-paced").toString
+    val events = graft.sources.Tables.table(s, "/root/testdata/sf0.001", "events")
+    events.repartition(4).write.mode(SaveMode.Overwrite).parquet(dir)
+    val q = s.readStream
+      .schema(StreamingPipelines.eventsSchema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(dir)
+      .groupBy("event_type")
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("n"))
+      .writeStream.format("memory").queryName("t_paced")
+      .outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    // one data file per micro-batch: at least 4 non-empty batches ran
+    val dataBatches = q.recentProgress.count(_.numInputRows > 0)
+    assert(dataBatches >= 4, s"expected >= 4 paced batches, got $dataBatches")
+    val streamed = s.table("t_paced").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val batch = events.groupBy("event_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(streamed === batch)
+  }
+
   test("JSONL file source streams the x24 interchange format; agg equals batch") {
     val s = spark
     import s.implicits._
