@@ -257,6 +257,26 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), p)
   }
 
+  test("join strategy hints override the planner's default choice") {
+    import org.apache.spark.sql.functions.col
+    val li = graft.sources.Tables.table(spark, sfDir, "lineitem")
+    val p = graft.sources.Tables.table(spark, sfDir, "part")
+    def planOf(df: org.apache.spark.sql.DataFrame) =
+      df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+    // part is broadcast-eligible at this SF — the default is broadcast…
+    val dflt = planOf(li.join(p, col("l_partkey") === col("p_partkey")))
+    assert(dflt.contains("BroadcastHashJoin"), dflt)
+    // …a merge hint forces sort-merge anyway (e.g. to cap driver memory)…
+    val merged = planOf(li.join(p.hint("merge"),
+      col("l_partkey") === col("p_partkey")))
+    assert(merged.contains("SortMergeJoin") &&
+      !merged.contains("BroadcastHashJoin"), merged)
+    // …and shuffle_hash forces a shuffled hash join (no sort phase)
+    val hashed = planOf(li.join(p.hint("shuffle_hash"),
+      col("l_partkey") === col("p_partkey")))
+    assert(hashed.contains("ShuffledHashJoin"), hashed)
+  }
+
   test("x35 segment dedup: exactly the two semantic shuffles (segment window, doc agg)") {
     val df = graft.operators.TextDedup.segmentDedup(
       graft.sources.Tables.table(spark, sfDir, "documents"),
