@@ -80,6 +80,34 @@ object CorpusClean {
     * report is ONE group-keyed aggregate (count-distinct rides Spark's
     * Expand); output is |groups| rows.
     */
+  /** Curriculum ordering: place every doc in a difficulty band (the
+    * CCNet perplexity terciles of [[TextAnalysis.perplexityBuckets]] —
+    * 'head' = most fluent) and assign a deterministic pseudo-random
+    * position WITHIN its band ([[Sampling.shuffleKey]] order, doc-id
+    * tiebreak) — the "easy first, shuffled within difficulty" schedule
+    * curriculum training consumes. A different salt yields an
+    * independent within-band permutation per epoch.
+    *
+    * Scale: banding is the boundary-broadcast tercile design (no global
+    * window); the rank window partitions by band — three parallel
+    * partitions of a uniform-keyed sort, no single-partition funnel at
+    * the RANK level. (The band key itself is 3-valued: for band-level
+    * parallelism beyond 3 tasks, consumers range-partition on
+    * (bucket, shuffle_key), which the uniform key makes even.)
+    */
+  def curriculumOrder(docs: DataFrame, idCol: String, textCol: String,
+      salt: Long): DataFrame = {
+    val banded = TextAnalysis.perplexityBuckets(docs, idCol, textCol)
+    banded
+      .withColumn("__sk", Sampling.shuffleKey(col(idCol), salt))
+      .withColumn("band_rank",
+        org.apache.spark.sql.functions.row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col("bucket"))
+            .orderBy(col("__sk"), col(idCol))))
+      .select(col(idCol), col("bucket"), col("band_rank"))
+  }
+
   def datasetReport(docs: DataFrame, idCol: String, textCol: String,
       groupCol: String): DataFrame =
     TextDedup.withFingerprint(

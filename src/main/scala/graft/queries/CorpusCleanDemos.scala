@@ -118,5 +118,50 @@ object CorpusCleanDemos {
         Tables.table(s, dir, "documents"), "doc_id", "text", "lang")
       .orderBy(col("lang").asc_nulls_last))
 
-  val all: Seq[Demo] = Seq(x11, x45)
+  // -------------------------------------------------------------------
+  // X46: CURRICULUM ORDERING (CorpusClean.curriculumOrder) — every doc
+  // banded by the CCNet perplexity terciles, then given a deterministic
+  // pseudo-random position WITHIN its band (salted mixer order, doc-id
+  // tiebreak): the "easy first, shuffled within difficulty" schedule.
+  // Oracle replays tercile banding (integer-input quantiles — the x9b
+  // law) + the x29 mixer chain + a band-partitioned row_number.
+  // -------------------------------------------------------------------
+  private val curSalt = 11L
+
+  private val x46 = Demo("x46_curriculum", Some(s"""
+      WITH toks AS (
+        SELECT doc_id, unnest(string_split(lower(text), ' ')) AS word
+        FROM documents),
+      t2 AS (SELECT doc_id, word FROM toks WHERE word <> ''),
+      tf AS (SELECT word, count(*) AS tf FROM t2 GROUP BY 1),
+      d AS (SELECT doc_id, count(*) AS n_toks, sum(tf) AS sum_tf
+            FROM t2 JOIN tf USING (word) GROUP BY 1),
+      sc AS (SELECT doc_id,
+                    cast((1000000 * sum_tf) // n_toks AS bigint) AS score_ppm
+             FROM d),
+      b AS (SELECT quantile_cont(score_ppm, 0.33) AS t1,
+                   quantile_cont(score_ppm, 0.67) AS t2 FROM sc),
+      banded AS (
+        SELECT doc_id,
+               CASE WHEN score_ppm >= b.t2 THEN 'head'
+                    WHEN score_ppm >= b.t1 THEN 'middle'
+                    ELSE 'tail' END AS bucket
+        FROM sc, b),
+      h1 AS (SELECT doc_id, bucket,
+                    (((doc_id + $curSalt) % 2147483648) * 2654435761)
+                      % 2147483648 AS h
+             FROM banded),
+      h2 AS (SELECT doc_id, bucket, xor(h, h >> 15) AS h FROM h1),
+      h3 AS (SELECT doc_id, bucket, (h * 2246822519) % 2147483648 AS h FROM h2),
+      h4 AS (SELECT doc_id, bucket, xor(h, h >> 13) AS h FROM h3)
+      SELECT doc_id, bucket,
+             row_number() OVER (PARTITION BY bucket
+                                ORDER BY h ASC, doc_id ASC) AS band_rank
+      FROM h4
+      ORDER BY bucket ASC NULLS LAST, band_rank ASC NULLS LAST"""),
+    (s, dir) => CorpusClean.curriculumOrder(
+        Tables.table(s, dir, "documents"), "doc_id", "text", salt = curSalt)
+      .orderBy(col("bucket").asc_nulls_last, col("band_rank").asc_nulls_last))
+
+  val all: Seq[Demo] = Seq(x11, x45, x46)
 }
