@@ -283,4 +283,34 @@ object Sketches {
       .select(col(group), col("q"), col("n"), col("est_value"),
         col("exact_value"))
   }
+
+  /** Heavy hitters by Misra–Gries sketch + exact verification: the
+    * ≤`k`-counter [[graft.functions.MisraGriesAgg]] summary guarantees
+    * every item with frequency > n/(k+1) survives as a candidate; the
+    * bounded candidate set (≤ k keys) then broadcast-joins back for
+    * EXACT counts, and the support filter `cnt·k > n` keeps the true
+    * heavy hitters — deterministic output despite the sketch's
+    * partition-order-dependent internals (the sketch only PRUNES; the
+    * verdict is exact). Output: (key, cnt) for items with share > 1/k.
+    *
+    * Scale: the sketch shuffle carries one ≤k-entry map per partition
+    * (never the key universe); verification scans once more with a
+    * broadcast ≤k-key semi filter — the sketch-then-verify shape that
+    * replaces a full groupBy over 100 TB of keys.
+    */
+  def heavyHitters(df: DataFrame, key: Column, k: Int): DataFrame = {
+    require(k >= 1, s"need k >= 1, got $k")
+    val keyed = df.select(key.cast("string").as("hh_key"))
+    val mg = udaf(new graft.functions.MisraGriesAgg(k),
+      org.apache.spark.sql.Encoders.STRING)
+    val cands = keyed.agg(mg(col("hh_key")).as("mg"))
+      .select(explode(map_keys(col("mg"))).as("cand"))
+    val total = keyed.agg(count(lit(1)).as("n_total"))
+    keyed.join(broadcast(cands), col("hh_key") === col("cand"))
+      .groupBy(col("hh_key"))
+      .agg(count(lit(1)).as("cnt"))
+      .crossJoin(total) // scalar × ≤k rows
+      .filter(col("cnt") * k > col("n_total"))
+      .select(col("hh_key"), col("cnt"))
+  }
 }

@@ -350,5 +350,32 @@ object StatsDemos {
         round(col("value") * 100).cast("long"))
       .orderBy(col("event_type").asc_nulls_last))
 
-  val all: Seq[Demo] = Seq(x9a, x9b, x9d, x9e, x9f, x9g, x16, x22)
+  // -------------------------------------------------------------------
+  // X9h: HEAVY HITTERS — Misra–Gries sketch + exact verification
+  // (Sketches.heavyHitters over document words, k=16): the ≤k-counter
+  // summary guarantees every word with share > 1/(k+1) survives as a
+  // candidate; exact counts over the broadcast candidate set then keep
+  // share > 1/k. The sketch only PRUNES — the verified output is
+  // deterministic, so the oracle is the plain exact formulation.
+  // -------------------------------------------------------------------
+  private val hhK = 32
+
+  private val x9h = Demo("x9h_heavy_hitters", Some(s"""
+      WITH w AS (SELECT unnest(string_split(lower(text), ' ')) AS word
+                 FROM documents),
+      w2 AS (SELECT word FROM w WHERE word <> ''),
+      c AS (SELECT word AS hh_key, count(*) AS cnt FROM w2 GROUP BY 1),
+      t AS (SELECT count(*) AS n FROM w2)
+      SELECT hh_key, cnt
+      FROM c, t
+      WHERE cnt * $hhK > n
+      ORDER BY hh_key ASC NULLS LAST"""),
+    (s, dir) => graft.operators.Sketches.heavyHitters(
+        t(s, dir, "documents")
+          .select(explode(split(lower(col("text")), " ")).as("word"))
+          .filter(col("word") =!= ""),
+        col("word"), k = hhK)
+      .orderBy(col("hh_key").asc_nulls_last))
+
+  val all: Seq[Demo] = Seq(x9a, x9b, x9d, x9e, x9f, x9g, x9h, x16, x22)
 }

@@ -113,4 +113,24 @@ class SketchesSpec extends SparkSpec {
       .collect().map(_.getLong(0)).toSeq
     assert(got === keys.map(Sketches.mix31L))
   }
+
+  test("heavyHitters: MG sketch prunes a wide key universe, verified output exact") {
+    val s = spark
+    import s.implicits._
+    // 100-key universe, k=10 counters: two genuine heavy keys (30% and
+    // 20% share) among 98 light ones — the sketch must keep both as
+    // candidates (guarantee: share > 1/(k+1) survives) and the exact
+    // verification must emit exactly the keys with share > 1/k
+    val rows = Seq.fill(300)("hot") ++ Seq.fill(200)("warm") ++
+      (1 to 500).map(i => s"cold${i % 98}")
+    val df = rows.toDF("w")
+    val out = Sketches.heavyHitters(df, col("w"), k = 10)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out === Map("hot" -> 300L, "warm" -> 200L), out.toString)
+    // partition-layout independence of the VERIFIED output (the sketch's
+    // internal candidate set may differ; the verdict must not)
+    val out2 = Sketches.heavyHitters(df.repartition(7), col("w"), k = 10)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out2 === out)
+  }
 }
