@@ -200,6 +200,33 @@ object Sampling {
       .withColumn("shard", pmod(col("shuffle_key"), lit(numShards.toLong)))
   }
 
+  /** Deterministic multi-way dataset split — the train/val/test
+    * assignment every pipeline needs: the row's [[hashBucketPpm]] bucket
+    * falls into consecutive ppm ranges, one per named split, so the
+    * assignment is a pure function of the key (reproducible across runs,
+    * engines, and partitionings — and STABLE under corpus growth: a row
+    * never migrates between splits when other rows arrive, unlike
+    * `randomSplit`). `splits` are (name, ppm) in declared order and must
+    * sum to 1,000,000 so every row lands somewhere.
+    *
+    * Scale: one narrow codegen projection over the scan — no shuffle,
+    * no sampling pass.
+    */
+  def assignSplit(df: DataFrame, key: Column,
+      splits: Seq[(String, Long)]): DataFrame = {
+    require(splits.nonEmpty && splits.forall(_._2 > 0),
+      s"positive ppm shares required, got $splits")
+    require(splits.map(_._2).sum == 1000000L,
+      s"split ppm must sum to 1000000, got ${splits.map(_._2).sum}")
+    val bucket = hashBucketPpm(key)
+    val bounds = splits.scanLeft(0L)(_ + _._2).tail // cumulative upper ppm
+    val expr0 = splits.zip(bounds).reverse
+      .foldLeft(lit(splits.last._1)) { case (acc, ((name, _), hi)) =>
+        when(bucket < hi, lit(name)).otherwise(acc)
+      }
+    df.withColumn("split", expr0)
+  }
+
   /** Token-weighted mixture EPOCH plan — the complement of
     * [[mixToTarget]] (which downsamples): given target mixture shares in
     * ppm per domain, compute per-domain token counts and how many

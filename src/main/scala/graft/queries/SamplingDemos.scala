@@ -235,5 +235,35 @@ object SamplingDemos {
       .select(col("doc_id"), col("lang"), col("epoch"))
       .orderBy(col("doc_id").asc_nulls_last, col("epoch").asc_nulls_last))
 
-  val all: Seq[Demo] = Seq(x10a, x10b, x27, x29, x32, x34, x36, x40)
+  // -------------------------------------------------------------------
+  // X47: DETERMINISTIC TRAIN/VAL/TEST SPLIT — Sampling.assignSplit:
+  // consecutive ppm ranges of the Knuth-hash bucket (90/5/5). A pure
+  // function of doc_id: reproducible everywhere AND stable under corpus
+  // growth (a row never migrates splits when other rows arrive — unlike
+  // randomSplit). Oracle replays the bucket ranges; the demo reports
+  // per-(split, lang) counts to show stratification-by-hash balance.
+  // -------------------------------------------------------------------
+  private val splitPlan = Seq(
+    ("train", 900000L), ("val", 50000L), ("test", 50000L))
+
+  private val x47 = Demo("x47_dataset_split", Some("""
+      WITH b AS (
+        SELECT doc_id, lang,
+               (((doc_id % 2147483648) * 2654435761) >> 16) % 1000000 AS bucket
+        FROM documents),
+      s AS (SELECT doc_id, lang,
+                   CASE WHEN bucket < 900000 THEN 'train'
+                        WHEN bucket < 950000 THEN 'val'
+                        ELSE 'test' END AS split
+            FROM b)
+      SELECT split, lang, count(*) AS n_docs
+      FROM s
+      GROUP BY split, lang
+      ORDER BY split ASC NULLS LAST, lang ASC NULLS LAST"""),
+    (s, dir) => Sampling.assignSplit(docs(s, dir), col("doc_id"), splitPlan)
+      .groupBy(col("split"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy(col("split").asc_nulls_last, col("lang").asc_nulls_last))
+
+  val all: Seq[Demo] = Seq(x10a, x10b, x27, x29, x32, x34, x36, x40, x47)
 }

@@ -181,6 +181,29 @@ class SamplingSpec extends SparkSpec {
     }
   }
 
+  test("assignSplit: total, roughly proportional, stable under corpus growth") {
+    val s = spark
+    import s.implicits._
+    val plan = Seq(("train", 800000L), ("val", 100000L), ("test", 100000L))
+    val small = (1L to 500L).toDF("id")
+    val big = (1L to 2000L).toDF("id")
+    val assignSmall = Sampling.assignSplit(small, col("id"), plan)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val assignBig = Sampling.assignSplit(big, col("id"), plan)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // total: every row lands in a declared split
+    assert(assignBig.values.toSet === Set("train", "val", "test"))
+    // growth stability: the 500-row corpus's assignments are unchanged
+    // inside the 2000-row corpus (randomSplit cannot promise this)
+    assert(assignSmall.forall { case (id, sp) => assignBig(id) == sp })
+    // rough proportions at n=2000 (hash is uniform; allow wide slack)
+    val byl = assignBig.values.groupBy(identity).map { case (k, v) => k -> v.size }
+    assert(byl("train") > 1400 && byl("val") < 400 && byl("test") < 400, byl.toString)
+    intercept[IllegalArgumentException] {
+      Sampling.assignSplit(small, col("id"), Seq(("a", 1L), ("b", 2L)))
+    }
+  }
+
   test("materializeEpochs: rows replicate per the plan with 1-based epoch tags") {
     val s = spark
     import s.implicits._
