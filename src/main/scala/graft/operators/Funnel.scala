@@ -24,9 +24,13 @@ object Funnel {
     * `maxGap` (a SQL interval string, e.g. "6 HOURS") bounds each
     * step-to-step gap — the windowed funnel; None = unbounded classic.
     */
-  def funnel(df: DataFrame, userCol: String, typeCol: String,
+  /** Per-step first-reach times (u, rt), shared by [[funnel]] and
+    * [[funnelLatency]]: strictly-after-the-prior-step min timestamps,
+    * optionally gap-bounded.
+    */
+  private def reachTimes(df: DataFrame, userCol: String, typeCol: String,
       tsCol: String, steps: Seq[String],
-      maxGap: Option[String] = None): DataFrame = {
+      maxGap: Option[String]): List[DataFrame] = {
     require(steps.nonEmpty && steps.distinct.size == steps.size,
       s"funnel steps must be non-empty and distinct: $steps")
     // fail at the call site with the parameter named, not with a parse
@@ -36,7 +40,7 @@ object Funnel {
       s"maxGap must look like '6 HOURS', got '$g'"))
     val ev = df.select(col(userCol).as("u"), col(typeCol).as("et"),
       col(tsCol).as("t"))
-    val reach = steps.foldLeft(List.empty[DataFrame]) { case (acc, st) =>
+    steps.foldLeft(List.empty[DataFrame]) { case (acc, st) =>
       val base = ev.filter(col("et") === st)
       val stage = acc match {
         case Nil => base.groupBy(col("u")).agg(min(col("t")).as("rt"))
@@ -51,6 +55,12 @@ object Funnel {
       }
       stage :: acc
     }.reverse
+  }
+
+  def funnel(df: DataFrame, userCol: String, typeCol: String,
+      tsCol: String, steps: Seq[String],
+      maxGap: Option[String] = None): DataFrame = {
+    val reach = reachTimes(df, userCol, typeCol, tsCol, steps, maxGap)
     val wide = reach.zipWithIndex
       .map { case (r, i) => r.agg(count(lit(1)).as(s"n$i")) }
       .reduce(_ crossJoin _)
@@ -64,5 +74,36 @@ object Funnel {
     wide.select(explode(array(rows: _*)).as("r"))
       .select(col("r.step").as("step"), col("r.step_name").as("step_name"),
         col("r.n_users").as("n_users"), col("r.conversion").as("conversion"))
+  }
+
+  /** Time-to-convert distribution per funnel step: for every user who
+    * reached step i (≥ 2), the elapsed time from their FIRST-step reach,
+    * summarized as p50/p90 seconds — the product-metric companion of
+    * [[funnel]]'s conversion rates. Elapsed times are exact microsecond
+    * longs (`unix_micros` difference), so the percentile interpolation is
+    * bit-identical across engines (the x9b integer-input law); the final
+    * /10⁶ to seconds is one IEEE division on the interpolated value.
+    *
+    * Scale: shares [[reachTimes]]'s user-keyed join ladder (exchanges
+    * align stage-to-stage); the percentile aggregate is per step —
+    * |steps|−1 groups.
+    */
+  def funnelLatency(df: DataFrame, userCol: String, typeCol: String,
+      tsCol: String, steps: Seq[String],
+      maxGap: Option[String] = None): DataFrame = {
+    require(steps.size >= 2, s"latency needs >= 2 funnel steps: $steps")
+    val reach = reachTimes(df, userCol, typeCol, tsCol, steps, maxGap)
+    val first = reach.head.select(col("u"), col("rt").as("t0"))
+    val perStep = steps.zipWithIndex.drop(1).zip(reach.tail).map {
+      case ((st, i), r) =>
+        r.join(first, Seq("u"))
+          .select(lit((i + 1).toLong).as("step"), lit(st).as("step_name"),
+            expr("unix_micros(rt) - unix_micros(t0)").as("us"))
+    }
+    perStep.reduce(_ union _)
+      .groupBy(col("step"), col("step_name"))
+      .agg(count(lit(1)).as("n_users"),
+        (expr("percentile(us, 0.5)") / 1000000.0).as("p50_secs"),
+        (expr("percentile(us, 0.9)") / 1000000.0).as("p90_secs"))
   }
 }

@@ -418,6 +418,45 @@ object EventsDemos {
       .select(col("window.start").as("window_start"), col("c_nationkey"),
         col("n_events"), col("total_value"))
 
+  // -------------------------------------------------------------------
+  // X48: FUNNEL LATENCY (Funnel.funnelLatency) — time-to-convert p50/p90
+  // per step, the product-metric companion of x20's conversion rates.
+  // Elapsed times are exact microsecond longs, so percentile
+  // interpolation replays bit-identically (x9b law); one division to
+  // seconds on the interpolated value.
+  // -------------------------------------------------------------------
+  private val x48 = Demo("x48_funnel_latency", Some("""
+      WITH ev AS (SELECT user_id, event_type,
+                         cast(ts AS timestamp) AS ts
+                  FROM events),
+      s1 AS (SELECT user_id, min(ts) AS t1 FROM ev
+             WHERE event_type = 'view' GROUP BY 1),
+      s2 AS (SELECT e.user_id, min(e.ts) AS t2
+             FROM ev e JOIN s1 USING (user_id)
+             WHERE e.event_type = 'click' AND e.ts > s1.t1
+               AND e.ts <= s1.t1 + INTERVAL 6 HOURS GROUP BY 1),
+      s3 AS (SELECT e.user_id, min(e.ts) AS t3
+             FROM ev e JOIN s2 USING (user_id)
+             WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+               AND e.ts <= s2.t2 + INTERVAL 6 HOURS GROUP BY 1),
+      l AS (
+        SELECT 2 AS step, 'click' AS step_name,
+               date_diff('microsecond', s1.t1, s2.t2) AS us
+        FROM s2 JOIN s1 USING (user_id)
+        UNION ALL
+        SELECT 3, 'purchase', date_diff('microsecond', s1.t1, s3.t3)
+        FROM s3 JOIN s1 USING (user_id))
+      SELECT step, step_name, count(*) AS n_users,
+             quantile_cont(us, 0.5) / 1000000.0 AS p50_secs,
+             quantile_cont(us, 0.9) / 1000000.0 AS p90_secs
+      FROM l
+      GROUP BY step, step_name
+      ORDER BY step ASC NULLS LAST"""),
+    (s, dir) => graft.operators.Funnel.funnelLatency(
+        t(s, dir, "events"), "user_id", "event_type", "ts",
+        Seq("view", "click", "purchase"), maxGap = Some("6 HOURS"))
+      .orderBy(col("step").asc_nulls_last))
+
   val all: Seq[Demo] =
-    Seq(x4a, x4g, x6a, x6b, x6c, x6d, x6e, x6f, x6g, x6h, x20, x21)
+    Seq(x4a, x4g, x6a, x6b, x6c, x6d, x6e, x6f, x6g, x6h, x20, x21, x48)
 }
