@@ -27,7 +27,11 @@ object CorpusCleanDemos {
       rates.toSeq.sortBy(_._1).map { case (l, p) => s"WHEN '$l' THEN $p" }
         .mkString(" ") + " ELSE 0 END"
 
-  private val x11 = Demo("x11_corpus_clean", Some(s"""
+  /** The x11 pipeline's stage CTEs (quality → fingerprint dedup →
+    * near-dup removal → stratified sample), shared by the x11 result
+    * query and the x50 waterfall counts.
+    */
+  private def cleanStageCtes: String = s"""
       WITH q AS (
         SELECT doc_id, text, lang, source
         FROM documents
@@ -65,11 +69,18 @@ object CorpusCleanDemos {
         SELECT DISTINCT b.doc_id AS id_b
         FROM sh a JOIN sh b ON a.doc_id < b.doc_id
         WHERE cast(len(list_intersect(a.shs, b.shs)) AS double)
-              / (len(a.shs) + len(b.shs) - len(list_intersect(a.shs, b.shs))) >= 0.5)
+              / (len(a.shs) + len(b.shs) - len(list_intersect(a.shs, b.shs))) >= 0.5),
+      nd AS (
+        SELECT doc_id, lang, source FROM ek
+        WHERE doc_id NOT IN (SELECT id_b FROM dropped)),
+      samp AS (
+        SELECT doc_id, lang, source FROM nd
+        WHERE (((doc_id % 2147483648) * 2654435761) >> 16) % 100 < $ratesCase)"""
+
+  private val x11 = Demo("x11_corpus_clean", Some(s"""
+      $cleanStageCtes
       SELECT doc_id, lang, source
-      FROM ek
-      WHERE doc_id NOT IN (SELECT id_b FROM dropped)
-        AND (((doc_id % 2147483648) * 2654435761) >> 16) % 100 < $ratesCase
+      FROM samp
       ORDER BY doc_id ASC NULLS LAST"""),
     (s, dir) => CorpusClean.pipeline(
         Tables.table(s, dir, "documents"),
@@ -163,5 +174,62 @@ object CorpusCleanDemos {
         Tables.table(s, dir, "documents"), "doc_id", "text", salt = curSalt)
       .orderBy(col("bucket").asc_nulls_last, col("band_rank").asc_nulls_last))
 
-  val all: Seq[Demo] = Seq(x11, x45, x46)
+  // -------------------------------------------------------------------
+  // X50: CLEANING WATERFALL — the release-audit companion of x11: how
+  // many docs each pipeline stage removed (input → quality → exact dedup
+  // → near-dup → sample). Counts are scalar aggregates of the SAME stage
+  // frames the pipeline builds, crossJoined (scalar × scalar) and
+  // exploded into one row per stage; the oracle counts the shared stage
+  // CTEs. At scale this is the pipeline's cost/auditing dashboard — one
+  // pass per stage, no extra shuffles beyond the stages themselves.
+  // -------------------------------------------------------------------
+  private val x50 = Demo("x50_clean_waterfall", Some(s"""
+      $cleanStageCtes,
+      c AS (SELECT
+        (SELECT count(*) FROM documents) AS n0,
+        (SELECT count(*) FROM q) AS n1,
+        (SELECT count(*) FROM ek) AS n2,
+        (SELECT count(*) FROM nd) AS n3,
+        (SELECT count(*) FROM samp) AS n4)
+      SELECT cast(1 AS bigint) AS stage_idx, 'input' AS stage,
+             n0 AS n_docs, cast(0 AS bigint) AS n_removed FROM c
+      UNION ALL SELECT 2, 'quality', n1, n0 - n1 FROM c
+      UNION ALL SELECT 3, 'exact_dedup', n2, n1 - n2 FROM c
+      UNION ALL SELECT 4, 'near_dedup', n3, n2 - n3 FROM c
+      UNION ALL SELECT 5, 'sample', n4, n3 - n4 FROM c
+      ORDER BY stage_idx ASC NULLS LAST"""),
+    (s, dir) => {
+      import graft.operators.{Sampling, TextAnalysis, TextDedup}
+      val docs = Tables.table(s, dir, "documents")
+      val quality = TextAnalysis.qualityMetrics(docs, "text")
+        .filter(col("keep") === 1).select(docs.columns.map(col): _*)
+      // same eager cut as the pipeline: the LSH stage re-reads its input
+      val exact = TextDedup.exactDedup(
+          TextDedup.withFingerprint(quality, "text"),
+          keys = Seq("fingerprint"), tiebreak = col("doc_id"))
+        .drop("fingerprint").localCheckpoint(true)
+      val pairs = TextDedup.minhashLshPairs(exact, "doc_id", "text", 0.5)
+      val nd = exact.join(
+        pairs.select(col("id_b").as("doc_id")).distinct(),
+        Seq("doc_id"), "left_anti")
+      val samp = Sampling.stratifiedSample(nd, col("doc_id"), col("lang"),
+        rates)
+      val stages = Seq("input" -> docs, "quality" -> quality,
+        "exact_dedup" -> exact, "near_dedup" -> nd, "sample" -> samp)
+      val wide = stages.zipWithIndex
+        .map { case ((_, df), i) => df.agg(count(lit(1)).as(s"n$i")) }
+        .reduce(_ crossJoin _)
+      val rows = stages.zipWithIndex.map { case ((name, _), i) =>
+        struct(lit((i + 1).toLong).as("stage_idx"), lit(name).as("stage"),
+          col(s"n$i").as("n_docs"),
+          (if (i == 0) lit(0L) else col(s"n${i - 1}") - col(s"n$i"))
+            .as("n_removed"))
+      }
+      wide.select(explode(array(rows: _*)).as("r"))
+        .select(col("r.stage_idx").as("stage_idx"), col("r.stage").as("stage"),
+          col("r.n_docs").as("n_docs"), col("r.n_removed").as("n_removed"))
+        .orderBy(col("stage_idx").asc_nulls_last)
+    })
+
+  val all: Seq[Demo] = Seq(x11, x45, x46, x50)
 }

@@ -457,6 +457,49 @@ object EventsDemos {
         Seq("view", "click", "purchase"), maxGap = Some("6 HOURS"))
       .orderBy(col("step").asc_nulls_last))
 
+  // -------------------------------------------------------------------
+  // X49: LAST-TOUCH ATTRIBUTION — the marketing companion of x6f's
+  // first-touch: per converting user, the LAST marketing touchpoint
+  // (view/click) at or before their FIRST purchase, credited via one
+  // max_by aggregate over the purchase-bounded touch stream (no window
+  // sort; deterministic (ts, event_id) tiebreak on both mins and maxes).
+  // Users who purchase with no prior touchpoint are absent (inner join).
+  // -------------------------------------------------------------------
+  private val x49 = Demo("x49_last_touch", Some("""
+      WITH e AS (SELECT user_id, cast(ts AS timestamp) AS ts,
+                        event_id, event_type
+                 FROM events),
+      conv AS (SELECT user_id, min(ts) AS purchase_ts FROM e
+               WHERE event_type = 'purchase' GROUP BY 1),
+      touches AS (
+        SELECT e.user_id, e.ts, e.event_id, e.event_type, conv.purchase_ts
+        FROM e JOIN conv USING (user_id)
+        WHERE e.event_type IN ('view', 'click') AND e.ts <= conv.purchase_ts),
+      r AS (SELECT user_id, ts, event_id, event_type, purchase_ts,
+                   row_number() OVER (PARTITION BY user_id
+                                      ORDER BY ts DESC, event_id DESC) AS rn
+            FROM touches)
+      SELECT user_id, purchase_ts, ts AS touch_ts,
+             event_id AS touch_event_id, event_type AS touch_type
+      FROM r WHERE rn = 1
+      ORDER BY user_id ASC NULLS LAST"""),
+    (s, dir) => {
+      val e = t(s, dir, "events")
+      val conv = e.filter(col("event_type") === "purchase")
+        .groupBy(col("user_id")).agg(min(col("ts")).as("purchase_ts"))
+      e.filter(col("event_type").isin("view", "click"))
+        .join(conv, Seq("user_id"))
+        .filter(col("ts") <= col("purchase_ts"))
+        .groupBy(col("user_id"))
+        .agg(max(col("purchase_ts")).as("purchase_ts"), // constant per user
+          max_by(struct(col("ts"), col("event_id"), col("event_type")),
+            struct(col("ts"), col("event_id"))).as("l"))
+        .select(col("user_id"), col("purchase_ts"),
+          col("l.ts").as("touch_ts"), col("l.event_id").as("touch_event_id"),
+          col("l.event_type").as("touch_type"))
+        .orderBy(col("user_id").asc_nulls_last)
+    })
+
   val all: Seq[Demo] =
-    Seq(x4a, x4g, x6a, x6b, x6c, x6d, x6e, x6f, x6g, x6h, x20, x21, x48)
+    Seq(x4a, x4g, x6a, x6b, x6c, x6d, x6e, x6f, x6g, x6h, x20, x21, x48, x49)
 }
