@@ -265,5 +265,67 @@ object SamplingDemos {
       .agg(count(lit(1)).as("n_docs"))
       .orderBy(col("split").asc_nulls_last, col("lang").asc_nulls_last))
 
-  val all: Seq[Demo] = Seq(x10a, x10b, x27, x29, x32, x34, x36, x40, x47)
+  // -------------------------------------------------------------------
+  // X51: SPLIT-LEAKAGE AUDIT — the contamination check every train/test
+  // split needs: test docs sharing at least one 8-token gram with ANY
+  // train doc (x47's split), with the shared-gram count per leaked doc.
+  // Distinct grams of each side meet in ONE equi-join on the gram text —
+  // at scale a big-big sort-merge on the gram key (deliberately NO
+  // broadcast: unlike x23's tiny-benchmark contract, the train side is
+  // 90% of the corpus) — never doc×doc.
+  // -------------------------------------------------------------------
+  private val leakN = 8
+
+  private def gramListSql: String = {
+    val parts = (0 until leakN).map(k => s"toks[i+$k]").mkString(", ")
+    s"""list_distinct(list_transform(
+          generate_series(1, len(toks) - ${leakN - 1}),
+          i -> concat_ws(' ', $parts)))"""
+  }
+
+  private val x51 = Demo("x51_split_leakage", Some(s"""
+      WITH b AS (
+        SELECT doc_id, lang, text,
+               (((doc_id % 2147483648) * 2654435761) >> 16) % 1000000 AS bucket
+        FROM documents),
+      s AS (SELECT doc_id, lang, text,
+                   CASE WHEN bucket < 900000 THEN 'train'
+                        WHEN bucket < 950000 THEN 'val'
+                        ELSE 'test' END AS split
+            FROM b),
+      tok AS (SELECT doc_id, lang, split, string_split(text, ' ') AS toks
+              FROM s WHERE len(string_split(text, ' ')) >= $leakN),
+      tg AS (SELECT doc_id, lang, unnest($gramListSql) AS g
+             FROM tok WHERE split = 'test'),
+      trg AS (SELECT DISTINCT unnest($gramListSql) AS g
+              FROM tok WHERE split = 'train')
+      SELECT tg.doc_id, tg.lang, count(*) AS n_shared_grams
+      FROM tg JOIN trg USING (g)
+      GROUP BY tg.doc_id, tg.lang
+      ORDER BY doc_id ASC NULLS LAST"""),
+    (s, dir) => {
+      import graft.operators.TextDedup
+      val split = Sampling.assignSplit(docs(s, dir).select(
+          col("doc_id"), col("lang"), col("text")),
+        col("doc_id"), splitPlan)
+      val tok = split
+        .withColumn("toks", split_(col("text")))
+        .filter(size(col("toks")) >= leakN)
+      val tg = tok.filter(col("split") === "test")
+        .select(col("doc_id"), col("lang"),
+          explode(TextDedup.nGramSet(col("toks"), leakN)).as("g"))
+      val trg = tok.filter(col("split") === "train")
+        .select(explode(TextDedup.nGramSet(col("toks"), leakN)).as("g"))
+        .distinct()
+      tg.join(trg, "g")
+        .groupBy(col("doc_id"), col("lang"))
+        .agg(count(lit(1)).as("n_shared_grams"))
+        .orderBy(col("doc_id").asc_nulls_last)
+    })
+
+  private def split_(c: org.apache.spark.sql.Column) =
+    org.apache.spark.sql.functions.split(c, " ")
+
+  val all: Seq[Demo] =
+    Seq(x10a, x10b, x27, x29, x32, x34, x36, x40, x47, x51)
 }
