@@ -34,10 +34,17 @@ object Verify {
         catch { case e: Throwable =>
           failed ::= name
           System.err.println(s"[verify] $name failed: ${e.getMessage}")
-          import spark.implicits._
-          Seq(s"${e.getClass.getName}: ${String.valueOf(e.getMessage).take(500)}")
-            .toDF("__verify_error")
-            .coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+          // best-effort: if the environment itself is broken (disk full,
+          // dead context) the sentinel write may also throw — that must
+          // not abort the loop or suppress verify_failures.json below
+          try {
+            import spark.implicits._
+            Seq(s"${e.getClass.getName}: ${String.valueOf(e.getMessage).take(500)}")
+              .toDF("__verify_error")
+              .coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+          } catch { case e2: Throwable =>
+            System.err.println(s"[verify] $name sentinel write failed: ${e2.getMessage}")
+          }
         }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

@@ -37,10 +37,23 @@ object CorpusClean {
     * `identity` keeps the pipeline fully lazy (storage-level decisions
     * stay with the caller).
     */
-  def pipeline(docs: DataFrame, idCol: String, textCol: String,
+  /** Every intermediate frame of [[pipeline]], in stage order — so
+    * audits (the x50 waterfall) count the SAME DataFrames the pipeline
+    * executes instead of re-deriving the chain.
+    */
+  final case class CleanStages(
+      input: DataFrame, quality: DataFrame, exactKept: DataFrame,
+      nearKept: DataFrame, sampled: DataFrame) {
+    /** (stage name, frame) in pipeline order. */
+    def ordered: Seq[(String, DataFrame)] = Seq(
+      "input" -> input, "quality" -> quality, "exact_dedup" -> exactKept,
+      "near_dedup" -> nearKept, "sample" -> sampled)
+  }
+
+  def stages(docs: DataFrame, idCol: String, textCol: String,
       stratumCol: String, nearDupThreshold: Double,
       rates: Map[String, Int], defaultPercent: Int = 0,
-      materializeCut: DataFrame => DataFrame = identity): DataFrame = {
+      materializeCut: DataFrame => DataFrame = identity): CleanStages = {
     // 1. quality: C4-style keep flag
     val quality = TextAnalysis.qualityMetrics(docs, textCol)
       .filter(col("keep") === 1)
@@ -65,21 +78,18 @@ object CorpusClean {
       Seq(idCol), "left_anti")
 
     // 4. reproducible stratified sample
-    Sampling.stratifiedSample(nearKept, col(idCol), col(stratumCol),
-      rates, defaultPercent)
+    val sampled = Sampling.stratifiedSample(nearKept, col(idCol),
+      col(stratumCol), rates, defaultPercent)
+    CleanStages(docs, quality, exactKept, nearKept, sampled)
   }
 
-  /** Dataset-card report: per `groupCol` (language, source, snapshot —
-    * whatever the card slices on) the corpus stats a release writes down:
-    * doc and token counts, docs passing the C4-style quality bar
-    * ([[TextAnalysis.qualityMetrics]]), distinct content fingerprints
-    * ([[TextDedup.withFingerprint]]), and the exact-duplicate rate in
-    * ppm (`10⁶·(n_docs − n_unique) div n_docs` — exact integer).
-    *
-    * Scale: metrics and fingerprints are narrow per-row projections; the
-    * report is ONE group-keyed aggregate (count-distinct rides Spark's
-    * Expand); output is |groups| rows.
-    */
+  def pipeline(docs: DataFrame, idCol: String, textCol: String,
+      stratumCol: String, nearDupThreshold: Double,
+      rates: Map[String, Int], defaultPercent: Int = 0,
+      materializeCut: DataFrame => DataFrame = identity): DataFrame =
+    stages(docs, idCol, textCol, stratumCol, nearDupThreshold,
+      rates, defaultPercent, materializeCut).sampled
+
   /** Curriculum ordering: place every doc in a difficulty band (the
     * CCNet perplexity terciles of [[TextAnalysis.perplexityBuckets]] —
     * 'head' = most fluent) and assign a deterministic pseudo-random
@@ -108,7 +118,18 @@ object CorpusClean {
       .select(col(idCol), col("bucket"), col("band_rank"))
   }
 
-  def datasetReport(docs: DataFrame, idCol: String, textCol: String,
+  /** Dataset-card report: per `groupCol` (language, source, snapshot —
+    * whatever the card slices on) the corpus stats a release writes down:
+    * doc and token counts, docs passing the C4-style quality bar
+    * ([[TextAnalysis.qualityMetrics]]), distinct content fingerprints
+    * ([[TextDedup.withFingerprint]]), and the exact-duplicate rate in
+    * ppm (`10⁶·(n_docs − n_unique) div n_docs` — exact integer).
+    *
+    * Scale: metrics and fingerprints are narrow per-row projections; the
+    * report is ONE group-keyed aggregate (count-distinct rides Spark's
+    * Expand); output is |groups| rows.
+    */
+  def datasetReport(docs: DataFrame, textCol: String,
       groupCol: String): DataFrame =
     TextDedup.withFingerprint(
         TextAnalysis.qualityMetrics(docs, textCol), textCol)

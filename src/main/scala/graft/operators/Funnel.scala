@@ -19,11 +19,6 @@ import org.apache.spark.sql.functions._
   */
 object Funnel {
 
-  /** Per-step reach counts and conversion vs step 1:
-    * `(step, step_name, n_users, conversion)`, one row per step.
-    * `maxGap` (a SQL interval string, e.g. "6 HOURS") bounds each
-    * step-to-step gap — the windowed funnel; None = unbounded classic.
-    */
   /** Per-step first-reach times (u, rt), shared by [[funnel]] and
     * [[funnelLatency]]: strictly-after-the-prior-step min timestamps,
     * optionally gap-bounded.
@@ -57,6 +52,11 @@ object Funnel {
     }.reverse
   }
 
+  /** Per-step reach counts and conversion vs step 1:
+    * `(step, step_name, n_users, conversion)`, one row per step.
+    * `maxGap` (a SQL interval string, e.g. "6 HOURS") bounds each
+    * step-to-step gap — the windowed funnel; None = unbounded classic.
+    */
   def funnel(df: DataFrame, userCol: String, typeCol: String,
       tsCol: String, steps: Seq[String],
       maxGap: Option[String] = None): DataFrame = {

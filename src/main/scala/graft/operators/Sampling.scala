@@ -265,8 +265,15 @@ object Sampling {
       .select(col("__dom").as(domainCol), col("n_docs"), col("n_tokens"),
         expr("(n_tokens * 1000000L) div __total").as("actual_ppm"),
         col("target_ppm"))
+      // a listed domain below 1 ppm floors to actual_ppm = 0 — exactly
+      // the scarce data this planner exists to keep; clamp the DIVISOR
+      // to 1 ppm (ANSI mode would otherwise error, non-ANSI would NULL
+      // the epochs and silently drop the domain downstream). actual_ppm
+      // itself stays 0 in the output — informative, only the division
+      // is guarded.
       .withColumn("epochs",
-        expr("(target_ppm + actual_ppm - 1L) div actual_ppm"))
+        expr("(target_ppm + greatest(actual_ppm, 1L) - 1L)" +
+          " div greatest(actual_ppm, 1L)"))
   }
 
   /** Materialize a [[mixtureEpochs]] plan: replicate every row of its

@@ -303,13 +303,15 @@ object Sketches {
     val keyed = df.select(key.cast("string").as("hh_key"))
     val mg = udaf(new graft.functions.MisraGriesAgg(k),
       org.apache.spark.sql.Encoders.STRING)
-    val cands = keyed.agg(mg(col("hh_key")).as("mg"))
-      .select(explode(map_keys(col("mg"))).as("cand"))
-    val total = keyed.agg(count(lit(1)).as("n_total"))
+    // n_total rides the sketch pass as a second aggregate — exactly two
+    // input scans total (sketch+count, then candidate verification)
+    val sketch = keyed.agg(mg(col("hh_key")).as("mg"),
+      count(lit(1)).as("n_total"))
+    val cands = sketch
+      .select(explode(map_keys(col("mg"))).as("cand"), col("n_total"))
     keyed.join(broadcast(cands), col("hh_key") === col("cand"))
-      .groupBy(col("hh_key"))
+      .groupBy(col("hh_key"), col("n_total"))
       .agg(count(lit(1)).as("cnt"))
-      .crossJoin(total) // scalar × ≤k rows
       .filter(col("cnt") * k > col("n_total"))
       .select(col("hh_key"), col("cnt"))
   }

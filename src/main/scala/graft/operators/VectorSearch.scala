@@ -301,7 +301,12 @@ object VectorSearch {
       vecCol: String, labelCol: String, k: Int): DataFrame = {
     val labels = corpus.select(col(idCol).as("vec_id"), col(labelCol).as("label"))
     val c = quantize(corpus, idCol, vecCol).join(labels, "vec_id")
-    val q = quantize(queries, idCol, vecCol).join(labels, "vec_id")
+    // query labels come from the QUERIES frame itself — a held-out query
+    // set need not exist in the corpus (and must never inherit labels
+    // from an unrelated corpus row that shares its id)
+    val qLabels = queries.select(col(idCol).as("vec_id"),
+      col(labelCol).as("label"))
+    val q = quantize(queries, idCol, vecCol).join(qLabels, "vec_id")
       .select(col("vec_id").as("query_id"), col("qv").as("q_qv"),
         col("nq").as("q_nq"), col("label").as("q_label"))
     val scored = broadcast(q)
@@ -323,10 +328,15 @@ object VectorSearch {
     * before ANN indexing (dot products in projected space approximate
     * scaled cosines in the original).
     *
-    * The "random" signs are the library's deterministic Knuth-hash parity
-    * (same constant as [[bucketOf]]'s hyperplanes), seeded by (j,d) — no
-    * RNG, so the projection is a pure function replayed exactly by the
-    * DuckDB oracle and stable across runs/partitionings.
+    * The "random" sign is the HIGH bit of the Knuth multiplicative hash
+    * of (j,d) — `((j·64+d−1)·2654435761) mod 2³¹ ≥ 2³⁰`, the same
+    * high-bit centering as [[bucketOf]]'s hyperplanes. The high bit is
+    * essential: the LOW bit of an odd-constant product is just the
+    * parity of the seed, which is independent of `j` — that formulation
+    * gives every output dim the SAME sign vector (a rank-1, non-JL
+    * projection; regression-pinned in VectorSearchIvfSpec). No RNG, so
+    * the projection is a pure function replayed exactly by the DuckDB
+    * oracle and stable across runs/partitionings.
     *
     * Output: one row per (vec_id, dim 0..outDims-1) with the exact bigint
     * projection value. Scale: a narrow per-row projection (built-in
@@ -343,7 +353,7 @@ object VectorSearch {
           aggregate(sequence(lit(1), lit(dims)), lit(0L), (acc, d) =>
             acc + element_at(col("qv"), d) *
               when(((j * dims + d - 1) * lit(2654435761L)) % lit(2147483648L)
-                % 2 === 0, lit(1L)).otherwise(lit(-1L)))))
+                >= lit(1073741824L), lit(1L)).otherwise(lit(-1L)))))
           .as(Seq("dim", "proj")))
   }
 }

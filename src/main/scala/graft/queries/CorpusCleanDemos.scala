@@ -126,7 +126,7 @@ object CorpusCleanDemos {
       GROUP BY lang
       ORDER BY lang ASC NULLS LAST"""),
     (s, dir) => CorpusClean.datasetReport(
-        Tables.table(s, dir, "documents"), "doc_id", "text", "lang")
+        Tables.table(s, dir, "documents"), "text", "lang")
       .orderBy(col("lang").asc_nulls_last))
 
   // -------------------------------------------------------------------
@@ -199,23 +199,14 @@ object CorpusCleanDemos {
       UNION ALL SELECT 5, 'sample', n4, n3 - n4 FROM c
       ORDER BY stage_idx ASC NULLS LAST"""),
     (s, dir) => {
-      import graft.operators.{Sampling, TextAnalysis, TextDedup}
-      val docs = Tables.table(s, dir, "documents")
-      val quality = TextAnalysis.qualityMetrics(docs, "text")
-        .filter(col("keep") === 1).select(docs.columns.map(col): _*)
-      // same eager cut as the pipeline: the LSH stage re-reads its input
-      val exact = TextDedup.exactDedup(
-          TextDedup.withFingerprint(quality, "text"),
-          keys = Seq("fingerprint"), tiebreak = col("doc_id"))
-        .drop("fingerprint").localCheckpoint(true)
-      val pairs = TextDedup.minhashLshPairs(exact, "doc_id", "text", 0.5)
-      val nd = exact.join(
-        pairs.select(col("id_b").as("doc_id")).distinct(),
-        Seq("doc_id"), "left_anti")
-      val samp = Sampling.stratifiedSample(nd, col("doc_id"), col("lang"),
-        rates)
-      val stages = Seq("input" -> docs, "quality" -> quality,
-        "exact_dedup" -> exact, "near_dedup" -> nd, "sample" -> samp)
+      // the SAME stage frames (and parameters) x11's pipeline executes —
+      // CorpusClean.stages is the single definition site, so the
+      // waterfall can never drift from the pipeline output
+      val stages = CorpusClean.stages(
+        Tables.table(s, dir, "documents"),
+        idCol = "doc_id", textCol = "text", stratumCol = "lang",
+        nearDupThreshold = 0.5, rates = rates,
+        materializeCut = _.localCheckpoint(true)).ordered
       val wide = stages.zipWithIndex
         .map { case ((_, df), i) => df.agg(count(lit(1)).as(s"n$i")) }
         .reduce(_ crossJoin _)

@@ -385,8 +385,10 @@ object EventsDemos {
 
   // -------------------------------------------------------------------
   // X6h: STREAM–STATIC ENRICHMENT — the production "enrich the event
-  // stream against a dimension table" staple: events ⟕ broadcast
-  // customer dim on user_id, then the tumbling agg by customer nation.
+  // stream against a dimension table" staple: events INNER-joined to the
+  // broadcast customer dim on user_id (every harness event has a
+  // customer; dimension misses are a data-quality failure x8-style
+  // outer variants would surface), then the tumbling agg by nation.
   // Same single declaration runs under readStream (StreamingPipelines.
   // enrichedTumblingStream; runtime ≡ batch asserted in FileStreamSpec):
   // Spark re-broadcasts the static side per micro-batch, state stays

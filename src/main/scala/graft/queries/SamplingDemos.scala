@@ -198,8 +198,8 @@ object SamplingDemos {
       SELECT c.lang, c.n_docs, c.n_tokens,
              (c.n_tokens * 1000000) // tot.total AS actual_ppm,
              cast(c.target_ppm AS bigint) AS target_ppm,
-             (c.target_ppm + (c.n_tokens * 1000000) // tot.total - 1)
-               // ((c.n_tokens * 1000000) // tot.total) AS epochs
+             (c.target_ppm + greatest((c.n_tokens * 1000000) // tot.total, 1) - 1)
+               // greatest((c.n_tokens * 1000000) // tot.total, 1) AS epochs
       FROM c, tot
       ORDER BY lang ASC NULLS LAST"""),
     (s, dir) => Sampling.mixtureEpochs(docs(s, dir), "lang", "text",
@@ -222,8 +222,8 @@ object SamplingDemos {
             GROUP BY d.lang),
       tot AS (SELECT cast(sum(n_tokens) AS bigint) AS total FROM c),
       plan AS (SELECT c.lang,
-                      (c.target_ppm + (c.n_tokens * 1000000) // tot.total - 1)
-                        // ((c.n_tokens * 1000000) // tot.total) AS epochs
+                      (c.target_ppm + greatest((c.n_tokens * 1000000) // tot.total, 1) - 1)
+                        // greatest((c.n_tokens * 1000000) // tot.total, 1) AS epochs
                FROM c, tot)
       SELECT d.doc_id, d.lang, e.epoch
       FROM documents d
@@ -299,8 +299,10 @@ object SamplingDemos {
              FROM tok WHERE split = 'test'),
       trg AS (SELECT DISTINCT unnest($gramListSql) AS g
               FROM tok WHERE split = 'train')
-      SELECT tg.doc_id, tg.lang, count(*) AS n_shared_grams
-      FROM tg JOIN trg USING (g)
+      SELECT tg.doc_id, tg.lang,
+             cast(sum(CASE WHEN trg.g IS NOT NULL THEN 1 ELSE 0 END)
+                  AS bigint) AS n_shared_grams
+      FROM tg LEFT JOIN trg ON tg.g = trg.g
       GROUP BY tg.doc_id, tg.lang
       ORDER BY doc_id ASC NULLS LAST"""),
     (s, dir) => {
@@ -317,9 +319,12 @@ object SamplingDemos {
       val trg = tok.filter(col("split") === "train")
         .select(explode(TextDedup.nGramSet(col("toks"), leakN)).as("g"))
         .distinct()
-      tg.join(trg, "g")
+        .withColumn("__hit", lit(1L))
+      // LEFT join: every test doc reports, leaked or not — a clean audit
+      // is "all zeros", not an empty frame
+      tg.join(trg, Seq("g"), "left")
         .groupBy(col("doc_id"), col("lang"))
-        .agg(count(lit(1)).as("n_shared_grams"))
+        .agg(sum(coalesce(col("__hit"), lit(0L))).as("n_shared_grams"))
         .orderBy(col("doc_id").asc_nulls_last)
     })
 

@@ -85,6 +85,13 @@ object ScaleDemos {
   // non-ASCII text. Scale: both sides are splittable line-oriented
   // scans; the sink is a narrow per-partition write.
   // -------------------------------------------------------------------
+  /** Per-demo scratch dir under java.io.tmpdir, wiped on entry.
+    * SINGLE-PROCESS contract: the path is fixed per demo name, so two
+    * concurrent runs of the same demo (e.g. bench alongside a targeted
+    * Verify) would clobber each other mid-read — the driver runs its
+    * surfaces serially, and local runs should too (or set a distinct
+    * java.io.tmpdir per process).
+    */
   private def freshScratchDir(name: String): String = {
     val root = java.nio.file.Paths.get(
       sys.props("java.io.tmpdir"), s"graft_demo_$name")

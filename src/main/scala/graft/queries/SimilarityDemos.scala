@@ -236,7 +236,7 @@ object SimilarityDemos {
       SELECT vec_id, j AS dim,
              cast(list_sum(list_transform(generate_series(1, 64), d ->
                qv[d] * (CASE WHEN ((j*64 + d - 1) * 2654435761)
-                               % 2147483648 % 2 = 0
+                               % 2147483648 >= 1073741824
                         THEN 1 ELSE -1 END))) AS bigint) AS proj
       FROM p
       ORDER BY vec_id ASC NULLS LAST, dim ASC NULLS LAST"""),

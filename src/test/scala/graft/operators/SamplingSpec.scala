@@ -204,6 +204,23 @@ class SamplingSpec extends SparkSpec {
     }
   }
 
+  test("mixtureEpochs: sub-ppm domain does not divide by zero and stays in the plan") {
+    val s = spark
+    import s.implicits._
+    // 'big' has 2,000,000 tokens; 'tiny' has 1 → tiny's share floors to
+    // 0 ppm. The guarded divisor must keep tiny in the plan (epochs =
+    // target_ppm under the 1-ppm clamp), not error (ANSI) or NULL out.
+    val df = Seq(
+      (1L, "big", Seq.fill(2000000)("w").mkString(" ")),
+      (2L, "tiny", "x")).toDF("id", "lang", "text")
+    val out = Sampling.mixtureEpochs(df, "lang", "text",
+        targetPpm = Map("big" -> 900000L, "tiny" -> 100000L))
+      .collect().map(r => r.getString(0) -> (r.getLong(3), r.getLong(5))).toMap
+    assert(out("tiny")._1 === 0L) // actual_ppm stays informative
+    assert(out("tiny")._2 === 100000L) // epochs = target under the clamp
+    assert(out("big")._2 === 1L)
+  }
+
   test("materializeEpochs: rows replicate per the plan with 1-based epoch tags") {
     val s = spark
     import s.implicits._

@@ -110,13 +110,24 @@ class VectorSearchIvfSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
     assert(out.size === 3 * 4) // one row per (vec, out-dim)
     def sign(j: Int, d: Int): Long =
-      if (((j.toLong * 64 + d - 1) * 2654435761L) % 2147483648L % 2 == 0) 1L
+      if (((j.toLong * 64 + d - 1) * 2654435761L) % 2147483648L
+        >= 1073741824L) 1L
       else -1L
     for (d <- 1 to 3; j <- 0 until 4)
       assert(out((d.toLong, j)) === 10000L * sign(j, d),
         s"one-hot d=$d out-dim j=$j")
     // both ±1 signs occur (the hyperplanes are not degenerate)
     assert(out.values.toSet === Set(10000L, -10000L))
+    // REGRESSION (low-bit parity bug): the sign of dimension d must
+    // DEPEND on the output dim j — under the broken mod-2 formulation
+    // every out-dim shared one sign vector and the projection was rank-1
+    val signVectors = (0 until 4).map(j => (1 to 3).map(d => sign(j, d)))
+    assert(signVectors.distinct.size > 1,
+      s"sign vectors identical across output dims: $signVectors")
+    // …and correspondingly the one-hot projections must differ across j
+    // for at least one input dim
+    assert((1 to 3).exists(d =>
+      (0 until 4).map(j => out((d.toLong, j))).distinct.size > 1), out.toString)
     // JL in practice: projected dots correlate with original dots on the
     // harness embeddings — identical vectors project identically, and a
     // rerun is bit-identical (pure function of (j, d))
