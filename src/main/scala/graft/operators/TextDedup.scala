@@ -257,6 +257,46 @@ object TextDedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Asymmetric CONTAINMENT near-dup pairs: containment of A in B =
+    * |shingles(A) ∩ shingles(B)| / |shingles(A)| — the directional
+    * measure that catches a short doc EMBEDDED in a long one (a quote,
+    * an excerpt, a scraped fragment), where symmetric Jaccard stays low
+    * because the long doc's size dominates the union. Emits (id_a, id_b,
+    * cont_a, cont_b) for pairs where EITHER direction reaches
+    * `threshold`; both ratios are one IEEE division over exact integer
+    * counts, so the oracle replays them bit-identically.
+    *
+    * Scale: identical machinery to [[ngramJaccardPairs]] (shared
+    * inverted-index self-join, `maxDocFreq` stop-shingle cap bounding
+    * the worst key at C(cap,2) pairs) — only the final formula differs.
+    */
+  def containmentPairs(df: DataFrame, idCol: String, textCol: String,
+      threshold: Double, maxDocFreq: Option[Int] = None): DataFrame = {
+    val td = tokArrays(df, idCol, textCol)
+    val posts = td.select(col("doc_id"), explode(shingleSet(col("toks"))).as("sh"))
+    val dfc = posts.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+    val okPosts =
+      posts.join(maxDocFreq.fold(dfc)(cap => dfc.filter(col("df") <= cap)), "sh")
+    val sizes = maxDocFreq match {
+      case None =>
+        td.select(col("doc_id"), size(shingleSet(col("toks"))).as("n"))
+      case Some(_) =>
+        okPosts.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    }
+    val pairPosts = okPosts.filter(col("df") >= 2).select(col("doc_id"), col("sh"))
+    pairPosts.as("a")
+      .join(pairPosts.as("b"),
+        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .agg(count(lit(1)).as("inter"))
+      .join(sizes.select(col("doc_id").as("id_a"), col("n").as("na")), "id_a")
+      .join(sizes.select(col("doc_id").as("id_b"), col("n").as("nb")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        (col("inter").cast("double") / col("na")).as("cont_a"),
+        (col("inter").cast("double") / col("nb")).as("cont_b"))
+      .filter(greatest(col("cont_a"), col("cont_b")) >= threshold)
+  }
+
   /** Connected components over similarity pairs (X2f): label propagation
     * to the minimum id — turns pairwise near-dup evidence into dedup
     * CLUSTERS (the transitive closure production dedup actually keys on:

@@ -485,7 +485,41 @@ object DedupDemos {
         k = winK, w = winW, minShared = winShared, maxDocFreq = winCap)
       .orderBy(col("id_a").asc_nulls_last, col("id_b").asc_nulls_last))
 
+  // -------------------------------------------------------------------
+  // X52: CONTAINMENT NEAR-DUP (TextDedup.containmentPairs) — the
+  // asymmetric complement of x2c2: containment(A in B) = inter/|A|
+  // catches a short doc embedded in a long one (quotes, excerpts,
+  // scraped fragments) where symmetric Jaccard stays low. Same capped
+  // inverted-index machinery; the oracle replays both directional
+  // ratios over the capped universe.
+  // -------------------------------------------------------------------
+  private val (contThreshold, contCap) = (0.8, 50)
+
+  private val x52 = Demo("x52_containment_pairs", Some(s"""
+      ${oracleShingleCtes()},
+      posts AS (SELECT doc_id, unnest(shs) AS s FROM sh),
+      ok AS (SELECT s FROM posts GROUP BY s HAVING count(*) <= $contCap),
+      cposts AS (SELECT p.doc_id, p.s FROM posts p JOIN ok USING (s)),
+      sizes AS (SELECT doc_id, count(*) AS n FROM cposts GROUP BY doc_id),
+      pairs AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+        FROM cposts a JOIN cposts b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2)
+      SELECT id_a, id_b,
+             cast(inter AS double) / na.n AS cont_a,
+             cast(inter AS double) / nb.n AS cont_b
+      FROM pairs
+      JOIN sizes na ON na.doc_id = pairs.id_a
+      JOIN sizes nb ON nb.doc_id = pairs.id_b
+      WHERE greatest(cast(inter AS double) / na.n,
+                     cast(inter AS double) / nb.n) >= $contThreshold
+      ORDER BY id_a ASC NULLS LAST, id_b ASC NULLS LAST"""),
+    (s, dir) => TextDedup.containmentPairs(t(s, dir, "documents"),
+        "doc_id", "text", threshold = contThreshold,
+        maxDocFreq = Some(contCap))
+      .orderBy(col("id_a").asc_nulls_last, col("id_b").asc_nulls_last))
+
   val all: Seq[Demo] =
     Seq(x1, x2a, x2b, x2c, x2c2, x2d, x2e, x2f, x2g, x18, x23, x23b, x28, x35,
-      x41)
+      x41, x52)
 }

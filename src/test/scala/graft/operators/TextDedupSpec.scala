@@ -335,6 +335,24 @@ class TextDedupSpec extends SparkSpec {
     assert(segRows(df, 2) === List((4L, 2L, 1L, "u v")))
   }
 
+  test("containmentPairs: an embedded excerpt scores 1.0 where Jaccard stays low") {
+    val s = spark
+    import s.implicits._
+    val long = (1 to 20).map(i => s"w$i").mkString(" ")
+    val excerpt = (8 to 12).map(i => s"w$i").mkString(" ") // 5 of A's tokens
+    val df = Seq((1L, long), (2L, excerpt)).toDF("doc_id", "text")
+    val cont = TextDedup.containmentPairs(df, "doc_id", "text",
+        threshold = 0.9).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    // every shingle of the excerpt is in the long doc → cont_b = 1.0;
+    // the long doc is NOT contained in the excerpt (3/18 shingles)
+    assert(cont.toList === List((1L, 2L, 3.0 / 18.0, 1.0)), cont.toList)
+    // the symmetric measure misses it: jaccard = 3/18 < 0.5
+    val jac = TextDedup.ngramJaccardPairs(df, "doc_id", "text",
+        threshold = 0.5).collect()
+    assert(jac.isEmpty, jac.mkString(","))
+  }
+
   test("winnowing: shared run of >= w+k-1 tokens guarantees a shared fingerprint") {
     val s = spark
     import s.implicits._
