@@ -30,6 +30,7 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    graft.sources.Tables.bootstrap(spark)
 
     def evaluate(df: DataFrame): Unit =
       df.write.format("noop").mode("overwrite").save()
@@ -104,8 +105,13 @@ object Bench {
     // TRACKED path: the driver's BENCH_r{N}.json captures only the stdout
     // tail, so without this the per-query numbers and the names of failed
     // queries exist solely in the untracked target/ dir (round-4 advice).
-    // Committed once per round alongside BENCHNOTES.md.
-    Files.write(Paths.get("BENCH_FULL.json"),
+    // Committed once per round alongside BENCHNOTES.md. Resolved against
+    // the repo root (SPARK_GRAFT_REPO, else the sbt-set user.dir, else
+    // CWD) so an out-of-repo-root caller doesn't scatter the record
+    // (round-5 advice).
+    val repoRoot = sys.env.get("SPARK_GRAFT_REPO")
+      .orElse(sys.props.get("user.dir")).getOrElse(".")
+    Files.write(Paths.get(repoRoot, "BENCH_FULL.json"),
       (json + "\n").getBytes(StandardCharsets.UTF_8))
     // The full line above carries every per-query timing (~4 KB) and has
     // twice fallen out of the driver's stdout tail-capture window, leaving

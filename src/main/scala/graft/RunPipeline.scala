@@ -26,6 +26,7 @@ object RunPipeline {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    graft.sources.Tables.bootstrap(spark)
     // GraftExtensions injects FanoutLint, which flags the checked-in
     // agg_monthly_loans fan-out join as the pipeline materializes it
     // (reference: docs/bug-analysis.md)

@@ -20,6 +20,7 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    graft.sources.Tables.bootstrap(spark)
     new java.io.File(outDir).mkdirs()
     // A query that throws must leave a visible scar in the correctness
     // record, not silently vanish from it (round-4 advice: 23 runtime

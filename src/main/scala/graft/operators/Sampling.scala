@@ -207,7 +207,11 @@ object Sampling {
     * engines, and partitionings — and STABLE under corpus growth: a row
     * never migrates between splits when other rows arrive, unlike
     * `randomSplit`). `splits` are (name, ppm) in declared order and must
-    * sum to 1,000,000 so every row lands somewhere.
+    * sum to 1,000,000 so every keyed row lands somewhere. A NULL key
+    * gets a NULL split — consistent with the library's "NULL key never
+    * passes" sampling contract (an earlier version let NULL buckets
+    * fall through every `when` into the LAST declared split, silently
+    * training on unkeyed rows).
     *
     * Scale: one narrow codegen projection over the scan — no shuffle,
     * no sampling pass.
@@ -224,7 +228,7 @@ object Sampling {
       .foldLeft(lit(splits.last._1)) { case (acc, ((name, _), hi)) =>
         when(bucket < hi, lit(name)).otherwise(acc)
       }
-    df.withColumn("split", expr0)
+    df.withColumn("split", when(bucket.isNotNull, expr0))
   }
 
   /** Token-weighted mixture EPOCH plan — the complement of
@@ -288,11 +292,27 @@ object Sampling {
     * materialized epochs feed `partitionBy(shard)` writers — rows never
     * concentrate on one executor because replication happens inside
     * each scan partition.
+    *
+    * `maxEpochs` guards the degenerate fan-out: a sub-ppm domain's
+    * 1-ppm divisor clamp makes `epochs = target_ppm` (up to 1,000,000),
+    * so an accidental plan could replicate rows a million-fold. Any
+    * domain whose plan exceeds `maxEpochs` fails the JOB loudly
+    * (`raise_error` inside the plan projection — distributed, no extra
+    * driver action); callers that truly want a larger fan-out must say
+    * so explicitly.
     */
   def materializeEpochs(df: DataFrame, domainCol: String, textCol: String,
-      targetPpm: Map[String, Long]): DataFrame = {
+      targetPpm: Map[String, Long], maxEpochs: Long = 1000L): DataFrame = {
+    require(maxEpochs >= 1, s"need maxEpochs >= 1, got $maxEpochs")
     val plan = mixtureEpochs(df, domainCol, textCol, targetPpm)
-      .select(col(domainCol), col("epochs"))
+      .select(col(domainCol),
+        when(col("epochs") <= maxEpochs, col("epochs"))
+          .otherwise(raise_error(concat(
+            lit("materializeEpochs: domain "), col(domainCol).cast("string"),
+            lit(" plans "), col("epochs").cast("string"),
+            lit(s" epochs > maxEpochs=$maxEpochs — raise maxEpochs" +
+              " explicitly if this fan-out is intended"))).cast("long"))
+          .as("epochs"))
     df.join(broadcast(plan), domainCol)
       .withColumn("epoch", explode(sequence(lit(1L), col("epochs"))))
       .drop("epochs")

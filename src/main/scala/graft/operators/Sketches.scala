@@ -300,7 +300,12 @@ object Sketches {
     */
   def heavyHitters(df: DataFrame, key: Column, k: Int): DataFrame = {
     require(k >= 1, s"need k >= 1, got $k")
+    // NULL keys are dropped before the sketch (and before n_total): a
+    // null entering the Map[String,Long] buffer would throw in Catalyst
+    // map encoding, and a frequency share over unkeyed rows is
+    // meaningless — same "NULL key never passes" contract as Sampling
     val keyed = df.select(key.cast("string").as("hh_key"))
+      .filter(col("hh_key").isNotNull)
     val mg = udaf(new graft.functions.MisraGriesAgg(k),
       org.apache.spark.sql.Encoders.STRING)
     // n_total rides the sketch pass as a second aggregate — exactly two

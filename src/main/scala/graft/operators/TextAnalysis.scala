@@ -446,8 +446,14 @@ object TextAnalysis {
     * would be partition-order-dependent). Output per ≥2-token doc:
     * `n_bigrams`, `min_c2` (the doc's rarest bigram count — a
     * fabricated-text signal), `mean_p_ppm` (floor mean conditional ppm).
-    * c₁ is the corpus-wide unigram count over ALL docs (empty tokens
-    * excluded, mirroring unigramLmScore's tokenization).
+    * c₁ is the corpus-wide unigram count over ALL docs.
+    *
+    * Tokenization: empty tokens (doubled/leading/trailing spaces) are
+    * removed BEFORE bigram construction, so bigrams span the cleaned
+    * token sequence and both sides of the conditional count the same
+    * vocabulary — an earlier version built bigrams over the raw split
+    * and dropped ''-first bigrams in the c₁ join while keeping
+    * ''-second ones, undercounting `n_bigrams` asymmetrically.
     *
     * Scale: bigram and unigram aggregates are vocabulary-keyed and
     * map-side combinable; the score join shuffles on the bigram /
@@ -457,7 +463,7 @@ object TextAnalysis {
     */
   def bigramLmScore(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val toks = df.select(col(idCol).as("doc_id"),
-        split(lower(col(textCol)), " ").as("toks"))
+        filter(split(lower(col(textCol)), " "), t => t =!= "").as("toks"))
       .filter(size(col("toks")) >= 2)
     val bgs = toks.select(col("doc_id"),
         explode(TextDedup.nGrams(col("toks"), 2)).as("bg"))

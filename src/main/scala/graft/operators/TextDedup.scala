@@ -502,60 +502,72 @@ object TextDedup {
       .select(explode(nGramSet(col("toks"), n)).as("g"))
       .distinct()
 
-  /** Bloom probe count per gram. FP rate with m bits / k=3 probes and v
-    * benchmark grams ≈ (1 − e^(−3v/m))³ — at the default 2^20 bits a
-    * 50k-gram eval suite sits near 0.3%, and every FP is verified away.
-    */
-  val BloomProbes = 3
-
   /** Bloom-pruned decontamination — identical output to [[decontaminate]]
-    * (spec-pinned), but corpus n-grams are pre-filtered against a LITERAL
-    * bloom bitmap of the benchmark grams, so the overwhelming majority of
-    * a clean corpus's grams die inside the scan stage's codegen'd filter
+    * (spec-pinned), but corpus n-grams are pre-filtered against a bloom
+    * filter of the benchmark grams, so the overwhelming majority of a
+    * clean corpus's grams die inside the scan stage's codegen'd filter
     * instead of being shuffled to the join. This is the shape that
     * matters at 100 TB: the exchange carries only (candidate gram, doc)
     * survivors, a set bounded by the benchmark's true collisions plus the
-    * bitmap's small FP rate — the equi-join then verifies exactly, so
-    * false positives cannot reach the output.
+    * filter's `fpp` — the equi-join then verifies exactly, so false
+    * positives cannot reach the output.
     *
-    * The bitmap is built from ONE bounded collect of the benchmark's
-    * distinct gram hashes — the benchmark is a fixed eval suite, tiny vs
-    * the corpus by contract (the same bounded-collect legitimacy as IVF's
-    * k centroids, VectorSearch.scala). Probes: [[BloomProbes]] rehashes of
-    * the gram's char-polynomial hash through the [[Sketches.mix31]]
-    * avalanche, computed by the SAME expression on both the driver
-    * (via [[Sketches.mix31L]]) and the corpus scan.
+    * The filter is Spark's own `util.sketch.BloomFilter` probed through
+    * the native `BloomFilterMightContain` expression over `xxhash64(g)` —
+    * the exact machinery Catalyst's runtime row-level filtering injects
+    * for shuffle-join pruning, so the probe compiles to one hash plus one
+    * `mightContainLong` call per gram inside whole-stage codegen. (An
+    * earlier hand-rolled variant probed a 2^20-bit array LITERAL with
+    * three `element_at` bit-tests per gram; the 16K-element literal and
+    * triple probe made the filter ~3× the cost of the join it was meant
+    * to prune — BENCHNOTES.md r6.)
+    *
+    * The filter is built from ONE bounded collect of the benchmark's
+    * distinct grams (+ hashes) — the benchmark is a fixed eval suite,
+    * tiny vs the corpus by contract (the same bounded-collect legitimacy
+    * as IVF's k centroids, VectorSearch.scala) — and sized to the exact
+    * gram count, so filter bytes scale with the benchmark, never a fixed
+    * 128 KiB. The collected grams are reused as the verification join's
+    * broadcast side, so the main job scans ONLY the corpus.
     */
   def decontaminateBloom(corpus: DataFrame, benchmark: DataFrame,
       idCol: String, textCol: String, n: Int,
       benchTextCol: Option[String] = None,
-      bloomBits: Int = 1 << 20): DataFrame = {
-    require(bloomBits >= 64 && Integer.bitCount(bloomBits) == 1,
-      s"bloomBits must be a power of two >= 64, got $bloomBits")
-    Hashing.registerAll(corpus.sparkSession)
-    def gramHash(g: Column): Column = call_function("char_poly_hash", g)
-    val bench = benchGrams(benchmark, benchTextCol.getOrElse(textCol), n)
-    val words = new Array[Long](bloomBits / 64)
-    bench.select(gramHash(col("g")).as("h")).collect().foreach { row =>
-      val h = row.getLong(0)
-      var r = 0
-      while (r < BloomProbes) {
-        val idx = (Sketches.mix31L(h + r * Sketches.CmSalt) % bloomBits).toInt
-        words(idx >> 6) |= 1L << (idx & 63)
-        r += 1
-      }
+      fpp: Double = 0.01): DataFrame = {
+    require(fpp > 0.0 && fpp < 1.0, s"fpp must be in (0, 1), got $fpp")
+    // ONE bounded job over the benchmark side: the collect feeds BOTH the
+    // bloom build (hashes) and the verification join's broadcast side
+    // (gram strings, as a LocalRelation) — the main query then scans only
+    // the corpus, where all the data is.
+    val collected = benchGrams(benchmark, benchTextCol.getOrElse(textCol), n)
+      .select(col("g"), xxhash64(col("g")).as("h")).collect()
+    // floor the bit count so a degenerate (tiny benchmark, lax fpp)
+    // sizing still yields a legal filter — create(n, fpp) alone throws
+    // on a computed size of zero bits
+    val items = math.max(collected.length.toLong, 1L)
+    val bloom = org.apache.spark.util.sketch.BloomFilter.create(items,
+      math.max(64L,
+        org.apache.spark.util.sketch.BloomFilter.optimalNumOfBits(items, fpp)))
+    collected.foreach(r => bloom.putLong(r.getLong(1)))
+    val bench = corpus.sparkSession.createDataset(
+      collected.map(_.getString(0)).toSeq)(
+      org.apache.spark.sql.Encoders.STRING).toDF("g")
+    val bytes = {
+      val bos = new java.io.ByteArrayOutputStream()
+      bloom.writeTo(bos)
+      bos.toByteArray
     }
-    val bitmap = typedLit(words.toSeq)
-    def mightContain(h: Column): Column =
-      (0 until BloomProbes).map { r =>
-        val idx = pmod(Sketches.mix31(h + lit(r.toLong * Sketches.CmSalt)),
-          lit(bloomBits.toLong))
-        val word = element_at(bitmap, (shiftright(idx, 6) + 1).cast("int"))
-        call_function("shiftright", word, idx.bitwiseAND(lit(63L)).cast("int"))
-          .bitwiseAND(lit(1L)) === lit(1L)
-      }.reduce(_ && _)
+    // Catalyst exposes BloomFilterMightContain only to its own runtime-
+    // filter rule; surface it through the session function registry, the
+    // same bridge the repo's custom codegen'd expressions use.
+    corpus.sparkSession.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "bloom_might_contain",
+      exprs => org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+        exprs(0), exprs(1)),
+      "built-in")
     corpusGrams(corpus, idCol, textCol, n)
-      .filter(mightContain(gramHash(col("g"))))
+      .filter(call_function("bloom_might_contain", lit(bytes),
+        xxhash64(col("g"))))
       .join(broadcast(bench), "g") // tiny-by-contract, like [[decontaminate]]
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_shared"))

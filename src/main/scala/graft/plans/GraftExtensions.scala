@@ -27,6 +27,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // that batch — the lint analyzes only the settled plan, the same
     // end-of-pipeline semantics as experimental.extraOptimizations.
     ext.injectPreCBORule(_ => FanoutLint)
+    ext.injectPreCBORule(_ => WindowLint)
     GraftExtensions.functions.foreach(ext.injectFunction)
   }
 }

@@ -351,10 +351,11 @@ object DedupDemos {
     })
 
   // X23b: the 100 TB path of the same operator — corpus grams are
-  // pre-pruned by a literal bloom bitmap of the benchmark grams inside
-  // the scan stage, then the surviving candidates are verified by the
-  // exact equi-join, so the output is identical (same oracle). The
-  // bitmap build is one bounded collect of the tiny benchmark side.
+  // pre-pruned by a native bloom filter (BloomFilterMightContain over
+  // xxhash64) of the benchmark grams inside the scan stage, then the
+  // surviving candidates are verified by the exact equi-join, so the
+  // output is identical (same oracle). The filter build is one bounded
+  // collect of the tiny benchmark side.
   private val x23b = Demo("x23b_decontaminate_bloom", Some(deconOracle),
     (s, dir) => {
       val (corpus, bench) = deconSplit(s, dir)

@@ -252,7 +252,8 @@ object SamplingDemos {
                (((doc_id % 2147483648) * 2654435761) >> 16) % 1000000 AS bucket
         FROM documents),
       s AS (SELECT doc_id, lang,
-                   CASE WHEN bucket < 900000 THEN 'train'
+                   CASE WHEN bucket IS NULL THEN NULL
+                        WHEN bucket < 900000 THEN 'train'
                         WHEN bucket < 950000 THEN 'val'
                         ELSE 'test' END AS split
             FROM b)
@@ -289,7 +290,8 @@ object SamplingDemos {
                (((doc_id % 2147483648) * 2654435761) >> 16) % 1000000 AS bucket
         FROM documents),
       s AS (SELECT doc_id, lang, text,
-                   CASE WHEN bucket < 900000 THEN 'train'
+                   CASE WHEN bucket IS NULL THEN NULL
+                        WHEN bucket < 900000 THEN 'train'
                         WHEN bucket < 950000 THEN 'val'
                         ELSE 'test' END AS split
             FROM b),

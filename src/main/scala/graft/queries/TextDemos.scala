@@ -430,9 +430,12 @@ object TextDemos {
   // -------------------------------------------------------------------
   private val x5m = Demo("x5m_bigram_lm", Some("""
       WITH tok AS (
-        SELECT doc_id, string_split(lower(text), ' ') AS toks
-        FROM documents
-        WHERE len(string_split(lower(text), ' ')) >= 2),
+        SELECT doc_id, toks FROM (
+          SELECT doc_id,
+                 list_filter(string_split(lower(text), ' '),
+                   t -> t <> '') AS toks
+          FROM documents)
+        WHERE len(toks) >= 2),
       bg AS (
         SELECT doc_id, toks[i] AS w1,
                concat_ws(' ', toks[i], toks[i+1]) AS bg

@@ -45,6 +45,19 @@ object Tables {
   def enableLtzTimestamps(spark: SparkSession): Unit =
     spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
 
+  /** The ONE sanctioned session mutation: set both parquet-reader confs
+    * ([[enableNanosAsLong]], [[enableLtzTimestamps]]) up front. Every
+    * graft entry point (Bench/Verify/RunPipeline/Explain, the shared test
+    * session) calls this once right after building its session — so
+    * [[table]]/[[events]] stay pure reads with no hidden conf writes on
+    * the hot path (r5 advice: a per-call `conf.set` surprises concurrent
+    * callers and defeats conf-change auditing).
+    */
+  def bootstrap(spark: SparkSession): Unit = {
+    enableNanosAsLong(spark)
+    enableLtzTimestamps(spark)
+  }
+
   /** The shared nanos→micros `ts` conversion used by BOTH the batch and
     * streaming events readers — `timestamp_micros(ts DIV 1000)` (integer
     * division; `/` would round-trip through double and lose precision at
@@ -69,10 +82,7 @@ object Tables {
     */
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
     if (name == "events") events(spark, s"$dir/$name.parquet")
-    else {
-      enableLtzTimestamps(spark)
-      spark.read.parquet(s"$dir/$name.parquet")
-    }
+    else spark.read.parquet(s"$dir/$name.parquet")
 
   /** Events reader handling all three physical `ts` layouts (see [[table]]):
     * legacy TIMESTAMP(NANOS) read as raw Long nanos and truncated, naive
@@ -80,8 +90,10 @@ object Tables {
     * UTC-adjusted TIMESTAMP(MICROS) passed through.
     */
   def events(spark: SparkSession, path: String): DataFrame = {
-    enableNanosAsLong(spark)
-    enableLtzTimestamps(spark)
+    // defensive: events is the one table whose READ is wrong without the
+    // confs (nanos files fail outright), and the confs must hold at plan
+    // time anyway — so re-asserting here is idempotent, not scoped
+    Tables.bootstrap(spark)
     val df = spark.read.parquet(path)
     df.schema("ts").dataType match {
       case LongType => nanosTsToMicros(df)

@@ -18,6 +18,7 @@ object SparkSpec {
       .config("spark.sql.warehouse.dir", "/tmp/graft-test-warehouse")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
+    graft.sources.Tables.bootstrap(s)
     s
   }
 

@@ -234,4 +234,38 @@ class SamplingSpec extends SparkSpec {
     // de (id 3) gets epochs 1..3; en docs 1 epoch; fr unlisted → absent
     assert(out === Set((1L, 1L), (2L, 1L), (3L, 1L), (3L, 2L), (3L, 3L)))
   }
+
+  test("materializeEpochs: a plan above maxEpochs fails loudly, not a silent million-fold fan-out") {
+    val s = spark
+    import s.implicits._
+    // 'tiny' floors to 0 actual_ppm → clamped epochs = target_ppm =
+    // 100,000 — far past the default 1000 cap
+    val df = Seq(
+      (1L, "big", Seq.fill(2000000)("w").mkString(" ")),
+      (2L, "tiny", "x")).toDF("id", "lang", "text")
+    val e = intercept[Exception] {
+      Sampling.materializeEpochs(df, "lang", "text",
+        targetPpm = Map("big" -> 900000L, "tiny" -> 100000L)).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("maxEpochs")), e.toString)
+    // and the same plan materializes when the caller raises the cap
+    val n = Sampling.materializeEpochs(df, "lang", "text",
+      targetPpm = Map("big" -> 900000L, "tiny" -> 100000L),
+      maxEpochs = 100000L).count()
+    assert(n === 100001L) // big once + tiny 100k times
+  }
+
+  test("assignSplit: NULL key gets a NULL split, never the last declared split") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(Some(1L), Some(2L), None).map(Tuple1(_)).toDF("id")
+    val out = Sampling.assignSplit(df, col("id"),
+        Seq(("train", 900000L), ("val", 50000L), ("test", 50000L)))
+      .collect().map(r => (Option(r.get(0)), Option(r.getString(1))))
+    val nullRow = out.find(_._1.isEmpty).get
+    assert(nullRow._2.isEmpty, out.mkString(", "))
+    assert(out.filter(_._1.nonEmpty).forall(_._2.nonEmpty))
+  }
 }

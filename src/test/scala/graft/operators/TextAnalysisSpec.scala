@@ -314,19 +314,23 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got === want, s"docs=$docs")
   }
 
-  test("bigramLmScore: hand-computed conditional ppm; 1-token docs absent") {
+  test("bigramLmScore: hand-computed conditional ppm; 1-token docs absent; empty tokens cleaned") {
     val s = spark
     import s.implicits._
-    val df = Seq((1L, "a b a b"), (2L, "a b"), (3L, "solo"))
+    // doc 4's doubled space must tokenize to [a, b] — one bigram "a b",
+    // NOT the raw-split "a " / " b" pair that the pre-r6 asymmetric
+    // handling half-dropped
+    val df = Seq((1L, "a b a b"), (2L, "a b"), (3L, "solo"), (4L, "a  b"))
       .toDF("doc_id", "text")
     val out = TextAnalysis.bigramLmScore(df, "doc_id", "text")
       .orderBy("doc_id").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
       .toList
-    // unigrams: a=3, b=3, solo=1; c2("a b")=3, c2("b a")=1
-    // doc 1: ppm = 10⁶·3÷3, 10⁶·1÷3, 10⁶·3÷3 → sum 2333333, mean 777777
-    // doc 2: the single "a b" → 10⁶ exactly; doc 3: < 2 tokens → absent
-    assert(out === List((1L, 3L, 1L, 777777L), (2L, 1L, 3L, 1000000L)))
+    // unigrams: a=4, b=4, solo=1; c2("a b")=4, c2("b a")=1
+    // doc 1: ppm = 10⁶, 10⁶·1÷4, 10⁶ → sum 2250000, n=3, mean 750000
+    // doc 2/4: the single "a b" → 10⁶ exactly; doc 3: < 2 tokens → absent
+    assert(out === List((1L, 3L, 1L, 750000L), (2L, 1L, 4L, 1000000L),
+      (4L, 1L, 4L, 1000000L)))
   }
 
   test("chisqDrift: identical distributions score 0; a slice-exclusive word tops") {

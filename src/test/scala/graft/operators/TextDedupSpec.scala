@@ -227,25 +227,26 @@ class TextDedupSpec extends SparkSpec {
     val bloom = rows(TextDedup.decontaminateBloom(deconCorpus, deconBench,
       "doc_id", "text", 3, benchTextCol = Some("prompt")))
     assert(bloom === exact)
-    // a 64-bit bitmap saturates → every gram passes the prune, but the
-    // verification join still kills the false positives
+    // a near-1 fpp saturates the filter → most grams pass the prune, but
+    // the verification join still kills the false positives
     val saturated = rows(TextDedup.decontaminateBloom(deconCorpus, deconBench,
-      "doc_id", "text", 3, benchTextCol = Some("prompt"), bloomBits = 64))
+      "doc_id", "text", 3, benchTextCol = Some("prompt"), fpp = 0.99))
     assert(saturated === exact)
   }
 
-  test("decontaminateBloom plan gate: bloom bit-test filter below the gram join") {
+  test("decontaminateBloom plan gate: bloom might_contain filter below the gram join") {
     import org.apache.spark.sql.catalyst.plans.logical.{Filter, Join}
     val df = TextDedup.decontaminateBloom(deconCorpus, deconBench,
       "doc_id", "text", 3, benchTextCol = Some("prompt"))
     val joins = df.queryExecution.optimizedPlan.collect { case j: Join => j }
     assert(joins.nonEmpty)
-    // the literal-bitmap membership test (element_at over the bitmap)
-    // must sit UNDER the verification join — pruning before the shuffle
-    // is the operator's 100 TB claim
+    // the native BloomFilterMightContain probe must sit UNDER the
+    // verification join — pruning before the shuffle is the operator's
+    // 100 TB claim
     val pruned = joins.exists(j => Seq(j.left, j.right).exists(side =>
       side.collect {
-        case f: Filter if f.condition.toString.contains("element_at") => f
+        case f: Filter if f.condition.exists(
+          _.isInstanceOf[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain]) => f
       }.nonEmpty))
     assert(pruned, df.queryExecution.optimizedPlan.toString)
   }

@@ -277,6 +277,23 @@ class PlanSpec extends SparkSpec {
     assert(hashed.contains("ShuffledHashJoin"), hashed)
   }
 
+  test("window discipline sweep: no demo ranks/numbers an unbounded input globally") {
+    // every SparkEntry demo is built (analysis + optimization only, no
+    // execution beyond what construction itself runs) and checked for an
+    // unpartitioned Window whose input is not provably bounded by a
+    // LIMIT / aggregate-to-constant / literal cut — the one-task global
+    // sort that works at sf0.01 and is an incident at 100 TB. The
+    // bounded sites (keySkewProfile's top-K rank, x33's post-TakeOrdered
+    // rank, prefix-sum offsets) pass because the cut is IN the plan.
+    val offenders = graft.SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        graft.plans.WindowLint
+          .unboundedGlobalWindows(fn(spark, sfDir).queryExecution.optimizedPlan)
+          .map(name + ": " + _)
+    }
+    assert(offenders.isEmpty, offenders.mkString("\n"))
+  }
+
   test("x35 segment dedup: exactly the two semantic shuffles (segment window, doc agg)") {
     val df = graft.operators.TextDedup.segmentDedup(
       graft.sources.Tables.table(spark, sfDir, "documents"),
