@@ -506,11 +506,17 @@ object TextDedup {
     * (spec-pinned), but corpus n-grams are pre-filtered against a bloom
     * filter of the benchmark grams, so the overwhelming majority of a
     * clean corpus's grams die inside the scan stage's codegen'd filter
-    * instead of being shuffled to the join. This is the shape that
-    * matters at 100 TB: the exchange carries only (candidate gram, doc)
-    * survivors, a set bounded by the benchmark's true collisions plus the
-    * filter's `fpp` — the equi-join then verifies exactly, so false
-    * positives cannot reach the output.
+    * instead of reaching the join. The equi-join then verifies exactly,
+    * so false positives cannot reach the output.
+    *
+    * When to use which (measured, BENCHNOTES r6): under the
+    * tiny-benchmark contract [[decontaminate]]'s broadcast verify join
+    * is already one hash lookup per corpus gram, so the bloom probe adds
+    * work and plain x23 wins slightly at every corpus size tested (sf0.1
+    * and 10× sf1). This variant's regime is a benchmark TOO LARGE TO
+    * BROADCAST (millions of eval grams): there the verify join becomes
+    * an exchange of every corpus gram, and the scan-side prune cuts that
+    * shuffle to the true collisions plus `fpp` false positives.
     *
     * The filter is Spark's own `util.sketch.BloomFilter` probed through
     * the native `BloomFilterMightContain` expression over `xxhash64(g)` —
