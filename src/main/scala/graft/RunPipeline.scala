@@ -35,8 +35,13 @@ object RunPipeline {
       "raw_loan_payments" -> Tables.seedCsv(spark, s"$seedsDir/raw_loan_payments.csv", Tables.rawLoanPaymentsSchema),
       "loan_types" -> Tables.seedCsv(spark, s"$seedsDir/loan_types.csv", Tables.loanTypesSchema))
 
+    // dbt's `threads`: independent models in one dependency wave build
+    // concurrently (e.g. the two mart variants + loan_monthly_detail)
+    val threads = sys.env.getOrElse("SPARK_GRAFT_THREADS", "4").toInt
+    val t0 = System.nanoTime()
     val dag = new FictionBankDag(spark, warehouseDir)
-    val built = dag.run(seeds)
+    val built = dag.run(seeds, threads = threads)
+    println(f"dag built in ${(System.nanoTime() - t0) / 1e9}%.2fs (threads=$threads)")
     println(s"warehouse: $warehouseDir")
     dag.lineage.keys.toSeq.sorted.foreach { name =>
       println(f"$name%-28s rows=${built(name).count()}")

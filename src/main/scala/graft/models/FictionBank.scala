@@ -313,25 +313,51 @@ class FictionBankDag(spark: SparkSession, warehouseDir: String) {
     mapper.writerWithDefaultPrettyPrinter().writeValueAsString(root)
   }
 
-  /** `dbt run`: topological build of every model from the three seeds. */
-  def run(seeds: Map[String, DataFrame]): Map[String, DataFrame] = {
+  /** `dbt run`: topological build of every model from the three seeds.
+    * `threads` mirrors dbt's profiles.yml setting — each dependency
+    * frontier's models build concurrently (the [[SqlDag.run]] contract:
+    * inputs fully materialized before the wave, sibling models on
+    * disjoint names, so results are identical to the sequential build;
+    * the win is overlapping independent Table writes, e.g. the two mart
+    * variants + loan_monthly_detail in one wave).
+    */
+  def run(seeds: Map[String, DataFrame],
+      threads: Int = 1): Map[String, DataFrame] = {
+    require(threads >= 1, s"need threads >= 1, got $threads")
+    def build(m: Model, built: Map[String, DataFrame]): DataFrame = {
+      val df = m.build(built)
+      m.materialization match {
+        case View =>
+          df.createOrReplaceTempView(m.name); df
+        case Table =>
+          val path = s"$warehouseDir/${m.name}"
+          df.write.mode("overwrite").parquet(path)
+          spark.read.parquet(path) // downstream refs read the TABLE, not the plan
+      }
+    }
     var built: Map[String, DataFrame] = seeds
     var remaining = models
     while (remaining.nonEmpty) {
       val (ready, blocked) = remaining.partition(_.deps.forall(built.contains))
       require(ready.nonEmpty, s"cyclic or unsatisfied deps: ${blocked.map(_.name)}")
-      ready.foreach { m =>
-        val df = m.build(built)
-        val materialized = m.materialization match {
-          case View =>
-            df.createOrReplaceTempView(m.name); df
-          case Table =>
-            val path = s"$warehouseDir/${m.name}"
-            df.write.mode("overwrite").parquet(path)
-            spark.read.parquet(path) // downstream refs read the TABLE, not the plan
+      val frozen = built
+      val wave: Seq[(String, DataFrame)] =
+        if (threads == 1 || ready.size == 1)
+          ready.map(m => m.name -> build(m, frozen))
+        else {
+          val pool = java.util.concurrent.Executors.newFixedThreadPool(
+            math.min(threads, ready.size))
+          try {
+            import scala.jdk.CollectionConverters._
+            val tasks = ready.map { m =>
+              new java.util.concurrent.Callable[(String, DataFrame)] {
+                override def call(): (String, DataFrame) = m.name -> build(m, frozen)
+              }
+            }
+            pool.invokeAll(tasks.asJava).asScala.toSeq.map(_.get())
+          } finally pool.shutdown()
         }
-        built += m.name -> materialized
-      }
+      built ++= wave
       remaining = blocked
     }
     built

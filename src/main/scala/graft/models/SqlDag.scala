@@ -42,6 +42,31 @@ object SqlDag {
     */
   final case class SqlModel(name: String, jinjaSql: String,
       materialization: Materialization = View)
+
+  /** One parsed `--select`/`--exclude` token: dbt's graph-operator
+    * syntax (reference lifecycle README.md:44-55).
+    *   - `model`   → just the model
+    *   - `model+`  → the model and all DESCENDANTS
+    *   - `+model`  → the model and all ANCESTORS
+    *   - `+model+` → both closures
+    *   - `@model`  → the model, its descendants, and every ancestor of
+    *                 those descendants (dbt's build-the-world-around-it
+    *                 operator for populating a node's full context)
+    */
+  private final case class Selector(name: String, ancestors: Boolean,
+      descendants: Boolean, at: Boolean)
+
+  private val SelectorPattern = "^(\\+)?(@)?([A-Za-z0-9_]+)(\\+)?$".r
+
+  private def parseSelector(token: String): Selector = token match {
+    case SelectorPattern(plus0, at, name, plus1) =>
+      require(at == null || (plus0 == null && plus1 == null),
+        s"@ cannot combine with +: '$token'")
+      Selector(name, ancestors = plus0 != null, descendants = plus1 != null,
+        at = at != null)
+    case _ => throw new IllegalArgumentException(
+      s"unsupported selector '$token' (supported: model, model+, +model, +model+, @model)")
+  }
 }
 
 class SqlDag(spark: SparkSession, warehouseDir: String) {
@@ -58,15 +83,81 @@ class SqlDag(spark: SparkSession, warehouseDir: String) {
   def lineage(models: Seq[SqlModel]): Map[String, Set[String]] =
     models.map(m => m.name -> refsOf(m.jinjaSql)).toMap
 
+  /** dbt node selection (`dbt run --select … --exclude …`): resolve graph
+    * selectors over the models' manifest lineage and return the selected
+    * sub-DAG in the original declaration order. Selector tokens support
+    * dbt's operators (`model`, `model+`, `+model`, `+model+`, `@model` —
+    * see [[SqlDag.Selector]]); multiple tokens union, `exclude` subtracts
+    * after selection (dbt's order of operations). Empty `select` means
+    * every model (dbt's default graph). Unknown names fail fast — a typo
+    * silently selecting nothing is how a mart doesn't get rebuilt.
+    *
+    * Closures run over MODEL nodes only; seeds are dependency leaves,
+    * never selected (dbt separates `dbt seed` from `dbt run`).
+    */
+  def selectModels(models: Seq[SqlModel], select: Seq[String],
+      exclude: Seq[String] = Nil): Seq[SqlModel] = {
+    val names = models.map(_.name).toSet
+    val parents: Map[String, Set[String]] =
+      lineage(models).map { case (n, deps) => n -> deps.intersect(names) }
+    val children: Map[String, Set[String]] =
+      models.map(m => m.name ->
+        parents.collect { case (c, ps) if ps.contains(m.name) => c }.toSet).toMap
+    def closure(start: String, edges: Map[String, Set[String]]): Set[String] = {
+      var seen = Set(start)
+      var frontier = Set(start)
+      while (frontier.nonEmpty) {
+        frontier = frontier.flatMap(edges(_)).diff(seen)
+        seen ++= frontier
+      }
+      seen
+    }
+    def resolve(token: String): Set[String] = {
+      val sel = SqlDag.parseSelector(token)
+      require(names.contains(sel.name), s"selector '$token' names unknown model '${sel.name}'")
+      if (sel.at) {
+        val down = closure(sel.name, children)
+        down ++ down.flatMap(closure(_, parents))
+      } else {
+        Set(sel.name) ++
+          (if (sel.ancestors) closure(sel.name, parents) else Set.empty) ++
+          (if (sel.descendants) closure(sel.name, children) else Set.empty)
+      }
+    }
+    val selected =
+      if (select.isEmpty) names
+      else select.map(resolve).reduce(_ union _)
+    val excluded =
+      if (exclude.isEmpty) Set.empty[String]
+      else exclude.map(resolve).reduce(_ union _)
+    models.filter(m => selected.contains(m.name) && !excluded.contains(m.name))
+  }
+
   /** `dbt run`: register seeds as views, build every model in dependency
     * order via `spark.sql` on the rendered text, materialize per config.
     * Fails fast on cycles, refs that resolve to neither a seed nor a
     * model, duplicate model names, and models shadowing a seed (dbt
     * errors on duplicate relation names; silently overwriting a seed
     * view would make sibling models' results depend on build order).
+    *
+    * `select`/`exclude` narrow the run to a sub-DAG with dbt's graph
+    * operators (see [[selectModels]]). A selected model may ref an
+    * UNSELECTED one — dbt's contract is that the upstream relation
+    * already exists from a prior run; here that resolves to an existing
+    * temp view (same session) or the model's warehouse parquet (Table
+    * materializations from any session), and fails fast otherwise.
+    *
+    * `threads` mirrors dbt's profiles.yml `threads`: models with all
+    * dependencies satisfied build CONCURRENTLY (wave-parallel over the
+    * dependency frontier, a fixed pool of at most `threads`). Results
+    * are identical to the sequential build — each model's input
+    * relations are fully materialized before its wave starts, and
+    * sibling models touch disjoint relation names.
     */
-  def run(models: Seq[SqlModel],
-      seeds: Map[String, DataFrame]): Map[String, DataFrame] = {
+  def run(models: Seq[SqlModel], seeds: Map[String, DataFrame],
+      threads: Int = 1, select: Seq[String] = Nil,
+      exclude: Seq[String] = Nil): Map[String, DataFrame] = {
+    require(threads >= 1, s"need threads >= 1, got $threads")
     val dupNames = models.groupBy(_.name).collect { case (n, ms) if ms.size > 1 => n }
     require(dupNames.isEmpty, s"duplicate model names: ${dupNames.mkString(", ")}")
     val shadowing = models.map(_.name).toSet.intersect(seeds.keySet)
@@ -78,33 +169,74 @@ class SqlDag(spark: SparkSession, warehouseDir: String) {
       require(missing.isEmpty,
         s"model ${m.name} refs unknown relations: ${missing.mkString(", ")}")
     }
+    val chosen =
+      if (select.isEmpty && exclude.isEmpty) models
+      else selectModels(models, select, exclude)
+    val byName = models.map(m => m.name -> m).toMap
     seeds.foreach { case (name, df) => df.createOrReplaceTempView(name) }
-    var built: Map[String, DataFrame] = seeds
-    var remaining = models
+    // refs that leave the selection resolve to already-built relations —
+    // dbt's subset-run contract (the upstream ran earlier)
+    val external = chosen.flatMap(m => refsOf(m.jinjaSql)).distinct
+      .filterNot(seeds.contains).filterNot(chosen.map(_.name).toSet)
+    val externallyBuilt: Map[String, DataFrame] = external.map { name =>
+      if (spark.catalog.tableExists(name)) name -> spark.table(name)
+      else {
+        val path = s"$warehouseDir/$name"
+        val isTable = byName.get(name).exists(_.materialization == Table)
+        require(isTable && new java.io.File(path).exists(),
+          s"selected models ref '$name', which is outside the selection and " +
+            "has no existing relation (temp view or warehouse table) — run it " +
+            "first or widen the selection")
+        val df = spark.read.parquet(path)
+        df.createOrReplaceTempView(name)
+        name -> df
+      }
+    }.toMap
+    def build(m: SqlModel): DataFrame = {
+      val df = spark.sql(FictionBankSql.render(m.jinjaSql))
+      val materialized = m.materialization match {
+        case View | Ephemeral => df
+        case Table =>
+          val path = s"$warehouseDir/${m.name}"
+          df.write.mode("overwrite").parquet(path)
+          spark.read.parquet(path)
+      }
+      materialized.createOrReplaceTempView(m.name)
+      materialized
+    }
+    var built: Map[String, DataFrame] = seeds ++ externallyBuilt
+    var remaining = chosen
     while (remaining.nonEmpty) {
       val (ready, blocked) =
         remaining.partition(m => refsOf(m.jinjaSql).forall(built.contains))
       require(ready.nonEmpty,
         s"cyclic or unsatisfied deps among: ${blocked.map(_.name).mkString(", ")}")
-      ready.foreach { m =>
-        val df = spark.sql(FictionBankSql.render(m.jinjaSql))
-        val materialized = m.materialization match {
-          case View | Ephemeral => df
-          case Table =>
-            val path = s"$warehouseDir/${m.name}"
-            df.write.mode("overwrite").parquet(path)
-            spark.read.parquet(path)
+      val wave: Seq[(String, DataFrame)] =
+        if (threads == 1 || ready.size == 1) ready.map(m => m.name -> build(m))
+        else {
+          val pool = java.util.concurrent.Executors.newFixedThreadPool(
+            math.min(threads, ready.size))
+          try {
+            import scala.jdk.CollectionConverters._
+            val tasks = ready.map { m =>
+              new java.util.concurrent.Callable[(String, DataFrame)] {
+                override def call(): (String, DataFrame) = m.name -> build(m)
+              }
+            }
+            // invokeAll preserves task order and rethrows a failed
+            // model's exception at .get — same failure surface as the
+            // sequential path
+            pool.invokeAll(tasks.asJava).asScala.toSeq.map(_.get())
+          } finally pool.shutdown()
         }
-        materialized.createOrReplaceTempView(m.name)
-        built += m.name -> materialized
-      }
+      built ++= wave
       remaining = blocked
     }
     // ephemeral models vanish after the build: consumers captured the
     // inlined plan during (eager) analysis, so dropping the carrier view
     // cannot break them — it only removes the name from the catalog,
     // which is the dbt contract (no relation in the warehouse)
-    models.filter(_.materialization == Ephemeral).foreach { m =>
+    chosen.filter(_.materialization == Ephemeral).foreach { m =>
       spark.catalog.dropTempView(m.name)
       built -= m.name
     }

@@ -179,4 +179,92 @@ class SqlDagSpec extends SparkSpec {
     }
     assert(shadow.getMessage.contains("shadow"))
   }
+
+  // ---- node selection (dbt run --select/--exclude) ---------------------
+
+  // diamond over the reference models: stg_loans feeds fct_loan_details
+  // and (with stg_loan_payments) agg_monthly_loans; a user model hangs
+  // off fct_loan_details
+  private def selectionModels = Seq(
+    SqlModel("stg_loans", FictionBankSql.StgLoans, View),
+    SqlModel("stg_loan_payments", FictionBankSql.StgLoanPayments, View),
+    SqlModel("fct_loan_details", FictionBankSql.FctLoanDetails, Table),
+    SqlModel("agg_monthly_loans", FictionBankSql.AggMonthlyLoans, Table),
+    SqlModel("ltv_top", "select loan_id from {{ ref('fct_loan_details') }} where ltv_ratio > 80", View))
+
+  test("selectModels: dbt graph operators resolve the documented closures") {
+    val dag = new SqlDag(spark, "/tmp/unused-wh")
+    def names(sel: Seq[String], excl: Seq[String] = Nil) =
+      dag.selectModels(selectionModels, sel, excl).map(_.name)
+
+    assert(names(Seq("fct_loan_details")) === Seq("fct_loan_details"))
+    // descendants closure
+    assert(names(Seq("stg_loans+")) ===
+      Seq("stg_loans", "fct_loan_details", "agg_monthly_loans", "ltv_top"))
+    // ancestors closure (the reference's real lineage: the monthly agg
+    // refs BOTH fct_loan_details and stg_loan_payments)
+    assert(names(Seq("+agg_monthly_loans")) ===
+      Seq("stg_loans", "stg_loan_payments", "fct_loan_details", "agg_monthly_loans"))
+    // both
+    assert(names(Seq("+fct_loan_details+")) ===
+      Seq("stg_loans", "fct_loan_details", "agg_monthly_loans", "ltv_top"))
+    // @: descendants plus all ancestors of those descendants — from
+    // stg_loan_payments this pulls in stg_loans and fct_loan_details
+    // (the OTHER parents of agg_monthly_loans), which +/+ closures
+    // alone would miss
+    assert(names(Seq("@stg_loan_payments")) ===
+      Seq("stg_loans", "stg_loan_payments", "fct_loan_details", "agg_monthly_loans"))
+    // union of tokens, then exclusion (dbt's order of operations)
+    assert(names(Seq("stg_loans+"), Seq("agg_monthly_loans")) ===
+      Seq("stg_loans", "fct_loan_details", "ltv_top"))
+    // declaration order is preserved regardless of selector order
+    assert(names(Seq("ltv_top", "stg_loans")) === Seq("stg_loans", "ltv_top"))
+    // unknown names and malformed operators fail fast
+    assert(intercept[IllegalArgumentException] {
+      names(Seq("no_such_model+"))
+    }.getMessage.contains("no_such_model"))
+    assert(intercept[IllegalArgumentException] {
+      names(Seq("@stg_loans+"))
+    }.getMessage.contains("cannot combine"))
+  }
+
+  test("run --select builds only the sub-DAG; outside refs resolve to existing relations") {
+    val wh = java.nio.file.Files.createTempDirectory("graft-select").toString
+    val dag = new SqlDag(spark, wh)
+    // a fresh session would have no fct_loan_details relation: selecting
+    // its downstream alone must fail with the run-it-first message
+    spark.catalog.dropTempView("fct_loan_details")
+    val missing = intercept[IllegalArgumentException] {
+      dag.run(selectionModels, fictionBankSeeds, select = Seq("ltv_top"))
+    }
+    assert(missing.getMessage.contains("outside the selection"), missing.getMessage)
+    // build the upstream sub-DAG first (ancestor closure)…
+    val first = dag.run(selectionModels, fictionBankSeeds,
+      select = Seq("+fct_loan_details"))
+    assert(first.contains("fct_loan_details") && !first.contains("ltv_top"))
+    assert(!first.contains("agg_monthly_loans"))
+    // …then the downstream subset runs alone, reading the materialized
+    // warehouse table for its outside-the-selection ref
+    spark.catalog.dropTempView("fct_loan_details") // force the parquet path
+    val second = dag.run(selectionModels, fictionBankSeeds, select = Seq("ltv_top"))
+    assert(second("ltv_top").collect().map(_.getString(0)).sorted.toSeq ===
+      Seq("L001", "L002", "L009"))
+  }
+
+  test("threaded run: parallel wave execution matches the sequential build") {
+    val whSeq = java.nio.file.Files.createTempDirectory("graft-seq").toString
+    val whPar = java.nio.file.Files.createTempDirectory("graft-par").toString
+    def counts(built: Map[String, org.apache.spark.sql.DataFrame]) =
+      built.view.mapValues(_.count()).toMap
+    val sequential = counts(new SqlDag(spark, whSeq).run(selectionModels, fictionBankSeeds))
+    val parallel = counts(new SqlDag(spark, whPar).run(selectionModels, fictionBankSeeds,
+      threads = 4))
+    assert(parallel === sequential)
+    // the mart rows agree value-for-value, not just by count
+    val a = spark.read.parquet(s"$whSeq/agg_monthly_loans")
+      .orderBy("month", "loan_type_name", "customer_id").collect().toSeq
+    val b = spark.read.parquet(s"$whPar/agg_monthly_loans")
+      .orderBy("month", "loan_type_name", "customer_id").collect().toSeq
+    assert(a === b)
+  }
 }
