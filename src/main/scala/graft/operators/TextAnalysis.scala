@@ -687,4 +687,99 @@ object TextAnalysis {
       .orderBy(col("contrib_q6").desc, col("word").asc)
       .limit(topK)
   }
+
+  /** Byte-pair-encoding merge training (Sennrich et al. 2016,
+    * arXiv:1508.07909) — learn `numMerges` merge rules from the corpus:
+    * start from characters (plus the `endMark` end-of-word symbol),
+    * repeatedly take the most frequent adjacent symbol pair (ties: the
+    * lexicographically smallest (lhs, rhs)) and fuse it everywhere with
+    * the standard greedy left-to-right pass. Output is the ordered merge
+    * table `(merge_rank, lhs, rhs, merged, pair_count)` — the artifact a
+    * tokenizer consumes. Stops early if the corpus is fully merged.
+    *
+    * Scale: the loop runs over the WORD-TYPE table (one corpus-wide
+    * word-count aggregate up front — the only pass whose cost grows with
+    * the corpus; everything after is bounded by the vocabulary of word
+    * types). Per round: one map-side-combinable pair-count aggregate
+    * (shuffle = distinct pairs) + a distributed TakeOrdered(1); only the
+    * winning pair — one row per round — ever reaches the driver, the
+    * ivfTrain bounded-driver-state loop shape. The merge application is
+    * a narrow per-row array fold (no shuffle), and lineage is cut with a
+    * `localCheckpoint` every `checkpointEvery` rounds so a real 32k-merge
+    * run does not accumulate 32k nested plan nodes.
+    *
+    * Determinism: pair counts are exact longs and the tiebreak is total,
+    * so the merge sequence is a pure function of the corpus — the DuckDB
+    * oracle replays the rounds unrolled (the x3c pattern) and must match
+    * bit-for-bit. The greedy fold is pinned by spec: merging (a,a) over
+    * "aaaa" yields [aa, aa], never [aaa, a].
+    */
+  def bpeMerges(df: DataFrame, textCol: String, numMerges: Int,
+      endMark: String = "</w>", checkpointEvery: Int = 16): DataFrame = {
+    require(numMerges >= 1, s"numMerges must be >= 1, got $numMerges")
+    require(checkpointEvery >= 1,
+      s"checkpointEvery must be >= 1, got $checkpointEvery")
+    require(endMark.nonEmpty, "endMark must be non-empty")
+    val spark = df.sparkSession
+    val words = df.select(explode(split(lower(col(textCol)), " ")).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+    // initial symbols: the word's characters plus the end-of-word mark.
+    // split(word, "") keeps a trailing "" (Java Pattern.split, limit -1)
+    // — dropped, DuckDB's string_split(word, '') has no such element.
+    var syms = words.select(col("cnt"),
+      concat(filter(split(col("word"), ""), x => x =!= lit("")),
+        array(lit(endMark))).as("syms"))
+    val merges = scala.collection.mutable.ArrayBuffer
+      .empty[(Int, String, String, String, Long)]
+    var r = 1
+    var exhausted = false
+    while (r <= numMerges && !exhausted) {
+      val best = bpePairCounts(syms)
+        .orderBy(col("pc").desc, col("lhs").asc, col("rhs").asc)
+        .limit(1).collect()
+      if (best.isEmpty) exhausted = true // every word is one symbol
+      else {
+        val (lhs, rhs, pc) =
+          (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
+        merges += ((r, lhs, rhs, lhs + rhs, pc))
+        syms = syms.withColumn("syms", bpeApplyMerge(col("syms"), lhs, rhs))
+        if (r % checkpointEvery == 0) syms = syms.localCheckpoint(true)
+        r += 1
+      }
+    }
+    spark.createDataFrame(merges.toSeq)
+      .toDF("merge_rank", "lhs", "rhs", "merged", "pair_count")
+  }
+
+  /** Adjacent-pair counts over a `(cnt, syms)` word-type frame, weighted
+    * by word frequency — one combinable hash aggregate keyed by the pair.
+    */
+  private def bpePairCounts(syms: DataFrame): DataFrame = {
+    val arr = col("syms")
+    syms.select(col("cnt"),
+        explode(transform(slice(arr, lit(1), size(arr) - 1),
+          (s, i) => struct(s.as("lhs"), element_at(arr, i + 2).as("rhs"))))
+          .as("p"))
+      .select(col("cnt"), col("p.lhs").as("lhs"), col("p.rhs").as("rhs"))
+      .groupBy(col("lhs"), col("rhs"))
+      .agg(sum(col("cnt")).as("pc"))
+  }
+
+  /** One greedy left-to-right merge pass over a symbol array: fold each
+    * element onto the accumulator, fusing when the accumulator's last
+    * symbol is `lhs` and the incoming one is `rhs`. A freshly fused
+    * symbol never re-fuses as the LEFT side within the same pass (its
+    * text `lhs+rhs` != `lhs` unless the pair is degenerate), which is
+    * exactly the reference algorithm's non-overlapping replacement.
+    * Narrow projection — no shuffle.
+    */
+  private def bpeApplyMerge(syms: Column, lhs: String, rhs: String): Column =
+    aggregate(
+      slice(syms, lit(2), size(syms) - 1),
+      array(element_at(syms, 1)),
+      (acc, x) =>
+        when(element_at(acc, -1) === lit(lhs) && x === lit(rhs),
+          concat(slice(acc, lit(1), size(acc) - 1), array(lit(lhs + rhs))))
+          .otherwise(concat(acc, array(x))))
 }

@@ -482,6 +482,59 @@ object TextDemos {
         coveragePpm = 950000L)
       .orderBy(col("rank").asc_nulls_last))
 
+  // -------------------------------------------------------------------
+  // X5o: BPE-MERGE VOCABULARY TRAINING (TextAnalysis.bpeMerges) — learn
+  // the first 8 merge rules from the corpus (Sennrich et al. 2016). The
+  // oracle replays the training loop UNROLLED (the x3c pattern): per
+  // round, a pair-count aggregate over the word-type table, the argmax
+  // pair (ties: lexicographic), and the greedy left-to-right fuse as a
+  // list_reduce fold over chr(31)-joined symbol strings — every count is
+  // an exact long, so the 8-round merge sequence matches bit-for-bit.
+  // -------------------------------------------------------------------
+  private def bpePairsSql(src: String): String = s"""
+      SELECT toks[i] AS lhs, toks[i+1] AS rhs, cast(sum(cnt) AS bigint) AS pc
+        FROM (SELECT cnt, str_split(symstr, chr(31)) AS toks FROM $src),
+             unnest(generate_series(1, len(toks)-1)) t(i)
+        GROUP BY 1, 2"""
+
+  private def bpeApplySql(prev: String, m: String): String = s"""
+      SELECT word, cnt,
+             list_reduce(str_split(symstr, chr(31)), (acc, x) ->
+               CASE WHEN str_split(acc, chr(31))[-1] = m.lhs AND x = m.rhs
+                    THEN acc[1 : len(acc) - len(m.lhs)] || m.lhs || m.rhs
+                    ELSE acc || chr(31) || x END) AS symstr
+        FROM $prev, $m m"""
+
+  private val bpeRounds = 8
+
+  private val x5o = Demo("x5o_bpe_train", Some {
+    val rounds = (1 to bpeRounds).map { r =>
+      s"""p$r AS (${bpePairsSql(s"s${r - 1}")}),
+      m$r AS (SELECT lhs, rhs, pc FROM p$r
+              ORDER BY pc DESC, lhs ASC, rhs ASC LIMIT 1),
+      s$r AS (${bpeApplySql(s"s${r - 1}", s"m$r")})"""
+    }.mkString(",\n      ")
+    val union = (1 to bpeRounds).map { r =>
+      s"SELECT $r AS merge_rank, lhs, rhs, lhs||rhs AS merged, pc AS pair_count FROM m$r"
+    }.mkString("\n        UNION ALL ")
+    s"""
+      WITH s0 AS (
+        SELECT word, cnt,
+               array_to_string(string_split(word, ''), chr(31))
+                 || chr(31) || '</w>' AS symstr
+        FROM (SELECT w AS word, count(*) AS cnt
+              FROM (SELECT unnest(string_split(lower(text), ' ')) AS w
+                    FROM documents)
+              WHERE w <> '' GROUP BY w)),
+      $rounds
+      SELECT * FROM (
+        $union)
+      ORDER BY merge_rank ASC NULLS LAST"""
+  },
+    (s, dir) => TextAnalysis.bpeMerges(docs(s, dir), "text",
+        numMerges = bpeRounds)
+      .orderBy(col("merge_rank").asc_nulls_last))
+
   val all: Seq[Demo] = Seq(x5a, x5b, x5c, x5d, x5e, x5f, x5g, x5h, x5i, x5j,
-    x5k, x5l, x5m, x5n, x33, x42)
+    x5k, x5l, x5m, x5n, x5o, x33, x42)
 }

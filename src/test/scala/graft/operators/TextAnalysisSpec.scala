@@ -358,4 +358,55 @@ class TextAnalysisSpec extends SparkSpec {
     assert(!byWord.contains("n") && out.map(_._1) ===
       List("drift", "w", "x", "y"), out.toString)
   }
+
+  test("bpeMerges: the Sennrich textbook corpus learns (l,o) then (lo,w) (X5o)") {
+    val s = spark
+    import s.implicits._
+    val df = Seq("low low lower lowest", "low lower newest newest")
+      .toDF("text")
+    val out = TextAnalysis.bpeMerges(df, "text", numMerges = 2)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getLong(4))).toList
+    // 6 words contain "lo": l-o wins round 1 (count 6), fused lo-w round 2
+    assert(out === List((1, "l", "o", "lo", 6L), (2, "lo", "w", "low", 6L)),
+      out.toString)
+  }
+
+  test("bpeMerges: greedy left-to-right fold — (a,a) over aaaa gives [aa,aa]") {
+    val s = spark
+    import s.implicits._
+    // single word "aaaa": round 1 merges (a,a) with pair count 3 (three
+    // adjacent occurrences counted BEFORE fusing); the fold then leaves
+    // [aa, aa, </w>], whose round-2 candidates (aa,aa) and (aa,</w>)
+    // tie at 1 — rhs tiebreak picks (aa,</w>) ('<' sorts before 'a').
+    // An over-eager fold [aaa, a, </w>] would surface (a,</w>) instead
+    // (lhs tiebreak), and a re-fusing fold [aaaa, </w>] → (aaaa,</w>).
+    val df = Seq("aaaa").toDF("text")
+    val out = TextAnalysis.bpeMerges(df, "text", numMerges = 2)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2),
+        r.getLong(4))).toList
+    assert(out === List((1, "a", "a", 3L), (2, "aa", "</w>", 1L)), out.toString)
+  }
+
+  test("bpeMerges: stops early when every word is a single symbol") {
+    val s = spark
+    import s.implicits._
+    // "ab" exhausts after 2 merges (a+b, ab+</w>); asking for 10 returns 2
+    val out = TextAnalysis.bpeMerges(Seq("ab ab").toDF("text"), "text",
+        numMerges = 10)
+      .collect().map(r => (r.getInt(0), r.getString(3))).toList
+    assert(out === List((1, "ab"), (2, "ab</w>")), out.toString)
+  }
+
+  test("bpeMerges: lowercases and is checkpoint-invariant") {
+    val s = spark
+    import s.implicits._
+    val df = Seq("Low LOW lower", "low lowest").toDF("text")
+    val a = TextAnalysis.bpeMerges(df, "text", 4, checkpointEvery = 1)
+      .collect().toList
+    val b = TextAnalysis.bpeMerges(df, "text", 4, checkpointEvery = 16)
+      .collect().toList
+    assert(a === b)
+    assert(a.head.getString(1) === "l" && a.head.getString(2) === "o")
+  }
 }
