@@ -535,6 +535,53 @@ object TextDemos {
         numMerges = bpeRounds)
       .orderBy(col("merge_rank").asc_nulls_last))
 
+  // -------------------------------------------------------------------
+  // X5p: BPE TOKENIZER APPLY (TextAnalysis.bpeSegment) — segment every
+  // document with the 8 merges x5o learned: per doc, whitespace-word
+  // count and subword count after replaying the merges in order. The
+  // oracle's s8 CTE (the training chain's final word-type state) IS the
+  // fully segmented vocabulary, so segmentation = symbol count of s8 —
+  // training and apply cannot drift. The Spark side runs the realistic
+  // deployment: bpeMerges collects the 8-row artifact, bpeSegment ships
+  // it back as plan literals.
+  // -------------------------------------------------------------------
+  private val x5p = Demo("x5p_bpe_segment", Some {
+    val rounds = (1 to bpeRounds).map { r =>
+      s"""p$r AS (${bpePairsSql(s"s${r - 1}")}),
+      m$r AS (SELECT lhs, rhs, pc FROM p$r
+              ORDER BY pc DESC, lhs ASC, rhs ASC LIMIT 1),
+      s$r AS (${bpeApplySql(s"s${r - 1}", s"m$r")})"""
+    }.mkString(",\n      ")
+    s"""
+      WITH s0 AS (
+        SELECT word, cnt,
+               array_to_string(string_split(word, ''), chr(31))
+                 || chr(31) || '</w>' AS symstr
+        FROM (SELECT w AS word, count(*) AS cnt
+              FROM (SELECT unnest(string_split(lower(text), ' ')) AS w
+                    FROM documents)
+              WHERE w <> '' GROUP BY w)),
+      $rounds,
+      wsub AS (SELECT word, len(str_split(symstr, chr(31))) AS n_sub
+               FROM s$bpeRounds),
+      dw AS (SELECT doc_id, w AS word, count(*) AS n_occ
+             FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w
+                   FROM documents)
+             WHERE w <> '' GROUP BY 1, 2)
+      SELECT doc_id, cast(sum(n_occ) AS bigint) AS n_words,
+             cast(sum(n_occ * n_sub) AS bigint) AS n_subwords
+      FROM dw JOIN wsub USING (word)
+      GROUP BY doc_id
+      ORDER BY doc_id ASC NULLS LAST"""
+  },
+    (s, dir) => {
+      val d = docs(s, dir)
+      val merges = TextAnalysis.bpeMerges(d, "text", numMerges = bpeRounds)
+        .collect().map(r => (r.getString(1), r.getString(2))).toSeq
+      TextAnalysis.bpeSegment(d, "doc_id", "text", merges)
+        .orderBy(col("doc_id").asc_nulls_last)
+    })
+
   val all: Seq[Demo] = Seq(x5a, x5b, x5c, x5d, x5e, x5f, x5g, x5h, x5i, x5j,
-    x5k, x5l, x5m, x5n, x5o, x33, x42)
+    x5k, x5l, x5m, x5n, x5o, x5p, x33, x42)
 }

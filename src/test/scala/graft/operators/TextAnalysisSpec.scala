@@ -398,6 +398,28 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out === List((1, "ab"), (2, "ab</w>")), out.toString)
   }
 
+  test("bpeSegment: replays merges in order; counts weight by occurrence") {
+    val s = spark
+    import s.implicits._
+    val df = Seq((1L, "low lower low"), (2L, "")).toDF("doc_id", "text")
+    val out = TextAnalysis.bpeSegment(df, "doc_id", "text",
+        merges = Seq(("l", "o"), ("lo", "w")))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toList
+    // low -> [l,o,w,</w>] -> [lo,w,</w>] -> [low,</w>] = 2 subwords (x2
+    // occurrences); lower -> [low,e,r,</w>] = 4; empty doc has no words
+    // and is absent, matching the oracle's inner join
+    assert(out === List((1L, 3L, 8L)), out.toString)
+  }
+
+  test("bpeSegment with no merges counts characters plus the end mark") {
+    val s = spark
+    import s.implicits._
+    val out = TextAnalysis.bpeSegment(
+        Seq((7L, "ab a")).toDF("doc_id", "text"), "doc_id", "text", Nil)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toList
+    assert(out === List((7L, 2L, 5L)), out.toString) // (2+1) + (1+1)
+  }
+
   test("bpeMerges: lowercases and is checkpoint-invariant") {
     val s = spark
     import s.implicits._
