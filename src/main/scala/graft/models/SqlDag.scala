@@ -153,11 +153,26 @@ class SqlDag(spark: SparkSession, warehouseDir: String) {
     * are identical to the sequential build — each model's input
     * relations are fully materialized before its wave starts, and
     * sibling models touch disjoint relation names.
+    *
+    * `macros` are the project's user-defined `{% macro %}` definitions
+    * ([[JinjaMacros]]): every model text is macro-expanded FIRST — dbt
+    * compiles Jinja before SQL — so dependency extraction, selection,
+    * and the build all see refs a macro body introduces.
     */
   def run(models: Seq[SqlModel], seeds: Map[String, DataFrame],
       threads: Int = 1, select: Seq[String] = Nil,
-      exclude: Seq[String] = Nil): Map[String, DataFrame] = {
+      exclude: Seq[String] = Nil,
+      macros: Seq[JinjaMacros.MacroDef] = Nil): Map[String, DataFrame] = {
     require(threads >= 1, s"need threads >= 1, got $threads")
+    val expanded =
+      if (macros.isEmpty) models
+      else models.map(m => m.copy(jinjaSql = JinjaMacros.expand(m.jinjaSql, macros)))
+    runExpanded(expanded, seeds, threads, select, exclude)
+  }
+
+  private def runExpanded(models: Seq[SqlModel], seeds: Map[String, DataFrame],
+      threads: Int, select: Seq[String],
+      exclude: Seq[String]): Map[String, DataFrame] = {
     val dupNames = models.groupBy(_.name).collect { case (n, ms) if ms.size > 1 => n }
     require(dupNames.isEmpty, s"duplicate model names: ${dupNames.mkString(", ")}")
     val shadowing = models.map(_.name).toSet.intersect(seeds.keySet)
