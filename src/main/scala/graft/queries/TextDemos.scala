@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.operators.TextAnalysis
+import graft.operators.{Perceptron, TextAnalysis}
 import graft.queries.RelationalDemos.Demo
 import graft.sources.Tables
 
@@ -582,6 +582,75 @@ object TextDemos {
         .orderBy(col("doc_id").asc_nulls_last)
     })
 
+  // -------------------------------------------------------------------
+  // X53: PERCEPTRON QUALITY CLASSIFIER (Perceptron.train/score) — distill
+  // the x5b heuristic bar into a linear model (the GPT-3/CCNet quality-
+  // filter shape): 4 integer features (tokens, punct, stopwords, digits)
+  // + bias, label = x5b's keep flag, 4 exact full-batch rounds. The
+  // oracle replays the training loop unrolled (x3c pattern) — integer
+  // features, unit rate and long weights make every round's gradient sum
+  // exact under any partition order, so weights, scores, and predictions
+  // match bit-for-bit.
+  // -------------------------------------------------------------------
+  private val pRounds = 4
+
+  private def pDotSql(w: String): String =
+    s"$w.w0 + $w.w1*x1 + $w.w2*x2 + $w.w3*x3 + $w.w4*x4"
+
+  private val x53 = Demo("x53_perceptron_quality", Some {
+    val rounds = (1 to pRounds).map { r =>
+      s"""g$r AS (
+        SELECT cast(coalesce(sum(d), 0) AS bigint) AS d0,
+               cast(coalesce(sum(d*x1), 0) AS bigint) AS d1,
+               cast(coalesce(sum(d*x2), 0) AS bigint) AS d2,
+               cast(coalesce(sum(d*x3), 0) AS bigint) AS d3,
+               cast(coalesce(sum(d*x4), 0) AS bigint) AS d4
+        FROM (SELECT CASE WHEN y = (CASE WHEN ${pDotSql("w")} > 0 THEN 1 ELSE 0 END)
+                          THEN 0 ELSE 2*y - 1 END AS d, x1, x2, x3, x4
+              FROM f, w${r - 1} w)),
+      w$r AS (SELECT w.w0+g.d0 AS w0, w.w1+g.d1 AS w1, w.w2+g.d2 AS w2,
+                     w.w3+g.d3 AS w3, w.w4+g.d4 AS w4
+              FROM w${r - 1} w, g$r g)"""
+    }.mkString(",\n      ")
+    s"""
+      WITH f0 AS (
+        SELECT doc_id, length(text) AS nc,
+               len(string_split(text, ' ')) AS x1,
+               length(text) - length(regexp_replace(text, '[.,;:!?''"()]', '', 'g')) AS x2,
+               len(list_filter(string_split(lower(text), ' '),
+                 w -> list_contains(['the','a','an','and','or','of','to','in','is','it'], w))) AS x3,
+               length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS x4
+        FROM documents),
+      f AS (
+        SELECT doc_id, cast(x1 AS bigint) AS x1, cast(x2 AS bigint) AS x2,
+               cast(x3 AS bigint) AS x3, cast(x4 AS bigint) AS x4,
+               CASE WHEN x1 >= 5 AND x3 > 0
+                     AND coalesce(CASE WHEN nc > 0
+                           THEN cast(x2 AS double) / nc END, 1.0e0) < 0.2e0
+                    THEN 1 ELSE 0 END AS y
+        FROM f0),
+      w0 AS (SELECT cast(0 AS bigint) AS w0, cast(0 AS bigint) AS w1,
+                    cast(0 AS bigint) AS w2, cast(0 AS bigint) AS w3,
+                    cast(0 AS bigint) AS w4),
+      $rounds
+      SELECT f.doc_id, f.y AS label,
+             cast(${pDotSql("w")} AS bigint) AS score,
+             CASE WHEN ${pDotSql("w")} > 0 THEN 1 ELSE 0 END AS pred
+      FROM f, w$pRounds w
+      ORDER BY doc_id ASC NULLS LAST"""
+  },
+    (s, dir) => {
+      val feats = TextAnalysis.qualityMetrics(docs(s, dir), "text")
+        .withColumn("n_digits", length(col("text"))
+          - length(regexp_replace(col("text"), "[0-9]", "")))
+      val fc = Seq("n_tokens", "n_punct", "n_stop", "n_digits")
+      val w = Perceptron.train(feats, fc, "keep", iters = pRounds)
+      Perceptron.score(feats, fc, w)
+        .select(col("doc_id"), col("keep").as("label"),
+          col("score"), col("pred"))
+        .orderBy(col("doc_id").asc_nulls_last)
+    })
+
   val all: Seq[Demo] = Seq(x5a, x5b, x5c, x5d, x5e, x5f, x5g, x5h, x5i, x5j,
-    x5k, x5l, x5m, x5n, x5o, x5p, x33, x42)
+    x5k, x5l, x5m, x5n, x5o, x5p, x33, x42, x53)
 }
