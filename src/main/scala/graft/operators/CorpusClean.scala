@@ -140,4 +140,32 @@ object CorpusClean {
         countDistinct(col("fingerprint")).as("n_unique"))
       .withColumn("dup_ppm",
         expr("(1000000L * (n_docs - n_unique)) div n_docs"))
+
+  /** Corpus snapshot diff — the release-to-release churn audit: classify
+    * every doc id across two snapshots as `added` (new ids), `removed`
+    * (ids gone), `changed` (same id, different content identity), or
+    * `unchanged`, by a content-identity column (typically the x2a
+    * rolling fingerprint — 8 bytes per doc, never the text itself).
+    * Presence is tracked with marker columns, so a NULL identity value
+    * is still a PRESENT row (two NULL identities compare `unchanged`
+    * via null-safe equality, matching `IS NOT DISTINCT FROM`).
+    *
+    * Scale: one full-outer hash join on the id over two slim (id,
+    * identity) projections. Fingerprints should be computed at ingest
+    * ([[TextDedup.withFingerprint]]) and stored with the snapshot;
+    * bucket both snapshot stores by id and the join plans exchange-free.
+    */
+  def snapshotDiff(v1: DataFrame, v2: DataFrame, idCol: String,
+      fpCol: String): DataFrame = {
+    val a = v1.select(col(idCol).as("__id"), col(fpCol).as("__fp_a"),
+      lit(true).as("__in_a"))
+    val b = v2.select(col(idCol).as("__id"), col(fpCol).as("__fp_b"),
+      lit(true).as("__in_b"))
+    a.join(b, Seq("__id"), "full_outer")
+      .select(col("__id").as(idCol),
+        when(col("__in_a").isNull, "added")
+          .when(col("__in_b").isNull, "removed")
+          .when(col("__fp_a") <=> col("__fp_b"), "unchanged")
+          .otherwise("changed").as("status"))
+  }
 }

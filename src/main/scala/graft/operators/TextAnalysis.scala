@@ -688,6 +688,38 @@ object TextAnalysis {
       .limit(topK)
   }
 
+  /** Out-of-vocabulary audit — per doc, token count, tokens missing
+    * from a vocabulary frame (e.g. the [[vocabCoverage]] cut or a
+    * shipped tokenizer's word list), and the exact OOV rate in ppm
+    * (bigint cross-multiplication, no float division). The release gate
+    * a tokenizer-bound corpus runs before training: a doc whose OOV
+    * rate spikes is in the wrong language, the wrong domain, or broken
+    * encoding.
+    *
+    * Scale: occurrences collapse to per-(doc, word) counts FIRST (map-
+    * side combinable), so the vocabulary join carries one row per
+    * distinct word per doc, not per occurrence — and both join sides
+    * are aggregate-grain, which FanoutLint accepts without review. The
+    * join broadcasts whenever the vocabulary fits (AQE decides; real
+    * tokenizer vocabs are ≤ a few hundred thousand words); the final
+    * doc-keyed aggregate is combinable. NULL/empty tokens never count
+    * (the library's split conventions).
+    */
+  def oovRate(df: DataFrame, idCol: String, textCol: String,
+      vocab: DataFrame, vocabCol: String = "word"): DataFrame = {
+    val wc = df.select(col(idCol),
+        explode(split(lower(col(textCol)), " ")).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy(col(idCol), col("word")).agg(count(lit(1)).as("__n"))
+    val v = vocab.select(col(vocabCol).as("word"))
+      .groupBy(col("word")).agg(first(lit(1)).as("__in_v"))
+    wc.join(v, Seq("word"), "left")
+      .groupBy(col(idCol))
+      .agg(sum(col("__n")).as("n_tokens"),
+        sum(when(col("__in_v").isNull, col("__n")).otherwise(0L)).as("n_oov"))
+      .withColumn("oov_ppm", expr("(1000000L * n_oov) div n_tokens"))
+  }
+
   /** Byte-pair-encoding merge training (Sennrich et al. 2016,
     * arXiv:1508.07909) — learn `numMerges` merge rules from the corpus:
     * start from characters (plus the `endMark` end-of-word symbol),

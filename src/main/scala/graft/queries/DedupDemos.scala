@@ -520,7 +520,83 @@ object DedupDemos {
         maxDocFreq = Some(contCap))
       .orderBy(col("id_a").asc_nulls_last, col("id_b").asc_nulls_last))
 
+  // -------------------------------------------------------------------
+  // X54: CORPUS SNAPSHOT DIFF (CorpusClean.snapshotDiff) — release-to-
+  // release churn audit over two deterministic snapshot derivations of
+  // the harness corpus: v1 drops ids ≡ 0 (mod 7) and edits ids ≡ 0
+  // (mod 5); v2 drops ids ≡ 0 (mod 11). Diffed by the x2a rolling
+  // fingerprint (8 bytes per doc), one full-outer hash join on the id.
+  // -------------------------------------------------------------------
+  private val x54 = Demo("x54_snapshot_diff", Some(s"""
+      WITH v1 AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 5 = 0 THEN text || ' v1edit' ELSE text END AS text
+        FROM documents WHERE doc_id % 7 != 0),
+      v2 AS (SELECT doc_id, text FROM documents WHERE doc_id % 11 != 0),
+      f1 AS (SELECT doc_id, $fingerprintSql AS fp, TRUE AS in_a FROM v1),
+      f2 AS (SELECT doc_id, $fingerprintSql AS fp, TRUE AS in_b FROM v2),
+      j AS (
+        SELECT coalesce(f1.doc_id, f2.doc_id) AS doc_id,
+               f1.fp AS fa, f2.fp AS fb, in_a, in_b
+        FROM f1 FULL OUTER JOIN f2 ON f1.doc_id = f2.doc_id)
+      SELECT doc_id,
+             CASE WHEN in_a IS NULL THEN 'added'
+                  WHEN in_b IS NULL THEN 'removed'
+                  WHEN fa IS NOT DISTINCT FROM fb THEN 'unchanged'
+                  ELSE 'changed' END AS status
+      FROM j
+      ORDER BY doc_id ASC NULLS LAST"""),
+    (s, dir) => {
+      val d = t(s, dir, "documents")
+      val v1 = d.filter(col("doc_id") % 7 =!= 0)
+        .withColumn("text", when(col("doc_id") % 5 === 0,
+          concat(col("text"), lit(" v1edit"))).otherwise(col("text")))
+      val v2 = d.filter(col("doc_id") % 11 =!= 0)
+      graft.operators.CorpusClean.snapshotDiff(
+          TextDedup.withFingerprint(v1, "text"),
+          TextDedup.withFingerprint(v2, "text"),
+          "doc_id", "fingerprint")
+        .orderBy(col("doc_id").asc_nulls_last)
+    })
+
+  // -------------------------------------------------------------------
+  // X56: KEEP-BEST EXACT DEDUP — canonical selection: one survivor per
+  // content fingerprint, chosen by QUALITY (x5b keep flag, then token
+  // count, then id) instead of x1's keep-first id order. Same machinery
+  // — exactDedup's tiebreak is a column, here a struct whose ascending
+  // order IS (keep desc, n_tokens desc, doc_id asc).
+  // -------------------------------------------------------------------
+  private val x56 = Demo("x56_dedup_keep_best", Some(s"""
+      WITH m AS (
+        SELECT doc_id,
+               len(string_split(text, ' ')) AS n_tokens,
+               CASE WHEN len(string_split(text, ' ')) >= 5
+                     AND len(list_filter(string_split(lower(text), ' '),
+                       w -> list_contains(['the','a','an','and','or','of','to','in','is','it'], w))) > 0
+                     AND coalesce(CASE WHEN length(text) > 0
+                           THEN cast(length(text) - length(regexp_replace(text, '[.,;:!?''"()]', '', 'g')) AS double)
+                                / length(text) END, 1.0e0) < 0.2e0
+                    THEN 1 ELSE 0 END AS keep,
+               $fingerprintSql AS fingerprint
+        FROM documents)
+      SELECT doc_id, fingerprint, keep, n_tokens
+      FROM (SELECT doc_id, fingerprint, keep, n_tokens,
+                   row_number() OVER (PARTITION BY fingerprint
+                     ORDER BY keep DESC, n_tokens DESC, doc_id ASC) AS rn
+            FROM m)
+      WHERE rn = 1
+      ORDER BY doc_id ASC NULLS LAST"""),
+    (s, dir) => {
+      val m = graft.operators.TextAnalysis.qualityMetrics(
+        t(s, dir, "documents"), "text")
+      val fp = TextDedup.withFingerprint(m, "text")
+      TextDedup.exactDedup(fp, Seq("fingerprint"),
+          struct(-col("keep"), -col("n_tokens"), col("doc_id")))
+        .select(col("doc_id"), col("fingerprint"), col("keep"), col("n_tokens"))
+        .orderBy(col("doc_id").asc_nulls_last)
+    })
+
   val all: Seq[Demo] =
     Seq(x1, x2a, x2b, x2c, x2c2, x2d, x2e, x2f, x2g, x18, x23, x23b, x28, x35,
-      x41, x52)
+      x41, x52, x54, x56)
 }

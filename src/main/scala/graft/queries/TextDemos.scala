@@ -651,6 +651,45 @@ object TextDemos {
         .orderBy(col("doc_id").asc_nulls_last)
     })
 
+  // -------------------------------------------------------------------
+  // X55: OUT-OF-VOCABULARY AUDIT (TextAnalysis.oovRate) — per doc, the
+  // exact ppm of tokens missing from the x5n 95%-coverage vocabulary:
+  // the tokenizer-binding release gate (an OOV spike = wrong language /
+  // domain / encoding). Token occurrences broadcast-left-join the
+  // vocabulary, then one doc-keyed combinable aggregate.
+  // -------------------------------------------------------------------
+  private val x55 = Demo("x55_oov_rate", Some("""
+      WITH c AS (
+        SELECT w AS word, count(*) AS cnt
+        FROM (SELECT unnest(string_split(lower(text), ' ')) AS w
+              FROM documents)
+        WHERE w <> '' GROUP BY w),
+      t AS (SELECT cast(sum(cnt) AS bigint) AS total FROM c),
+      r AS (SELECT word, cast(cnt AS bigint) AS cnt,
+                   cast(sum(cnt) OVER (ORDER BY cnt DESC, word ASC
+                     ROWS UNBOUNDED PRECEDING) AS bigint) AS cum
+            FROM c),
+      v AS (SELECT word FROM r, t
+            WHERE 1000000 * (cum - cnt) < 950000 * total),
+      dw AS (SELECT doc_id, w AS word
+             FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w
+                   FROM documents)
+             WHERE w <> '')
+      SELECT doc_id,
+             cast(count(*) AS bigint) AS n_tokens,
+             cast(sum(CASE WHEN v.word IS NULL THEN 1 ELSE 0 END) AS bigint) AS n_oov,
+             (1000000 * cast(sum(CASE WHEN v.word IS NULL THEN 1 ELSE 0 END) AS bigint))
+               // cast(count(*) AS bigint) AS oov_ppm
+      FROM dw LEFT JOIN v ON dw.word = v.word
+      GROUP BY doc_id
+      ORDER BY doc_id ASC NULLS LAST"""),
+    (s, dir) => {
+      val d = docs(s, dir)
+      val vocab = TextAnalysis.vocabCoverage(d, "text", coveragePpm = 950000L)
+      TextAnalysis.oovRate(d, "doc_id", "text", vocab)
+        .orderBy(col("doc_id").asc_nulls_last)
+    })
+
   val all: Seq[Demo] = Seq(x5a, x5b, x5c, x5d, x5e, x5f, x5g, x5h, x5i, x5j,
-    x5k, x5l, x5m, x5n, x5o, x5p, x33, x42, x53)
+    x5k, x5l, x5m, x5n, x5o, x5p, x33, x42, x53, x55)
 }

@@ -40,4 +40,20 @@ class CorpusCleanSpec extends SparkSpec {
     assert("Relation.*parquet".r.findAllIn(cutPlan).isEmpty, cutPlan.take(2000))
     assert(cutPlan.contains("LogicalRDD"), cutPlan.take(2000))
   }
+
+  test("snapshotDiff: all four statuses; NULL identities are present, not absent (X54)") {
+    val s = spark
+    import s.implicits._
+    val v1 = Seq((1L, Some("a")), (2L, Some("b")), (3L, Some("c")),
+      (5L, Option.empty[String])).toDF("id", "fp")
+    val v2 = Seq((1L, Some("a")), (2L, Some("B")), (4L, Some("d")),
+      (5L, Option.empty[String])).toDF("id", "fp")
+    val out = graft.operators.CorpusClean.snapshotDiff(v1, v2, "id", "fp")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(out === Map(
+      1L -> "unchanged", 2L -> "changed", 3L -> "removed", 4L -> "added",
+      // both snapshots HAVE id 5 with a NULL identity: present on both
+      // sides and null-safe-equal, so unchanged — never added/removed
+      5L -> "unchanged"))
+  }
 }

@@ -420,6 +420,19 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out === List((7L, 2L, 5L)), out.toString) // (2+1) + (1+1)
   }
 
+  test("oovRate: exact ppm, case-folded, empty tokens ignored (X55)") {
+    val s = spark
+    import s.implicits._
+    val df = Seq((1L, "The cat sat"), (2L, "zz  qq"), (3L, "")).toDF("doc_id", "text")
+    val vocab = Seq("the", "cat").toDF("word")
+    val out = TextAnalysis.oovRate(df, "doc_id", "text", vocab)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    // doc1: 3 tokens, 1 oov (sat) -> 333333 ppm; doc2: double space gives
+    // an empty token, dropped -> 2 tokens both oov; doc3: no tokens, absent
+    assert(out === Set((1L, 3L, 1L, 333333L), (2L, 2L, 2L, 1000000L)))
+  }
+
   test("bpeMerges: lowercases and is checkpoint-invariant") {
     val s = spark
     import s.implicits._
