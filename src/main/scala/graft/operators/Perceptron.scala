@@ -36,28 +36,46 @@ object Perceptron {
     * `> 0` test, same tie in [[score]] and the oracle).
     */
   def train(df: DataFrame, featureCols: Seq[String], labelCol: String,
-      iters: Int): Seq[Long] = {
+      iters: Int, materialize: Boolean = true): Seq[Long] = {
     require(featureCols.nonEmpty, "need at least one feature column")
     require(iters >= 1, s"need iters >= 1, got $iters")
-    val clean = df.filter(
-      (featureCols :+ labelCol).map(col(_).isNotNull).reduce(_ && _))
-    val feats = lit(1L) +: featureCols.map(c => col(c).cast("long"))
-    val y = col(labelCol).cast("long")
-    var w = Vector.fill(feats.size)(0L)
-    var t = 0
-    while (t < iters) {
-      val s = feats.zip(w).map { case (f, wi) => f * lit(wi) }.reduce(_ + _)
-      val pred = when(s > 0, 1L).otherwise(0L)
-      val delta = when(y === pred, 0L).otherwise(y * 2L - 1L)
-      val sums = clean.select(feats.zipWithIndex.map { case (f, i) =>
-        sum(delta * f).as(s"d$i")
-      }: _*).head()
-      w = w.zipWithIndex.map { case (wi, i) =>
-        wi + (if (sums.isNullAt(i)) 0L else sums.getLong(i))
+    val sc = df.sparkSession.sparkContext
+    // project to the slim (features, label) long frame FIRST and — by
+    // default — materialize it once: T rounds then scan k+1 longs per
+    // row instead of re-deriving features from the source T times (the
+    // 10× scale probe measured the unmaterialized loop near-linear in
+    // corpus passes). Storage is (k+1)·8 bytes per doc; pass
+    // materialize=false when the upstream frame is already materialized
+    // or storage is tighter than recompute.
+    val slim = df.filter(
+        (featureCols :+ labelCol).map(col(_).isNotNull).reduce(_ && _))
+      .select((featureCols.map(c => col(c).cast("long")) :+
+        col(labelCol).cast("long").as(labelCol)): _*)
+    val before: Set[Int] = sc.getPersistentRDDs.keySet.toSet
+    val clean = if (materialize) slim.localCheckpoint(true) else slim
+    val ckptIds: Set[Int] =
+      if (materialize) sc.getPersistentRDDs.keySet.toSet.diff(before)
+      else Set.empty
+    try {
+      val feats = lit(1L) +: featureCols.map(c => col(c).cast("long"))
+      val y = col(labelCol).cast("long")
+      var w = Vector.fill(feats.size)(0L)
+      var t = 0
+      while (t < iters) {
+        val s = feats.zip(w).map { case (f, wi) => f * lit(wi) }.reduce(_ + _)
+        val pred = when(s > 0, 1L).otherwise(0L)
+        val delta = when(y === pred, 0L).otherwise(y * 2L - 1L)
+        val sums = clean.select(feats.zipWithIndex.map { case (f, i) =>
+          sum(delta * f).as(s"d$i")
+        }: _*).head()
+        w = w.zipWithIndex.map { case (wi, i) =>
+          wi + (if (sums.isNullAt(i)) 0L else sums.getLong(i))
+        }
+        t += 1
       }
-      t += 1
-    }
-    w
+      w
+    } finally ckptIds.foreach(id =>
+      sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
   }
 
   /** Append exact-long `score` (w·x, bias included) and 0/1 int `pred`
