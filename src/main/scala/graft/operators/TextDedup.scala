@@ -140,6 +140,84 @@ object TextDedup {
       .select(col("doc_id"), col("fingerprint"))
   }
 
+  /** The LSH band index of a corpus — `(doc_id, band, key)`, 64 bands of
+    * r=2 over the 128-slot minhash signature: shingle → codegen hash →
+    * single-buffer map-side-combinable signature aggregate → band keys.
+    * This is both [[minhashLshPairs]]' candidate machinery and the
+    * STORED half of incremental ingestion ([[incrementalLshPairs]]):
+    * persist it bucketed by (band, key) ([[ScaleOps.writeBucketed]]) and
+    * batch probes join the store without shuffling it.
+    */
+  def lshIndex(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    Hashing.registerAll(df.sparkSession)
+    val P = Hashing.P
+    val nBands = Hashing.MinhashK / 2 // r=2 rows per band over the signature
+    // NOT sets.select(explode(shs)): exploding the shingle expression
+    // directly keeps the Generate adjacent to the scan with one array
+    // build per row — a projected-then-exploded column gets re-evaluated
+    // inside pushed-down filters (measured 6x slower)
+    val hashed = tokArrays(df, idCol, textCol)
+      .select(col("doc_id"), explode(shingleSet(col("toks"))).as("sh"))
+      .select(col("doc_id"), call_function("char_poly_hash", col("sh")).as("x"))
+      .groupBy("doc_id")
+      .agg(udaf(MinHashAgg).apply(col("x")).as("sig"))
+    hashed.select(col("doc_id"),
+      explode(array((0 until nBands).map(b =>
+        struct(lit(b).as("band"),
+          (element_at(col("sig"), 2 * b + 1) * P
+            + element_at(col("sig"), 2 * b + 2)).as("key"))): _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
+  }
+
+  /** Incremental near-dup ingestion (X58) — probe a NEW batch against an
+    * already-indexed corpus: batch band keys equi-join the corpus index
+    * on (band, key), candidates verify exactly as jaccard(new, old) ≥
+    * `threshold`. The near-dup complement of [[incrementalDedup]]'s
+    * exact fingerprint anti-join, and the production crawl shape — the
+    * corpus is indexed ONCE ([[lshIndex]], persisted bucketed by
+    * (band, key)), each arriving batch costs O(batch·bands) probe rows,
+    * never a corpus re-scan. Verification re-reads shingles only for
+    * docs on a candidate pair (semi join; AQE broadcasts the candidate
+    * ids when they fit). Within-batch duplicates are out of scope —
+    * run [[minhashLshPairs]] on the batch for those.
+    *
+    * Same recall contract as x2b: at threshold t a true pair misses all
+    * 64 bands with probability (1−t²)^64 (≤1e-8 at t=0.5), so the exact
+    * brute-force oracle matches. `materializeCandidates` carries x2b's
+    * verification-strategy contract verbatim: `None` builds shingle sets
+    * for the full frames (one evaluation of the lazy candidate plan —
+    * right at demo scale); `Some(_.localCheckpoint(true))` materializes
+    * the candidate pairs and shingles ONLY candidate docs via semi joins
+    * — the 100 TB path, where the corpus-side shingle build dwarfs the
+    * barrier.
+    */
+  def incrementalLshPairs(batch: DataFrame, corpus: DataFrame,
+      idCol: String, textCol: String, threshold: Double,
+      materializeCandidates: Option[DataFrame => DataFrame] = None): DataFrame = {
+    val lazyCand = lshIndex(batch, idCol, textCol)
+      .select(col("doc_id").as("new_id"), col("band"), col("key"))
+      .join(lshIndex(corpus, idCol, textCol)
+        .select(col("doc_id").as("old_id"), col("band"), col("key")),
+        Seq("band", "key"))
+      .select(col("new_id"), col("old_id")).distinct()
+    val (cand, newBase, oldBase) = materializeCandidates match {
+      case None => (lazyCand, batch, corpus)
+      case Some(m) =>
+        val c = m(lazyCand)
+        def side(src: DataFrame, k: String) = src.join(
+          c.select(col(k).as(idCol)).distinct(), Seq(idCol), "left_semi")
+        (c, side(batch, "new_id"), side(corpus, "old_id"))
+    }
+    val newSets = shingleSets(newBase, idCol, textCol)
+    val oldSets = shingleSets(oldBase, idCol, textCol)
+    cand
+      .join(newSets.select(col("doc_id").as("new_id"), col("shs").as("shs_new")), "new_id")
+      .join(oldSets.select(col("doc_id").as("old_id"), col("shs").as("shs_old")), "old_id")
+      .select(col("new_id"), col("old_id"),
+        jaccardOfSets(col("shs_new"), col("shs_old")).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
   /** MinHash+LSH near-dup pairs (X2b) — the 100 TB dedup path: shingle →
     * codegen hash → single-buffer 128-slot minhash signature (map-side
     * combinable) → 64 bands of r=2 → per-bucket candidate pairs → exact
@@ -163,24 +241,7 @@ object TextDedup {
   def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
       threshold: Double,
       materializeCandidates: Option[DataFrame => DataFrame] = None): DataFrame = {
-    Hashing.registerAll(df.sparkSession)
-    val P = Hashing.P
-    val nBands = Hashing.MinhashK / 2 // r=2 rows per band over the signature
-    // NOT sets.select(explode(shs)): exploding the shingle expression
-    // directly keeps the Generate adjacent to the scan with one array
-    // build per row — a projected-then-exploded column gets re-evaluated
-    // inside pushed-down filters (measured 6x slower)
-    val hashed = tokArrays(df, idCol, textCol)
-      .select(col("doc_id"), explode(shingleSet(col("toks"))).as("sh"))
-      .select(col("doc_id"), call_function("char_poly_hash", col("sh")).as("x"))
-      .groupBy("doc_id")
-      .agg(udaf(MinHashAgg).apply(col("x")).as("sig"))
-    val bands = hashed.select(col("doc_id"),
-      explode(array((0 until nBands).map(b =>
-        struct(lit(b).as("band"),
-          (element_at(col("sig"), 2 * b + 1) * P
-            + element_at(col("sig"), 2 * b + 2)).as("key"))): _*)).as("bk"))
-      .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
+    val bands = lshIndex(df, idCol, textCol)
     val lazyCand = bands.groupBy(col("band"), col("key"))
       .agg(sort_array(collect_set(col("doc_id"))).as("ds"))
       .filter(size(col("ds")) >= 2)

@@ -596,7 +596,32 @@ object DedupDemos {
         .orderBy(col("doc_id").asc_nulls_last)
     })
 
+  // -------------------------------------------------------------------
+  // X58: INCREMENTAL NEAR-DUP INGESTION (TextDedup.incrementalLshPairs)
+  // — the production crawl shape: a NEW batch (ids ≡ 4 mod 5, ~20% at
+  // any SF) probes the indexed remainder of the corpus; batch band keys
+  // join the index on (band, key), candidates verify exactly. The
+  // brute-force cross-set oracle matches by the x2b recall argument
+  // ((1−t²)^64 ≤ 1e-8 at t=0.5). Within-batch dups are x2b's job.
+  // -------------------------------------------------------------------
+  private val x58 = Demo("x58_incremental_lsh", Some(s"""
+      ${oracleShingleCtes()}
+      SELECT a.doc_id AS new_id, b.doc_id AS old_id,
+             cast(len(list_intersect(a.shs, b.shs)) AS double)
+               / (len(a.shs) + len(b.shs) - len(list_intersect(a.shs, b.shs))) AS jaccard
+      FROM sh a JOIN sh b ON a.doc_id % 5 = 4 AND b.doc_id % 5 != 4
+      WHERE jaccard >= 0.5
+      ORDER BY new_id ASC NULLS LAST, old_id ASC NULLS LAST"""),
+    (s, dir) => {
+      val d = t(s, dir, "documents")
+      TextDedup.incrementalLshPairs(
+          d.filter(col("doc_id") % 5 === 4),
+          d.filter(col("doc_id") % 5 =!= 4),
+          "doc_id", "text", threshold = 0.5)
+        .orderBy(col("new_id").asc_nulls_last, col("old_id").asc_nulls_last)
+    })
+
   val all: Seq[Demo] =
     Seq(x1, x2a, x2b, x2c, x2c2, x2d, x2e, x2f, x2g, x18, x23, x23b, x28, x35,
-      x41, x52, x54, x56)
+      x41, x52, x54, x56, x58)
 }

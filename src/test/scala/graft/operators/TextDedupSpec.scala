@@ -23,6 +23,29 @@ class TextDedupSpec extends SparkSpec {
     assert(lazyPairs.nonEmpty)
   }
 
+  test("incrementalLshPairs: cross-set pairs only; scale path equals lazy (X58)") {
+    val s = spark
+    import s.implicits._
+    val base = "the quick brown fox jumps over the lazy dog tonight"
+    val docs = Seq(
+      (1L, base),                       // corpus
+      (2L, base),                       // corpus dup of 1 — NOT reported
+      (3L, "completely different words about spark shuffles and joins here"),
+      (9L, base),                       // batch dup of 1 and 2 — reported
+      (14L, base),                      // batch dup — within-batch 9~14 NOT reported
+      (19L, "unrelated text with no overlap at all in any shingle window")
+    ).toDF("doc_id", "text")
+    val batch = docs.filter(col("doc_id") % 5 === 4)
+    val corpus = docs.filter(col("doc_id") % 5 =!= 4)
+    def run(m: Option[org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame]) =
+      TextDedup.incrementalLshPairs(batch, corpus, "doc_id", "text", 0.5, m)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val lazyPairs = run(None)
+    assert(lazyPairs === Set((9L, 1L, 1.0), (9L, 2L, 1.0),
+      (14L, 1L, 1.0), (14L, 2L, 1.0)))
+    assert(run(Some(_.localCheckpoint(true))) === lazyPairs)
+  }
+
   test("dedupClusters: chains propagate to the min id, components stay disjoint") {
     val s = spark
     import s.implicits._
