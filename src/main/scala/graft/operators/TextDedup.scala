@@ -169,6 +169,40 @@ object TextDedup {
       .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
   }
 
+  /** A document's distinct-shingle char-poly hashes as ONE projection
+    * expression (higher-order fold, no kernel registration needed) —
+    * the per-row half of [[lshBandKeys]]. Keep it in its OWN projection
+    * (`withColumn`) when feeding lshBandKeys: the band expression
+    * references the hash array 128 times, and a separate non-cheap
+    * alias stops CollapseProject from inlining 128 recomputations.
+    * Precondition: ≥3 tokens (same as the batch path).
+    */
+  def shingleHashes(textCol: Column): Column =
+    transform(nGramSet(split(textCol, " "), 3), s => Hashing.charPolyHash(s))
+
+  /** The 64 (band, key) structs of a document computed STATELESSLY from a
+    * [[shingleHashes]] array — per-row minima over the 128 permutations
+    * instead of [[lshIndex]]'s signature AGGREGATE, bit-identical values
+    * (spec-pinned). This is what lets a STREAMING batch probe a static
+    * band index: a streaming aggregate would hold per-doc state; a
+    * projection holds none.
+    */
+  def lshBandKeys(hashes: Column): Column = {
+    val nBands = Hashing.MinhashK / 2
+    def sigMin(seed: Int): Column =
+      array_min(transform(hashes, x => Hashing.minhashPerm(seed, x)))
+    array((0 until nBands).map(b =>
+      struct(lit(b).as("band"),
+        (sigMin(2 * b) * Hashing.P + sigMin(2 * b + 1)).as("key"))): _*)
+  }
+
+  /** Exact 3-token-shingle Jaccard of two text columns as a projection —
+    * the verification kernel for candidate pairs whose texts ride the
+    * row (the streaming probe path). Preconditions as [[shingleHashes]].
+    */
+  def textJaccard(a: Column, b: Column): Column =
+    jaccardOfSets(nGramSet(split(a, " "), 3), nGramSet(split(b, " "), 3))
+
   /** Incremental near-dup ingestion (X58) — probe a NEW batch against an
     * already-indexed corpus: batch band keys equi-join the corpus index
     * on (band, key), candidates verify exactly as jaccard(new, old) ≥

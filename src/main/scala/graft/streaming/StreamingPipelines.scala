@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{OutputMode, StreamingQuery, Trigger}
 import org.apache.spark.sql.types._
 
+import graft.operators.TextDedup
 import graft.queries.EventsDemos
 
 /** Structured Streaming runtime for the windowed event aggregations
@@ -144,6 +145,52 @@ object StreamingPipelines {
         "make the event time part of the key and never match duplicates)")
     events.withWatermark("ts", watermarkDelay)
       .dropDuplicatesWithinWatermark(keys.head, keys.tail: _*)
+  }
+
+  /** Streaming incremental near-dup ingestion — the streaming face of
+    * X58 (`TextDedup.incrementalLshPairs`): documents arriving on a
+    * stream probe a STATIC LSH band index and verify exactly, all
+    * without stateful aggregation. Per micro-batch:
+    *
+    *   1. band keys per document via the stateless per-row expressions
+    *      ([[graft.operators.TextDedup.shingleHashes]] in its own
+    *      projection + [[graft.operators.TextDedup.lshBandKeys]]) — a
+    *      streaming MinHash AGGREGATE would key state by doc id and
+    *      hold it forever; a projection holds none,
+    *   2. stream–static equi-join on (band, key) against the index
+    *      (re-planned per batch — in production read the bucketed
+    *      (band, key) store so the static side never shuffles),
+    *   3. `dropDuplicatesWithinWatermark` collapses multi-band hits of
+    *      the same (new, old) pair — the ONLY stateful operator, state
+    *      bounded by pairs seen inside the watermark window,
+    *   4. stream–static join to the corpus texts + exact
+    *      [[graft.operators.TextDedup.textJaccard]] at `threshold`.
+    *
+    * Emits `(new_id, old_id, jaccard)` in append mode as batches
+    * arrive. Same recall contract as x2b/x58. Docs under 3 tokens
+    * cannot shingle and are filtered (the batch path's tokArrays
+    * contract).
+    */
+  def incrementalLshStream(batch: DataFrame, index: DataFrame,
+      corpus: DataFrame, idCol: String, textCol: String, threshold: Double,
+      watermarkDelay: String = "10 minutes"): DataFrame = {
+    val cand = batch.withWatermark("ts", watermarkDelay)
+      .filter(size(split(col(textCol), " ")) >= 3)
+      .withColumn("__hs", TextDedup.shingleHashes(col(textCol)))
+      .select(col(idCol).as("new_id"), col("ts"),
+        col(textCol).as("__new_text"),
+        explode(TextDedup.lshBandKeys(col("__hs"))).as("bk"))
+      .select(col("new_id"), col("ts"), col("__new_text"),
+        col("bk.band").as("band"), col("bk.key").as("key"))
+      .join(index.select(col("doc_id").as("old_id"), col("band"), col("key")),
+        Seq("band", "key"))
+      .dropDuplicatesWithinWatermark("new_id", "old_id")
+    cand
+      .join(corpus.select(col(idCol).as("old_id"),
+        col(textCol).as("__old_text")), "old_id")
+      .select(col("new_id"), col("old_id"),
+        TextDedup.textJaccard(col("__new_text"), col("__old_text")).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
   }
 
   /** Wire an aggregated streaming DataFrame to an in-memory sink (used by

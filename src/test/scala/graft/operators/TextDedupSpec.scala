@@ -46,6 +46,20 @@ class TextDedupSpec extends SparkSpec {
     assert(run(Some(_.localCheckpoint(true))) === lazyPairs)
   }
 
+  test("lshBandKeys: stateless per-row band keys equal the lshIndex aggregate") {
+    val docs = Tables.table(spark, sfDir, "documents").limit(50)
+    val agg = TextDedup.lshIndex(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val perRow = docs
+      .filter(size(split(col("text"), " ")) >= 3)
+      .withColumn("__hs", TextDedup.shingleHashes(col("text")))
+      .select(col("doc_id"), explode(TextDedup.lshBandKeys(col("__hs"))).as("bk"))
+      .select(col("doc_id"), col("bk.band"), col("bk.key"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(perRow === agg)
+    assert(agg.nonEmpty)
+  }
+
   test("dedupClusters: chains propagate to the min id, components stay disjoint") {
     val s = spark
     import s.implicits._

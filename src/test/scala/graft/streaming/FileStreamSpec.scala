@@ -51,6 +51,51 @@ class FileStreamSpec extends SparkSpec {
       s"hour-5 window should still be open: $rows")
   }
 
+  test("incremental LSH stream over arriving doc files equals the batch X58 face") {
+    val s = spark
+    import s.implicits._
+    val base = "the quick brown fox jumps over the lazy dog tonight"
+    val corpus = Seq(
+      (1L, base), (2L, base),
+      (3L, "completely different words about spark shuffles and joins here"))
+      .toDF("doc_id", "text")
+    // batch: 9 and 14 duplicate the corpus base; 19 matches nothing; 20
+    // is sub-shingle (2 tokens) and must be filtered, not crash
+    val batchDocs = Seq((9L, base), (14L, base),
+      (19L, "unrelated text with no overlap at all in any shingle window"),
+      (20L, "too short"))
+    val index = graft.operators.TextDedup.lshIndex(corpus, "doc_id", "text")
+      .localCheckpoint(true) // the production shape: a STORED index
+    val dir = Files.createTempDirectory("graft-lsh-stream").toString
+    def write(docs: Seq[(Long, String)], min: Int): Unit =
+      docs.map { case (id, tx) => (id, tx, ts(min)) }
+        .toDF("doc_id", "text", "ts")
+        .coalesce(1).write.mode(SaveMode.Append).parquet(dir)
+    // two arrival waves — candidates must stream out per batch, and the
+    // pair state must dedup the re-delivered doc 9 in wave 2
+    write(Seq(batchDocs(0), batchDocs(3)), 10)
+    val stream = s.readStream.schema(
+        org.apache.spark.sql.types.StructType.fromDDL(
+          "doc_id LONG, text STRING, ts TIMESTAMP")).parquet(dir)
+    val q = StreamingPipelines.incrementalLshStream(
+        stream, index, corpus, "doc_id", "text", threshold = 0.5)
+      .writeStream.format("memory").queryName("t_lsh")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    write(Seq(batchDocs(0), batchDocs(1), batchDocs(2)), 20)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = s.table("t_lsh").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val batchFace = graft.operators.TextDedup.incrementalLshPairs(
+        batchDocs.toDF("doc_id", "text"), corpus, "doc_id", "text", 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(streamed === batchFace, s"stream-only=${streamed.diff(batchFace).take(3)} " +
+      s"batch-only=${batchFace.diff(streamed).take(3)}")
+    assert(streamed === Set((9L, 1L, 1.0), (9L, 2L, 1.0),
+      (14L, 1L, 1.0), (14L, 2L, 1.0)))
+  }
+
   test("harness events stream (auto ts layout) equals the batch tumbling agg") {
     val s = spark
     val dir = Files.createTempDirectory("graft-nanos").toString
