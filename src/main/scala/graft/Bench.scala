@@ -30,6 +30,17 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Spark's WindowExec warns "No Partition Defined" on EVERY global
+    // window, including the handful of demo sites whose input is provably
+    // bounded (top-K after LIMIT, aggregate-to-constant) — and those are
+    // already regression-gated by the PlanSpec window-discipline sweep
+    // over all demos (an unpartitioned window over UNBOUNDED input fails
+    // `sbt test`). The burst drowned real warnings in the bench tail
+    // (r6 verdict), so silence that one logger here; the gate, not the
+    // logger, is the discipline.
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.sql.execution.window",
+      org.apache.logging.log4j.Level.ERROR)
     graft.sources.Tables.bootstrap(spark)
 
     def evaluate(df: DataFrame): Unit =

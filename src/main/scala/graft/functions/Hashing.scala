@@ -56,11 +56,20 @@ object Hashing {
     (0 until MinhashK).map(s => min(minhashPerm(s, org.apache.spark.sql.functions.col("x"))).as(s"m$s"))
 
   /** Register the codegen'd kernels (`dot_long`, `char_poly_hash`) in the
-    * session function registry. Idempotent; called by demo builders.
+    * session function registry. Idempotent AND quiet: demo builders call
+    * this once each, and `createOrReplaceTempFunction` logs a "function
+    * replaced" warning on every re-registration — 100+ of them drowned
+    * the bench tail (r6 verdict blemish), so already-registered names
+    * are left alone. (A concurrent double-registration is benign: both
+    * threads bind the identical builder.)
     */
   def registerAll(spark: org.apache.spark.sql.SparkSession): Unit = {
-    DotProductLong.register(spark)
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "char_poly_hash", exprs => CharPolyHash(exprs.head), "built-in")
+    val reg = spark.sessionState.functionRegistry
+    def missing(name: String) =
+      !reg.functionExists(org.apache.spark.sql.catalyst.FunctionIdentifier(name))
+    if (missing("dot_long")) DotProductLong.register(spark)
+    if (missing("char_poly_hash"))
+      reg.createOrReplaceTempFunction(
+        "char_poly_hash", exprs => CharPolyHash(exprs.head), "built-in")
   }
 }

@@ -38,32 +38,79 @@ object JinjaMacros {
   final case class MacroDef(name: String,
       params: Seq[(String, Option[String])], body: String)
 
-  private val DefStart =
-    raw"\{%-?\s*macro\s+([A-Za-z_][A-Za-z0-9_]*)\s*\(([^)]*)\)\s*-?%\}".r
+  private val MacroToken = raw"\{%-?\s*macro\b".r
   private val DefEnd = raw"\{%-?\s*endmacro\s*-?%\}".r
 
-  /** Parse every `{% macro %}…{% endmacro %}` in a macro-file text. */
+  /** Index of the `)` matching the `(` at `open` (quote-aware — parens
+    * inside string literals don't count), or -1 when unbalanced.
+    */
+  private def matchParen(s: String, open: Int): Int = {
+    var depth = 0
+    var quote = 0.toChar
+    var i = open
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (quote != 0) { if (c == quote) quote = 0.toChar }
+      else c match {
+        case '\'' | '"' => quote = c
+        case '('        => depth += 1
+        case ')'        => depth -= 1; if (depth == 0) return i
+        case _          =>
+      }
+      i += 1
+    }
+    -1
+  }
+
+  /** Parse every `{% macro %}…{% endmacro %}` in a macro-file text.
+    * The signature is scanned by hand — name, then a BALANCED-paren
+    * parameter list (defaults may contain parens and commas, e.g.
+    * `scale=pow(10, 2)`), then `%}`. A `{% macro` token whose signature
+    * does not parse FAILS here with the macro's name — the earlier
+    * regex-group form silently skipped it, and the unexpanded call
+    * sites surfaced later as confusing SQL parse errors (r6 advice).
+    */
   def parse(source: String): Seq[MacroDef] = {
-    val starts = DefStart.findAllMatchIn(source).toSeq
-    val defs = starts.map { m =>
-      val rest = source.substring(m.end)
+    val defs = MacroToken.findAllMatchIn(source).toSeq.map { tk =>
+      var i = tk.end
+      while (i < source.length && source.charAt(i).isWhitespace) i += 1
+      val ns = i
+      while (i < source.length &&
+        (source.charAt(i).isLetterOrDigit || source.charAt(i) == '_')) i += 1
+      val name = source.substring(ns, i)
+      def fail(why: String): Nothing = throw new IllegalArgumentException(
+        s"unparseable {% macro %} definition" +
+          (if (name.nonEmpty) s" '$name'" else "") + s": $why")
+      if (name.isEmpty || !(name.head.isLetter || name.head == '_'))
+        fail("expected a macro name")
+      while (i < source.length && source.charAt(i).isWhitespace) i += 1
+      if (i >= source.length || source.charAt(i) != '(')
+        fail("expected '(' after the macro name")
+      val close = matchParen(source, i)
+      if (close < 0) fail("unbalanced parentheses in the parameter list")
+      val paramsRaw = source.substring(i + 1, close)
+      i = close + 1
+      while (i < source.length && source.charAt(i).isWhitespace) i += 1
+      if (i < source.length && source.charAt(i) == '-') i += 1
+      if (i + 1 >= source.length ||
+        source.charAt(i) != '%' || source.charAt(i + 1) != '}')
+        fail("expected '%}' after the parameter list")
+      val rest = source.substring(i + 2)
       val end = DefEnd.findFirstMatchIn(rest).getOrElse(
-        throw new IllegalArgumentException(
-          s"macro '${m.group(1)}' has no {% endmacro %}"))
+        fail("no {% endmacro %}"))
       val body = rest.substring(0, end.start)
-      require(DefStart.findFirstIn(body).isEmpty,
-        s"macro '${m.group(1)}' contains a nested macro definition")
-      val params = m.group(2).split(",").map(_.trim).filter(_.nonEmpty)
-        .map { p =>
-          p.split("=", 2) match {
-            case Array(n, d) => (n.trim, Some(unquote(d.trim)))
-            case Array(n)    => (n.trim, None)
-          }
-        }.toSeq
+      require(MacroToken.findFirstIn(body).isEmpty,
+        s"macro '$name' contains a nested macro definition")
+      val params = splitArgs(paramsRaw).map { p =>
+        p.split("=", 2) match {
+          case Array(n, d) => (n.trim, Some(unquote(d.trim)))
+          case Array(n)    => (n.trim, None)
+        }
+      }
       val dupP = params.map(_._1).diff(params.map(_._1).distinct)
       require(dupP.isEmpty,
-        s"macro '${m.group(1)}' repeats parameter(s): ${dupP.mkString(", ")}")
-      MacroDef(m.group(1), params, body.trim)
+        s"macro '$name' repeats parameter(s): ${dupP.mkString(", ")}")
+      MacroDef(name, params, body.trim)
     }
     val dup = defs.map(_.name).diff(defs.map(_.name).distinct)
     require(dup.isEmpty, s"duplicate macro definition(s): ${dup.mkString(", ")}")
@@ -158,9 +205,12 @@ object JinjaMacros {
   }
 
   /** Split a raw argument string on top-level commas (parens and quotes
-    * shield nested ones).
+    * shield nested ones). An all-whitespace string is a ZERO-arg call —
+    * Jinja treats `m( )` like `m()`, binding defaults (r6 advice); the
+    * error stays for genuinely empty positions like `m(a,,b)`.
     */
   private def splitArgs(s: String): Seq[String] = {
+    if (s.trim.isEmpty) return Nil
     val out = scala.collection.mutable.Buffer.empty[String]
     val cur = new StringBuilder
     var depth = 0
@@ -175,11 +225,13 @@ object JinjaMacros {
         case _                    => cur += c
       }
     }
-    if (cur.nonEmpty) out += cur.toString
-    val trimmed = out.toSeq.map(_.trim)
-    require(trimmed.forall(_.nonEmpty) || trimmed.isEmpty,
+    out += cur.toString
+    val parts = out.toSeq.map(_.trim)
+    // a trailing comma is fine (Jinja is Python-like): drop the empty tail
+    val args = if (parts.last.isEmpty) parts.init else parts
+    require(args.forall(_.nonEmpty),
       s"empty argument in macro call args '($s)'")
-    trimmed.filter(_.nonEmpty)
+    args
   }
 
   private val KwArg = raw"(?s)^([A-Za-z_][A-Za-z0-9_]*)\s*=(?!=)\s*(.*)$$".r

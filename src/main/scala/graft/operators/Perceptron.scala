@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
 
 /** Distributed full-batch perceptron (Rosenblatt 1958; Collins 2002 for
   * the batch/structured use) over INTEGER features — the model-based
@@ -28,6 +29,24 @@ import org.apache.spark.sql.functions._
   */
 object Perceptron {
 
+  /** The exact-arithmetic contract is INTEGER features: a fractional
+    * column would be silently truncated by the `cast("long")` and the
+    * trained weights would quietly diverge from any oracle using the
+    * untruncated values — reject it up front instead. Boolean is not
+    * accepted either: make the 0/1 encoding explicit at the call site.
+    */
+  private def requireIntegral(df: DataFrame, cols: Seq[String]): Unit = {
+    val bad = cols.flatMap { c =>
+      df.schema(c).dataType match {
+        case ByteType | ShortType | IntegerType | LongType => None
+        case t => Some(s"$c: ${t.simpleString}")
+      }
+    }
+    require(bad.isEmpty,
+      "perceptron requires integral (byte/short/int/long) feature and " +
+        s"label columns — exact-arithmetic contract; got ${bad.mkString(", ")}")
+  }
+
   /** Train `iters` full-batch rounds; returns the weight vector, bias
     * first (the bias rides a constant-1 feature). Rows with a NULL
     * label or NULL feature are dropped (the library's NULL-never-passes
@@ -39,6 +58,7 @@ object Perceptron {
       iters: Int, materialize: Boolean = true): Seq[Long] = {
     require(featureCols.nonEmpty, "need at least one feature column")
     require(iters >= 1, s"need iters >= 1, got $iters")
+    requireIntegral(df, featureCols :+ labelCol)
     val sc = df.sparkSession.sparkContext
     // project to the slim (features, label) long frame FIRST and — by
     // default — materialize it once: T rounds then scan k+1 longs per
@@ -87,6 +107,7 @@ object Perceptron {
       weights: Seq[Long]): DataFrame = {
     require(weights.size == featureCols.size + 1,
       s"need ${featureCols.size + 1} weights (bias first), got ${weights.size}")
+    requireIntegral(df, featureCols)
     val feats = lit(1L) +: featureCols.map(c => col(c).cast("long"))
     val s = feats.zip(weights).map { case (f, wi) => f * lit(wi) }.reduce(_ + _)
     df.withColumn("score", s)

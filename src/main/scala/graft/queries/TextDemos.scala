@@ -578,6 +578,14 @@ object TextDemos {
       val d = docs(s, dir)
       val merges = TextAnalysis.bpeMerges(d, "text", numMerges = bpeRounds)
         .collect().map(r => (r.getString(1), r.getString(2))).toSeq
+      // the unrolled oracle assumes all bpeRounds merges exist: if training
+      // exhausted early, its empty m$r CTE would cross-join every later
+      // s$r state EMPTY and the oracle would return zero rows while this
+      // side still counts subwords — fail loudly instead of diverging
+      // silently on a degenerate corpus (r6 advice)
+      require(merges.size == bpeRounds,
+        s"corpus exhausted after ${merges.size} BPE merges; the x5p oracle " +
+          s"replays $bpeRounds rounds and would diverge")
       TextAnalysis.bpeSegment(d, "doc_id", "text", merges)
         .orderBy(col("doc_id").asc_nulls_last)
     })
