@@ -20,12 +20,24 @@ package graft.models
   *     the expanded text sees refs introduced by macros
   *   - whitespace-control markers (`{%-`, `-%}`) are accepted and the
   *     body trimmed
+  *   - control flow, the dbt authoring idioms (r6 verdict: the last
+  *     SQL-authoring migration wall): `{% for v in ['a', 'b'] %}` /
+  *     `{% for v in range(a, b) %}` with `loop.first/last/index/
+  *     index0/length`, and `{% if cond %}…{% elif %}…{% else %}…
+  *     {% endif %}` where `cond` (after variable substitution) is
+  *     built from literal booleans, `==`/`!=` over literals (TEXTUAL
+  *     comparison after unquoting — `1 == 1.0` is false here), `not`,
+  *     `and`/`or`, and parentheses. Blocks nest; a macro body's
+  *     control flow renders at call time with the macro's bound
+  *     params, a model's renders with literal conditions before macro
+  *     expansion (so `{{ m(loopvar) }}` sees the unrolled value).
   *
-  * Not supported (fail fast or out of scope by design): recursive
-  * macros (expansion depth guard), nested `{% macro %}` definitions,
-  * and Jinja control flow (`{% if %}`/`{% for %}`) — the latter is
-  * documented as out of scope; everything this library ships renders
-  * with substitution only.
+  * Not supported (fail fast by design): recursive macros (expansion
+  * depth guard), nested `{% macro %}` definitions, non-literal
+  * iterables/conditions (`{% for c in get_cols() %}`), and every other
+  * tag (`{% set %}`, `{% do %}`, …) — a construct outside the subset
+  * throws with the offending text, never passes through silently into
+  * SQL.
   *
   * Expansion is driver-side string work on model TEXTS (bytes of SQL,
   * never data) — nothing here touches the cluster.
@@ -117,6 +129,239 @@ object JinjaMacros {
     defs
   }
 
+  // -------------------------------------------------------------------
+  // Control flow: {% if %} / {% for %} — parsed to a small AST, rendered
+  // with a String environment (macro params, loop vars, loop.* attrs).
+  // -------------------------------------------------------------------
+
+  private sealed trait Node
+  private final case class Lit(text: String) extends Node
+  private final case class IfNode(branches: Seq[(String, Seq[Node])],
+      els: Seq[Node]) extends Node
+  private final case class ForNode(varName: String, listText: String,
+      body: Seq[Node]) extends Node
+
+  /** Every `{% … %}` tag span (content group 1; `-` markers handled by
+    * char inspection so a condition containing `-` still parses).
+    */
+  private val TagTok = raw"\{%-?\s*([\s\S]*?)\s*-?%\}".r
+  // matched against the tag content AFTER the `for` keyword is stripped
+  private val ForHead = raw"(?s)^([A-Za-z_][A-Za-z0-9_]*)\s+in\s+(.+)$$".r
+
+  /** Parse a model/macro-body text into literal runs and nested if/for
+    * blocks. Any tag outside the subset fails fast with its text — a
+    * `{% set %}` passing through silently would surface as a SQL parse
+    * error far from its cause.
+    */
+  private def parseNodes(text: String): Seq[Node] = {
+    val tags = TagTok.findAllMatchIn(text).toVector
+    var ti = 0
+    var pos = 0
+    var pendingLTrim = false
+    def literalUpTo(start: Int, rstrip: Boolean): Option[Lit] = {
+      var s = text.substring(pos, start)
+      if (pendingLTrim) s = s.replaceFirst("^\\s+", "")
+      if (rstrip) s = s.replaceFirst("\\s+$", "")
+      if (s.isEmpty) None else Some(Lit(s))
+    }
+    // returns (nodes, keyword that closed the sequence)
+    def parseSeq(closers: Set[String]): (Seq[Node], String, String) = {
+      val out = Vector.newBuilder[Node]
+      while (ti < tags.length) {
+        val m = tags(ti)
+        val content = m.group(1)
+        val kw = content.takeWhile(c => c.isLetter || c == '_')
+        val rest = content.substring(kw.length).trim
+        val trimBefore = text.charAt(m.start + 2) == '-'
+        val trimAfter = text.charAt(m.end - 3) == '-'
+        literalUpTo(m.start, trimBefore).foreach(out += _)
+        pos = m.end
+        pendingLTrim = trimAfter
+        ti += 1
+        kw match {
+          case k if closers.contains(k) => return (out.result(), k, rest)
+          case "for" =>
+            val (v, listText) = rest match {
+              case ForHead(vn, lt) => (vn, lt)
+              case _ => throw new IllegalArgumentException(
+                s"unparseable {% for %} head '$rest' — expected 'for <var> in <iterable>'")
+            }
+            val (body, closer, _) = parseSeq(Set("endfor"))
+            require(closer == "endfor", s"{% for $v %} closed by {% $closer %}")
+            out += ForNode(v, listText, body)
+          case "if" =>
+            val branches = Vector.newBuilder[(String, Seq[Node])]
+            var cond = rest
+            var els: Seq[Node] = Nil
+            var open = true
+            while (open) {
+              val (body, closer, closerRest) =
+                parseSeq(Set("elif", "else", "endif"))
+              branches += ((cond, body))
+              closer match {
+                case "elif" => cond = closerRest
+                case "else" =>
+                  val (eBody, eCloser, _) = parseSeq(Set("endif"))
+                  require(eCloser == "endif",
+                    s"{% else %} closed by {% $eCloser %}")
+                  els = eBody; open = false
+                case "endif" => open = false
+              }
+            }
+            out += IfNode(branches.result(), els)
+          case "endfor" | "endif" | "elif" | "else" =>
+            throw new IllegalArgumentException(
+              s"unbalanced {% $kw %} with no open block")
+          case other =>
+            throw new IllegalArgumentException(
+              s"unsupported Jinja tag '{% $content %}' — supported control " +
+                "flow: {% if/elif/else/endif %}, {% for/endfor %}")
+        }
+      }
+      val tail = parseSeqEnd(closers)
+      (out.result() ++ tail, "", "")
+    }
+    def parseSeqEnd(closers: Set[String]): Seq[Node] = {
+      require(closers.isEmpty,
+        s"unterminated block — expected {% ${closers.mkString(" or ")} %}")
+      if (pos < text.length) {
+        var s = text.substring(pos)
+        if (pendingLTrim) s = s.replaceFirst("^\\s+", "")
+        pos = text.length
+        if (s.isEmpty) Nil else Seq(Lit(s))
+      } else Nil
+    }
+    val (nodes, closer, _) = parseSeq(Set.empty)
+    require(closer.isEmpty, s"unbalanced {% $closer %}")
+    nodes
+  }
+
+  /** Render an AST under an environment (macro params + loop vars). */
+  private def renderNodes(nodes: Seq[Node], env: Map[String, String]): String = {
+    val sb = new StringBuilder
+    nodes.foreach {
+      case Lit(t) => sb.append(if (env.isEmpty) t else substituteParams(t, env))
+      case IfNode(branches, els) =>
+        branches.find { case (c, _) => evalCond(substIdents(c, env)) } match {
+          case Some((_, body)) => sb.append(renderNodes(body, env))
+          case None            => sb.append(renderNodes(els, env))
+        }
+      case ForNode(v, listText, body) =>
+        val items = parseListLiteral(substIdents(listText, env))
+        val n = items.size
+        items.zipWithIndex.foreach { case (item, i) =>
+          val loopEnv = env ++ Map(
+            v -> item,
+            "loop.first"  -> (if (i == 0) "true" else "false"),
+            "loop.last"   -> (if (i == n - 1) "true" else "false"),
+            "loop.index"  -> (i + 1).toString,
+            "loop.index0" -> i.toString,
+            "loop.length" -> n.toString)
+          sb.append(renderNodes(body, loopEnv))
+        }
+    }
+    sb.toString
+  }
+
+  private val RangeCall = raw"(?s)^range\(\s*(-?\d+)\s*,\s*(-?\d+)\s*\)$$".r
+
+  /** A literal iterable: `['a', 'b', 2]` (strings unquoted, Jinja
+    * semantics) or `range(a, b)` (Python: b exclusive).
+    */
+  private def parseListLiteral(s0: String): Seq[String] = {
+    val s = s0.trim
+    if (s.startsWith("[") && s.endsWith("]"))
+      splitArgs(s.substring(1, s.length - 1)).map(unquote)
+    else s match {
+      case RangeCall(a, b) => (a.toInt until b.toInt).map(_.toString)
+      case _ => throw new IllegalArgumentException(
+        s"unsupported {% for %} iterable '$s0' — supported: a literal " +
+          "list ['a', 'b', …] or range(a, b)")
+    }
+  }
+
+  /** Index of the first top-level (outside quotes/parens) occurrence of
+    * `op` in `s`; word operators require word boundaries. -1 if absent.
+    */
+  private def topLevelIndexOf(s: String, op: String): Int = {
+    val word = op.head.isLetter
+    var depth = 0
+    var quote = 0.toChar
+    var i = 0
+    while (i <= s.length - op.length) {
+      val c = s.charAt(i)
+      if (quote != 0) { if (c == quote) quote = 0.toChar; i += 1 }
+      else c match {
+        case '\'' | '"' => quote = c; i += 1
+        case '('        => depth += 1; i += 1
+        case ')'        => depth -= 1; i += 1
+        case _ =>
+          val hit = depth == 0 && s.regionMatches(i, op, 0, op.length) &&
+            (!word || ((i == 0 || !isIdentChar(s.charAt(i - 1))) &&
+              (i + op.length >= s.length || !isIdentChar(s.charAt(i + op.length)))))
+          if (hit) return i
+          i += 1
+      }
+    }
+    -1
+  }
+
+  private def isIdentChar(c: Char): Boolean =
+    c.isLetterOrDigit || c == '_' || c == '.'
+
+  /** Evaluate a substituted condition: or < and < not < (==|!=) over
+    * literals < parens/booleans. Comparison is TEXTUAL after unquoting
+    * (exact-subset semantics, documented above). Anything else fails
+    * fast — an unevaluable condition means a variable this renderer
+    * does not know, and guessing would silently drop SQL.
+    */
+  private def evalCond(s0: String): Boolean = {
+    val s = s0.trim
+    require(s.nonEmpty, "empty {% if %} condition")
+    val orAt = topLevelIndexOf(s, "or")
+    if (orAt >= 0)
+      return evalCond(s.substring(0, orAt)) || evalCond(s.substring(orAt + 2))
+    val andAt = topLevelIndexOf(s, "and")
+    if (andAt >= 0)
+      return evalCond(s.substring(0, andAt)) && evalCond(s.substring(andAt + 3))
+    if (topLevelIndexOf(s, "not") == 0) return !evalCond(s.substring(3))
+    if (s.startsWith("(") && matchParen(s, 0) == s.length - 1)
+      return evalCond(s.substring(1, s.length - 1))
+    val neqAt = topLevelIndexOf(s, "!=")
+    if (neqAt >= 0)
+      return unquote(s.substring(0, neqAt).trim) !=
+        unquote(s.substring(neqAt + 2).trim)
+    val eqAt = topLevelIndexOf(s, "==")
+    if (eqAt >= 0)
+      return unquote(s.substring(0, eqAt).trim) ==
+        unquote(s.substring(eqAt + 2).trim)
+    s.toLowerCase match {
+      case "true"  => true
+      case "false" => false
+      case _ => throw new IllegalArgumentException(
+        s"unsupported {% if %} condition '$s0' — supported: literal " +
+          "booleans, loop.first/last, ==/!= over literals, not/and/or, parens")
+    }
+  }
+
+  /** Full Jinja render of one model text: top-level control flow first
+    * (so `{{ m(loopvar) }}` call args carry the unrolled value), then
+    * macro expansion (each macro body's control flow renders at call
+    * time under its bound params, inside [[render]]). `{{ ref(…) }}`
+    * and other unknown `{{ … }}` spans pass through for the downstream
+    * SQL renderer.
+    */
+  def renderModel(sql: String, macros: Seq[MacroDef] = Nil,
+      maxDepth: Int = 16): String =
+    expand(renderControlFlow(sql), macros, maxDepth)
+
+  /** Render control flow with no variables in scope (model-level text:
+    * conditions and iterables must be literal).
+    */
+  def renderControlFlow(sql: String): String =
+    if (!sql.contains("{%")) sql
+    else renderNodes(parseNodes(sql), Map.empty)
+
   /** Expand every known-macro call site in `sql`, re-scanning until the
     * text is stable so macros may call macros. `maxDepth` bounds the
     * rescan count — a self-referential macro fails fast instead of
@@ -204,8 +449,9 @@ object JinjaMacros {
     }
   }
 
-  /** Split a raw argument string on top-level commas (parens and quotes
-    * shield nested ones). An all-whitespace string is a ZERO-arg call —
+  /** Split a raw argument string on top-level commas (parens, brackets
+    * and quotes shield nested ones — a list-literal arg `['a', 'b']`
+    * is ONE argument). An all-whitespace string is a ZERO-arg call —
     * Jinja treats `m( )` like `m()`, binding defaults (r6 advice); the
     * error stays for genuinely empty positions like `m(a,,b)`.
     */
@@ -219,8 +465,8 @@ object JinjaMacros {
       if (quote != 0) { cur += c; if (c == quote) quote = 0.toChar }
       else c match {
         case '\'' | '"'           => quote = c; cur += c
-        case '('                  => depth += 1; cur += c
-        case ')'                  => depth -= 1; cur += c
+        case '(' | '['            => depth += 1; cur += c
+        case ')' | ']'            => depth -= 1; cur += c
         case ',' if depth == 0    => out += cur.toString; cur.clear()
         case _                    => cur += c
       }
@@ -260,7 +506,10 @@ object JinjaMacros {
         s"macro '${m.name}' missing required argument '$p'")))
       p -> unquote(v)
     }.toMap
-    substituteParams(m.body, bound)
+    // body control flow renders at CALL time, under the bound params —
+    // {% if %}/{% for %} referencing a param are literal once bound; a
+    // tag-free body reduces to plain substitution as before
+    renderNodes(parseNodes(m.body), bound)
   }
 
   /** Jinja variable substitution over a macro body: inside every
@@ -293,7 +542,10 @@ object JinjaMacros {
 
   /** Replace word-boundary occurrences of bound identifiers outside
     * quotes; an identifier followed by `(` (a call) or a single `=`
-    * (a kwarg name) is syntax, not a variable reference.
+    * (a kwarg name) is syntax, not a variable reference. Dotted tokens
+    * (`loop.first`) resolve as a whole first; an unbound dotted token
+    * falls back to per-segment substitution, so `tbl.col` with `tbl`
+    * bound still renders `value.col`.
     */
   private def substIdents(s: String, bound: Map[String, String]): String = {
     val out = new StringBuilder
@@ -305,14 +557,21 @@ object JinjaMacros {
       else if (c == '\'' || c == '"') { quote = c; out += c; i += 1 }
       else if (c.isLetter || c == '_') {
         val ns = i
-        while (i < s.length &&
-          (s.charAt(i).isLetterOrDigit || s.charAt(i) == '_')) i += 1
+        def core(ch: Char) = ch.isLetterOrDigit || ch == '_'
+        // a '.' joins the token only when an ident char follows — a
+        // trailing dot ("x.") is punctuation, not part of the name
+        while (i < s.length && (core(s.charAt(i)) ||
+          (s.charAt(i) == '.' && i + 1 < s.length && core(s.charAt(i + 1))))) i += 1
         val ident = s.substring(ns, i)
         var j = i
         while (j < s.length && s.charAt(j).isWhitespace) j += 1
         val isSyntax = j < s.length && (s.charAt(j) == '(' ||
           (s.charAt(j) == '=' && (j + 1 >= s.length || s.charAt(j + 1) != '=')))
-        out.append(if (isSyntax) ident else bound.getOrElse(ident, ident))
+        out.append(
+          if (isSyntax) ident
+          else bound.get(ident).getOrElse(
+            ident.split('.').map(seg => bound.getOrElse(seg, seg))
+              .mkString(".")))
       } else { out += c; i += 1 }
     }
     out.toString

@@ -155,18 +155,19 @@ class SqlDag(spark: SparkSession, warehouseDir: String) {
     * sibling models touch disjoint relation names.
     *
     * `macros` are the project's user-defined `{% macro %}` definitions
-    * ([[JinjaMacros]]): every model text is macro-expanded FIRST — dbt
-    * compiles Jinja before SQL — so dependency extraction, selection,
-    * and the build all see refs a macro body introduces.
+    * ([[JinjaMacros]]): every model text is Jinja-rendered FIRST — dbt
+    * compiles Jinja before SQL — control flow (`{% if %}`/`{% for %}`)
+    * unrolls, then macros expand, so dependency extraction, selection,
+    * and the build all see refs a macro body or a loop iteration
+    * introduces.
     */
   def run(models: Seq[SqlModel], seeds: Map[String, DataFrame],
       threads: Int = 1, select: Seq[String] = Nil,
       exclude: Seq[String] = Nil,
       macros: Seq[JinjaMacros.MacroDef] = Nil): Map[String, DataFrame] = {
     require(threads >= 1, s"need threads >= 1, got $threads")
-    val expanded =
-      if (macros.isEmpty) models
-      else models.map(m => m.copy(jinjaSql = JinjaMacros.expand(m.jinjaSql, macros)))
+    val expanded = models.map(m =>
+      m.copy(jinjaSql = JinjaMacros.renderModel(m.jinjaSql, macros)))
     runExpanded(expanded, seeds, threads, select, exclude)
   }
 

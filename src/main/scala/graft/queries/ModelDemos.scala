@@ -184,5 +184,44 @@ object ModelDemos {
         .orderBy(col("source_name").asc_nulls_last)
     })
 
-  val all: Seq[Demo] = Seq(x12, x13, x15)
+  // -------------------------------------------------------------------
+  // Q33: JINJA CONTROL FLOW MODEL (JinjaMacros.renderModel via SqlDag) —
+  // a model authored with {% for %} over a literal list, {% if not
+  // loop.first %} (the dbt union-by-segment idiom) and a user macro,
+  // compiled and executed by the real SqlDag runner. The oracle is the
+  // hand-unrolled SQL, so BOTH the Jinja rendering and the execution
+  // are driver-checked. Driver-side work is string rendering only; the
+  // query itself is three pushdown-filtered scans of orders.
+  // -------------------------------------------------------------------
+  private val q33Macro =
+    "{% macro avg2(c) %}round(avg({{ c }}), 2){% endmacro %}"
+
+  private val q33Model =
+    "{% for s in ['F', 'O', 'P'] %}" +
+      "{% if not loop.first %} union all {% endif %}" +
+      "select '{{ s }}' as status, {{ avg2('o_totalprice') }} as avg_price, " +
+      "count(*) as n from {{ ref('orders') }} where o_orderstatus = '{{ s }}'" +
+      "{% endfor %}"
+
+  private val q33 = Demo("q33_jinja_model", Some("""
+      SELECT status, avg_price, n FROM (
+        SELECT 'F' AS status, round(avg(o_totalprice), 2) AS avg_price,
+               count(*) AS n FROM orders WHERE o_orderstatus = 'F'
+        UNION ALL
+        SELECT 'O', round(avg(o_totalprice), 2), count(*)
+          FROM orders WHERE o_orderstatus = 'O'
+        UNION ALL
+        SELECT 'P', round(avg(o_totalprice), 2), count(*)
+          FROM orders WHERE o_orderstatus = 'P')
+      ORDER BY status ASC NULLS LAST"""),
+    (s, dir) => {
+      val dag = new graft.models.SqlDag(s, freshScratchDir("q33"))
+      val built = dag.run(
+        Seq(graft.models.SqlDag.SqlModel("q33_status_mix", q33Model)),
+        seeds = Map("orders" -> t(s, dir, "orders")),
+        macros = graft.models.JinjaMacros.parse(q33Macro))
+      built("q33_status_mix").orderBy(col("status").asc_nulls_last)
+    })
+
+  val all: Seq[Demo] = Seq(x12, x13, x15, q33)
 }
