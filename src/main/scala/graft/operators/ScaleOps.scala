@@ -31,6 +31,23 @@ object ScaleOps {
     w2.format("parquet").saveAsTable(table)
   }
 
+  /** APPEND into an existing table created by [[writeBucketed]] — the
+    * index-maintenance half of an incremental ingestion loop: new rows
+    * land in the bucket files their keys hash to, so the store keeps
+    * its exchange-free co-located-join property without ever rewriting
+    * the existing data. The bucket spec must match the table's
+    * (declared again here; Spark verifies and fails fast on drift —
+    * silently appending with a different spec would quietly break the
+    * co-location the store exists for). At 100 TB this is the contract
+    * that makes a crawl loop O(batch) per arrival instead of O(corpus).
+    */
+  def appendBucketed(df: DataFrame, table: String, buckets: Int,
+      keys: Seq[String], sortCols: Seq[String] = Nil): Unit = {
+    val w0 = df.write.mode("append").bucketBy(buckets, keys.head, keys.tail: _*)
+    val w1 = if (sortCols.nonEmpty) w0.sortBy(sortCols.head, sortCols.tail: _*) else w0
+    w1.format("parquet").saveAsTable(table)
+  }
+
   /** Materialize `df` hive-partitioned by `partitionCols` (e.g. a date
     * bucket): queries filtering on those columns prune at the DIRECTORY
     * level — at 100 TB a day-grain query then touches 1/365th of the

@@ -227,10 +227,27 @@ object TextDedup {
     */
   def incrementalLshPairs(batch: DataFrame, corpus: DataFrame,
       idCol: String, textCol: String, threshold: Double,
+      materializeCandidates: Option[DataFrame => DataFrame] = None): DataFrame =
+    probeLshStore(batch, lshIndex(corpus, idCol, textCol), corpus,
+      idCol, textCol, threshold, materializeCandidates)
+
+  /** [[incrementalLshPairs]] against an ALREADY-BUILT band index — the
+    * store-probing face of the crawl loop: `corpusIndex` is the
+    * persisted `(doc_id, band, key)` frame ([[lshIndex]] output, e.g.
+    * a bucketed store table), `corpus` supplies the indexed documents'
+    * texts for exact verification (shingled only for docs on a
+    * candidate pair under `materializeCandidates`, see
+    * [[incrementalLshPairs]]). Probing never re-indexes the corpus —
+    * batch band keys equi-join the store on (band, key); when the
+    * store is bucketed by those keys ([[graft.operators.ScaleOps
+    * .writeBucketed]]) the store side joins with NO exchange.
+    */
+  def probeLshStore(batch: DataFrame, corpusIndex: DataFrame,
+      corpus: DataFrame, idCol: String, textCol: String, threshold: Double,
       materializeCandidates: Option[DataFrame => DataFrame] = None): DataFrame = {
     val lazyCand = lshIndex(batch, idCol, textCol)
       .select(col("doc_id").as("new_id"), col("band"), col("key"))
-      .join(lshIndex(corpus, idCol, textCol)
+      .join(corpusIndex
         .select(col("doc_id").as("old_id"), col("band"), col("key")),
         Seq("band", "key"))
       .select(col("new_id"), col("old_id")).distinct()
@@ -250,6 +267,42 @@ object TextDedup {
       .select(col("new_id"), col("old_id"),
         jaccardOfSets(col("shs_new"), col("shs_old")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
+  }
+
+  /** Number of buckets the persistent band store is written with —
+    * shared by [[lshStoreWrite]]/[[lshStoreAppend]] so the append's
+    * declared spec always matches the store's (Spark fails fast on
+    * drift). Demo-scale value; a production store sizes this to
+    * cluster parallelism once at creation.
+    */
+  val LshStoreBuckets = 8
+
+  /** Create the persistent band store for an incremental-ingestion
+    * corpus: [[lshIndex]] rows bucketed by (band, key) — the join keys
+    * every [[probeLshStore]] batch probes on — so probe joins read the
+    * store pre-partitioned with NO exchange. `path` makes the table
+    * external (see [[graft.operators.ScaleOps.writeBucketed]]).
+    */
+  def lshStoreWrite(corpus: DataFrame, idCol: String, textCol: String,
+      table: String, path: Option[String] = None): Unit =
+    ScaleOps.writeBucketed(lshIndex(corpus, idCol, textCol), table,
+      LshStoreBuckets, Seq("band", "key"), path = path)
+
+  /** Index maintenance — the other half of the crawl loop (r6 verdict
+    * item #3): APPEND an accepted batch's band keys into the bucketed
+    * store, so the NEXT batch probes base+batch without re-indexing or
+    * re-scanning the corpus. Cost is O(batch·bands) rows hashed into
+    * the store's existing bucket layout; the store is never rewritten.
+    * Spec-pinned contract: probe-after-append ≡ probe against a full
+    * index rebuild, pair-for-pair.
+    */
+  def lshStoreAppend(batch: DataFrame, idCol: String, textCol: String,
+      table: String): Unit = {
+    ScaleOps.appendBucketed(lshIndex(batch, idCol, textCol), table,
+      LshStoreBuckets, Seq("band", "key"))
+    // metadata/file-listing caches would otherwise serve the pre-append
+    // file set to a plan built later in the same session
+    batch.sparkSession.catalog.refreshTable(table)
   }
 
   /** MinHash+LSH near-dup pairs (X2b) — the 100 TB dedup path: shingle →

@@ -621,7 +621,71 @@ object DedupDemos {
         .orderBy(col("new_id").asc_nulls_last, col("old_id").asc_nulls_last)
     })
 
+  /** Per-demo scratch dir under java.io.tmpdir, wiped on entry (the
+    * ScaleDemos single-process contract: the harness drives queries
+    * serially).
+    */
+  private def freshScratchDir(name: String): String = {
+    val root = java.nio.file.Paths.get(
+      sys.props("java.io.tmpdir"), s"graft_demo_$name")
+    if (java.nio.file.Files.exists(root)) {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(root).iterator().asScala.toSeq
+        .reverse.foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+    root.toString
+  }
+
+  // -------------------------------------------------------------------
+  // X59: BAND-STORE MAINTENANCE (TextDedup.lshStoreWrite/Append +
+  // probeLshStore) — the full crawl loop over TWO consecutive batches:
+  // the base corpus (ids ≡ 0..2 mod 5) is indexed ONCE into a bucketed
+  // band store; batch1 (≡3) probes the store, is accepted, and its band
+  // keys APPEND into the store's bucket layout; batch2 (≡4) then probes
+  // base+batch1 through the same store — no corpus re-scan or re-index
+  // anywhere in the loop. The oracle replays both probes brute-force
+  // (the x2b recall argument: miss probability (1−t²)^64 ≤ 1e-8 at
+  // t=0.5).
+  // -------------------------------------------------------------------
+  private val x59 = Demo("x59_lsh_store_maintenance", Some(s"""
+      ${oracleShingleCtes()}
+      SELECT batch, new_id, old_id, jaccard FROM (
+        SELECT 1 AS batch, a.doc_id AS new_id, b.doc_id AS old_id,
+               cast(len(list_intersect(a.shs, b.shs)) AS double)
+                 / (len(a.shs) + len(b.shs) - len(list_intersect(a.shs, b.shs))) AS jaccard
+        FROM sh a JOIN sh b ON a.doc_id % 5 = 3 AND b.doc_id % 5 <= 2
+        UNION ALL
+        SELECT 2, a.doc_id, b.doc_id,
+               cast(len(list_intersect(a.shs, b.shs)) AS double)
+                 / (len(a.shs) + len(b.shs) - len(list_intersect(a.shs, b.shs)))
+        FROM sh a JOIN sh b ON a.doc_id % 5 = 4 AND b.doc_id % 5 <= 3)
+      WHERE jaccard >= 0.5
+      ORDER BY batch ASC NULLS LAST, new_id ASC NULLS LAST, old_id ASC NULLS LAST"""),
+    (s, dir) => {
+      val d = t(s, dir, "documents")
+      val base = d.filter(col("doc_id") % 5 <= 2)
+      val b1 = d.filter(col("doc_id") % 5 === 3)
+      val b2 = d.filter(col("doc_id") % 5 === 4)
+      val scratch = freshScratchDir("x59_store")
+      s.sql("DROP TABLE IF EXISTS x59_band_store")
+      TextDedup.lshStoreWrite(base, "doc_id", "text", "x59_band_store",
+        path = Some(scratch))
+      // batch1's probe must COMPLETE before the append mutates the store
+      // (lazily-evaluated, it would see its own batch and self-pair) —
+      // exactly the sequential contract of a real crawl loop
+      val p1 = TextDedup.probeLshStore(b1, s.table("x59_band_store"), base,
+        "doc_id", "text", threshold = 0.5).localCheckpoint(true)
+      TextDedup.lshStoreAppend(b1, "doc_id", "text", "x59_band_store")
+      val p2 = TextDedup.probeLshStore(b2, s.table("x59_band_store"),
+        base.unionByName(b1), "doc_id", "text", threshold = 0.5)
+      p1.select(lit(1).as("batch"), col("new_id"), col("old_id"), col("jaccard"))
+        .unionByName(p2.select(lit(2).as("batch"), col("new_id"),
+          col("old_id"), col("jaccard")))
+        .orderBy(col("batch").asc_nulls_last, col("new_id").asc_nulls_last,
+          col("old_id").asc_nulls_last)
+    })
+
   val all: Seq[Demo] =
     Seq(x1, x2a, x2b, x2c, x2c2, x2d, x2e, x2f, x2g, x18, x23, x23b, x28, x35,
-      x41, x52, x54, x56, x58)
+      x41, x52, x54, x56, x58, x59)
 }

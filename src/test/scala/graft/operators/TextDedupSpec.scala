@@ -46,6 +46,35 @@ class TextDedupSpec extends SparkSpec {
     assert(run(Some(_.localCheckpoint(true))) === lazyPairs)
   }
 
+  test("lshStoreAppend: probe-after-append equals a full index rebuild (X59)") {
+    val docs = Tables.table(spark, sfDir, "documents")
+    val base = docs.filter(col("doc_id") % 5 <= 2)
+    val b1 = docs.filter(col("doc_id") % 5 === 3)
+    val b2 = docs.filter(col("doc_id") % 5 === 4)
+    val scratch = java.nio.file.Files
+      .createTempDirectory("graft-lsh-store").toString
+    spark.sql("DROP TABLE IF EXISTS spec_band_store")
+    TextDedup.lshStoreWrite(base, "doc_id", "text", "spec_band_store",
+      path = Some(scratch))
+    val storedBase = spark.table("spec_band_store").count()
+    TextDedup.lshStoreAppend(b1, "doc_id", "text", "spec_band_store")
+    // the append added exactly batch1's index rows into the store
+    assert(spark.table("spec_band_store").count()
+      === storedBase + TextDedup.lshIndex(b1, "doc_id", "text").count())
+    // probing the appended store ≡ probing a from-scratch rebuild of
+    // the base+batch1 index — the crawl-loop maintenance contract
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val afterAppend = pairs(TextDedup.probeLshStore(b2,
+      spark.table("spec_band_store"), base.unionByName(b1),
+      "doc_id", "text", 0.5))
+    val rebuilt = pairs(TextDedup.incrementalLshPairs(b2,
+      base.unionByName(b1), "doc_id", "text", 0.5))
+    assert(afterAppend === rebuilt)
+    assert(afterAppend.nonEmpty)
+    spark.sql("DROP TABLE IF EXISTS spec_band_store")
+  }
+
   test("lshBandKeys: stateless per-row band keys equal the lshIndex aggregate") {
     val docs = Tables.table(spark, sfDir, "documents").limit(50)
     val agg = TextDedup.lshIndex(docs, "doc_id", "text")
