@@ -52,21 +52,33 @@ object SqlDag {
     *   - `@model`  → the model, its descendants, and every ancestor of
     *                 those descendants (dbt's build-the-world-around-it
     *                 operator for populating a node's full context)
+    *   - `state:modified` / `state:new` → models changed / added vs a
+    *     previous [[SqlDag.stateManifest]] (dbt's CI idiom; `modified`
+    *     includes `new`, as in dbt). `+`/closure suffixes compose:
+    *     `state:modified+` rebuilds everything downstream of a change.
     */
   private final case class Selector(name: String, ancestors: Boolean,
       descendants: Boolean, at: Boolean)
 
-  private val SelectorPattern = "^(\\+)?(@)?([A-Za-z0-9_]+)(\\+)?$".r
+  private val SelectorPattern = "^(\\+)?(@)?([A-Za-z0-9_]+|state:modified|state:new)(\\+)?$".r
 
   private def parseSelector(token: String): Selector = token match {
     case SelectorPattern(plus0, at, name, plus1) =>
       require(at == null || (plus0 == null && plus1 == null),
         s"@ cannot combine with +: '$token'")
+      require(at == null || !name.startsWith("state:"),
+        s"@ cannot combine with state selectors: '$token'")
       Selector(name, ancestors = plus0 != null, descendants = plus1 != null,
         at = at != null)
     case _ => throw new IllegalArgumentException(
-      s"unsupported selector '$token' (supported: model, model+, +model, +model+, @model)")
+      s"unsupported selector '$token' (supported: model, model+, +model, " +
+        "+model+, @model, state:modified, state:new)")
   }
+
+  private def sha256Hex(s: String): String =
+    java.security.MessageDigest.getInstance("SHA-256")
+      .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .map("%02x".format(_)).mkString
 }
 
 class SqlDag(spark: SparkSession, warehouseDir: String) {
@@ -83,20 +95,65 @@ class SqlDag(spark: SparkSession, warehouseDir: String) {
   def lineage(models: Seq[SqlModel]): Map[String, Set[String]] =
     models.map(m => m.name -> refsOf(m.jinjaSql)).toMap
 
+  /** The selection-state manifest of a model set (dbt's manifest.json
+    * reduced to what `state:` selection needs): per model its
+    * materialization, sorted `ref()` deps, and a checksum of the
+    * COMPILED (Jinja-rendered) SQL. Checksumming the compiled text —
+    * not the raw file — means an edit inside a `{% macro %}` marks
+    * every caller modified, dbt's `state:modified.macros` behavior for
+    * free. Driver-side string work only.
+    */
+  def stateManifest(models: Seq[SqlModel],
+      macros: Seq[JinjaMacros.MacroDef] = Nil): String = {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val root = mapper.createObjectNode()
+    models.foreach { m =>
+      val rendered = JinjaMacros.renderModel(m.jinjaSql, macros)
+      val node = root.putObject(m.name)
+      node.put("materialization", m.materialization.toString.toLowerCase)
+      val deps = node.putArray("depends_on")
+      refsOf(rendered).toSeq.sorted.foreach(deps.add)
+      node.put("checksum", SqlDag.sha256Hex(rendered))
+    }
+    mapper.writerWithDefaultPrettyPrinter().writeValueAsString(root)
+  }
+
+  /** (new, modified) model names of `models` vs a previous
+    * [[stateManifest]]: new = absent from the manifest; modified =
+    * present with a different compiled checksum, materialization, or
+    * dep set. Removed models are not selectable (they no longer exist).
+    */
+  def stateDiff(models: Seq[SqlModel], previousManifest: String,
+      macros: Seq[JinjaMacros.MacroDef] = Nil): (Set[String], Set[String]) = {
+    val prev = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(previousManifest)
+    val current = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(stateManifest(models, macros))
+    val names = models.map(_.name)
+    val newNames = names.filter(n => !prev.has(n)).toSet
+    val modified = names.filter(n => prev.has(n) &&
+      prev.get(n) != current.get(n)).toSet
+    (newNames, modified)
+  }
+
   /** dbt node selection (`dbt run --select … --exclude …`): resolve graph
     * selectors over the models' manifest lineage and return the selected
     * sub-DAG in the original declaration order. Selector tokens support
-    * dbt's operators (`model`, `model+`, `+model`, `+model+`, `@model` —
-    * see [[SqlDag.Selector]]); multiple tokens union, `exclude` subtracts
-    * after selection (dbt's order of operations). Empty `select` means
-    * every model (dbt's default graph). Unknown names fail fast — a typo
-    * silently selecting nothing is how a mart doesn't get rebuilt.
+    * dbt's operators (`model`, `model+`, `+model`, `+model+`, `@model`,
+    * `state:modified`, `state:new` — see [[SqlDag.Selector]]); multiple
+    * tokens union, `exclude` subtracts after selection (dbt's order of
+    * operations). Empty `select` means every model (dbt's default
+    * graph). Unknown names fail fast — a typo silently selecting
+    * nothing is how a mart doesn't get rebuilt. `state:` selectors need
+    * `state` = the previous [[stateManifest]] (dbt's `--state` dir) and
+    * fail fast without it.
     *
     * Closures run over MODEL nodes only; seeds are dependency leaves,
     * never selected (dbt separates `dbt seed` from `dbt run`).
     */
   def selectModels(models: Seq[SqlModel], select: Seq[String],
-      exclude: Seq[String] = Nil): Seq[SqlModel] = {
+      exclude: Seq[String] = Nil,
+      state: Option[String] = None): Seq[SqlModel] = {
     val names = models.map(_.name).toSet
     val parents: Map[String, Set[String]] =
       lineage(models).map { case (n, deps) => n -> deps.intersect(names) }
@@ -114,14 +171,28 @@ class SqlDag(spark: SparkSession, warehouseDir: String) {
     }
     def resolve(token: String): Set[String] = {
       val sel = SqlDag.parseSelector(token)
-      require(names.contains(sel.name), s"selector '$token' names unknown model '${sel.name}'")
-      if (sel.at) {
-        val down = closure(sel.name, children)
-        down ++ down.flatMap(closure(_, parents))
+      if (sel.name.startsWith("state:")) {
+        val prev = state.getOrElse(throw new IllegalArgumentException(
+          s"selector '$token' needs the previous state manifest " +
+            "(pass state = Some(stateManifest(...)))"))
+        val (newNames, modified) = stateDiff(models, prev)
+        val baseSet = sel.name match {
+          case "state:new"      => newNames
+          case "state:modified" => newNames ++ modified // dbt: modified ⊇ new
+        }
+        baseSet.flatMap(n => Set(n) ++
+          (if (sel.ancestors) closure(n, parents) else Set.empty) ++
+          (if (sel.descendants) closure(n, children) else Set.empty))
       } else {
-        Set(sel.name) ++
-          (if (sel.ancestors) closure(sel.name, parents) else Set.empty) ++
-          (if (sel.descendants) closure(sel.name, children) else Set.empty)
+        require(names.contains(sel.name), s"selector '$token' names unknown model '${sel.name}'")
+        if (sel.at) {
+          val down = closure(sel.name, children)
+          down ++ down.flatMap(closure(_, parents))
+        } else {
+          Set(sel.name) ++
+            (if (sel.ancestors) closure(sel.name, parents) else Set.empty) ++
+            (if (sel.descendants) closure(sel.name, children) else Set.empty)
+        }
       }
     }
     val selected =
@@ -164,16 +235,18 @@ class SqlDag(spark: SparkSession, warehouseDir: String) {
   def run(models: Seq[SqlModel], seeds: Map[String, DataFrame],
       threads: Int = 1, select: Seq[String] = Nil,
       exclude: Seq[String] = Nil,
-      macros: Seq[JinjaMacros.MacroDef] = Nil): Map[String, DataFrame] = {
+      macros: Seq[JinjaMacros.MacroDef] = Nil,
+      state: Option[String] = None): Map[String, DataFrame] = {
     require(threads >= 1, s"need threads >= 1, got $threads")
     val expanded = models.map(m =>
       m.copy(jinjaSql = JinjaMacros.renderModel(m.jinjaSql, macros)))
-    runExpanded(expanded, seeds, threads, select, exclude)
+    runExpanded(expanded, seeds, threads, select, exclude, state)
   }
 
   private def runExpanded(models: Seq[SqlModel], seeds: Map[String, DataFrame],
       threads: Int, select: Seq[String],
-      exclude: Seq[String]): Map[String, DataFrame] = {
+      exclude: Seq[String],
+      state: Option[String]): Map[String, DataFrame] = {
     val dupNames = models.groupBy(_.name).collect { case (n, ms) if ms.size > 1 => n }
     require(dupNames.isEmpty, s"duplicate model names: ${dupNames.mkString(", ")}")
     val shadowing = models.map(_.name).toSet.intersect(seeds.keySet)
@@ -187,7 +260,7 @@ class SqlDag(spark: SparkSession, warehouseDir: String) {
     }
     val chosen =
       if (select.isEmpty && exclude.isEmpty) models
-      else selectModels(models, select, exclude)
+      else selectModels(models, select, exclude, state)
     val byName = models.map(m => m.name -> m).toMap
     seeds.foreach { case (name, df) => df.createOrReplaceTempView(name) }
     // refs that leave the selection resolve to already-built relations —

@@ -228,6 +228,75 @@ class SqlDagSpec extends SparkSpec {
     }.getMessage.contains("cannot combine"))
   }
 
+  test("state-based selection: modified/new/downstream-of-modified vs a previous manifest") {
+    val dag = new SqlDag(spark, "/tmp/unused-wh")
+    // v1 chain: stg -> mid -> mart, plus an independent island
+    val v1 = Seq(
+      SqlModel("stg", "select * from {{ ref('raw_loans') }}"),
+      SqlModel("mid", "select loan_id from {{ ref('stg') }}"),
+      SqlModel("mart", "select count(*) as n from {{ ref('mid') }}"),
+      SqlModel("island", "select 1 as one"))
+    val manifestV1 = dag.stateManifest(v1)
+    // v2: stg's SQL edited, a new model added, the rest untouched
+    val v2 = v1.map {
+      case m if m.name == "stg" =>
+        m.copy(jinjaSql = "select *, 1 as extra from {{ ref('raw_loans') }}")
+      case m => m
+    } :+ SqlModel("fresh", "select loan_id from {{ ref('mid') }}")
+    def names(models: Seq[SqlModel], sel: Seq[String]) =
+      dag.selectModels(models, sel, state = Some(manifestV1)).map(_.name)
+
+    // same models, same manifest → nothing is modified or new
+    assert(names(v1, Seq("state:modified")) === Seq.empty)
+    assert(names(v2, Seq("state:new")) === Seq("fresh"))
+    // dbt: modified includes new
+    assert(names(v2, Seq("state:modified")) === Seq("stg", "fresh"))
+    // the CI idiom: rebuild every change and everything downstream of it
+    assert(names(v2, Seq("state:modified+")) ===
+      Seq("stg", "mid", "mart", "fresh"))
+    // a materialization flip alone counts as modified (config change)
+    val v3 = v1.map {
+      case m if m.name == "mid" => m.copy(materialization = Table)
+      case m => m
+    }
+    assert(names(v3, Seq("state:modified")) === Seq("mid"))
+    // a macro edit marks its CALLERS modified (compiled-text checksum)
+    val macroV1 = JinjaMacros.parse("{% macro pick() %}loan_id{% endmacro %}")
+    val macroV2 = JinjaMacros.parse("{% macro pick() %}customer_id{% endmacro %}")
+    val mm = Seq(SqlModel("uses_macro",
+      "select {{ pick() }} from {{ ref('raw_loans') }}"), v1(3))
+    val mManifest = dag.stateManifest(mm, macroV1)
+    val expanded = mm.map(m =>
+      m.copy(jinjaSql = JinjaMacros.renderModel(m.jinjaSql, macroV2)))
+    val (newN, modN) = dag.stateDiff(expanded, mManifest)
+    assert(newN === Set.empty && modN === Set("uses_macro"))
+    // state selectors without a manifest fail fast
+    assert(intercept[IllegalArgumentException] {
+      dag.selectModels(v2, Seq("state:modified"))
+    }.getMessage.contains("manifest"))
+  }
+
+  test("run --select state:modified builds only changed models and their downstream") {
+    val wh = java.nio.file.Files.createTempDirectory("graft-state").toString
+    val dag = new SqlDag(spark, wh)
+    val v1 = Seq(
+      SqlModel("stg_sel", "select loan_id, loan_amount from {{ ref('raw_loans') }}", Table),
+      SqlModel("mart_sel", "select count(*) as n from {{ ref('stg_sel') }}", Table),
+      SqlModel("island_sel", "select 41 as x", Table))
+    dag.run(v1, fictionBankSeeds)
+    val manifestV1 = dag.stateManifest(v1)
+    val v2 = v1.map {
+      case m if m.name == "island_sel" => m.copy(jinjaSql = "select 42 as x")
+      case m => m
+    }
+    val built = dag.run(v2, fictionBankSeeds,
+      select = Seq("state:modified+"), state = Some(manifestV1))
+    // only the island rebuilt; the untouched chain was not re-run
+    assert(built.keySet.intersect(Set("stg_sel", "mart_sel", "island_sel"))
+      === Set("island_sel"))
+    assert(built("island_sel").collect().map(_.getInt(0)).toList === List(42))
+  }
+
   test("run --select builds only the sub-DAG; outside refs resolve to existing relations") {
     val wh = java.nio.file.Files.createTempDirectory("graft-select").toString
     val dag = new SqlDag(spark, wh)
