@@ -623,9 +623,14 @@ object DedupDemos {
 
   /** Per-demo scratch dir under java.io.tmpdir, wiped on entry (the
     * ScaleDemos single-process contract: the harness drives queries
-    * serially).
+    * serially). `refreshByPath` then drops the session's shared
+    * file-status cache entries under the path — without it, a rerun of
+    * the same demo in one session (the bench min-of-2 protocol) can
+    * plan its scan over the PREVIOUS run's now-deleted part files and
+    * die with FILE_NOT_EXIST (observed at the sf1 probe: run 1 fine,
+    * run 2 served run 1's listing).
     */
-  private def freshScratchDir(name: String): String = {
+  private def freshScratchDir(s: SparkSession, name: String): String = {
     val root = java.nio.file.Paths.get(
       sys.props("java.io.tmpdir"), s"graft_demo_$name")
     if (java.nio.file.Files.exists(root)) {
@@ -633,6 +638,7 @@ object DedupDemos {
       java.nio.file.Files.walk(root).iterator().asScala.toSeq
         .reverse.foreach(java.nio.file.Files.deleteIfExists(_))
     }
+    s.catalog.refreshByPath(root.toString)
     root.toString
   }
 
@@ -666,8 +672,8 @@ object DedupDemos {
       val base = d.filter(col("doc_id") % 5 <= 2)
       val b1 = d.filter(col("doc_id") % 5 === 3)
       val b2 = d.filter(col("doc_id") % 5 === 4)
-      val scratch = freshScratchDir("x59_store")
       s.sql("DROP TABLE IF EXISTS x59_band_store")
+      val scratch = freshScratchDir(s, "x59_store")
       TextDedup.lshStoreWrite(base, "doc_id", "text", "x59_band_store",
         path = Some(scratch))
       // batch1's probe must COMPLETE before the append mutates the store
