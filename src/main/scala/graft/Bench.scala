@@ -84,12 +84,17 @@ object Bench {
     // cluster amortizes away
     // SPARK_GRAFT_ONLY: comma-separated name prefixes for local builder
     // iteration on a query subset (the driver never sets it → full run)
+    // SPARK_GRAFT_RUNS: runs per query (default 2) — big local scale
+    // probes (sf10) use 1: the min-of-2 protocol doubles hours-long
+    // sweeps, and a ratio is protocol-consistent as long as BOTH scale
+    // points use the same run count (the driver never sets it)
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(',').toSeq)
+    val nRuns = sys.env.getOrElse("SPARK_GRAFT_RUNS", "2").toInt
     val results: Map[String, Option[Double]] =
       SparkEntry.queries
         .filter { case (name, _) => only.forall(_.exists(name.startsWith)) }
         .map { case (name, fn) =>
-        val times = (1 to 2).flatMap { _ =>
+        val times = (1 to nRuns).flatMap { _ =>
           val t0 = System.nanoTime()
           try {
             evaluate(fn(spark, sfDir))
@@ -99,8 +104,13 @@ object Bench {
           }
           catch { case _: Throwable => releaseStorage(); None }
         }
-        // both runs must succeed, else the query is a failure, not a time
-        name -> (if (times.size == 2) Some(times.min) else None)
+        // per-query progress on stderr: long sweeps were a black box
+        // until the final JSON (stdout stays reserved for that line)
+        System.err.println(
+          s"[bench] $name ${times.map(t => f"$t%.2f").mkString("/")}s" +
+            (if (times.size < nRuns) " FAILED" else ""))
+        // all runs must succeed, else the query is a failure, not a time
+        name -> (if (times.size == nRuns) Some(times.min) else None)
       }
     val ok = results.collect { case (k, Some(v)) => k -> v }
     val failed = results.collect { case (k, None) => k }.toSeq.sorted

@@ -79,6 +79,35 @@ class ScaleOpsSpec extends SparkSpec {
     }
   }
 
+  test("appendBucketed keeps the store's partitioning; spec drift fails fast") {
+    val s = spark
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val od = Tables.table(s, sfDir, "orders")
+        .select("o_orderkey", "o_totalprice")
+      ScaleOps.writeBucketed(od.filter(col("o_orderkey") % 2 === 0),
+        "b_append", 8, Seq("o_orderkey"))
+      ScaleOps.appendBucketed(od.filter(col("o_orderkey") % 2 === 1),
+        "b_append", 8, Seq("o_orderkey"))
+      assert(s.table("b_append").count() === od.count())
+      // appending with a DIFFERENT bucket spec must fail, not silently
+      // break the store's co-location property
+      intercept[Exception] {
+        ScaleOps.appendBucketed(od, "b_append", 16, Seq("o_orderkey"))
+      }
+      // a bucket-key aggregate over the appended store still plans with
+      // NO exchange — the append preserved the physical layout contract
+      val agg = s.table("b_append").groupBy("o_orderkey")
+        .agg(count(lit(1)).as("n"))
+      agg.collect()
+      val p = agg.queryExecution.executedPlan.toString
+      assert(!p.contains("Exchange"), s"appended store re-shuffles:\n$p")
+    } finally {
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+      s.sql("DROP TABLE IF EXISTS b_append")
+    }
+  }
+
   test("runtime bloom filter prunes the fact scan under a selective dim filter") {
     // the 100 TB mechanism: a selective filter on the build side injects
     // a bloom_filter_might_contain predicate into the fact-side scan at

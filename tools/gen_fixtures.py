@@ -67,5 +67,11 @@ if __name__ == "__main__":
     assert not out_dir.startswith("/root/testdata"), "testdata is read-only"
     import os
     os.makedirs(out_dir, exist_ok=True)
-    pq.write_table(gen(n_docs), f"{out_dir}/documents.parquet")
+    # small row groups make the file SPLITTABLE: a single-row-group 58 MB
+    # file is one Spark scan partition, so the probe's expensive map side
+    # (shingle hash + minhash) ran on ONE task at sf10 — combined with
+    # spark.sql.files.maxPartitionBytes this is the knob the 100 TB
+    # guidance prescribes (a real cluster's inputs arrive pre-split)
+    pq.write_table(gen(n_docs), f"{out_dir}/documents.parquet",
+                   row_group_size=10000)
     print(f"wrote {n_docs} docs to {out_dir}/documents.parquet")
