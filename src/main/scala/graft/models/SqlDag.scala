@@ -231,22 +231,39 @@ class SqlDag(spark: SparkSession, warehouseDir: String) {
     * unrolls, then macros expand, so dependency extraction, selection,
     * and the build all see refs a macro body or a loop iteration
     * introduces.
+    *
+    * `defer` is dbt's `--defer --state` CI companion to `state:`
+    * selection: a ref that leaves the selection and has NO relation in
+    * THIS environment resolves to the deferred environment's warehouse
+    * (`defer` = that environment's warehouse dir) — so CI builds only
+    * `state:modified+` against production inputs instead of rebuilding
+    * the world. dbt's default precedence is kept: a relation that
+    * already exists in the target environment wins over the deferred
+    * one; `favorState = true` flips that (dbt's `--favor-state`).
     */
   def run(models: Seq[SqlModel], seeds: Map[String, DataFrame],
       threads: Int = 1, select: Seq[String] = Nil,
       exclude: Seq[String] = Nil,
       macros: Seq[JinjaMacros.MacroDef] = Nil,
-      state: Option[String] = None): Map[String, DataFrame] = {
+      state: Option[String] = None,
+      defer: Option[String] = None,
+      favorState: Boolean = false): Map[String, DataFrame] = {
     require(threads >= 1, s"need threads >= 1, got $threads")
+    require(defer.nonEmpty || !favorState,
+      "favorState is only meaningful with defer (dbt: --favor-state " +
+        "requires --defer)")
     val expanded = models.map(m =>
       m.copy(jinjaSql = JinjaMacros.renderModel(m.jinjaSql, macros)))
-    runExpanded(expanded, seeds, threads, select, exclude, state)
+    runExpanded(expanded, seeds, threads, select, exclude, state, defer,
+      favorState)
   }
 
   private def runExpanded(models: Seq[SqlModel], seeds: Map[String, DataFrame],
       threads: Int, select: Seq[String],
       exclude: Seq[String],
-      state: Option[String]): Map[String, DataFrame] = {
+      state: Option[String],
+      defer: Option[String],
+      favorState: Boolean): Map[String, DataFrame] = {
     val dupNames = models.groupBy(_.name).collect { case (n, ms) if ms.size > 1 => n }
     require(dupNames.isEmpty, s"duplicate model names: ${dupNames.mkString(", ")}")
     val shadowing = models.map(_.name).toSet.intersect(seeds.keySet)
@@ -264,22 +281,41 @@ class SqlDag(spark: SparkSession, warehouseDir: String) {
     val byName = models.map(m => m.name -> m).toMap
     seeds.foreach { case (name, df) => df.createOrReplaceTempView(name) }
     // refs that leave the selection resolve to already-built relations —
-    // dbt's subset-run contract (the upstream ran earlier)
+    // dbt's subset-run contract (the upstream ran earlier). With `defer`,
+    // a relation this environment never built falls back to the deferred
+    // environment's warehouse (production inputs for a CI subset run);
+    // `favorState` flips the precedence, dbt's --favor-state.
     val external = chosen.flatMap(m => refsOf(m.jinjaSql)).distinct
       .filterNot(seeds.contains).filterNot(chosen.map(_.name).toSet)
     val externallyBuilt: Map[String, DataFrame] = external.map { name =>
-      if (spark.catalog.tableExists(name)) name -> spark.table(name)
-      else {
-        val path = s"$warehouseDir/$name"
-        val isTable = byName.get(name).exists(_.materialization == Table)
-        require(isTable && new java.io.File(path).exists(),
-          s"selected models ref '$name', which is outside the selection and " +
-            "has no existing relation (temp view or warehouse table) — run it " +
-            "first or widen the selection")
-        val df = spark.read.parquet(path)
-        df.createOrReplaceTempView(name)
-        name -> df
+      // (df, needsView): a relation already in the catalog is addressable
+      // as-is; one read from parquet must be registered under the ref name
+      def local: Option[(DataFrame, Boolean)] =
+        if (spark.catalog.tableExists(name)) Some((spark.table(name), false))
+        else {
+          val path = s"$warehouseDir/$name"
+          if (byName.get(name).exists(_.materialization == Table) &&
+            new java.io.File(path).exists())
+            Some((spark.read.parquet(path), true))
+          else None
+        }
+      def deferred: Option[(DataFrame, Boolean)] = defer.flatMap { d =>
+        val path = s"$d/$name"
+        if (new java.io.File(path).exists())
+          Some((spark.read.parquet(path), true))
+        else None
       }
+      val resolved =
+        if (favorState) deferred.orElse(local) else local.orElse(deferred)
+      val (df, needsView) = resolved.getOrElse(
+        throw new IllegalArgumentException(
+          s"selected models ref '$name', which is outside the selection and " +
+            "has no existing relation (temp view or warehouse table" +
+            defer.fold(")")(d => s", nor a deferred one under $d)") +
+            " — run it first, widen the selection, or defer to an " +
+            "environment that has built it"))
+      if (needsView) df.createOrReplaceTempView(name)
+      name -> df
     }.toMap
     def build(m: SqlModel): DataFrame = {
       val df = spark.sql(FictionBankSql.render(m.jinjaSql))

@@ -320,6 +320,53 @@ class SqlDagSpec extends SparkSpec {
       Seq("L001", "L002", "L009"))
   }
 
+  test("defer: outside-selection refs fall back to the deferred warehouse; --favor-state flips precedence") {
+    val prod = java.nio.file.Files.createTempDirectory("graft-prodwh").toString
+    val dev = java.nio.file.Files.createTempDirectory("graft-devwh").toString
+    val models = Seq(
+      SqlModel("stg_defer",
+        "select loan_id, loan_amount from {{ ref('raw_loans') }}", Table),
+      SqlModel("mart_defer",
+        "select count(*) as n from {{ ref('stg_defer') }}", Table))
+    try {
+      // production built the whole DAG into its own warehouse
+      new SqlDag(spark, prod).run(models, fictionBankSeeds)
+      spark.catalog.dropTempView("stg_defer")
+      spark.catalog.dropTempView("mart_defer")
+      val devDag = new SqlDag(spark, dev)
+      // a bare subset run in the empty dev environment still fails…
+      val missing = intercept[IllegalArgumentException] {
+        devDag.run(models, fictionBankSeeds, select = Seq("mart_defer"))
+      }
+      assert(missing.getMessage.contains("outside the selection"))
+      // …and deferring to production resolves the upstream ref there
+      val deferred = devDag.run(models, fictionBankSeeds,
+        select = Seq("mart_defer"), defer = Some(prod))
+      assert(deferred("mart_defer").collect().head.getLong(0) === 10L)
+      // dev now builds its OWN (divergent) stg: default precedence is
+      // dbt's — the target environment's relation wins over state…
+      val devVariant = models.map {
+        case m if m.name == "stg_defer" =>
+          m.copy(jinjaSql = m.jinjaSql + " limit 3")
+        case m => m
+      }
+      devDag.run(devVariant, fictionBankSeeds, select = Seq("stg_defer"))
+      val localWins = devDag.run(models, fictionBankSeeds,
+        select = Seq("mart_defer"), defer = Some(prod))
+      assert(localWins("mart_defer").collect().head.getLong(0) === 3L)
+      // …and --favor-state flips it back to the deferred environment
+      val stateWins = devDag.run(models, fictionBankSeeds,
+        select = Seq("mart_defer"), defer = Some(prod), favorState = true)
+      assert(stateWins("mart_defer").collect().head.getLong(0) === 10L)
+      // favorState without defer is a contract violation, not a no-op
+      val bad = intercept[IllegalArgumentException] {
+        devDag.run(models, fictionBankSeeds, favorState = true)
+      }
+      assert(bad.getMessage.contains("favor-state"))
+    } finally Seq("stg_defer", "mart_defer")
+      .foreach(spark.catalog.dropTempView(_))
+  }
+
   test("threaded run: parallel wave execution matches the sequential build") {
     val whSeq = java.nio.file.Files.createTempDirectory("graft-seq").toString
     val whPar = java.nio.file.Files.createTempDirectory("graft-par").toString
