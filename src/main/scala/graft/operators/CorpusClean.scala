@@ -50,10 +50,18 @@ object CorpusClean {
       "near_dedup" -> nearKept, "sample" -> sampled)
   }
 
+  /** `lshMaxBucket` passes through to [[TextDedup.minhashLshPairs]]'
+    * stop-bucket cap — the r7 sf10 probe measured the UNCAPPED
+    * candidate set as the whole pipeline's super-linear term (x11/x50
+    * grew ~50x at 10x docs while every other stage stayed ~2x), so at
+    * open-web scale the cap is this pipeline's linearity knob too.
+    * Default None keeps exact all-in-bucket-pairs semantics.
+    */
   def stages(docs: DataFrame, idCol: String, textCol: String,
       stratumCol: String, nearDupThreshold: Double,
       rates: Map[String, Int], defaultPercent: Int = 0,
-      materializeCut: DataFrame => DataFrame = identity): CleanStages = {
+      materializeCut: DataFrame => DataFrame = identity,
+      lshMaxBucket: Option[Int] = None): CleanStages = {
     // 1. quality: C4-style keep flag
     val quality = TextAnalysis.qualityMetrics(docs, textCol)
       .filter(col("keep") === 1)
@@ -72,7 +80,8 @@ object CorpusClean {
     // verification stays in default lazy mode: the re-reads it implies
     // hit the (typically materializeCut-checkpointed) exactKept frame,
     // which is exactly what that cut exists to make cheap.
-    val pairs = TextDedup.minhashLshPairs(exactKept, idCol, textCol, nearDupThreshold)
+    val pairs = TextDedup.minhashLshPairs(exactKept, idCol, textCol,
+      nearDupThreshold, maxBucket = lshMaxBucket)
     val nearKept = exactKept.join(
       pairs.select(col("id_b").as(idCol)).distinct(),
       Seq(idCol), "left_anti")
@@ -86,9 +95,10 @@ object CorpusClean {
   def pipeline(docs: DataFrame, idCol: String, textCol: String,
       stratumCol: String, nearDupThreshold: Double,
       rates: Map[String, Int], defaultPercent: Int = 0,
-      materializeCut: DataFrame => DataFrame = identity): DataFrame =
+      materializeCut: DataFrame => DataFrame = identity,
+      lshMaxBucket: Option[Int] = None): DataFrame =
     stages(docs, idCol, textCol, stratumCol, nearDupThreshold,
-      rates, defaultPercent, materializeCut).sampled
+      rates, defaultPercent, materializeCut, lshMaxBucket).sampled
 
   /** Curriculum ordering: place every doc in a difficulty band (the
     * CCNet perplexity terciles of [[TextAnalysis.perplexityBuckets]] —

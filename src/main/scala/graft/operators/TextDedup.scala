@@ -82,17 +82,6 @@ object TextDedup {
     inter.cast("double") / (size(a) + size(b) - inter)
   }
 
-  /** In-bucket ordered-pair expansion of a sorted id list — evaluates its
-    * input once, versus a self-join that runs the producing pipeline
-    * twice.
-    */
-  private def pairsOf(ds: Column): Column =
-    flatten(transform(
-      sequence(lit(1), size(ds) - 1), i =>
-        transform(sequence(i + 1, size(ds)), j =>
-          struct(element_at(ds, i).as("id_a"),
-            element_at(ds, j).as("id_b")))))
-
   /** The fingerprint expression: rolling hash over the sequence of
     * codegen'd per-token hashes (requires [[Hashing.registerAll]]).
     */
@@ -324,16 +313,50 @@ object TextDedup {
     * extra full-corpus shingle builds dwarf the materialization barrier,
     * while at demo scale the barrier costs more than it saves (measured;
     * hence not the default).
+    *
+    * `maxBucket` is the stop-BUCKET cap, the banding analogue of
+    * [[ngramJaccardPairs]]' stop-shingle `maxDocFreq`: band buckets with
+    * more than `maxBucket` members are dropped BEFORE pair expansion,
+    * bounding the worst bucket's candidate cost at C(cap, 2). An
+    * oversized bucket is overwhelmingly minhash-collision noise (a
+    * corpus-scale boilerplate shingle, a degenerate signature), while a
+    * TRUE pair at Jaccard t collides in ~64·t² bands in expectation
+    * (16 at t = 0.5) — it is only lost if EVERY one of its colliding
+    * buckets blows the cap. `None` (default) keeps exact
+    * all-in-bucket-pairs semantics; the r7 sf10 probe measured the
+    * uncapped candidate set growing 45× at 10× docs (random band
+    * collisions are O(n²·p)), so at open-web scale the cap is the knob
+    * that keeps LSH linear.
+    *
+    * Candidate generation is a (band, key) equi SELF-JOIN with a
+    * `doc_id <` residual hanging off the same hash-partitioning as the
+    * bucket-size count (ReuseExchange shuffles the index once) — all
+    * whole-stage codegen. The previous collect_set-per-bucket form was
+    * an ObjectHashAggregate that falls back to sort-based aggregation
+    * past 128 groups; at 500k docs (32M buckets) that fallback sorted
+    * and spilled ~50 GB (the same lesson as x2c2's r4 rewrite).
     */
   def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
       threshold: Double,
-      materializeCandidates: Option[DataFrame => DataFrame] = None): DataFrame = {
+      materializeCandidates: Option[DataFrame => DataFrame] = None,
+      maxBucket: Option[Int] = None): DataFrame = {
     val bands = lshIndex(df, idCol, textCol)
-    val lazyCand = bands.groupBy(col("band"), col("key"))
-      .agg(sort_array(collect_set(col("doc_id"))).as("ds"))
-      .filter(size(col("ds")) >= 2)
-      .select(explode(pairsOf(col("ds"))).as("p"))
-      .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
+    // bucket size as a WINDOW over the (band, key) shuffle — one
+    // exchange carries the count, the live-bucket filter, AND both
+    // self-join sides (merge hint: broadcasting a corpus-scale band
+    // index is never right, and an AQE broadcast would also recompute
+    // the signature aggregate per side — plan-gated in TextDedupSpec)
+    val bn = count(lit(1)).over(
+      org.apache.spark.sql.expressions.Window.partitionBy(col("band"), col("key")))
+    val live = bands.withColumn("bn", bn)
+      .filter(maxBucket.fold(col("bn") >= 2)(cap =>
+        col("bn") >= 2 && col("bn") <= cap))
+      .select(col("doc_id"), col("band"), col("key"))
+    val lazyCand = live.as("a").hint("merge")
+      .join(live.as("b").hint("merge"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
       .distinct()
     val (cand, setsBase) = materializeCandidates match {
       case None => (lazyCand, df)

@@ -23,6 +23,22 @@ class TextDedupSpec extends SparkSpec {
     assert(lazyPairs.nonEmpty)
   }
 
+  test("minhash LSH: stop-bucket cap wiring — generous cap ≡ uncapped, cap below pairability drops all") {
+    val docs = Tables.table(spark, sfDir, "documents")
+    val uncapped = TextDedup.minhashLshPairs(docs, "doc_id", "text", 0.5)
+      .collect().map(_.mkString("|")).toSet
+    // a cap no bucket reaches changes nothing — the filter touches only
+    // buckets past the cap, never the scores of surviving pairs
+    val generous = TextDedup.minhashLshPairs(docs, "doc_id", "text", 0.5,
+        maxBucket = Some(1 << 20))
+      .collect().map(_.mkString("|")).toSet
+    assert(generous === uncapped && uncapped.nonEmpty)
+    // cap = 1 excludes every pairable bucket (bn >= 2) — zero candidates,
+    // pinning that BOTH bounds of the live-bucket filter are wired
+    assert(TextDedup.minhashLshPairs(docs, "doc_id", "text", 0.5,
+      maxBucket = Some(1)).isEmpty)
+  }
+
   test("incrementalLshPairs: cross-set pairs only; scale path equals lazy (X58)") {
     val s = spark
     import s.implicits._
