@@ -77,6 +77,15 @@ object Bench {
       spark.sharedState.cacheManager.clearCache()
       spark.sparkContext.getPersistentRDDs.values
         .foreach(_.unpersist(blocking = false))
+      // shuffle FILES are cleaned by ContextCleaner only when the shuffle
+      // dependencies become unreachable AND a GC runs — with a large
+      // driver heap a long sweep can finish queries faster than full GCs
+      // happen, accumulating each query's spill on local disk until the
+      // tail queries die on a full device (observed at the sf10 probe:
+      // one query's object-agg sort-fallback spill is ~50 GB). A real
+      // cluster has per-executor disks and per-app dirs; locally, nudge
+      // the cleaner between timings.
+      System.gc()
     }
 
     // steady-state timing: two runs per query, report the min — the first
