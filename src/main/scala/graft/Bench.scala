@@ -22,12 +22,27 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // Shuffle-file cleanup mode (SPARK_GRAFT_GC) — the r7 full sweep
+    // regressed uniformly 1.56x after releaseStorage() gained a bare
+    // System.gc(): the gc call itself sits OUTSIDE the timed window, but
+    // ContextCleaner's shuffle-file deletion it triggers is ASYNC and its
+    // I/O bled into the NEXT query's timed run. "blocking" (default)
+    // keeps the gc and makes the cleaner wait for shuffle deletion to
+    // finish inside releaseStorage — cleanup still happens every timing
+    // (the sf10 disk-exhaustion lesson) but completes before the next
+    // clock starts. "async" reproduces the r7 behavior, "off" skips the
+    // gc entirely — both kept for A/B probes (BENCHNOTES r8).
+    val gcMode = sys.env.getOrElse("SPARK_GRAFT_GC", "blocking")
+    require(Set("blocking", "async", "off")(gcMode),
+      s"SPARK_GRAFT_GC must be blocking|async|off, got '$gcMode'")
     val spark = SparkSession.builder()
       .withExtensions(new graft.plans.GraftExtensions)
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      .config("spark.cleaner.referenceTracking.blocking.shuffle",
+        (gcMode == "blocking").toString)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Spark's WindowExec warns "No Partition Defined" on EVERY global
@@ -84,8 +99,10 @@ object Bench {
       // tail queries die on a full device (observed at the sf10 probe:
       // one query's object-agg sort-fallback spill is ~50 GB). A real
       // cluster has per-executor disks and per-app dirs; locally, nudge
-      // the cleaner between timings.
-      System.gc()
+      // the cleaner between timings. With blocking.shuffle=true (the
+      // default mode above) the deletions complete HERE, not during the
+      // next query's timed run.
+      if (gcMode != "off") System.gc()
     }
 
     // steady-state timing: two runs per query, report the min — the first
@@ -98,7 +115,13 @@ object Bench {
     // sweeps, and a ratio is protocol-consistent as long as BOTH scale
     // points use the same run count (the driver never sets it)
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(',').toSeq)
-    val nRuns = sys.env.getOrElse("SPARK_GRAFT_RUNS", "2").toInt
+    val nRuns = {
+      val raw = sys.env.getOrElse("SPARK_GRAFT_RUNS", "2")
+      val n = raw.toIntOption.getOrElse(sys.error(
+        s"SPARK_GRAFT_RUNS must be a positive integer, got '$raw'"))
+      require(n >= 1, s"SPARK_GRAFT_RUNS must be >= 1, got $n")
+      n
+    }
     val results: Map[String, Option[Double]] =
       SparkEntry.queries
         .filter { case (name, _) => only.forall(_.exists(name.startsWith)) }

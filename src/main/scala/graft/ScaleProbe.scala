@@ -10,8 +10,14 @@ import org.apache.spark.sql.functions._
   * SemDeDup's cell count, LSH band caps. This main runs those
   * scale-parameterized faces for the BENCHNOTES evidence tables.
   *
+  * Timing protocol matches Bench exactly so ratios against the demo
+  * sweeps (probe4) are protocol-consistent: noop-format write (full
+  * evaluation, no driver collection), SPARK_GRAFT_RUNS runs (default 1,
+  * the long-sweep protocol) reporting the min, a global warmup job, and
+  * the same CPU calibration constant in the output line.
+  *
   * Usage: runMain graft.ScaleProbe <op> <sfDir>
-  * Prints one JSON line {"op":…,"n":…,"param":…,"sec":…}.
+  * Prints ONE JSON line {"op":…,"n":…,"param":…,"sec":…,"calib":…}.
   */
 object ScaleProbe {
 
@@ -24,10 +30,21 @@ object ScaleProbe {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // Bench's default cleanup mode: shuffle-file deletion completes
+      // inside releaseStorage, never bleeding into the next timed run
+      .config("spark.cleaner.referenceTracking.blocking.shuffle", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.sql.execution.window",
+      org.apache.logging.log4j.Level.ERROR)
     graft.sources.Tables.bootstrap(spark)
-    val (n, param, result) = op match {
+
+    val cap = 64 // the production stop-bucket cap the r7 verdict asks measured
+    val rates = graft.queries.CorpusCleanDemos.rates // x11/x50's exact params
+    def docs = graft.sources.Tables.table(spark, sfDir, "documents")
+
+    val (n, param, result): (Long, Long, () => DataFrame) = op match {
       case "semdedup_scaled" =>
         // the x31 demo pins kCells=4 for its unrolled oracle, so at 10x
         // vectors each cell is 10x bigger and the in-cell pairwise
@@ -35,31 +52,98 @@ object ScaleProbe {
         // sweep). The production face holds CELL SIZE constant instead:
         // kCells = n / targetCellSize. This probe measures that face.
         val emb = graft.sources.Tables.table(spark, sfDir, "embeddings")
-        val n = emb.count()
-        val k = math.max(4, (n / 500).toInt)
-        (n, k.toLong, () => graft.operators.VectorSearch
+        val nv = emb.count()
+        val k = math.max(4, (nv / 500).toInt)
+        (nv, k.toLong, () => graft.operators.VectorSearch
           .semDeDup(emb, "vec_id", "embedding", kCells = k, iters = 2,
-            minCosine = 0.35).groupBy().count())
+            minCosine = 0.35))
       case "minhash_capped" =>
         // x2b's production face at open-web scale: the stop-bucket cap
         // (minhashLshPairs maxBucket) bounds the worst band bucket at
         // C(cap, 2) candidate pairs — the uncapped demo's candidates
         // grew 45x at 10x docs (random band collisions are O(n²·p))
-        val docs = graft.sources.Tables.table(spark, sfDir, "documents")
-        val n = docs.count()
-        val cap = 64
-        (n, cap.toLong, () => graft.operators.TextDedup
+        (docs.count(), cap.toLong, () => graft.operators.TextDedup
           .minhashLshPairs(docs, "doc_id", "text", 0.5,
-            maxBucket = Some(cap)).groupBy().count())
+            maxBucket = Some(cap))
+          .orderBy(col("id_a").asc_nulls_last, col("id_b").asc_nulls_last))
+      case "clusters_capped" =>
+        // x2f's production face: label propagation over the CAPPED pair
+        // graph (uncapped measured 81x at the r7 500k step — worst in
+        // repo; the pair volume, not the propagation, was the growth)
+        (docs.count(), cap.toLong, () => graft.operators.TextDedup
+          .dedupClusters(graft.operators.TextDedup
+            .minhashLshPairs(docs, "doc_id", "text", 0.5,
+              maxBucket = Some(cap)))
+          .select(col("node").as("doc_id"), col("cluster_id"))
+          .orderBy(col("doc_id").asc_nulls_last))
+      case "clean_capped" =>
+        // x11's production face: the same 4-stage pipeline with
+        // lshMaxBucket passed through (CorpusClean.scala pass-through
+        // existed in r7 but no demo or probe ever set it)
+        (docs.count(), cap.toLong, () => graft.operators.CorpusClean
+          .pipeline(docs, idCol = "doc_id", textCol = "text",
+            stratumCol = "lang", nearDupThreshold = 0.5, rates = rates,
+            materializeCut = _.localCheckpoint(true),
+            lshMaxBucket = Some(cap))
+          .select(col("doc_id"), col("lang"), col("source"))
+          .orderBy(col("doc_id").asc_nulls_last))
+      case "waterfall_capped" =>
+        // x50's production face: stage counts of the capped pipeline
+        (docs.count(), cap.toLong, () => {
+          val stages = graft.operators.CorpusClean.stages(docs,
+            idCol = "doc_id", textCol = "text", stratumCol = "lang",
+            nearDupThreshold = 0.5, rates = rates,
+            materializeCut = _.localCheckpoint(true),
+            lshMaxBucket = Some(cap)).ordered
+          val wide = stages.zipWithIndex
+            .map { case ((_, df), i) => df.agg(count(lit(1)).as(s"n$i")) }
+            .reduce(_ crossJoin _)
+          val rows = stages.zipWithIndex.map { case ((name, _), i) =>
+            struct(lit((i + 1).toLong).as("stage_idx"), lit(name).as("stage"),
+              col(s"n$i").as("n_docs"),
+              (if (i == 0) lit(0L) else col(s"n${i - 1}") - col(s"n$i"))
+                .as("n_removed"))
+          }
+          wide.select(explode(array(rows: _*)).as("r"))
+            .select(col("r.stage_idx").as("stage_idx"),
+              col("r.stage").as("stage"),
+              col("r.n_docs").as("n_docs"), col("r.n_removed").as("n_removed"))
+            .orderBy(col("stage_idx").asc_nulls_last)
+        })
       case other => sys.error(s"unknown probe op '$other'")
     }
-    val df: DataFrame = result()
-    df.collect() // warm: codegen + first-run costs, matching Bench min-of-2
-    val t0 = System.nanoTime()
-    df.collect()
-    val sec = (System.nanoTime() - t0) / 1e9
+
+    def evaluate(df: DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
+    def releaseStorage(): Unit = {
+      spark.sharedState.cacheManager.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
+      System.gc()
+    }
+
+    // Bench's global warmup (JIT/codegen/noop-write paths), then calib
+    try spark.range(1000000).selectExpr("sum(id)").collect()
+    catch { case _: Throwable => }
+    val calib = {
+      val t0 = System.nanoTime()
+      spark.range(200000000L)
+        .selectExpr("id % 97 AS k", "id")
+        .groupBy("k").sum("id").collect()
+      (System.nanoTime() - t0) / 1e9
+    }
+
+    val nRuns = sys.env.getOrElse("SPARK_GRAFT_RUNS", "1").toInt
+    require(nRuns >= 1, s"SPARK_GRAFT_RUNS must be >= 1, got $nRuns")
+    val times = (1 to nRuns).map { _ =>
+      val t0 = System.nanoTime()
+      evaluate(result())
+      val dt = (System.nanoTime() - t0) / 1e9
+      releaseStorage()
+      dt
+    }
     // stdout stays one machine-readable line, like Bench
-    println(s"""{"op":"$op","n":$n,"param":$param,"sec":$sec,"sf":"$sfDir"}""")
+    println(s"""{"op":"$op","n":$n,"param":$param,"sec":${times.min},"calib":$calib,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -25,19 +25,30 @@ package graft.models
   *     `{% for v in range(a, b) %}` with `loop.first/last/index/
   *     index0/length`, and `{% if cond %}…{% elif %}…{% else %}…
   *     {% endif %}` where `cond` (after variable substitution) is
-  *     built from literal booleans, `==`/`!=` over literals (TEXTUAL
-  *     comparison after unquoting — `1 == 1.0` is false here), `not`,
+  *     built from literal booleans, `==`/`!=` over literals (NUMERIC
+  *     comparison when both sides parse as numbers — `1 == 1.0` is
+  *     true, as in Jinja — textual after unquoting otherwise), `not`,
   *     `and`/`or`, and parentheses. Blocks nest; a macro body's
   *     control flow renders at call time with the macro's bound
   *     params, a model's renders with literal conditions before macro
   *     expansion (so `{{ m(loopvar) }}` sees the unrolled value).
+  *   - `{% set name = literal %}` — a literal binding (string literal,
+  *     number, or any var/loop-var substituted text) visible to the
+  *     REST of its enclosing block, Jinja's scoping (a set inside a
+  *     `{% for %}` body resets each iteration and does not escape).
+  *   - `{{ var('name') }}` / `{{ var('name', default) }}` — dbt project
+  *     variables ([[renderModel]]'s `vars` binding, the `--vars` CLI
+  *     override surface threaded through `SqlDag.run`): an undefined
+  *     var with no default FAILS at compile, dbt's behavior. Resolved
+  *     in model texts AND macro bodies (at call time), including inside
+  *     `{% if %}` conditions and `{% for %}` iterables.
   *
   * Not supported (fail fast by design): recursive macros (expansion
   * depth guard), nested `{% macro %}` definitions, non-literal
-  * iterables/conditions (`{% for c in get_cols() %}`), and every other
-  * tag (`{% set %}`, `{% do %}`, …) — a construct outside the subset
-  * throws with the offending text, never passes through silently into
-  * SQL.
+  * iterables/conditions (`{% for c in get_cols() %}`), non-literal
+  * `{% set %}` right-hand sides (`{% set x = query() %}`), and every
+  * other tag (`{% do %}`, …) — a construct outside the subset throws
+  * with the offending text, never passes through silently into SQL.
   *
   * Expansion is driver-side string work on model TEXTS (bytes of SQL,
   * never data) — nothing here touches the cluster.
@@ -140,6 +151,8 @@ object JinjaMacros {
       els: Seq[Node]) extends Node
   private final case class ForNode(varName: String, listText: String,
       body: Seq[Node]) extends Node
+  private final case class SetNode(name: String, valueText: String)
+      extends Node
 
   /** Every `{% … %}` tag span (content group 1; `-` markers handled by
     * char inspection so a condition containing `-` still parses).
@@ -147,6 +160,8 @@ object JinjaMacros {
   private val TagTok = raw"\{%-?\s*([\s\S]*?)\s*-?%\}".r
   // matched against the tag content AFTER the `for` keyword is stripped
   private val ForHead = raw"(?s)^([A-Za-z_][A-Za-z0-9_]*)\s+in\s+(.+)$$".r
+  // {% set name = value %} content after `set`; `=` must not be `==`
+  private val SetHead = raw"(?s)^([A-Za-z_][A-Za-z0-9_]*)\s*=(?!=)\s*(.+)$$".r
 
   /** Parse a model/macro-body text into literal runs and nested if/for
     * blocks. Any tag outside the subset fails fast with its text — a
@@ -209,13 +224,21 @@ object JinjaMacros {
               }
             }
             out += IfNode(branches.result(), els)
+          case "set" =>
+            rest match {
+              case SetHead(n, v) => out += SetNode(n, v)
+              case _ => throw new IllegalArgumentException(
+                s"unparseable {% set %} '$rest' — expected " +
+                  "'set <name> = <literal>' (block-form {% set %}…" +
+                  "{% endset %} is not supported)")
+            }
           case "endfor" | "endif" | "elif" | "else" =>
             throw new IllegalArgumentException(
               s"unbalanced {% $kw %} with no open block")
           case other =>
             throw new IllegalArgumentException(
-              s"unsupported Jinja tag '{% $content %}' — supported control " +
-                "flow: {% if/elif/else/endif %}, {% for/endfor %}")
+              s"unsupported Jinja tag '{% $content %}' — supported: " +
+                "{% if/elif/else/endif %}, {% for/endfor %}, {% set %}")
         }
       }
       val tail = parseSeqEnd(closers)
@@ -236,11 +259,20 @@ object JinjaMacros {
     nodes
   }
 
-  /** Render an AST under an environment (macro params + loop vars). */
-  private def renderNodes(nodes: Seq[Node], env: Map[String, String]): String = {
+  /** Render an AST under an environment (macro params + loop vars +
+    * `{% set %}` bindings). The environment THREADS left-to-right
+    * through the sequence — a SetNode extends it for its following
+    * siblings only (Jinja block scoping: nested blocks see outer
+    * bindings via the env they render under; a set inside a block does
+    * not escape it).
+    */
+  private def renderNodes(nodes: Seq[Node], env0: Map[String, String]): String = {
     val sb = new StringBuilder
+    var env = env0
     nodes.foreach {
       case Lit(t) => sb.append(if (env.isEmpty) t else substituteParams(t, env))
+      case SetNode(name, valueText) =>
+        env = env + (name -> unquote(substIdents(valueText, env).trim))
       case IfNode(branches, els) =>
         branches.find { case (c, _) => evalCond(substIdents(c, env)) } match {
           case Some((_, body)) => sb.append(renderNodes(body, env))
@@ -309,15 +341,31 @@ object JinjaMacros {
   private def isIdentChar(c: Char): Boolean =
     c.isLetterOrDigit || c == '_' || c == '.'
 
+  /** The numeric value of a literal, if it is one (exact decimal — no
+    * float rounding in the comparison subset).
+    */
+  private def numeric(s: String): Option[BigDecimal] =
+    try Some(BigDecimal(s.trim)) catch { case _: NumberFormatException => None }
+
   /** Evaluate a substituted condition: or < and < not < (==|!=) over
-    * literals < parens/booleans. Comparison is TEXTUAL after unquoting
-    * (exact-subset semantics, documented above). Anything else fails
-    * fast — an unevaluable condition means a variable this renderer
-    * does not know, and guessing would silently drop SQL.
+    * literals < parens/booleans. `==`/`!=` compare NUMERICALLY when
+    * both unquoted operands parse as numbers (Jinja: `1 == 1.0` is
+    * true, `digits == 00` with digits bound to `0` is true) and
+    * textually otherwise — a textual-only compare silently took the
+    * wrong branch on numeric conditions (r8 advice). Anything else
+    * fails fast — an unevaluable condition means a variable this
+    * renderer does not know, and guessing would silently drop SQL.
     */
   private def evalCond(s0: String): Boolean = {
     val s = s0.trim
     require(s.nonEmpty, "empty {% if %} condition")
+    def litEq(a0: String, b0: String): Boolean = {
+      val (a, b) = (unquote(a0.trim), unquote(b0.trim))
+      (numeric(a), numeric(b)) match {
+        case (Some(x), Some(y)) => x.compareTo(y) == 0
+        case _                  => a == b
+      }
+    }
     val orAt = topLevelIndexOf(s, "or")
     if (orAt >= 0)
       return evalCond(s.substring(0, orAt)) || evalCond(s.substring(orAt + 2))
@@ -329,12 +377,10 @@ object JinjaMacros {
       return evalCond(s.substring(1, s.length - 1))
     val neqAt = topLevelIndexOf(s, "!=")
     if (neqAt >= 0)
-      return unquote(s.substring(0, neqAt).trim) !=
-        unquote(s.substring(neqAt + 2).trim)
+      return !litEq(s.substring(0, neqAt), s.substring(neqAt + 2))
     val eqAt = topLevelIndexOf(s, "==")
     if (eqAt >= 0)
-      return unquote(s.substring(0, eqAt).trim) ==
-        unquote(s.substring(eqAt + 2).trim)
+      return litEq(s.substring(0, eqAt), s.substring(eqAt + 2))
     s.toLowerCase match {
       case "true"  => true
       case "false" => false
@@ -344,16 +390,90 @@ object JinjaMacros {
     }
   }
 
-  /** Full Jinja render of one model text: top-level control flow first
-    * (so `{{ m(loopvar) }}` call args carry the unrolled value), then
-    * macro expansion (each macro body's control flow renders at call
-    * time under its bound params, inside [[render]]). `{{ ref(…) }}`
+  /** Resolve every `var('name'[, default])` call in `text` against
+    * `vars` — dbt project variables, the `--vars` override surface. A
+    * call that is the ENTIRE content of a `{{ … }}` span replaces the
+    * span with the raw value (`{{ var('x') }}` prints it, Jinja
+    * semantics); anywhere else — an `{% if %}` condition, a `{% for %}`
+    * iterable, a `{% set %}` right-hand side, a macro-call argument —
+    * the call text becomes a literal (numbers and booleans raw, strings
+    * quoted) so downstream literal evaluation sees it. An undefined var
+    * with no default FAILS fast (dbt's compile error); `var` inside a
+    * string literal is never touched.
+    */
+  def substituteVars(text: String, vars: Map[String, String]): String = {
+    if (!text.contains("var")) return text
+    // returns (value, index past the ')') for a var-call at `callStart`,
+    // None when "var" there is not followed by '(' (not a call)
+    def resolve(callStart: Int): Option[(String, Int)] = {
+      var j = callStart + 3
+      while (j < text.length && text.charAt(j).isWhitespace) j += 1
+      if (j >= text.length || text.charAt(j) != '(') None
+      else {
+        val close = matchParen(text, j)
+        require(close >= 0, "unbalanced parentheses in var() call")
+        val args = splitArgs(text.substring(j + 1, close))
+        require(args.nonEmpty && args.size <= 2,
+          s"var() takes 1 or 2 arguments, got ${args.size}: " +
+            s"'${text.substring(callStart, close + 1)}'")
+        require(args.head.headOption.exists(c => c == '\'' || c == '"'),
+          s"var() name must be a string literal, got '${args.head}'")
+        val name = unquote(args.head)
+        val v = vars.get(name).orElse(args.lift(1).map(unquote)).getOrElse(
+          throw new IllegalArgumentException(
+            s"var '$name' is undefined — pass vars = Map(…) (dbt --vars) " +
+              "or give the var() call a default"))
+        Some((v, close + 1))
+      }
+    }
+    val out = new StringBuilder
+    var i = 0
+    var quote = 0.toChar
+    while (i < text.length) {
+      val c = text.charAt(i)
+      if (quote != 0) { out += c; if (c == quote) quote = 0.toChar; i += 1 }
+      else if (c == '\'' || c == '"') { quote = c; out += c; i += 1 }
+      else if (text.startsWith("{{", i)) {
+        var j = i + 2
+        while (j < text.length && text.charAt(j).isWhitespace) j += 1
+        val wholeSpan =
+          if (text.startsWith("var", j)) resolve(j).flatMap { case (v, after) =>
+            var k = after
+            while (k < text.length && text.charAt(k).isWhitespace) k += 1
+            if (text.startsWith("}}", k)) Some((v, k + 2)) else None
+          } else None
+        wholeSpan match {
+          case Some((v, next)) => out.append(v); i = next
+          case None            => out.append("{{"); i += 2
+        }
+      } else if (text.startsWith("var", i) &&
+          (i == 0 || !isIdentChar(text.charAt(i - 1)))) {
+        resolve(i) match {
+          case Some((v, next)) =>
+            out.append(
+              if (numeric(v).isDefined || v == "true" || v == "false") v
+              else "'" + v + "'")
+            i = next
+          case None => out.append("var"); i += 3
+        }
+      } else { out += c; i += 1 }
+    }
+    out.toString
+  }
+
+  /** Full Jinja render of one model text: `var()` resolution first
+    * (so conditions and iterables see the bound literals), then
+    * top-level control flow (so `{{ m(loopvar) }}` call args carry the
+    * unrolled value), then macro expansion (each macro body's control
+    * flow renders at call time under its bound params, inside
+    * [[render]]; `var()` in a body resolves then too). `{{ ref(…) }}`
     * and other unknown `{{ … }}` spans pass through for the downstream
     * SQL renderer.
     */
   def renderModel(sql: String, macros: Seq[MacroDef] = Nil,
-      maxDepth: Int = 16): String =
-    expand(renderControlFlow(sql), macros, maxDepth)
+      maxDepth: Int = 16, vars: Map[String, String] = Map.empty): String =
+    expand(renderControlFlow(substituteVars(sql, vars)), macros, maxDepth,
+      vars)
 
   /** Render control flow with no variables in scope (model-level text:
     * conditions and iterables must be literal).
@@ -368,7 +488,8 @@ object JinjaMacros {
     * looping. `{{ ref(…) }}` and other non-macro `{{ … }}` constructs
     * pass through untouched for the downstream renderer.
     */
-  def expand(sql: String, macros: Seq[MacroDef], maxDepth: Int = 16): String = {
+  def expand(sql: String, macros: Seq[MacroDef], maxDepth: Int = 16,
+      vars: Map[String, String] = Map.empty): String = {
     if (macros.isEmpty) return sql
     val byName = macros.map(m => m.name -> m).toMap
     var cur = sql
@@ -377,7 +498,7 @@ object JinjaMacros {
     while (changed) {
       require(depth < maxDepth,
         s"macro expansion did not terminate in $maxDepth passes — recursive macro?")
-      val next = expandOnce(cur, byName)
+      val next = expandOnce(cur, byName, vars)
       changed = next != cur
       cur = next
       depth += 1
@@ -386,7 +507,8 @@ object JinjaMacros {
   }
 
   /** One left-to-right pass replacing each outermost macro call. */
-  private def expandOnce(sql: String, byName: Map[String, MacroDef]): String = {
+  private def expandOnce(sql: String, byName: Map[String, MacroDef],
+      vars: Map[String, String]): String = {
     val out = new StringBuilder
     var i = 0
     while (i < sql.length) {
@@ -396,7 +518,7 @@ object JinjaMacros {
         out.append(sql.substring(i, open))
         parseCall(sql, open, byName) match {
           case Some((m, args, end)) =>
-            out.append(render(m, args))
+            out.append(render(m, args, vars))
             i = end
           case None =>
             out.append("{{")
@@ -485,7 +607,8 @@ object JinjaMacros {
   /** Bind args to params (positional first, then keywords, then
     * defaults) and substitute `{{ param }}` sites in the body.
     */
-  private def render(m: MacroDef, args: Seq[String]): String = {
+  private def render(m: MacroDef, args: Seq[String],
+      vars: Map[String, String] = Map.empty): String = {
     val (positional, keyword) = args.span(a => KwArg.findFirstIn(a).isEmpty)
     require(positional.size <= m.params.size,
       s"macro '${m.name}' takes ${m.params.size} argument(s), got ${args.size}")
@@ -508,8 +631,9 @@ object JinjaMacros {
     }.toMap
     // body control flow renders at CALL time, under the bound params —
     // {% if %}/{% for %} referencing a param are literal once bound; a
-    // tag-free body reduces to plain substitution as before
-    renderNodes(parseNodes(m.body), bound)
+    // tag-free body reduces to plain substitution as before. var()
+    // resolves first, so a body's conditions/iterables may use it.
+    renderNodes(parseNodes(substituteVars(m.body, vars)), bound)
   }
 
   /** Jinja variable substitution over a macro body: inside every

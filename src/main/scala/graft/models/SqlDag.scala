@@ -104,11 +104,12 @@ class SqlDag(spark: SparkSession, warehouseDir: String) {
     * free. Driver-side string work only.
     */
   def stateManifest(models: Seq[SqlModel],
-      macros: Seq[JinjaMacros.MacroDef] = Nil): String = {
+      macros: Seq[JinjaMacros.MacroDef] = Nil,
+      vars: Map[String, String] = Map.empty): String = {
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     val root = mapper.createObjectNode()
     models.foreach { m =>
-      val rendered = JinjaMacros.renderModel(m.jinjaSql, macros)
+      val rendered = JinjaMacros.renderModel(m.jinjaSql, macros, vars = vars)
       val node = root.putObject(m.name)
       node.put("materialization", m.materialization.toString.toLowerCase)
       val deps = node.putArray("depends_on")
@@ -124,11 +125,12 @@ class SqlDag(spark: SparkSession, warehouseDir: String) {
     * dep set. Removed models are not selectable (they no longer exist).
     */
   def stateDiff(models: Seq[SqlModel], previousManifest: String,
-      macros: Seq[JinjaMacros.MacroDef] = Nil): (Set[String], Set[String]) = {
+      macros: Seq[JinjaMacros.MacroDef] = Nil,
+      vars: Map[String, String] = Map.empty): (Set[String], Set[String]) = {
     val prev = new com.fasterxml.jackson.databind.ObjectMapper()
       .readTree(previousManifest)
     val current = new com.fasterxml.jackson.databind.ObjectMapper()
-      .readTree(stateManifest(models, macros))
+      .readTree(stateManifest(models, macros, vars))
     val names = models.map(_.name)
     val newNames = names.filter(n => !prev.has(n)).toSet
     val modified = names.filter(n => prev.has(n) &&
@@ -150,10 +152,20 @@ class SqlDag(spark: SparkSession, warehouseDir: String) {
     *
     * Closures run over MODEL nodes only; seeds are dependency leaves,
     * never selected (dbt separates `dbt seed` from `dbt run`).
+    *
+    * `macros`/`vars` matter ONLY to `state:` selectors: [[stateDiff]]
+    * checksums the COMPILED text, so pass the same macro definitions and
+    * var bindings the manifest was built with — calling with raw
+    * macro-bearing models and macros = Nil would flag every macro-using
+    * model modified (checksum of unexpanded vs expanded text) and miss
+    * macro-introduced deps (r8 advice). [[run]] pre-expands models
+    * before selecting, so its Nil stays consistent.
     */
   def selectModels(models: Seq[SqlModel], select: Seq[String],
       exclude: Seq[String] = Nil,
-      state: Option[String] = None): Seq[SqlModel] = {
+      state: Option[String] = None,
+      macros: Seq[JinjaMacros.MacroDef] = Nil,
+      vars: Map[String, String] = Map.empty): Seq[SqlModel] = {
     val names = models.map(_.name).toSet
     val parents: Map[String, Set[String]] =
       lineage(models).map { case (n, deps) => n -> deps.intersect(names) }
@@ -175,7 +187,7 @@ class SqlDag(spark: SparkSession, warehouseDir: String) {
         val prev = state.getOrElse(throw new IllegalArgumentException(
           s"selector '$token' needs the previous state manifest " +
             "(pass state = Some(stateManifest(...)))"))
-        val (newNames, modified) = stateDiff(models, prev)
+        val (newNames, modified) = stateDiff(models, prev, macros, vars)
         val baseSet = sel.name match {
           case "state:new"      => newNames
           case "state:modified" => newNames ++ modified // dbt: modified ⊇ new
@@ -241,19 +253,27 @@ class SqlDag(spark: SparkSession, warehouseDir: String) {
     * already exists in the target environment wins over the deferred
     * one; `favorState = true` flips that (dbt's `--favor-state`).
     */
+  /** `vars` are dbt project variables (`--vars` CLI overrides):
+    * `{{ var('name') }}` / `{{ var('name', default) }}` in any model
+    * text or macro body resolves against this map before control flow
+    * and macro expansion; an undefined var with no default fails fast
+    * ([[JinjaMacros.substituteVars]]).
+    */
   def run(models: Seq[SqlModel], seeds: Map[String, DataFrame],
       threads: Int = 1, select: Seq[String] = Nil,
       exclude: Seq[String] = Nil,
       macros: Seq[JinjaMacros.MacroDef] = Nil,
       state: Option[String] = None,
       defer: Option[String] = None,
-      favorState: Boolean = false): Map[String, DataFrame] = {
+      favorState: Boolean = false,
+      vars: Map[String, String] = Map.empty): Map[String, DataFrame] = {
     require(threads >= 1, s"need threads >= 1, got $threads")
     require(defer.nonEmpty || !favorState,
       "favorState is only meaningful with defer (dbt: --favor-state " +
         "requires --defer)")
     val expanded = models.map(m =>
-      m.copy(jinjaSql = JinjaMacros.renderModel(m.jinjaSql, macros)))
+      m.copy(jinjaSql = JinjaMacros.renderModel(m.jinjaSql, macros,
+        vars = vars)))
     runExpanded(expanded, seeds, threads, select, exclude, state, defer,
       favorState)
   }

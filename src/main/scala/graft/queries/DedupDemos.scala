@@ -117,6 +117,74 @@ object DedupDemos {
         t(s, dir, "documents"), "doc_id", "text", threshold = 0.5)
       .orderBy(col("id_a").asc_nulls_last, col("id_b").asc_nulls_last))
 
+  /** Capped-LSH oracle (TextDedup.minhashLshPairs with maxBucket =
+    * `cap`): unlike x2b — whose brute-force oracle rides the ≤1e-8
+    * recall argument — the cap CHANGES semantics (a pair whose every
+    * colliding bucket blows the cap is dropped), so this oracle replays
+    * the banding itself declaratively: per-shingle char-poly hashes →
+    * the 128 minhash permutations (same integer formulas as
+    * graft.functions.Hashing: a_s = (s*2654435761+1) mod P,
+    * b_s = (s*40503+7) mod P, P = 2^31−1) → 64 band keys
+    * (sig[2b]*P + sig[2b+1]) → bucket sizes → the 2 ≤ bn ≤ cap live
+    * filter → in-bucket pairs → exact Jaccard verification. All exact
+    * int64 arithmetic (every intermediate < 2^62), bit-identical across
+    * engines.
+    */
+  private def oracleLshCappedPairs(threshold: Double, cap: Int): String = s"""
+      ${oracleShingleCtes()},
+      hs AS (
+        SELECT doc_id, list_transform(shs, s ->
+          list_reduce(list_prepend(cast(0 AS bigint),
+            list_transform(generate_series(1, length(s)), i ->
+              cast(ascii(substr(s, i, 1)) AS bigint))),
+            (acc, v) -> (acc * 31 + v) % $Mod)) AS hs
+        FROM sh),
+      g AS (
+        SELECT band,
+               ((2*band)*2654435761 + 1) % ${Hashing.P} AS a0,
+               ((2*band)*40503 + 7) % ${Hashing.P} AS b0,
+               ((2*band+1)*2654435761 + 1) % ${Hashing.P} AS a1,
+               ((2*band+1)*40503 + 7) % ${Hashing.P} AS b1
+        FROM generate_series(0, ${Hashing.MinhashK / 2 - 1}) AS t(band)),
+      bk AS (
+        SELECT doc_id, band,
+               list_min(list_transform(hs, x -> (a0*x + b0) % ${Hashing.P}))
+                 * ${Hashing.P}
+               + list_min(list_transform(hs, x -> (a1*x + b1) % ${Hashing.P})) AS key
+        FROM hs CROSS JOIN g),
+      bsz AS (SELECT band, key, count(*) AS bn FROM bk GROUP BY 1, 2),
+      live AS (
+        SELECT bk.doc_id, bk.band, bk.key
+        FROM bk JOIN bsz USING (band, key) WHERE bn >= 2 AND bn <= $cap),
+      cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM live a JOIN live b
+          ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id)
+      SELECT cand.id_a, cand.id_b,
+             cast(len(list_intersect(sa.shs, sb.shs)) AS double)
+               / (len(sa.shs) + len(sb.shs) - len(list_intersect(sa.shs, sb.shs))) AS jaccard
+      FROM cand
+      JOIN sh sa ON sa.doc_id = cand.id_a
+      JOIN sh sb ON sb.doc_id = cand.id_b
+      WHERE jaccard >= $threshold
+      ORDER BY id_a ASC NULLS LAST, id_b ASC NULLS LAST"""
+
+  // X2b (capped): the open-web-scale face of x2b — the maxBucket
+  // stop-bucket cap bounds the worst band bucket at C(cap, 2) candidate
+  // pairs, the knob that keeps LSH linear where the uncapped candidate
+  // volume grows O(n²·p) on random band collisions (measured 42x at the
+  // r7 500k probe). The demo pins cap=2 — small enough that the cap
+  // provably FIRES at the verify SF (at sf0.01 it drops the one pair
+  // whose every colliding bucket has 3+ members), so the oracle checks
+  // the capped SEMANTICS, not just the uncapped-coincident output; the
+  // scale probes run the production cap (64, graft.ScaleProbe).
+  private val x2b2 = Demo("x2b2_minhash_capped",
+    Some(oracleLshCappedPairs(0.5, cap = 2)),
+    (s, dir) => TextDedup.minhashLshPairs(
+        t(s, dir, "documents"), "doc_id", "text", threshold = 0.5,
+        maxBucket = Some(2))
+      .orderBy(col("id_a").asc_nulls_last, col("id_b").asc_nulls_last))
+
   // X2c: exact n-gram Jaccard via the inverted-index join. No stop-shingle
   // cap (so the brute-force oracle matches exactly), which is O(df²) in the
   // most frequent shingle — therefore bounded to a fixed 1000-doc sample,
@@ -635,8 +703,12 @@ object DedupDemos {
       sys.props("java.io.tmpdir"), s"graft_demo_$name")
     if (java.nio.file.Files.exists(root)) {
       import scala.jdk.CollectionConverters._
-      java.nio.file.Files.walk(root).iterator().asScala.toSeq
-        .reverse.foreach(java.nio.file.Files.deleteIfExists(_))
+      // Files.walk holds directory descriptors open until the stream is
+      // closed — an unclosed walk per bench run leaks handles (r7 advice)
+      scala.util.Using.resource(java.nio.file.Files.walk(root)) { st =>
+        st.iterator().asScala.toSeq
+          .reverse.foreach(java.nio.file.Files.deleteIfExists(_))
+      }
     }
     s.catalog.refreshByPath(root.toString)
     root.toString
@@ -692,6 +764,6 @@ object DedupDemos {
     })
 
   val all: Seq[Demo] =
-    Seq(x1, x2a, x2b, x2c, x2c2, x2d, x2e, x2f, x2g, x18, x23, x23b, x28, x35,
+    Seq(x1, x2a, x2b, x2b2, x2c, x2c2, x2d, x2e, x2f, x2g, x18, x23, x23b, x28, x35,
       x41, x52, x54, x56, x58, x59)
 }

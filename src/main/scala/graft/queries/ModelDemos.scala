@@ -33,8 +33,12 @@ object ModelDemos {
       sys.props("java.io.tmpdir"), s"graft_demo_$name")
     if (java.nio.file.Files.exists(root)) {
       import scala.jdk.CollectionConverters._
-      java.nio.file.Files.walk(root).iterator().asScala.toSeq
-        .reverse.foreach(java.nio.file.Files.deleteIfExists(_))
+      // close the walk stream — it holds directory descriptors open
+      // (same leak the r8 advice flagged in DedupDemos)
+      scala.util.Using.resource(java.nio.file.Files.walk(root)) { st =>
+        st.iterator().asScala.toSeq
+          .reverse.foreach(java.nio.file.Files.deleteIfExists(_))
+      }
     }
     root.toString
   }
@@ -223,5 +227,39 @@ object ModelDemos {
       built("q33_status_mix").orderBy(col("status").asc_nulls_last)
     })
 
-  val all: Seq[Demo] = Seq(x12, x13, x15, q33)
+  // -------------------------------------------------------------------
+  // Q34: PROJECT VARIABLES + {% set %} (JinjaMacros.substituteVars /
+  // SetNode via SqlDag.run(vars = …)) — the dbt `--vars` CI surface:
+  // `min_price` binds from the runner's vars map (a CLI override),
+  // `status` falls back to its var() DEFAULT, a {% set %} carries it,
+  // and the {% if %} gate compares the set binding — the last everyday
+  // dbt-authoring constructs (r7 verdict item 7). The oracle is the
+  // fully-substituted SQL.
+  // -------------------------------------------------------------------
+  private val q34Model =
+    "{% set status = var('status', 'O') %}" +
+      "select o_orderpriority as priority, " +
+      "round(avg(o_totalprice), 2) as avg_price, count(*) as n " +
+      "from {{ ref('orders') }} " +
+      "where o_totalprice >= {{ var('min_price') }}" +
+      "{% if status != 'all' %} and o_orderstatus = '{{ status }}'{% endif %}" +
+      " group by o_orderpriority"
+
+  private val q34 = Demo("q34_jinja_vars", Some("""
+      SELECT o_orderpriority AS priority,
+             round(avg(o_totalprice), 2) AS avg_price, count(*) AS n
+      FROM orders
+      WHERE o_totalprice >= 1000 AND o_orderstatus = 'O'
+      GROUP BY o_orderpriority
+      ORDER BY priority ASC NULLS LAST"""),
+    (s, dir) => {
+      val dag = new graft.models.SqlDag(s, freshScratchDir("q34"))
+      val built = dag.run(
+        Seq(graft.models.SqlDag.SqlModel("q34_priced_priorities", q34Model)),
+        seeds = Map("orders" -> t(s, dir, "orders")),
+        vars = Map("min_price" -> "1000"))
+      built("q34_priced_priorities").orderBy(col("priority").asc_nulls_last)
+    })
+
+  val all: Seq[Demo] = Seq(x12, x13, x15, q33, q34)
 }

@@ -141,7 +141,10 @@ class JinjaMacrosSpec extends SparkSpec {
   }
 
   test("control flow failure modes fail fast") {
-    intercept[IllegalArgumentException] { renderControlFlow("{% set x = 1 %}x") }
+    intercept[IllegalArgumentException] { renderControlFlow("{% do audit() %}x") }
+    intercept[IllegalArgumentException] {
+      renderControlFlow("{% set x %}block form{% endset %}")
+    }
     intercept[IllegalArgumentException] {
       renderControlFlow("{% for c in get_cols() %}x{% endfor %}")
     }
@@ -189,5 +192,64 @@ class JinjaMacrosSpec extends SparkSpec {
     val rows = built("mart").orderBy("id").collect()
       .map(r => (r.getInt(0), r.getDecimal(1).toPlainString)).toList
     assert(rows === List((1, "1.50"), (2, "9.99")))
+  }
+
+  test("== / != compare numerically when both sides parse as numbers") {
+    // Jinja: 1 == 1.0 is true; the old textual-only compare silently
+    // took the wrong branch (r8 advice)
+    assert(renderControlFlow("{% if 1 == 1.0 %}X{% else %}Y{% endif %}") === "X")
+    assert(renderControlFlow("{% if 0 == 00 %}X{% else %}Y{% endif %}") === "X")
+    assert(renderControlFlow("{% if 2 != 2.00 %}X{% else %}Y{% endif %}") === "Y")
+    // mixed types stay textual: '1x' vs 1 is not a numeric comparison
+    assert(renderControlFlow("{% if '1x' == 1 %}X{% else %}Y{% endif %}") === "Y")
+    // strings stay textual even when quoted digits differ in form
+    assert(renderControlFlow("{% if 'a' == 'a' %}X{% else %}Y{% endif %}") === "X")
+  }
+
+  test("{% set %}: literal bindings thread through the enclosing block") {
+    assert(renderControlFlow("{% set x = 'v' %}{{ x }}|{{ x }}") === "v|v")
+    assert(renderControlFlow("{% set n = 3 %}{% if n == 3.0 %}T{% endif %}") === "T")
+    // a set inside a for body re-derives per iteration and does not escape
+    assert(renderControlFlow(
+      "{% set x = 'out' %}{% for i in range(1, 3) %}{% set x = i %}{{ x }}{% endfor %}{{ x }}")
+      === "12out")
+    // set value may reference earlier bindings and loop vars
+    assert(renderControlFlow(
+      "{% for c in ['a'] %}{% set y = c %}{{ y }}{% endfor %}") === "a")
+    // rhs must be present
+    intercept[IllegalArgumentException] { renderControlFlow("{% set x %}") }
+  }
+
+  test("var(): bindings, defaults, conditions, macro bodies, fail-fast") {
+    val vars = Map("env" -> "prod", "min_n" -> "5")
+    // whole-span prints the raw value; bare call in a condition quotes it
+    assert(renderModel("select {{ var('env') }}", vars = vars) === "select prod")
+    assert(renderModel("{% if var('env') == 'prod' %}P{% else %}D{% endif %}",
+      vars = vars) === "P")
+    // numeric values stay raw in expressions and compare numerically
+    assert(renderModel("where n >= {{ var('min_n') }}", vars = vars)
+      === "where n >= 5")
+    assert(renderModel("{% if var('min_n') == 5.0 %}T{% endif %}", vars = vars)
+      === "T")
+    // default used when unbound; binding wins over default
+    assert(renderModel("{{ var('missing', 'dflt') }}") === "dflt")
+    assert(renderModel("{{ var('env', 'dev') }}", vars = vars) === "prod")
+    // {% set %} may capture a var
+    assert(renderModel("{% set s = var('env') %}[{{ s }}]", vars = vars)
+      === "[prod]")
+    // var() inside a macro body resolves at call time
+    val defs = parse("{% macro gate(c) %}{{ c }} >= var('min_n'){% endmacro %}")
+    assert(renderModel("{{ gate('n') }}", defs, vars = vars) === "n >= 5")
+    // a var inside a string literal is never touched
+    assert(renderModel("select 'var(x)' as s") === "select 'var(x)' as s")
+    // undefined + no default fails fast with the var's name
+    val e = intercept[IllegalArgumentException] {
+      renderModel("{{ var('nope') }}", vars = vars)
+    }
+    assert(e.getMessage.contains("nope"))
+    // name must be a string literal
+    intercept[IllegalArgumentException] {
+      renderModel("{{ var(name) }}", vars = vars)
+    }
   }
 }

@@ -274,6 +274,26 @@ class SqlDagSpec extends SparkSpec {
     assert(intercept[IllegalArgumentException] {
       dag.selectModels(v2, Seq("state:modified"))
     }.getMessage.contains("manifest"))
+    // selectModels with RAW macro-bearing models: the macros param
+    // threads into stateDiff, so an unchanged macro-using model is NOT
+    // spuriously flagged modified (r8 advice — without it, checksum of
+    // unexpanded vs expanded text marked every macro caller changed)
+    assert(dag.selectModels(mm, Seq("state:modified"),
+      state = Some(mManifest), macros = macroV1).map(_.name) === Seq.empty)
+    assert(dag.selectModels(mm, Seq("state:modified"),
+      state = Some(mManifest), macros = macroV2).map(_.name)
+      === Seq("uses_macro"))
+    // vars thread the same way: a var-bearing model is unchanged under
+    // the manifest's bindings, modified under different ones
+    val vm = Seq(SqlModel("uses_var",
+      "select * from {{ ref('raw_loans') }} where loan_amount >= {{ var('min', 0) }}"))
+    val vManifest = dag.stateManifest(vm, vars = Map("min" -> "10"))
+    assert(dag.selectModels(vm, Seq("state:modified"),
+      state = Some(vManifest), vars = Map("min" -> "10")).map(_.name)
+      === Seq.empty)
+    assert(dag.selectModels(vm, Seq("state:modified"),
+      state = Some(vManifest), vars = Map("min" -> "99")).map(_.name)
+      === Seq("uses_var"))
   }
 
   test("run --select state:modified builds only changed models and their downstream") {

@@ -64,6 +64,11 @@ def replicate(name: str, copies: int) -> pa.Table:
 def embeddings(copies: int) -> pa.Table:
     t = pq.read_table(f"{SRC}/embeddings.parquet")
     n = t.num_rows
+    # the per-copy vec_id offset below is the CONSTANT, not n — if the
+    # source ever grows past it, ids would silently collide across
+    # copies and the near-dup/vector demos' keys stop being unique
+    assert n == VECS_PER_COPY, \
+        f"embeddings source has {n} rows, expected VECS_PER_COPY={VECS_PER_COPY}"
     dim = len(t["embedding"][0])
     parts = [t]
     for c in range(1, copies):
@@ -82,6 +87,9 @@ if __name__ == "__main__":
     copies, out_dir = int(sys.argv[1]), sys.argv[2]
     assert copies >= 1
     assert not out_dir.startswith("/root/testdata"), "testdata is read-only"
+    n_docs_src = pq.read_table(f"{SRC}/documents.parquet").num_rows
+    assert n_docs_src == DOCS_PER_COPY, \
+        f"documents source has {n_docs_src} rows, expected {DOCS_PER_COPY}"
     os.makedirs(out_dir, exist_ok=True)
     for name in ("region", "nation"):
         pq.write_table(pq.read_table(f"{SRC}/{name}.parquet"),
