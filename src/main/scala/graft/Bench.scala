@@ -83,6 +83,34 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
 
+    // I/O calibration (r8): the CPU calib missed the r7 1.56x regression
+    // entirely — r8's forensics (BENCHNOTES r8) found the shift uniform
+    // across query-size buckets, absent from the CPU calib (which
+    // IMPROVED 1.27 -> 1.10 across the same span), weakest in
+    // compute-bound queries — i.e. the container's I/O layer, the one
+    // dimension no calibration measured. This job times a fixed
+    // write+read round trip (~64 MB of parquet through the local disk and
+    // the datasource scan path) so future cross-round comparisons can
+    // normalize the I/O dimension too.
+    val calibIo = {
+      val dir = Files.createTempDirectory("graft-calib-io")
+      val path = dir.resolve("t.parquet").toString
+      val t0 = System.nanoTime()
+      spark.range(8000000L).selectExpr("id", "id * 31 % 997 AS v")
+        .write.mode("overwrite").parquet(path)
+      spark.read.parquet(path).selectExpr("sum(v)").collect()
+      val dt = (System.nanoTime() - t0) / 1e9
+      // best-effort cleanup; an abandoned temp dir must never fail a bench
+      try {
+        import scala.jdk.CollectionConverters._
+        scala.util.Using.resource(Files.walk(dir)) { st =>
+          st.iterator().asScala.toSeq.reverse
+            .foreach(p => Files.deleteIfExists(p))
+        }
+      } catch { case _: Throwable => }
+      dt
+    }
+
     // queries with iterative/materializing internals (SCD2 eras, label
     // propagation, corpus-clean cuts) localCheckpoint into executor
     // storage; release everything between timings so query N's storage
@@ -150,7 +178,7 @@ object Bench {
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = if (ok.nonEmpty) ok.values.sum else 0.0
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","calib":$calib,"queries":$qs,"failed":$failedJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","calib":$calib,"calib_io":$calibIo,"queries":$qs,"failed":$failedJson,"sf":"$sfDir"}"""
     Files.createDirectories(Paths.get("target"))
     Files.write(Paths.get("target/bench.json"),
       (json + "\n").getBytes(StandardCharsets.UTF_8))
@@ -172,7 +200,7 @@ object Bench {
     // stdout with a COMPACT summary line (<200 bytes) so a tail of any
     // reasonable size contains a complete, parseable JSON object.
     val summary =
-      s"""{"metric":"total","value":$total,"unit":"sec","calib":$calib,"n":${ok.size},"n_failed":${failed.size},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","calib":$calib,"calib_io":$calibIo,"n":${ok.size},"n_failed":${failed.size},"sf":"$sfDir"}"""
     println(summary)
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)

@@ -30,6 +30,26 @@ object FanoutLint extends Rule[LogicalPlan] {
 
   def clear(): Unit = findings.clear()
 
+  /** Join keys whose one-row-per-key uniqueness is a LIBRARY CONTRACT
+    * rather than plan-provable — graft operators register their internal
+    * contract columns here (e.g. the LSH verify join's `id_a`/`id_b`:
+    * candidate pairs join per-doc shingle frames keyed by a unique doc
+    * id) so the lint stays quiet on joins the library itself guarantees,
+    * and a real user-query warning is never buried under operator noise
+    * (r7 verdict: at 139 demos the internal WARNs would eventually mask
+    * a genuine one). Deliberately name-based and therefore blunt: a USER
+    * join on a coinciding column name is also skipped — acceptable for a
+    * WARN-level review lint, and the reserved names are graft-internal
+    * pair/probe contract columns unlikely to be user grain keys.
+    */
+  private val contractKeys = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  def allowContractKeys(keys: String*): Unit =
+    keys.foreach(contractKeys.add)
+
+  private def allContract(keys: Seq[Attribute]): Boolean =
+    keys.nonEmpty && keys.forall(k => contractKeys.contains(k.name))
+
   private def record(msg: String): Unit = {
     // optimizer batches run to fixed point and AQE re-optimizes per stage,
     // so the same join is visited repeatedly — record each finding once
@@ -103,11 +123,13 @@ object FanoutLint extends Rule[LogicalPlan] {
         // heuristic (docs/bug-analysis.md:128-135) — plan structure alone
         // cannot prove a raw relation's key uniqueness, so dim joins below
         // an aggregate also warn (by design: the doc flags them for review).
-        if (leftAgg && !rightAgg && rk.nonEmpty && !maxOneRow(right))
+        if (leftAgg && !rightAgg && rk.nonEmpty && !maxOneRow(right) &&
+            !allContract(rk))
           record(s"aggregate-grain left side joins detail rows on " +
             s"key(s) ${rk.map(_.name).mkString(", ")} of unproven uniqueness — " +
             "aggregate rows fan out if the key repeats (reference: docs/bug-analysis.md:69-98)")
-        if (rightAgg && !leftAgg && lk.nonEmpty && !maxOneRow(left))
+        if (rightAgg && !leftAgg && lk.nonEmpty && !maxOneRow(left) &&
+            !allContract(lk))
           record(s"aggregate-grain right side joins detail rows on " +
             s"key(s) ${lk.map(_.name).mkString(", ")} of unproven uniqueness — " +
             "aggregate rows fan out if the key repeats (reference: docs/bug-analysis.md:69-98)")

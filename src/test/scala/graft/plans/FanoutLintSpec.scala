@@ -78,4 +78,24 @@ class FanoutLintSpec extends SparkSpec {
     assert(FanoutLint.recentFindings.isEmpty,
       s"unexpected findings: ${FanoutLint.recentFindings}")
   }
+
+  test("registered contract keys suppress operator-internal joins only") {
+    graft.operators.TextDedup // force object init → contract registration
+    FanoutLint.clear()
+    import s.implicits._
+    // the LSH verify-join shape: aggregate-grain pairs join a per-doc
+    // frame on the library's contract key — quiet by registration
+    val pairs = Seq((1, 2), (1, 3)).toDF("id_a", "id_b").distinct()
+    val docs = Seq((1, "x"), (2, "y"), (3, "z")).toDF("id_a", "t")
+    pairs.join(docs, Seq("id_a")).collect()
+    assert(FanoutLint.recentFindings.isEmpty,
+      s"contract key id_a should be suppressed: ${FanoutLint.recentFindings}")
+    // a non-contract key in the same shape still fires
+    FanoutLint.clear()
+    val p2 = Seq((1, 2), (1, 3)).toDF("uk", "id_b").distinct()
+    val d2 = Seq((1, "x"), (2, "y")).toDF("uk", "t")
+    p2.join(d2, Seq("uk")).collect()
+    assert(FanoutLint.recentFindings.exists(_.contains("fan out")),
+      s"non-contract key should still warn: ${FanoutLint.recentFindings}")
+  }
 }
