@@ -144,20 +144,38 @@ object TextDedup {
     * persist it bucketed by (band, key) ([[ScaleOps.writeBucketed]]) and
     * batch probes join the store without shuffling it.
     */
-  def lshIndex(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+  def lshIndex(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    bandKeysOfSignatures(minhashSignatures(df, idCol, textCol))
+
+  /** The 128-slot minhash signature frame `(doc_id, sig)` — the artifact
+    * a production ingest persists ONCE per document (128 longs, ~1 KB)
+    * so every later near-dup pass ([[lshIndex]] banding,
+    * [[minhashEstimatePairs]] re-scoring) runs off the store without
+    * touching text again. Shingle → codegen hash → single-buffer
+    * map-side-combinable signature aggregate: the shuffle carries one
+    * 128-long row per doc regardless of document size.
+    */
+  def minhashSignatures(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     Hashing.registerAll(df.sparkSession)
-    val P = Hashing.P
-    val nBands = Hashing.MinhashK / 2 // r=2 rows per band over the signature
     // NOT sets.select(explode(shs)): exploding the shingle expression
     // directly keeps the Generate adjacent to the scan with one array
     // build per row — a projected-then-exploded column gets re-evaluated
     // inside pushed-down filters (measured 6x slower)
-    val hashed = tokArrays(df, idCol, textCol)
+    tokArrays(df, idCol, textCol)
       .select(col("doc_id"), explode(shingleSet(col("toks"))).as("sh"))
       .select(col("doc_id"), call_function("char_poly_hash", col("sh")).as("x"))
       .groupBy("doc_id")
       .agg(udaf(MinHashAgg).apply(col("x")).as("sig"))
-    hashed.select(col("doc_id"),
+  }
+
+  /** `(doc_id, band, key)` band rows of a signature frame — the banding
+    * half of [[lshIndex]], factored so signatures from a STORE (or a
+    * [[minhashSignatures]] cut) band without re-aggregating.
+    */
+  def bandKeysOfSignatures(sigs: DataFrame): DataFrame = {
+    val P = Hashing.P
+    val nBands = Hashing.MinhashK / 2 // r=2 rows per band over the signature
+    sigs.select(col("doc_id"),
       explode(array((0 until nBands).map(b =>
         struct(lit(b).as("band"),
           (element_at(col("sig"), 2 * b + 1) * P
@@ -383,6 +401,50 @@ object TextDedup {
       .select(col("id_a"), col("id_b"),
         jaccardOfSets(col("shs_a"), col("shs_b")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
+  }
+
+  /** Signature-only near-dup pairs (X2h) — [[minhashLshPairs]]' candidate
+    * machinery with ESTIMATED Jaccard instead of exact verification: the
+    * score is the fraction of agreeing signature slots (the classic
+    * MinHash estimator, E[matches/k] = J), computed by zipping the two
+    * 128-slot signatures — so the whole operator runs off the signature
+    * frame alone and NEVER re-reads document text. This is the 100 TB
+    * re-score path: a production ingest persists [[minhashSignatures]]
+    * once (~1 KB/doc vs the full text), and every later threshold sweep,
+    * re-clustering, or cross-snapshot comparison is a join over stored
+    * signatures — no shingle rebuild, no corpus scan. Exact verification
+    * ([[minhashLshPairs]]) remains the precision tool; at k=128 the
+    * estimator's std-dev is sqrt(J(1-J)/128) ≤ 0.045, the right tool for
+    * corpus-scale triage. `maxBucket` is the same stop-bucket cap.
+    *
+    * Score parity: matches/128 is exact binary arithmetic (k ≤ 128,
+    * division by a power of two) — bit-identical in the oracle's replay.
+    */
+  def minhashEstimatePairs(df: DataFrame, idCol: String, textCol: String,
+      threshold: Double, maxBucket: Option[Int] = None): DataFrame = {
+    val sigs = minhashSignatures(df, idCol, textCol)
+    val bands = bandKeysOfSignatures(sigs)
+    val bn = count(lit(1)).over(
+      org.apache.spark.sql.expressions.Window.partitionBy(col("band"), col("key")))
+    val live = bands.withColumn("bn", bn)
+      .filter(maxBucket.fold(col("bn") >= 2)(cap =>
+        col("bn") >= 2 && col("bn") <= cap))
+      .select(col("doc_id"), col("band"), col("key"))
+    val cand = live.as("a").hint("merge")
+      .join(live.as("b").hint("merge"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .distinct()
+    val matches = aggregate(
+      zip_with(col("sig_a"), col("sig_b"), (x, y) => when(x === y, 1L).otherwise(0L)),
+      lit(0L), (acc, v) => acc + v)
+    cand
+      .join(sigs.select(col("doc_id").as("id_a"), col("sig").as("sig_a")), "id_a")
+      .join(sigs.select(col("doc_id").as("id_b"), col("sig").as("sig_b")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        (matches.cast("double") / Hashing.MinhashK).as("est_jaccard"))
+      .filter(col("est_jaccard") >= threshold)
   }
 
   /** Exact n-gram Jaccard pairs (X2c) via an inverted-index self-join:

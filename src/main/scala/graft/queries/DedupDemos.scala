@@ -169,6 +169,64 @@ object DedupDemos {
       WHERE jaccard >= $threshold
       ORDER BY id_a ASC NULLS LAST, id_b ASC NULLS LAST"""
 
+  /** Signature-estimator oracle (TextDedup.minhashEstimatePairs): the
+    * FULL 128-slot signature per doc replayed declaratively (same
+    * integer permutation formulas as the capped oracle), band keys
+    * derived from the signature exactly as the Spark side does
+    * (sig[2b]·P + sig[2b+1], lists 1-indexed in DuckDB), candidates from
+    * live buckets, and the score = matching-slot fraction — k/128 is
+    * exact binary arithmetic, bit-identical across engines.
+    */
+  private def oracleLshEstimatePairs(threshold: Double): String = s"""
+      ${oracleShingleCtes()},
+      hs AS (
+        SELECT doc_id, list_transform(shs, s ->
+          list_reduce(list_prepend(cast(0 AS bigint),
+            list_transform(generate_series(1, length(s)), i ->
+              cast(ascii(substr(s, i, 1)) AS bigint))),
+            (acc, v) -> (acc * 31 + v) % $Mod)) AS hs
+        FROM sh),
+      sigs AS (
+        SELECT doc_id, list_transform(generate_series(0, ${Hashing.MinhashK - 1}), s ->
+          list_min(list_transform(hs, x ->
+            (((s*2654435761 + 1) % ${Hashing.P}) * x
+             + ((s*40503 + 7) % ${Hashing.P})) % ${Hashing.P}))) AS sig
+        FROM hs),
+      bk AS (
+        SELECT doc_id, band,
+               sig[2*band + 1] * ${Hashing.P} + sig[2*band + 2] AS key
+        FROM sigs CROSS JOIN generate_series(0, ${Hashing.MinhashK / 2 - 1}) AS t(band)),
+      bsz AS (SELECT band, key, count(*) AS bn FROM bk GROUP BY 1, 2),
+      live AS (
+        SELECT bk.doc_id, bk.band, bk.key
+        FROM bk JOIN bsz USING (band, key) WHERE bn >= 2),
+      cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM live a JOIN live b
+          ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id)
+      SELECT cand.id_a, cand.id_b,
+             cast(len(list_filter(generate_series(1, ${Hashing.MinhashK}),
+                    i -> sa.sig[i] = sb.sig[i])) AS double)
+               / ${Hashing.MinhashK} AS est_jaccard
+      FROM cand
+      JOIN sigs sa ON sa.doc_id = cand.id_a
+      JOIN sigs sb ON sb.doc_id = cand.id_b
+      WHERE est_jaccard >= $threshold
+      ORDER BY id_a ASC NULLS LAST, id_b ASC NULLS LAST"""
+
+  // X2h: signature-only ESTIMATED near-dup pairs — the 100 TB re-score
+  // path: every later threshold sweep or re-clustering runs off the
+  // persisted 128-slot signature store (~1 KB/doc) with the classic
+  // matches/k MinHash estimator (std-dev ≤ 0.045 at k=128), never
+  // re-reading text. Unlike x2b — whose exact verification lets a
+  // brute-force oracle stand in — the ESTIMATOR is the semantics here,
+  // so the oracle replays the signatures themselves.
+  private val x2h = Demo("x2h_minhash_estimate",
+    Some(oracleLshEstimatePairs(0.35)),
+    (s, dir) => TextDedup.minhashEstimatePairs(
+        t(s, dir, "documents"), "doc_id", "text", threshold = 0.35)
+      .orderBy(col("id_a").asc_nulls_last, col("id_b").asc_nulls_last))
+
   // X2b (capped): the open-web-scale face of x2b — the maxBucket
   // stop-bucket cap bounds the worst band bucket at C(cap, 2) candidate
   // pairs, the knob that keeps LSH linear where the uncapped candidate
@@ -764,6 +822,6 @@ object DedupDemos {
     })
 
   val all: Seq[Demo] =
-    Seq(x1, x2a, x2b, x2b2, x2c, x2c2, x2d, x2e, x2f, x2g, x18, x23, x23b, x28, x35,
+    Seq(x1, x2a, x2b, x2b2, x2c, x2c2, x2d, x2e, x2f, x2g, x2h, x18, x23, x23b, x28, x35,
       x41, x52, x54, x56, x58, x59)
 }

@@ -16,7 +16,7 @@ object SimilarityDemos {
   private def emb(s: SparkSession, dir: String): DataFrame =
     Tables.table(s, dir, "embeddings")
 
-  private val oracleQuantCtes = """
+  private[queries] val oracleQuantCtes = """
       WITH q AS (
         SELECT vec_id,
                list_transform(embedding, x ->
@@ -274,5 +274,71 @@ object SimilarityDemos {
       .orderBy(col("query_id").asc_nulls_last, col("cosine").desc_nulls_last,
         col("vec_id").asc_nulls_last))
 
-  val all: Seq[Demo] = Seq(x3a, x3b, x3c, x3d, x3e, x31, x37)
+  // -------------------------------------------------------------------
+  // X60: HYBRID RETRIEVAL via RECIPROCAL-RANK FUSION (Retrieval.rrfFuse)
+  // — the RAG-ingest shape: a lexical BM25 top-20 (x33's scoring chain,
+  // shared oracle CTEs so the legs cannot drift) and a vector cosine
+  // top-20 (query = embedding 0; vec_id keys doc_id for the embedded
+  // prefix of the corpus) fuse as Σ 1/(60+rank) over the legs where the
+  // doc appears, top-10 by consensus. Each RRF term is one exact IEEE
+  // division and the legs sum in declared order as one fixed expression
+  // tree — scores replay bit-identically in the oracle. Scale: both
+  // legs are k-bounded frames, fusion is a k×k outer join, the rank
+  // window runs over 10 rows.
+  // -------------------------------------------------------------------
+  private val x60 = Demo("x60_hybrid_rrf", Some(s"""
+      $oracleQuantCtes,
+      ${TextDemos.bm25AggCtes},
+      lexleg AS (
+        SELECT doc_id,
+               row_number() OVER (ORDER BY score_scaled DESC, doc_id ASC)
+                 AS rank_0
+        FROM agg ORDER BY score_scaled DESC, doc_id ASC LIMIT 20),
+      vecleg AS (
+        SELECT c.vec_id AS doc_id,
+               row_number() OVER (ORDER BY
+                 CASE WHEN qr.nq > 0 AND c.nq > 0 THEN
+                   cast(cast(list_sum(list_transform(generate_series(1, 64),
+                          i -> qr.qv[i] * c.qv[i])) AS bigint) AS double)
+                     / (sqrt(cast(qr.nq AS double)) * sqrt(cast(c.nq AS double)))
+                 END DESC, c.vec_id ASC) AS rank_1
+        FROM (SELECT * FROM n WHERE vec_id = 0) qr
+        JOIN n c ON c.vec_id != qr.vec_id
+        ORDER BY rank_1 ASC LIMIT 20),
+      fused AS (
+        SELECT coalesce(l.doc_id, v.doc_id) AS doc_id,
+               coalesce(1.0 / (60 + l.rank_0), 0.0)
+                 + coalesce(1.0 / (60 + v.rank_1), 0.0) AS rrf_score,
+               l.rank_0 AS rank_0, v.rank_1 AS rank_1
+        FROM lexleg l FULL OUTER JOIN vecleg v ON l.doc_id = v.doc_id),
+      top AS (SELECT * FROM fused
+              ORDER BY rrf_score DESC, doc_id ASC LIMIT 10)
+      SELECT row_number() OVER (ORDER BY rrf_score DESC, doc_id ASC)
+               AS fused_rank,
+             doc_id, rrf_score, rank_0, rank_1
+      FROM top
+      ORDER BY fused_rank ASC NULLS LAST"""),
+    (s, dir) => {
+      val docs = Tables.table(s, dir, "documents")
+      val lex = graft.operators.TextAnalysis.bm25TopK(
+          docs, "doc_id", "text", TextDemos.bm25Terms, k = 20)
+        .select(col("doc_id"), col("rank"))
+      val vec = VectorSearch.topKCosine(
+          emb(s, dir), emb(s, dir).filter(col("vec_id") === 0),
+          "vec_id", "embedding", k = 20)
+        // explicit LIMIT cut below the global rank window: the output is
+        // already ≤ k rows (one query), but the plan must PROVE the
+        // bound for the window-discipline gate — TakeOrdered, then a
+        // 20-row rank
+        .orderBy(col("cosine").desc, col("vec_id").asc).limit(20)
+        .withColumn("rank", row_number().over( // 20 rows only
+          org.apache.spark.sql.expressions.Window
+            .orderBy(col("cosine").desc, col("vec_id").asc)))
+        .select(col("vec_id").as("doc_id"), col("rank"))
+      graft.operators.Retrieval.rrfFuse(Seq(lex, vec), "doc_id", "rank",
+          kRrf = 60, topK = 10)
+        .orderBy(col("fused_rank").asc_nulls_last)
+    })
+
+  val all: Seq[Demo] = Seq(x3a, x3b, x3c, x3d, x3e, x31, x37, x60)
 }

@@ -341,10 +341,15 @@ object TextDemos {
   // SQL spells the SAME tree), quantized to ×10⁶ integers BEFORE the
   // per-doc sum so the accumulation is exact integer arithmetic
   // (float-sum order is partition-dependent; integer sums are not).
-  private val bm25Terms = Seq("spark", "hash", "merge", "window", "partition")
+  private[queries] val bm25Terms = Seq("spark", "hash", "merge", "window", "partition")
 
-  private val x33 = Demo("x33_bm25", Some(s"""
-      WITH toks AS (
+  /** The x33 BM25 scoring chain (tokens → doc lengths → per-term scores
+    * → per-doc scaled sums) as CTE text — ONE definition site shared by
+    * the x33 oracle and the x60 hybrid-retrieval oracle (drift between
+    * the two legs' lexical scoring would silently change fusion ranks).
+    */
+  private[queries] def bm25AggCtes: String = s"""
+      toks AS (
         SELECT doc_id, unnest(string_split(lower(text), ' ')) AS word
         FROM documents),
       t2 AS (SELECT doc_id, word FROM toks WHERE word <> ''),
@@ -365,7 +370,10 @@ object TextDemos {
              CROSS JOIN tot o),
       agg AS (SELECT doc_id, cast(sum(s) AS bigint) AS score_scaled,
                      count(*) AS n_terms
-              FROM sc GROUP BY 1),
+              FROM sc GROUP BY 1)"""
+
+  private val x33 = Demo("x33_bm25", Some(s"""
+      WITH $bm25AggCtes,
       top AS (SELECT doc_id, score_scaled, n_terms FROM agg
               ORDER BY score_scaled DESC, doc_id ASC LIMIT 20)
       SELECT row_number() OVER (ORDER BY score_scaled DESC, doc_id ASC) AS rank,

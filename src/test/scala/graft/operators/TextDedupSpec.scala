@@ -39,6 +39,27 @@ class TextDedupSpec extends SparkSpec {
       maxBucket = Some(1)).isEmpty)
   }
 
+  test("minhash estimator: exact 1.0 on identical docs; k/128-quantized; tracks exact Jaccard") {
+    val s = spark
+    import s.implicits._
+    val base = "the quick brown fox jumps over the lazy dog tonight again"
+    val docs = Seq(
+      (1L, base), (2L, base), // identical → every slot agrees
+      (3L, base + " with a slightly different tail appended here"),
+      (4L, "completely unrelated words about spark shuffles and joins")
+    ).toDF("doc_id", "text")
+    val est = TextDedup.minhashEstimatePairs(docs, "doc_id", "text", 0.0)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(est((1L, 2L)) === 1.0)
+    // every estimate is an exact multiple of 1/128 (bit-exact across engines)
+    est.values.foreach(v => assert(v * 128 == math.rint(v * 128)))
+    // the estimator tracks exact Jaccard within the k=128 band (±3 sd ≈ 0.14)
+    val exact = TextDedup.minhashLshPairs(docs, "doc_id", "text", 0.0)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    for (((k, e)) <- est if exact.contains(k))
+      assert(math.abs(e - exact(k)) < 0.15, s"pair $k est $e exact ${exact(k)}")
+  }
+
   test("incrementalLshPairs: cross-set pairs only; scale path equals lazy (X58)") {
     val s = spark
     import s.implicits._
