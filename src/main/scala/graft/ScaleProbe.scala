@@ -66,6 +66,31 @@ object ScaleProbe {
           .minhashLshPairs(docs, "doc_id", "text", 0.5,
             maxBucket = Some(cap))
           .orderBy(col("id_a").asc_nulls_last, col("id_b").asc_nulls_last))
+      case "estimate" | "estimate_capped" =>
+        // x2h at scale: signature-only re-scoring — candidate volume is
+        // x2b's (same banding), but per-pair cost is 128 slot compares
+        // instead of a shingle-set intersection and the corpus text is
+        // never re-read after the signature aggregate. The capped face
+        // bounds candidates exactly like x2b's maxBucket.
+        val mb = if (op == "estimate_capped") Some(cap) else None
+        (docs.count(), mb.fold(0L)(_.toLong), () => graft.operators.TextDedup
+          .minhashEstimatePairs(docs, "doc_id", "text", 0.35, maxBucket = mb)
+          .orderBy(col("id_a").asc_nulls_last, col("id_b").asc_nulls_last))
+      case "estimate_store" =>
+        // the honest re-score measurement: signatures PERSISTED first
+        // (untimed — that cost belongs to ingest, paid once), then the
+        // timed job re-scores off the parquet store alone. Compare with
+        // "estimate" (from text) to see what the store saves per sweep.
+        val store = java.nio.file.Files
+          .createTempDirectory("graft-sig-store").toString
+        graft.operators.TextDedup
+          .minhashSignatures(docs, "doc_id", "text")
+          .write.mode("overwrite").parquet(store)
+        val nd = docs.count()
+        (nd, cap.toLong, () => graft.operators.TextDedup
+          .estimatePairsFromSignatures(spark.read.parquet(store), 0.35,
+            maxBucket = Some(cap))
+          .orderBy(col("id_a").asc_nulls_last, col("id_b").asc_nulls_last))
       case "clusters_capped" =>
         // x2f's production face: label propagation over the CAPPED pair
         // graph (uncapped measured 81x at the r7 500k step — worst in

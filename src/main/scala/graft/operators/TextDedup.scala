@@ -421,8 +421,20 @@ object TextDedup {
     * division by a power of two) — bit-identical in the oracle's replay.
     */
   def minhashEstimatePairs(df: DataFrame, idCol: String, textCol: String,
-      threshold: Double, maxBucket: Option[Int] = None): DataFrame = {
-    val sigs = minhashSignatures(df, idCol, textCol)
+      threshold: Double, maxBucket: Option[Int] = None): DataFrame =
+    estimatePairsFromSignatures(minhashSignatures(df, idCol, textCol),
+      threshold, maxBucket)
+
+  /** [[minhashEstimatePairs]] off an ALREADY-BUILT signature frame — the
+    * store-probing face: `sigs` is a persisted `(doc_id, sig)` table
+    * (e.g. parquet written at ingest), and the whole re-score touches
+    * nothing else. This is what "re-score the corpus at a new threshold"
+    * costs at 100 TB: a scan of 128-long rows, one (band, key) shuffle,
+    * and a k-bounded slot-compare per candidate — document text never
+    * enters the job.
+    */
+  def estimatePairsFromSignatures(sigs: DataFrame, threshold: Double,
+      maxBucket: Option[Int] = None): DataFrame = {
     val bands = bandKeysOfSignatures(sigs)
     val bn = count(lit(1)).over(
       org.apache.spark.sql.expressions.Window.partitionBy(col("band"), col("key")))

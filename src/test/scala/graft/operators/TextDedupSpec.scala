@@ -60,6 +60,20 @@ class TextDedupSpec extends SparkSpec {
       assert(math.abs(e - exact(k)) < 0.15, s"pair $k est $e exact ${exact(k)}")
   }
 
+  test("estimator store face: persisted signatures re-score identically to from-text") {
+    val docs = Tables.table(spark, sfDir, "documents")
+    val fromText = TextDedup.minhashEstimatePairs(docs, "doc_id", "text", 0.35)
+      .collect().map(_.mkString("|")).toSet
+    val store = java.nio.file.Files
+      .createTempDirectory("graft-sig-spec").toString
+    TextDedup.minhashSignatures(docs, "doc_id", "text")
+      .write.mode("overwrite").parquet(store)
+    val fromStore = TextDedup.estimatePairsFromSignatures(
+        spark.read.parquet(store), 0.35)
+      .collect().map(_.mkString("|")).toSet
+    assert(fromStore === fromText && fromText.nonEmpty)
+  }
+
   test("incrementalLshPairs: cross-set pairs only; scale path equals lazy (X58)") {
     val s = spark
     import s.implicits._
