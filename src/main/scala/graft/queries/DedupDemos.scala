@@ -131,6 +131,22 @@ object DedupDemos {
     * engines.
     */
   private def oracleLshCappedPairs(threshold: Double, cap: Int): String = s"""
+      ${oracleLshCappedCtes(cap)}
+      SELECT cand.id_a, cand.id_b,
+             cast(len(list_intersect(sa.shs, sb.shs)) AS double)
+               / (len(sa.shs) + len(sb.shs) - len(list_intersect(sa.shs, sb.shs))) AS jaccard
+      FROM cand
+      JOIN sh sa ON sa.doc_id = cand.id_a
+      JOIN sh sb ON sb.doc_id = cand.id_b
+      WHERE jaccard >= $threshold
+      ORDER BY id_a ASC NULLS LAST, id_b ASC NULLS LAST"""
+
+  /** The capped-banding CTE chain through `cand` (candidate pairs of
+    * live buckets) — shared by the x2b2 pair oracle and the x2f2 capped
+    * cluster-closure oracle, so the two can never disagree on which
+    * buckets the cap drops.
+    */
+  private def oracleLshCappedCtes(cap: Int): String = s"""
       ${oracleShingleCtes()},
       hs AS (
         SELECT doc_id, list_transform(shs, s ->
@@ -159,15 +175,7 @@ object DedupDemos {
       cand AS (
         SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
         FROM live a JOIN live b
-          ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id)
-      SELECT cand.id_a, cand.id_b,
-             cast(len(list_intersect(sa.shs, sb.shs)) AS double)
-               / (len(sa.shs) + len(sb.shs) - len(list_intersect(sa.shs, sb.shs))) AS jaccard
-      FROM cand
-      JOIN sh sa ON sa.doc_id = cand.id_a
-      JOIN sh sb ON sb.doc_id = cand.id_b
-      WHERE jaccard >= $threshold
-      ORDER BY id_a ASC NULLS LAST, id_b ASC NULLS LAST"""
+          ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id)"""
 
   /** Signature-estimator oracle (TextDedup.minhashEstimatePairs): the
     * FULL 128-slot signature per doc replayed declaratively (same
@@ -293,6 +301,39 @@ object DedupDemos {
       ORDER BY doc_id ASC NULLS LAST"""),
     (s, dir) => TextDedup.dedupClusters(
         TextDedup.minhashLshPairs(t(s, dir, "documents"), "doc_id", "text", 0.5))
+      .select(col("node").as("doc_id"), col("cluster_id"))
+      .orderBy(col("doc_id").asc_nulls_last))
+
+  // X2f (capped): the cluster closure over CAPPED pairs — the composed
+  // production path (capped candidate generation → exact verify → label
+  // propagation) oracle-checked end-to-end: the closure oracle rides the
+  // SAME capped-banding CTE chain as x2b2 (one definition site), so the
+  // green row proves cap semantics THROUGH the clustering, not just at
+  // the pair stage. cap=2 fires at the verify SF (x2b2's contract).
+  private val x2f2 = Demo("x2f2_clusters_capped", Some(s"""
+      ${oracleLshCappedCtes(2).replaceFirst("WITH", "WITH RECURSIVE")},
+      prs AS MATERIALIZED (
+        SELECT cand.id_a, cand.id_b
+        FROM cand
+        JOIN sh sa ON sa.doc_id = cand.id_a
+        JOIN sh sb ON sb.doc_id = cand.id_b
+        WHERE cast(len(list_intersect(sa.shs, sb.shs)) AS double)
+              / (len(sa.shs) + len(sb.shs) - len(list_intersect(sa.shs, sb.shs))) >= 0.5),
+      edges AS MATERIALIZED (
+        SELECT id_a AS s, id_b AS d FROM prs
+        UNION
+        SELECT id_b AS s, id_a AS d FROM prs),
+      reach(node, r) AS (
+        SELECT s, s FROM edges
+        UNION
+        SELECT e.d, reach.r FROM reach JOIN edges e ON e.s = reach.node)
+      SELECT node AS doc_id, min(r) AS cluster_id
+      FROM reach
+      GROUP BY node
+      ORDER BY doc_id ASC NULLS LAST"""),
+    (s, dir) => TextDedup.dedupClusters(
+        TextDedup.minhashLshPairs(t(s, dir, "documents"), "doc_id", "text",
+          0.5, maxBucket = Some(2)))
       .select(col("node").as("doc_id"), col("cluster_id"))
       .orderBy(col("doc_id").asc_nulls_last))
 
@@ -822,6 +863,6 @@ object DedupDemos {
     })
 
   val all: Seq[Demo] =
-    Seq(x1, x2a, x2b, x2b2, x2c, x2c2, x2d, x2e, x2f, x2g, x2h, x18, x23, x23b, x28, x35,
+    Seq(x1, x2a, x2b, x2b2, x2c, x2c2, x2d, x2e, x2f, x2f2, x2g, x2h, x18, x23, x23b, x28, x35,
       x41, x52, x54, x56, x58, x59)
 }
