@@ -420,10 +420,22 @@ object TextDedup {
     * Score parity: matches/128 is exact binary arithmetic (k ≤ 128,
     * division by a power of two) — bit-identical in the oracle's replay.
     */
+  /** `materializeSignatures` carries x2b's verification-strategy
+    * contract shape: `None` (default) keeps the signature frame lazy —
+    * the plan computes the signature aggregate once for the banding and
+    * once per pair side (three corpus scans; right at demo scale, where
+    * the scans are cheap). `Some(_.localCheckpoint(true))` materializes
+    * signatures ONCE and all three consumers read the cut — the
+    * from-text scale path, approaching [[estimatePairsFromSignatures]]'
+    * store cost without a persisted store.
+    */
   def minhashEstimatePairs(df: DataFrame, idCol: String, textCol: String,
-      threshold: Double, maxBucket: Option[Int] = None): DataFrame =
-    estimatePairsFromSignatures(minhashSignatures(df, idCol, textCol),
+      threshold: Double, maxBucket: Option[Int] = None,
+      materializeSignatures: Option[DataFrame => DataFrame] = None): DataFrame = {
+    val raw = minhashSignatures(df, idCol, textCol)
+    estimatePairsFromSignatures(materializeSignatures.fold(raw)(m => m(raw)),
       threshold, maxBucket)
+  }
 
   /** [[minhashEstimatePairs]] off an ALREADY-BUILT signature frame — the
     * store-probing face: `sigs` is a persisted `(doc_id, sig)` table

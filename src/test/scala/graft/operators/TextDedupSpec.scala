@@ -60,6 +60,34 @@ class TextDedupSpec extends SparkSpec {
       assert(math.abs(e - exact(k)) < 0.15, s"pair $k est $e exact ${exact(k)}")
   }
 
+  test("estimator plan gate: at most two signature aggregates in the executed plan") {
+    val docs = Tables.table(spark, sfDir, "documents")
+    val p = TextDedup.minhashEstimatePairs(docs, "doc_id", "text", 0.35)
+    p.collect()
+    val s = p.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    // banding self-join reuses ONE exchange (AQE ReuseExchange — the
+    // static plan does NOT show this; assert on the executed plan), so
+    // the signature aggregate runs at most twice (bands + the shared
+    // pair-side subtree): ≤ 2 partial+final pairs = 4 nodes. A
+    // regression to per-consumer recomputation (3-4 computations, 6-8
+    // nodes) re-shingles the corpus per consumer.
+    val aggNodes = s.toLowerCase.linesIterator
+      .count(l => l.contains("aggregate") && l.contains("minhashagg"))
+    assert(aggNodes > 0 && aggNodes <= 4,
+      s"signature aggregate duplicated ($aggNodes nodes)\n" + s.take(3000))
+  }
+
+  test("estimator materialized-signatures scale path equals the lazy default") {
+    val docs = Tables.table(spark, sfDir, "documents")
+    val lazyP = TextDedup.minhashEstimatePairs(docs, "doc_id", "text", 0.35)
+      .collect().map(_.mkString("|")).toSet
+    val cut = TextDedup.minhashEstimatePairs(docs, "doc_id", "text", 0.35,
+        materializeSignatures = Some(_.localCheckpoint(true)))
+      .collect().map(_.mkString("|")).toSet
+    assert(cut === lazyP && lazyP.nonEmpty)
+  }
+
   test("estimator store face: persisted signatures re-score identically to from-text") {
     val docs = Tables.table(spark, sfDir, "documents")
     val fromText = TextDedup.minhashEstimatePairs(docs, "doc_id", "text", 0.35)
