@@ -252,4 +252,34 @@ class JinjaMacrosSpec extends SparkSpec {
       renderModel("{{ var(name) }}", vars = vars)
     }
   }
+
+  test("randomized laws: var/set round-trips over arbitrary names and values") {
+    val rnd = new scala.util.Random(7)
+    def ident(): String =
+      ("abcxyz_"(rnd.nextInt(7)).toString +
+        Seq.fill(1 + rnd.nextInt(6))("abcdefgh_0123"(rnd.nextInt(13))).mkString)
+    def value(): String = rnd.nextInt(3) match {
+      case 0 => rnd.nextInt(10000).toString
+      case 1 => Seq.fill(1 + rnd.nextInt(8))("klmnop 42"(rnd.nextInt(9))).mkString.trim match {
+        case "" => "zz"; case s => s }
+      case _ => (rnd.nextDouble() * 100).toString
+    }
+    (1 to 50).foreach { _ =>
+      val (n, v) = (ident(), value())
+      // law 1: a bound var prints its raw value through a whole span
+      assert(renderModel(s"A {{ var('$n') }} B", vars = Map(n -> v)) === s"A $v B")
+      // law 2: {% set %} of the same var prints identically
+      assert(renderModel(s"{% set x = var('$n') %}A {{ x }} B",
+        vars = Map(n -> v)) === s"A $v B")
+      // law 3: a var always == itself in a condition (numeric or textual)
+      assert(renderModel(
+        s"{% if var('$n') == var('$n') %}T{% else %}F{% endif %}",
+        vars = Map(n -> v)) === "T")
+      // law 4: default is a no-op when the binding exists
+      assert(renderModel(s"{{ var('$n', 'other') }}", vars = Map(n -> v)) === v)
+      // law 5: substitution never touches text without var/set/{{ }}
+      val plain = s"select $v as c from t"
+      assert(renderModel(plain, vars = Map(n -> v)) === plain)
+    }
+  }
 }

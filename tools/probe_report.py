@@ -61,5 +61,30 @@ def full():
         print(f"| {q} | {ta:.2f} | {tb:.2f} | {r:.1f}x |")
 
 
+def scaleprobe():
+    """Render graft.ScaleProbe one-line records (probes/r8/probe{5,6}_*
+    or target/) as a per-op scale table: usage `scaleprobe <glob>`, e.g.
+    `scaleprobe 'probes/r8/probe6_*.json'`."""
+    import glob
+    recs = []
+    for p in sorted(glob.glob(sys.argv[2])):
+        with open(p) as f:
+            line = f.read().strip()
+        if line:
+            recs.append(json.loads(line))
+    byop = {}
+    for r in recs:
+        byop.setdefault(r["op"], []).append(r)
+    print("| op | " + " | ".join("n / s / calib" for _ in range(
+        max(len(v) for v in byop.values()))) + " | steps |")
+    for op, rs in sorted(byop.items()):
+        rs.sort(key=lambda r: r["n"])
+        cells = [f"{r['n']} / {r['sec']:.2f}s / {r.get('calib', 0):.2f}"
+                 for r in rs]
+        steps = [f"{b['sec']/a['sec']:.1f}x"
+                 for a, b in zip(rs, rs[1:])]
+        print(f"| {op} | " + " | ".join(cells) + " | " + " ".join(steps) + " |")
+
+
 if __name__ == "__main__":
-    {"heavy": heavy, "full": full}[sys.argv[1]]()
+    {"heavy": heavy, "full": full, "scaleprobe": scaleprobe}[sys.argv[1]]()
