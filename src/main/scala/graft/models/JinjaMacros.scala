@@ -450,8 +450,14 @@ object JinjaMacros {
           (i == 0 || !isIdentChar(text.charAt(i - 1)))) {
         resolve(i) match {
           case Some((v, next)) =>
+            // numbers/booleans/list literals stay raw (a list value is a
+            // dbt idiom: vars: {langs: ['en','de']} consumed by
+            // {% for l in var('langs') %}); strings re-quote so literal
+            // evaluation downstream sees one literal
+            val vt = v.trim
             out.append(
-              if (numeric(v).isDefined || v == "true" || v == "false") v
+              if (numeric(v).isDefined || vt == "true" || vt == "false" ||
+                (vt.startsWith("[") && vt.endsWith("]"))) v
               else "'" + v + "'")
             i = next
           case None => out.append("var"); i += 3

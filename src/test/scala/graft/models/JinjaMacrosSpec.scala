@@ -253,6 +253,17 @@ class JinjaMacrosSpec extends SparkSpec {
     }
   }
 
+  test("var(): list-literal values drive {% for %} (the dbt vars-as-YAML-list idiom)") {
+    val vars = Map("langs" -> "['en', 'de', 'zh']")
+    assert(renderModel(
+      "{% for l in var('langs') %}{{ l }};{% endfor %}", vars = vars)
+      === "en;de;zh;")
+    // list default when unbound
+    assert(renderModel(
+      "{% for x in var('missing', [1, 2]) %}{{ x }}{% endfor %}")
+      === "12")
+  }
+
   test("randomized laws: var/set round-trips over arbitrary names and values") {
     val rnd = new scala.util.Random(7)
     def ident(): String =
