@@ -76,6 +76,19 @@ object ScaleProbe {
         (docs.count(), mb.fold(0L)(_.toLong), () => graft.operators.TextDedup
           .minhashEstimatePairs(docs, "doc_id", "text", 0.35, maxBucket = mb)
           .orderBy(col("id_a").asc_nulls_last, col("id_b").asc_nulls_last))
+      case "incremental" | "incremental_capped" =>
+        // x58's crawl-probe shape at scale: batch (ids ≡ 4 mod 5, ~20%)
+        // probes the indexed remainder; the capped face drops store
+        // buckets past maxBucket before the probe join (the r7 verdict's
+        // "probe side still rides the uncapped candidate volume")
+        val mb = if (op == "incremental_capped") Some(cap) else None
+        val nd = docs.count()
+        (nd, mb.fold(0L)(_.toLong), () => graft.operators.TextDedup
+          .incrementalLshPairs(
+            docs.filter(col("doc_id") % 5 === 4),
+            docs.filter(col("doc_id") % 5 =!= 4),
+            "doc_id", "text", threshold = 0.5, maxBucket = mb)
+          .orderBy(col("new_id").asc_nulls_last, col("old_id").asc_nulls_last))
       case "estimate_store" =>
         // the honest re-score measurement: signatures PERSISTED first
         // (untimed — that cost belongs to ingest, paid once), then the

@@ -241,9 +241,10 @@ object TextDedup {
     */
   def incrementalLshPairs(batch: DataFrame, corpus: DataFrame,
       idCol: String, textCol: String, threshold: Double,
-      materializeCandidates: Option[DataFrame => DataFrame] = None): DataFrame =
+      materializeCandidates: Option[DataFrame => DataFrame] = None,
+      maxBucket: Option[Int] = None): DataFrame =
     probeLshStore(batch, lshIndex(corpus, idCol, textCol), corpus,
-      idCol, textCol, threshold, materializeCandidates)
+      idCol, textCol, threshold, materializeCandidates, maxBucket)
 
   /** [[incrementalLshPairs]] against an ALREADY-BUILT band index — the
     * store-probing face of the crawl loop: `corpusIndex` is the
@@ -256,12 +257,33 @@ object TextDedup {
     * store is bucketed by those keys ([[graft.operators.ScaleOps
     * .writeBucketed]]) the store side joins with NO exchange.
     */
+  /** `maxBucket` is the incremental analogue of [[minhashLshPairs]]'
+    * stop-bucket cap — the crawl loop's linearity knob (r7 verdict: the
+    * probe side still rode the uncapped candidate volume): STORE buckets
+    * with more than `maxBucket` members are dropped before the probe
+    * join, so one corpus-scale boilerplate bucket can no longer collide
+    * with every arriving batch doc. The count runs over the store INDEX
+    * (narrow (doc_id, band, key) rows — never the corpus text), as a
+    * window over the store's own (band, key) layout: a bucketed store
+    * ([[lshStoreWrite]]) satisfies the partitioning with NO exchange.
+    * Cross-set semantics keep single-member buckets (bn >= 1 pairs with
+    * a batch doc; the >= 2 floor is a SELF-join notion). `None` keeps
+    * exact all-collisions semantics.
+    */
   def probeLshStore(batch: DataFrame, corpusIndex: DataFrame,
       corpus: DataFrame, idCol: String, textCol: String, threshold: Double,
-      materializeCandidates: Option[DataFrame => DataFrame] = None): DataFrame = {
+      materializeCandidates: Option[DataFrame => DataFrame] = None,
+      maxBucket: Option[Int] = None): DataFrame = {
+    val liveStore = maxBucket.fold(corpusIndex) { cap =>
+      corpusIndex
+        .withColumn("__bn", count(lit(1)).over(
+          Window.partitionBy(col("band"), col("key"))))
+        .filter(col("__bn") <= cap)
+        .drop("__bn")
+    }
     val lazyCand = lshIndex(batch, idCol, textCol)
       .select(col("doc_id").as("new_id"), col("band"), col("key"))
-      .join(corpusIndex
+      .join(liveStore
         .select(col("doc_id").as("old_id"), col("band"), col("key")),
         Seq("band", "key"))
       .select(col("new_id"), col("old_id")).distinct()

@@ -141,12 +141,12 @@ object DedupDemos {
       WHERE jaccard >= $threshold
       ORDER BY id_a ASC NULLS LAST, id_b ASC NULLS LAST"""
 
-  /** The capped-banding CTE chain through `cand` (candidate pairs of
-    * live buckets) — shared by the x2b2 pair oracle and the x2f2 capped
-    * cluster-closure oracle, so the two can never disagree on which
-    * buckets the cap drops.
+  /** The banding chain through `bk` (per-doc (band, key) rows) with no
+    * bucket policy — shared by the SELF-join capped oracles (x2b2/x2f2)
+    * and the CROSS-set incremental capped oracle (x58b), whose bucket
+    * filters differ (2 ≤ bn ≤ cap vs store-side bn ≤ cap).
     */
-  private def oracleLshCappedCtes(cap: Int): String = s"""
+  private def oracleBandingCtes: String = s"""
       ${oracleShingleCtes()},
       hs AS (
         SELECT doc_id, list_transform(shs, s ->
@@ -167,7 +167,15 @@ object DedupDemos {
                list_min(list_transform(hs, x -> (a0*x + b0) % ${Hashing.P}))
                  * ${Hashing.P}
                + list_min(list_transform(hs, x -> (a1*x + b1) % ${Hashing.P})) AS key
-        FROM hs CROSS JOIN g),
+        FROM hs CROSS JOIN g)"""
+
+  /** The capped-banding CTE chain through `cand` (candidate pairs of
+    * live buckets) — shared by the x2b2 pair oracle and the x2f2 capped
+    * cluster-closure oracle, so the two can never disagree on which
+    * buckets the cap drops.
+    */
+  private def oracleLshCappedCtes(cap: Int): String = s"""
+      $oracleBandingCtes,
       bsz AS (SELECT band, key, count(*) AS bn FROM bk GROUP BY 1, 2),
       live AS (
         SELECT bk.doc_id, bk.band, bk.key
@@ -788,6 +796,44 @@ object DedupDemos {
         .orderBy(col("new_id").asc_nulls_last, col("old_id").asc_nulls_last)
     })
 
+  // X58b: the CAPPED incremental probe — probeLshStore's maxBucket (r7
+  // verdict residual: the probe side rode the uncapped candidate
+  // volume; store buckets past the cap are now dropped before the probe
+  // join). Cross-set semantics differ from the self-join cap: bn counts
+  // STORE members only and single-member buckets survive ANY cap — at
+  // the verify SF even cap=1 loses none of the 4 true pairs, which is
+  // the design's recall story (a true pair's ~16 colliding buckets are
+  // overwhelmingly 1-store-member buckets; only corpus-scale
+  // boilerplate buckets blow a cap). Unlike x58 — whose brute-force
+  // oracle rides the recall argument — this oracle replays the banding
+  // and the store-side bucket filter EXACTLY, so the capped path is
+  // hash-checked, not recall-argued.
+  private val x58b = Demo("x58b_incremental_capped", Some(s"""
+      $oracleBandingCtes,
+      sbk AS (SELECT * FROM bk WHERE doc_id % 5 != 4),
+      sbsz AS (SELECT band, key, count(*) AS bn FROM sbk GROUP BY 1, 2),
+      slive AS (SELECT sbk.doc_id, sbk.band, sbk.key
+                FROM sbk JOIN sbsz USING (band, key) WHERE bn <= 1),
+      cand AS (SELECT DISTINCT b.doc_id AS new_id, s.doc_id AS old_id
+               FROM bk b JOIN slive s ON b.band = s.band AND b.key = s.key
+               WHERE b.doc_id % 5 = 4)
+      SELECT cand.new_id, cand.old_id,
+             cast(len(list_intersect(sa.shs, sb.shs)) AS double)
+               / (len(sa.shs) + len(sb.shs) - len(list_intersect(sa.shs, sb.shs))) AS jaccard
+      FROM cand
+      JOIN sh sa ON sa.doc_id = cand.new_id
+      JOIN sh sb ON sb.doc_id = cand.old_id
+      WHERE jaccard >= 0.5
+      ORDER BY new_id ASC NULLS LAST, old_id ASC NULLS LAST"""),
+    (s, dir) => {
+      val d = t(s, dir, "documents")
+      TextDedup.incrementalLshPairs(
+          d.filter(col("doc_id") % 5 === 4),
+          d.filter(col("doc_id") % 5 =!= 4),
+          "doc_id", "text", threshold = 0.5, maxBucket = Some(1))
+        .orderBy(col("new_id").asc_nulls_last, col("old_id").asc_nulls_last)
+    })
+
   /** Per-demo scratch dir under java.io.tmpdir, wiped on entry (the
     * ScaleDemos single-process contract: the harness drives queries
     * serially). `refreshByPath` then drops the session's shared
@@ -864,5 +910,5 @@ object DedupDemos {
 
   val all: Seq[Demo] =
     Seq(x1, x2a, x2b, x2b2, x2c, x2c2, x2d, x2e, x2f, x2f2, x2g, x2h, x18, x23, x23b, x28, x35,
-      x41, x52, x54, x56, x58, x59)
+      x41, x52, x54, x56, x58, x58b, x59)
 }

@@ -102,6 +102,26 @@ class TextDedupSpec extends SparkSpec {
     assert(fromStore === fromText && fromText.nonEmpty)
   }
 
+  test("incremental probe cap: generous cap ≡ uncapped; bn counts STORE members only") {
+    val s = spark
+    import s.implicits._
+    val base = "the quick brown fox jumps over the lazy dog again today"
+    // store: two near-identical docs (their shared buckets have bn=2);
+    // batch doc is near-dup of both
+    val store = Seq((1L, base + " one"), (2L, base + " two")).toDF("doc_id", "text")
+    val batch = Seq((10L, base + " ten")).toDF("doc_id", "text")
+    def probe(mb: Option[Int]) =
+      TextDedup.incrementalLshPairs(batch, store, "doc_id", "text", 0.5,
+        maxBucket = mb).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val uncapped = probe(None)
+    assert(uncapped === Set((10L, 1L), (10L, 2L)))
+    assert(probe(Some(1000)) === uncapped)
+    // cap=1 drops only buckets where BOTH store docs collide; each store
+    // doc keeps its private buckets (distinct tail shingles), so the
+    // batch still reaches both — single-member buckets carry recall
+    assert(probe(Some(1)) === uncapped)
+  }
+
   test("incrementalLshPairs: cross-set pairs only; scale path equals lazy (X58)") {
     val s = spark
     import s.implicits._
