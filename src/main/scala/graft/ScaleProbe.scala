@@ -53,9 +53,8 @@ object ScaleProbe {
         // kCells = n / targetCellSize. This probe measures that face.
         val emb = graft.sources.Tables.table(spark, sfDir, "embeddings")
         val nv = emb.count()
-        val k = math.max(4, (nv / 500).toInt)
-        (nv, k.toLong, () => graft.operators.VectorSearch
-          .semDeDup(emb, "vec_id", "embedding", kCells = k, iters = 2,
+        (nv, math.max(4L, nv / 500), () => graft.operators.VectorSearch
+          .semDeDupAuto(emb, "vec_id", "embedding", iters = 2,
             minCosine = 0.35))
       case "minhash_capped" =>
         // x2b's production face at open-web scale: the stop-bucket cap

@@ -283,6 +283,22 @@ object VectorSearch {
         col("dup_of"))
   }
 
+  /** [[semDeDup]] with the cell count derived from the corpus — the
+    * production face ScaleProbe measures: holding cell SIZE constant
+    * (kCells = max(4, n / targetCellSize)) keeps the in-cell pairwise
+    * verify linear in the corpus where a FIXED kCells grows it
+    * quadratically (measured 11.2x vs ≤ linear per 10x — BENCHNOTES r8).
+    * Costs one `count()` action up front to size k — at 100 TB that is
+    * a metadata-cheap aggregate, and the alternative (a wrong fixed k)
+    * costs the quadratic cell.
+    */
+  def semDeDupAuto(corpus: DataFrame, idCol: String, vecCol: String,
+      iters: Int, minCosine: Double, targetCellSize: Int = 500): DataFrame = {
+    require(targetCellSize >= 1, s"targetCellSize must be >= 1")
+    val k = math.max(4L, corpus.count() / targetCellSize).toInt
+    semDeDup(corpus, idCol, vecCol, kCells = k, iters, minCosine)
+  }
+
   /** Hard-negative mining for contrastive training: for each query
     * vector, the top-k most cosine-similar corpus vectors with a
     * DIFFERENT label — the "hard" negatives that actually move a

@@ -76,6 +76,20 @@ class VectorSearchIvfSpec extends SparkSpec {
       again.orderBy("vec_id").collect().toSeq)
   }
 
+  test("semDeDupAuto sizes cells from the corpus and equals explicit kCells") {
+    val n = emb.count()
+    val auto = VectorSearch.semDeDupAuto(emb, "vec_id", "embedding",
+      iters = 2, minCosine = 0.35, targetCellSize = 500)
+    val explicit = VectorSearch.semDeDup(emb, "vec_id", "embedding",
+      kCells = math.max(4L, n / 500).toInt, iters = 2, minCosine = 0.35)
+    assert(auto.orderBy("vec_id").collect().toSeq ===
+      explicit.orderBy("vec_id").collect().toSeq)
+    intercept[IllegalArgumentException] {
+      VectorSearch.semDeDupAuto(emb, "vec_id", "embedding", 2, 0.35,
+        targetCellSize = 0)
+    }
+  }
+
   test("hardNegatives: nearest other-label vector wins; own label never mined") {
     val s = spark
     import s.implicits._
