@@ -98,6 +98,61 @@ object CorpusCleanDemos {
       .select(col("doc_id"), col("lang"), col("source"))
       .orderBy(col("doc_id").asc_nulls_last))
 
+  /** The capped pipeline's stage CTEs: x11's chain with the brute-force
+    * near-dup stage replaced by the CAPPED banding replay
+    * ([[DedupDemos.oracleBandingFromSh]] over the post-exact-dedup
+    * survivors' shingle sets — the same permutation chain as the
+    * x2b2/x2f2/x58b oracles, one definition site).
+    */
+  private def cleanStageCtesCapped(cap: Int): String = {
+    // the shared chain ends at sh (shingle sets of ek docs); graft the
+    // banding + live-bucket filter + verified-drop stages onto it
+    s"""$cleanStageCtes,
+      ${DedupDemos.oracleBandingFromSh},
+      bsz AS (SELECT band, key, count(*) AS bn FROM bk GROUP BY 1, 2),
+      live AS (
+        SELECT bk.doc_id, bk.band, bk.key
+        FROM bk JOIN bsz USING (band, key) WHERE bn >= 2 AND bn <= $cap),
+      ccand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM live a JOIN live b
+          ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+      cdropped AS (
+        SELECT DISTINCT ccand.id_b
+        FROM ccand
+        JOIN sh sa ON sa.doc_id = ccand.id_a
+        JOIN sh sb ON sb.doc_id = ccand.id_b
+        WHERE cast(len(list_intersect(sa.shs, sb.shs)) AS double)
+              / (len(sa.shs) + len(sb.shs) - len(list_intersect(sa.shs, sb.shs))) >= 0.5),
+      cnd AS (
+        SELECT doc_id, lang, source FROM ek
+        WHERE doc_id NOT IN (SELECT id_b FROM cdropped)),
+      csamp AS (
+        SELECT doc_id, lang, source FROM cnd
+        WHERE (((doc_id % 2147483648) * 2654435761) >> 16) % 100 < $ratesCase)"""
+  }
+
+  // X11b: the CAPPED cleaning pipeline — lshMaxBucket passed through
+  // CorpusClean (the knob the r7 500k probe identified as the whole
+  // pipeline's linearity term) oracle-checked END-TO-END: quality →
+  // exact dedup → capped-banding near-dup → stratified sample, with the
+  // near-dup stage replayed declaratively instead of brute force. cap=2
+  // pins the aggressive end (x2b2's contract: small enough to FIRE at
+  // the verify SF).
+  private val x11b = Demo("x11b_corpus_clean_capped", Some(s"""
+      ${cleanStageCtesCapped(2)}
+      SELECT doc_id, lang, source
+      FROM csamp
+      ORDER BY doc_id ASC NULLS LAST"""),
+    (s, dir) => CorpusClean.pipeline(
+        Tables.table(s, dir, "documents"),
+        idCol = "doc_id", textCol = "text", stratumCol = "lang",
+        nearDupThreshold = 0.5, rates = rates,
+        materializeCut = _.localCheckpoint(true),
+        lshMaxBucket = Some(2))
+      .select(col("doc_id"), col("lang"), col("source"))
+      .orderBy(col("doc_id").asc_nulls_last))
+
   // -------------------------------------------------------------------
   // X45: DATASET-CARD REPORT (CorpusClean.datasetReport) — the per-slice
   // stats a corpus release publishes: docs, tokens, quality-bar passes,
@@ -224,5 +279,5 @@ object CorpusCleanDemos {
         .orderBy(col("stage_idx").asc_nulls_last)
     })
 
-  val all: Seq[Demo] = Seq(x11, x45, x46, x50)
+  val all: Seq[Demo] = Seq(x11, x11b, x45, x46, x50)
 }

@@ -148,6 +148,14 @@ object DedupDemos {
     */
   private def oracleBandingCtes: String = s"""
       ${oracleShingleCtes()},
+      $oracleBandingFromSh"""
+
+  /** The banding CTEs (`hs`/`g`/`bk`) over an EXISTING `sh` CTE — no
+    * `WITH`, no source binding — so oracles whose shingle sets come from
+    * a different relation (the x11b pipeline bands the post-exact-dedup
+    * survivors, not `documents`) replay the same permutation chain.
+    */
+  private[queries] def oracleBandingFromSh: String = s"""
       hs AS (
         SELECT doc_id, list_transform(shs, s ->
           list_reduce(list_prepend(cast(0 AS bigint),
