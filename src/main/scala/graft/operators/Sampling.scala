@@ -109,6 +109,43 @@ object Sampling {
       .drop("__dom")
   }
 
+  /** Temperature-scaled mixture shares (the XLM-R / mC4 idiom, Conneau
+    * et al. 2020: q_l ∝ p_l^α) — the step that COMPUTES the mixture a
+    * downsampler ([[mixToTarget]]) or epoch planner ([[mixtureEpochs]])
+    * consumes: α < 1 upweights scarce domains (α = 0.5 the common
+    * multilingual default), α = 1 keeps natural proportions. Output one
+    * row per non-NULL domain: `(domain, n_docs, share_ppm)`.
+    *
+    * Oracle parity: the two floating steps (p_l = n_l/N and the power)
+    * are each ONE IEEE operation on exact integers, then quantized ×10⁶
+    * to bigints BEFORE the normalizing sum (the x33 law: no
+    * data-ordered float accumulation). α ∈ {1, 0.5, 0.25} reduce to
+    * correctly-rounded division/sqrt — bit-identical on any engine;
+    * other α fall back to `pow`, which is only ~1-ulp on either side
+    * and therefore NOT hash-stable cross-engine (documented, not
+    * default).
+    */
+  def temperatureShares(df: DataFrame, domainCol: String,
+      alpha: Double = 0.5): DataFrame = {
+    def tpow(c: Column): Column = alpha match {
+      case 1.0  => c
+      case 0.5  => sqrt(c)
+      case 0.25 => sqrt(sqrt(c))
+      case a    => pow(c, a)
+    }
+    val counts = df.filter(col(domainCol).isNotNull)
+      .groupBy(col(domainCol).as("domain")).agg(count(lit(1)).as("n_docs"))
+    val total = counts.agg(sum(col("n_docs")).as("__N")) // exact long sum
+    val w = counts.crossJoin(broadcast(total)) // 1-row scalar
+      .select(col("domain"), col("n_docs"),
+        floor(tpow(col("n_docs").cast("double") / col("__N")) * 1000000L)
+          .cast("long").as("__w"))
+    val wsum = w.agg(sum(col("__w")).as("__ws")) // exact long sum
+    w.crossJoin(broadcast(wsum))
+      .select(col("domain"), col("n_docs"),
+        expr("(1000000L * __w) div __ws").as("share_ppm"))
+  }
+
   /** Quality-aware resampling — the "don't throw ALL the low-quality
     * data away" step of a training-corpus pipeline (a quality-filtered
     * corpus still wants a small, reproducible slice of the rejected tail

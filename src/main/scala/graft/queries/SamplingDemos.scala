@@ -333,6 +333,32 @@ object SamplingDemos {
   private def split_(c: org.apache.spark.sql.Column) =
     org.apache.spark.sql.functions.split(c, " ")
 
+  // -------------------------------------------------------------------
+  // X61: TEMPERATURE-SCALED MIXTURE SHARES (Sampling.temperatureShares)
+  // — the XLM-R / mC4 reweighting q_l ∝ p_l^α that COMPUTES the mixture
+  // x27's downsampler / x36's epoch planner consume; α = 0.5 upweights
+  // scarce languages. The two floating steps (n/N, sqrt) are single
+  // correctly-rounded IEEE ops over exact integers, quantized ×10⁶ to
+  // bigints before the normalizing sum (the x33 law), so shares replay
+  // bit-identically.
+  // -------------------------------------------------------------------
+  private val x61 = Demo("x61_temperature_shares", Some("""
+      WITH c AS (
+        SELECT lang AS domain, count(*) AS n_docs
+        FROM documents WHERE lang IS NOT NULL GROUP BY 1),
+      t AS (SELECT cast(sum(n_docs) AS bigint) AS N FROM c),
+      w AS (SELECT domain, n_docs,
+                   cast(floor(sqrt(cast(n_docs AS double) / N) * 1000000)
+                        AS bigint) AS w
+            FROM c CROSS JOIN t),
+      ws AS (SELECT cast(sum(w) AS bigint) AS ws FROM w)
+      SELECT domain, n_docs, (1000000 * w) // ws AS share_ppm
+      FROM w CROSS JOIN ws
+      ORDER BY domain ASC NULLS LAST"""),
+    (s, dir) => Sampling.temperatureShares(
+        Tables.table(s, dir, "documents"), "lang", alpha = 0.5)
+      .orderBy(col("domain").asc_nulls_last))
+
   val all: Seq[Demo] =
-    Seq(x10a, x10b, x27, x29, x32, x34, x36, x40, x47, x51)
+    Seq(x10a, x10b, x27, x29, x32, x34, x36, x40, x47, x51, x61)
 }

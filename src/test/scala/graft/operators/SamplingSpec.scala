@@ -268,4 +268,26 @@ class SamplingSpec extends SparkSpec {
     assert(nullRow._2.isEmpty, out.mkString(", "))
     assert(out.filter(_._1.nonEmpty).forall(_._2.nonEmpty))
   }
+
+  test("temperatureShares: alpha=1 natural, alpha<1 upweights scarce, NULL domains drop") {
+    val s = spark
+    import s.implicits._
+    // 80/20 split plus a NULL domain row that must not count
+    val df = ((1 to 80).map(i => (i.toLong, "big")) ++
+      (81 to 100).map(i => (i.toLong, "small")) :+ (101L, null))
+      .toDF("id", "dom")
+    def shares(a: Double) = Sampling.temperatureShares(df, "dom", a)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val nat = shares(1.0)
+    assert(nat("big")._1 === 80L && nat("small")._1 === 20L)
+    // natural: 800000 / 200000 ppm exactly (integer arithmetic)
+    assert(nat("big")._2 === 800000L && nat("small")._2 === 200000L)
+    val t05 = shares(0.5)
+    // sqrt compresses the ratio: small's share rises above its natural 20%
+    assert(t05("small")._2 > 200000L && t05("big")._2 < 800000L)
+    // shares sum to ~1e6 (floor-division slack < #domains)
+    assert(math.abs(t05.values.map(_._2).sum - 1000000L) < 3)
+    // alpha=0.25 compresses further
+    assert(shares(0.25)("small")._2 > t05("small")._2)
+  }
 }
