@@ -101,13 +101,8 @@ object Bench {
       spark.read.parquet(path).selectExpr("sum(v)").collect()
       val dt = (System.nanoTime() - t0) / 1e9
       // best-effort cleanup; an abandoned temp dir must never fail a bench
-      try {
-        import scala.jdk.CollectionConverters._
-        scala.util.Using.resource(Files.walk(dir)) { st =>
-          st.iterator().asScala.toSeq.reverse
-            .foreach(p => Files.deleteIfExists(p))
-        }
-      } catch { case _: Throwable => }
+      try graft.sources.FsUtil.deleteTree(dir)
+      catch { case _: Throwable => }
       dt
     }
 

@@ -26,22 +26,29 @@ package graft.models
   *     index0/length`, and `{% if cond %}…{% elif %}…{% else %}…
   *     {% endif %}` where `cond` (after variable substitution) is
   *     built from literal booleans, `==`/`!=` over literals (NUMERIC
-  *     comparison when both sides parse as numbers — `1 == 1.0` is
-  *     true, as in Jinja — textual after unquoting otherwise), `not`,
-  *     `and`/`or`, and parentheses. Blocks nest; a macro body's
-  *     control flow renders at call time with the macro's bound
-  *     params, a model's renders with literal conditions before macro
-  *     expansion (so `{{ m(loopvar) }}` sees the unrolled value).
+  *     comparison when both sides are UNQUOTED and parse as numbers —
+  *     `1 == 1.0` is true, as in Jinja; quoted strings compare as
+  *     strings, `'1' == '1.0'` is false; mixed quoted/unquoted stays
+  *     textual after unquoting), `not`, `and`/`or`, and parentheses.
+  *     Blocks nest; a macro body's control flow renders at call time
+  *     with the macro's bound params, a model's renders with literal
+  *     conditions before macro expansion (so `{{ m(loopvar) }}` sees
+  *     the unrolled value).
   *   - `{% set name = literal %}` — a literal binding (string literal,
   *     number, or any var/loop-var substituted text) visible to the
-  *     REST of its enclosing block, Jinja's scoping (a set inside a
-  *     `{% for %}` body resets each iteration and does not escape).
+  *     text AFTER it, with Jinja's actual scoping: a set inside a taken
+  *     `{% if %}` branch ESCAPES the block (the dbt
+  *     if/set/else/set/endif idiom); only `{% for %}` bodies scope —
+  *     their bindings reset each iteration and do not survive the loop.
   *   - `{{ var('name') }}` / `{{ var('name', default) }}` — dbt project
   *     variables ([[renderModel]]'s `vars` binding, the `--vars` CLI
   *     override surface threaded through `SqlDag.run`): an undefined
   *     var with no default FAILS at compile, dbt's behavior. Resolved
-  *     in model texts AND macro bodies (at call time), including inside
-  *     `{% if %}` conditions and `{% for %}` iterables.
+  *     ONLY inside Jinja constructs (`{{ … }}` spans and `{% … %}`
+  *     tags — Jinja semantics: plain SQL text is never templated, so a
+  *     column or UDF named `var` survives), in model texts AND macro
+  *     bodies (at call time), including `{% if %}` conditions and
+  *     `{% for %}` iterables.
   *
   * Not supported (fail fast by design): recursive macros (expansion
   * depth guard), nested `{% macro %}` definitions, non-literal
@@ -261,12 +268,19 @@ object JinjaMacros {
 
   /** Render an AST under an environment (macro params + loop vars +
     * `{% set %}` bindings). The environment THREADS left-to-right
-    * through the sequence — a SetNode extends it for its following
-    * siblings only (Jinja block scoping: nested blocks see outer
-    * bindings via the env they render under; a set inside a block does
-    * not escape it).
+    * through the sequence, with Jinja's ACTUAL scoping (r8 review —
+    * if-blocks create no scope): a SetNode extends the env for its
+    * following siblings, a set inside a taken `{% if %}` branch ESCAPES
+    * to the text after `{% endif %}` (the standard dbt
+    * if/set/else/set/endif idiom), and only `{% for %}` bodies are a
+    * scope — their bindings reset each iteration and do not survive the
+    * loop.
     */
-  private def renderNodes(nodes: Seq[Node], env0: Map[String, String]): String = {
+  private def renderNodes(nodes: Seq[Node], env0: Map[String, String]): String =
+    renderNodesEnv(nodes, env0)._1
+
+  private def renderNodesEnv(nodes: Seq[Node],
+      env0: Map[String, String]): (String, Map[String, String]) = {
     val sb = new StringBuilder
     var env = env0
     nodes.foreach {
@@ -274,10 +288,12 @@ object JinjaMacros {
       case SetNode(name, valueText) =>
         env = env + (name -> unquote(substIdents(valueText, env).trim))
       case IfNode(branches, els) =>
-        branches.find { case (c, _) => evalCond(substIdents(c, env)) } match {
-          case Some((_, body)) => sb.append(renderNodes(body, env))
-          case None            => sb.append(renderNodes(els, env))
-        }
+        val body = branches
+          .find { case (c, _) => evalCond(substIdents(c, env)) }
+          .map(_._2).getOrElse(els)
+        val (txt, envAfter) = renderNodesEnv(body, env)
+        sb.append(txt)
+        env = envAfter // a set in the taken branch escapes the block
       case ForNode(v, listText, body) =>
         val items = parseListLiteral(substIdents(listText, env))
         val n = items.size
@@ -289,10 +305,10 @@ object JinjaMacros {
             "loop.index"  -> (i + 1).toString,
             "loop.index0" -> i.toString,
             "loop.length" -> n.toString)
-          sb.append(renderNodes(body, loopEnv))
+          sb.append(renderNodes(body, loopEnv)) // loop scope: env discarded
         }
     }
-    sb.toString
+    (sb.toString, env)
   }
 
   private val RangeCall = raw"(?s)^range\(\s*(-?\d+)\s*,\s*(-?\d+)\s*\)$$".r
@@ -360,11 +376,23 @@ object JinjaMacros {
     val s = s0.trim
     require(s.nonEmpty, "empty {% if %} condition")
     def litEq(a0: String, b0: String): Boolean = {
-      val (a, b) = (unquote(a0.trim), unquote(b0.trim))
-      (numeric(a), numeric(b)) match {
-        case (Some(x), Some(y)) => x.compareTo(y) == 0
-        case _                  => a == b
+      val (ta, tb) = (a0.trim, b0.trim)
+      def quoted(s: String) = s.length >= 2 &&
+        (s.head == '\'' || s.head == '"') && s.last == s.head &&
+        s.indexOf(s.head, 1) == s.length - 1
+      val (a, b) = (unquote(ta), unquote(tb))
+      // numeric comparison ONLY when both operands are UNQUOTED numeric
+      // literals — Jinja compares quoted strings as strings ('1' ==
+      // '1.0' is false); unquote-before-numeric silently flipped such
+      // conditions (r8 review). Mixed quoted/unquoted stays textual
+      // after unquoting (historical subset semantics, documented).
+      if (!quoted(ta) && !quoted(tb)) {
+        (numeric(a), numeric(b)) match {
+          case (Some(x), Some(y)) => return x.compareTo(y) == 0
+          case _                  =>
+        }
       }
+      a == b
     }
     val orAt = topLevelIndexOf(s, "or")
     if (orAt >= 0)
@@ -391,31 +419,35 @@ object JinjaMacros {
   }
 
   /** Resolve every `var('name'[, default])` call in `text` against
-    * `vars` — dbt project variables, the `--vars` override surface. A
-    * call that is the ENTIRE content of a `{{ … }}` span replaces the
-    * span with the raw value (`{{ var('x') }}` prints it, Jinja
-    * semantics); anywhere else — an `{% if %}` condition, a `{% for %}`
-    * iterable, a `{% set %}` right-hand side, a macro-call argument —
-    * the call text becomes a literal (numbers and booleans raw, strings
-    * quoted) so downstream literal evaluation sees it. An undefined var
-    * with no default FAILS fast (dbt's compile error); `var` inside a
-    * string literal is never touched.
+    * `vars` — dbt project variables, the `--vars` override surface.
+    * Resolution happens ONLY inside Jinja constructs (`{{ … }}` spans
+    * and `{% … %}` tags): a call that is the ENTIRE content of a
+    * `{{ … }}` span replaces the span with the raw value
+    * (`{{ var('x') }}` prints it, Jinja semantics); inside a tag or a
+    * larger span — an `{% if %}` condition, a `{% for %}` iterable, a
+    * `{% set %}` right-hand side, a macro-call argument — the call text
+    * becomes a literal (numbers, booleans and list literals raw,
+    * strings quoted; a string value carrying a quote fails fast there).
+    * Plain SQL text is never scanned (Jinja never templates outside its
+    * delimiters), so a column or UDF named `var` survives and SQL
+    * quoting/comments cannot affect resolution. An undefined var with
+    * no default FAILS fast (dbt's compile error).
     */
   def substituteVars(text: String, vars: Map[String, String]): String = {
     if (!text.contains("var")) return text
-    // returns (value, index past the ')') for a var-call at `callStart`,
-    // None when "var" there is not followed by '(' (not a call)
-    def resolve(callStart: Int): Option[(String, Int)] = {
+    // returns (value, index past the ')') for a var-call at `callStart`
+    // of `s`, None when "var" there is not followed by '(' (not a call)
+    def resolve(s: String, callStart: Int): Option[(String, Int)] = {
       var j = callStart + 3
-      while (j < text.length && text.charAt(j).isWhitespace) j += 1
-      if (j >= text.length || text.charAt(j) != '(') None
+      while (j < s.length && s.charAt(j).isWhitespace) j += 1
+      if (j >= s.length || s.charAt(j) != '(') None
       else {
-        val close = matchParen(text, j)
+        val close = matchParen(s, j)
         require(close >= 0, "unbalanced parentheses in var() call")
-        val args = splitArgs(text.substring(j + 1, close))
+        val args = splitArgs(s.substring(j + 1, close))
         require(args.nonEmpty && args.size <= 2,
           s"var() takes 1 or 2 arguments, got ${args.size}: " +
-            s"'${text.substring(callStart, close + 1)}'")
+            s"'${s.substring(callStart, close + 1)}'")
         require(args.head.headOption.exists(c => c == '\'' || c == '"'),
           s"var() name must be a string literal, got '${args.head}'")
         val name = unquote(args.head)
@@ -426,43 +458,89 @@ object JinjaMacros {
         Some((v, close + 1))
       }
     }
+    // a resolved value as an INLINE literal inside a span/tag: numbers,
+    // booleans and list literals stay raw (a list value is a dbt idiom:
+    // vars: {langs: ['en','de']} consumed by {% for l in var('langs') %});
+    // strings re-quote so downstream literal evaluation sees one literal.
+    // A string value carrying a quote cannot be re-quoted faithfully in
+    // the subset (no escape syntax) — fail fast, never emit a malformed
+    // literal (r8 review).
+    def inlineLiteral(v: String): String = {
+      val vt = v.trim
+      if (numeric(v).isDefined || vt == "true" || vt == "false" ||
+        (vt.startsWith("[") && vt.endsWith("]"))) v
+      else {
+        require(!v.contains('\'') && !v.contains('"'),
+          s"var value '$v' contains a quote and is used INSIDE a Jinja " +
+            "expression/tag — no escape syntax in the subset; bind it " +
+            "via a whole-span {{ var('…') }} instead")
+        "'" + v + "'"
+      }
+    }
+    // substitute bare var() calls within ONE span/tag's inner text
+    // (quote-aware: 'var(x)' inside the span is a string literal)
+    def substInSpan(inner: String): String = {
+      val out = new StringBuilder
+      var i = 0
+      var quote = 0.toChar
+      while (i < inner.length) {
+        val c = inner.charAt(i)
+        if (quote != 0) { out += c; if (c == quote) quote = 0.toChar; i += 1 }
+        else if (c == '\'' || c == '"') { quote = c; out += c; i += 1 }
+        else if (inner.startsWith("var", i) &&
+            (i == 0 || !isIdentChar(inner.charAt(i - 1)))) {
+          resolve(inner, i) match {
+            case Some((v, next)) => out.append(inlineLiteral(v)); i = next
+            case None            => out.append("var"); i += 3
+          }
+        } else { out += c; i += 1 }
+      }
+      out.toString
+    }
+    // walk the text JINJA SPAN by JINJA SPAN: var() is Jinja syntax and
+    // resolves only inside {{ … }} / {% … %} — plain SQL text is never
+    // scanned, so a column/UDF named `var` survives and an unpaired
+    // apostrophe in a SQL comment cannot desync anything (r8 review:
+    // the previous whole-text scan tracked SQL quotes and both failed)
     val out = new StringBuilder
     var i = 0
-    var quote = 0.toChar
     while (i < text.length) {
-      val c = text.charAt(i)
-      if (quote != 0) { out += c; if (c == quote) quote = 0.toChar; i += 1 }
-      else if (c == '\'' || c == '"') { quote = c; out += c; i += 1 }
-      else if (text.startsWith("{{", i)) {
-        var j = i + 2
-        while (j < text.length && text.charAt(j).isWhitespace) j += 1
-        val wholeSpan =
-          if (text.startsWith("var", j)) resolve(j).flatMap { case (v, after) =>
-            var k = after
-            while (k < text.length && text.charAt(k).isWhitespace) k += 1
-            if (text.startsWith("}}", k)) Some((v, k + 2)) else None
-          } else None
-        wholeSpan match {
-          case Some((v, next)) => out.append(v); i = next
-          case None            => out.append("{{"); i += 2
+      val oExpr = text.indexOf("{{", i)
+      val oTag = text.indexOf("{%", i)
+      val open =
+        if (oExpr < 0) oTag
+        else if (oTag < 0) oExpr
+        else math.min(oExpr, oTag)
+      if (open < 0) { out.append(text.substring(i)); i = text.length }
+      else {
+        out.append(text.substring(i, open))
+        val isExpr = text.startsWith("{{", open)
+        val closeTok = if (isExpr) "}}" else "%}"
+        val close = text.indexOf(closeTok, open + 2)
+        if (close < 0) { out.append(text.substring(open)); i = text.length }
+        else {
+          val inner = text.substring(open + 2, close)
+          val wholeSpan = if (!isExpr) None else {
+            // {{ var('x') }} with nothing else in the span prints the
+            // RAW value (Jinja semantics), even a value with quotes;
+            // whitespace-control markers ({{- -}}) are span syntax, not
+            // content
+            val t = inner.trim.stripPrefix("-").stripSuffix("-").trim
+            if (t.startsWith("var"))
+              resolve(t, 0).filter { case (_, next) =>
+                t.substring(next).trim.isEmpty
+              }.map(_._1)
+            else None
+          }
+          wholeSpan match {
+            case Some(v) => out.append(v)
+            case None =>
+              out.append(if (isExpr) "{{" else "{%")
+                .append(substInSpan(inner)).append(closeTok)
+          }
+          i = close + 2
         }
-      } else if (text.startsWith("var", i) &&
-          (i == 0 || !isIdentChar(text.charAt(i - 1)))) {
-        resolve(i) match {
-          case Some((v, next)) =>
-            // numbers/booleans/list literals stay raw (a list value is a
-            // dbt idiom: vars: {langs: ['en','de']} consumed by
-            // {% for l in var('langs') %}); strings re-quote so literal
-            // evaluation downstream sees one literal
-            val vt = v.trim
-            out.append(
-              if (numeric(v).isDefined || vt == "true" || vt == "false" ||
-                (vt.startsWith("[") && vt.endsWith("]"))) v
-              else "'" + v + "'")
-            i = next
-          case None => out.append("var"); i += 3
-        }
-      } else { out += c; i += 1 }
+      }
     }
     out.toString
   }

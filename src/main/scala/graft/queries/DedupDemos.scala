@@ -854,15 +854,7 @@ object DedupDemos {
   private def freshScratchDir(s: SparkSession, name: String): String = {
     val root = java.nio.file.Paths.get(
       sys.props("java.io.tmpdir"), s"graft_demo_$name")
-    if (java.nio.file.Files.exists(root)) {
-      import scala.jdk.CollectionConverters._
-      // Files.walk holds directory descriptors open until the stream is
-      // closed — an unclosed walk per bench run leaks handles (r7 advice)
-      scala.util.Using.resource(java.nio.file.Files.walk(root)) { st =>
-        st.iterator().asScala.toSeq
-          .reverse.foreach(java.nio.file.Files.deleteIfExists(_))
-      }
-    }
+    graft.sources.FsUtil.deleteTree(root)
     s.catalog.refreshByPath(root.toString)
     root.toString
   }

@@ -31,15 +31,7 @@ object ModelDemos {
   private def freshScratchDir(name: String): String = {
     val root = java.nio.file.Paths.get(
       sys.props("java.io.tmpdir"), s"graft_demo_$name")
-    if (java.nio.file.Files.exists(root)) {
-      import scala.jdk.CollectionConverters._
-      // close the walk stream — it holds directory descriptors open
-      // (same leak the r8 advice flagged in DedupDemos)
-      scala.util.Using.resource(java.nio.file.Files.walk(root)) { st =>
-        st.iterator().asScala.toSeq
-          .reverse.foreach(java.nio.file.Files.deleteIfExists(_))
-      }
-    }
+    graft.sources.FsUtil.deleteTree(root)
     root.toString
   }
 

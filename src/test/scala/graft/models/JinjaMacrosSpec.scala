@@ -237,8 +237,10 @@ class JinjaMacrosSpec extends SparkSpec {
     // {% set %} may capture a var
     assert(renderModel("{% set s = var('env') %}[{{ s }}]", vars = vars)
       === "[prod]")
-    // var() inside a macro body resolves at call time
-    val defs = parse("{% macro gate(c) %}{{ c }} >= var('min_n'){% endmacro %}")
+    // var() inside a macro body resolves at call time ({{ }}-wrapped,
+    // Jinja syntax — a bare var() in plain body SQL is NOT a Jinja call)
+    val defs = parse(
+      "{% macro gate(c) %}{{ c }} >= {{ var('min_n') }}{% endmacro %}")
     assert(renderModel("{{ gate('n') }}", defs, vars = vars) === "n >= 5")
     // a var inside a string literal is never touched
     assert(renderModel("select 'var(x)' as s") === "select 'var(x)' as s")
@@ -250,6 +252,54 @@ class JinjaMacrosSpec extends SparkSpec {
     // name must be a string literal
     intercept[IllegalArgumentException] {
       renderModel("{{ var(name) }}", vars = vars)
+    }
+  }
+
+  test("set escapes if-blocks (dbt if/set/else/set idiom); for stays scoped") {
+    assert(renderControlFlow(
+      "{% if true %}{% set x = 'a' %}{% else %}{% set x = 'b' %}{% endif %}{{ x }}")
+      === "a")
+    assert(renderControlFlow(
+      "{% if false %}{% set x = 'a' %}{% else %}{% set x = 'b' %}{% endif %}{{ x }}")
+      === "b")
+    // nested: a set in an inner taken branch reaches after the outer end
+    assert(renderControlFlow(
+      "{% if true %}{% if true %}{% set y = 'z' %}{% endif %}{% endif %}{{ y }}")
+      === "z")
+    // for remains a scope (unchanged contract)
+    assert(renderControlFlow(
+      "{% set x = 'out' %}{% for i in range(1, 2) %}{% set x = i %}{% endfor %}{{ x }}")
+      === "out")
+  }
+
+  test("== compares quoted strings as strings; numeric only when both unquoted") {
+    // Jinja: '1' == '1.0' is False (string compare)
+    assert(renderControlFlow("{% if '1' == '1.0' %}X{% else %}Y{% endif %}") === "Y")
+    assert(renderControlFlow("{% if '1' == '1' %}X{% else %}Y{% endif %}") === "X")
+    // unquoted numerics still compare numerically
+    assert(renderControlFlow("{% if 1 == 1.0 %}X{% else %}Y{% endif %}") === "X")
+  }
+
+  test("var() is Jinja-span-scoped: plain SQL with var identifiers or apostrophes untouched") {
+    val vars = Map("m" -> "5")
+    // a UDF/column named var in plain SQL is NOT a Jinja var call
+    assert(renderModel("select var(x) as v from t", vars = vars)
+      === "select var(x) as v from t")
+    // an unpaired apostrophe (SQL comment) cannot desync resolution
+    assert(renderModel("-- don't sample\nselect {{ var('m') }}", vars = vars)
+      === "-- don't sample\nselect 5")
+    assert(renderModel(
+      "-- it's filtered\n{% if var('m') == 5 %}A{% else %}B{% endif %}",
+      vars = vars) === "-- it's filtered\nA")
+    // a quoted 'var(x)' INSIDE a span stays a string literal
+    assert(renderModel("{% if 'var(x)' == 'var(x)' %}T{% endif %}", vars = vars)
+      === "T")
+    // a string value with a quote: whole-span prints raw, inline fails fast
+    assert(renderModel("{{ var('n') }}", vars = Map("n" -> "O'Brien"))
+      === "O'Brien")
+    intercept[IllegalArgumentException] {
+      renderModel("{% if var('n') == 'x' %}T{% endif %}",
+        vars = Map("n" -> "O'Brien"))
     }
   }
 

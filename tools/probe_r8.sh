@@ -20,8 +20,12 @@ mkdir -p target
 LOG=target/probe5_chain.log
 echo "=== probe_r8 start $(date +%H:%M:%S)" >> $LOG
 
-# (a) GC A/B — subset spans the worst regressors (x47, x9e) and stable
-# cheap queries; NO partition override (the official-bench protocol)
+# (a) GC A/B — NOTE prefix semantics: SPARK_GRAFT_ONLY matches by
+# name PREFIX, so "x1" also selects x10a..x19 — the committed A/B
+# records (probes/r8/probe5_gc_*.json) therefore cover an 18-query
+# subset spanning the worst regressors (x47, x9e, x12, x13), I/O-bound
+# demos and stable cheap queries; NO partition override (the
+# official-bench protocol)
 for mode in async blocking off; do
   echo "=== gc_$mode $(date +%H:%M:%S)" >> $LOG
   SPARK_GRAFT_GC=$mode SPARK_GRAFT_ONLY=q01,q05,q10,x1,x5a,x9e,x47 \
