@@ -58,75 +58,16 @@ object Bench {
       org.apache.logging.log4j.Level.ERROR)
     graft.sources.Tables.bootstrap(spark)
 
-    def evaluate(df: DataFrame): Unit =
-      df.write.format("noop").mode("overwrite").save()
-
-    // JIT/codegen warmup so the first timed query doesn't absorb one-time
-    // JVM compilation cost: exercise the datasource, shuffle, codegen and
-    // noop-write paths once on the smallest fixture.
-    try {
-      spark.range(1000000).selectExpr("sum(id)").collect()
-      evaluate(SparkEntry.entry(spark))
-    } catch { case _: Throwable => }
-
-    // machine-speed calibration: a fixed CPU-bound job (range sum +
-    // hash agg), timed after warmup. Reported as "calib" in the JSON so
-    // per-round query times can be normalized — container throughput was
-    // observed to vary several-fold between rounds, which would
-    // otherwise read as query regressions/improvements that are really
-    // the machine.
-    val calib = {
-      val t0 = System.nanoTime()
-      spark.range(200000000L)
-        .selectExpr("id % 97 AS k", "id")
-        .groupBy("k").sum("id").collect()
-      (System.nanoTime() - t0) / 1e9
-    }
-
-    // I/O calibration (r8): the CPU calib missed the r7 1.56x regression
-    // entirely — r8's forensics (BENCHNOTES r8) found the shift uniform
-    // across query-size buckets, absent from the CPU calib (which
-    // IMPROVED 1.27 -> 1.10 across the same span), weakest in
-    // compute-bound queries — i.e. the container's I/O layer, the one
-    // dimension no calibration measured. This job times a fixed
-    // write+read round trip (~64 MB of parquet through the local disk and
-    // the datasource scan path) so future cross-round comparisons can
-    // normalize the I/O dimension too.
-    val calibIo = {
-      val dir = Files.createTempDirectory("graft-calib-io")
-      val path = dir.resolve("t.parquet").toString
-      val t0 = System.nanoTime()
-      spark.range(8000000L).selectExpr("id", "id * 31 % 997 AS v")
-        .write.mode("overwrite").parquet(path)
-      spark.read.parquet(path).selectExpr("sum(v)").collect()
-      val dt = (System.nanoTime() - t0) / 1e9
-      // best-effort cleanup; an abandoned temp dir must never fail a bench
-      try graft.sources.FsUtil.deleteTree(dir)
-      catch { case _: Throwable => }
-      dt
-    }
-
-    // queries with iterative/materializing internals (SCD2 eras, label
-    // propagation, corpus-clean cuts) localCheckpoint into executor
-    // storage; release everything between timings so query N's storage
-    // never distorts query N+1's clock — each timing models the query
-    // run on its own cluster
-    def releaseStorage(): Unit = {
-      spark.sharedState.cacheManager.clearCache()
-      spark.sparkContext.getPersistentRDDs.values
-        .foreach(_.unpersist(blocking = false))
-      // shuffle FILES are cleaned by ContextCleaner only when the shuffle
-      // dependencies become unreachable AND a GC runs — with a large
-      // driver heap a long sweep can finish queries faster than full GCs
-      // happen, accumulating each query's spill on local disk until the
-      // tail queries die on a full device (observed at the sf10 probe:
-      // one query's object-agg sort-fallback spill is ~50 GB). A real
-      // cluster has per-executor disks and per-app dirs; locally, nudge
-      // the cleaner between timings. With blocking.shuffle=true (the
-      // default mode above) the deletions complete HERE, not during the
-      // next query's timed run.
-      if (gcMode != "off") System.gc()
-    }
+    // shared protocol (BenchProtocol — ONE definition with ScaleProbe so
+    // cross-harness ratios stay protocol-consistent); Bench additionally
+    // warms the entry query (a real datasource scan on the smallest
+    // fixture)
+    def evaluate(df: DataFrame): Unit = BenchProtocol.evaluate(df)
+    BenchProtocol.warmup(spark)
+    try evaluate(SparkEntry.entry(spark)) catch { case _: Throwable => }
+    val calib = BenchProtocol.calib(spark)
+    val calibIo = BenchProtocol.calibIo(spark)
+    def releaseStorage(): Unit = BenchProtocol.releaseStorage(spark, gcMode)
 
     // steady-state timing: two runs per query, report the min — the first
     // run still pays per-query codegen compilation, which a long-running

@@ -53,8 +53,13 @@ object ScaleProbe {
         // kCells = n / targetCellSize. This probe measures that face.
         val emb = graft.sources.Tables.table(spark, sfDir, "embeddings")
         val nv = emb.count()
-        (nv, math.max(4L, nv / 500), () => graft.operators.VectorSearch
-          .semDeDupAuto(emb, "vec_id", "embedding", iters = 2,
+        // k computed ONCE here (both for the report and the call) so
+        // the record can never misstate the k actually used; the timed
+        // face is semDeDup itself — semDeDupAuto's sizing count() is
+        // metadata-cheap and would only add probe noise
+        val k = math.max(4L, nv / 500).toInt
+        (nv, k.toLong, () => graft.operators.VectorSearch
+          .semDeDup(emb, "vec_id", "embedding", kCells = k, iters = 2,
             minCosine = 0.35))
       case "minhash_capped" =>
         // x2b's production face at open-web scale: the stop-bucket cap
@@ -93,8 +98,10 @@ object ScaleProbe {
         // (untimed — that cost belongs to ingest, paid once), then the
         // timed job re-scores off the parquet store alone. Compare with
         // "estimate" (from text) to see what the store saves per sweep.
-        val store = java.nio.file.Files
-          .createTempDirectory("graft-sig-store").toString
+        // One fixed path under target/: self-cleaning across runs (an
+        // abandoned per-run temp dir at sf10 is ~0.5 GB — r8 review)
+        val store = "target/probe-sig-store"
+        graft.sources.FsUtil.deleteTree(java.nio.file.Paths.get(store))
         graft.operators.TextDedup
           .minhashSignatures(docs, "doc_id", "text")
           .write.mode("overwrite").parquet(store)
@@ -150,33 +157,22 @@ object ScaleProbe {
       case other => sys.error(s"unknown probe op '$other'")
     }
 
-    def evaluate(df: DataFrame): Unit =
-      df.write.format("noop").mode("overwrite").save()
-    def releaseStorage(): Unit = {
-      spark.sharedState.cacheManager.clearCache()
-      spark.sparkContext.getPersistentRDDs.values
-        .foreach(_.unpersist(blocking = false))
-      System.gc()
-    }
-
-    // Bench's global warmup (JIT/codegen/noop-write paths), then calib
-    try spark.range(1000000).selectExpr("sum(id)").collect()
-    catch { case _: Throwable => }
-    val calib = {
-      val t0 = System.nanoTime()
-      spark.range(200000000L)
-        .selectExpr("id % 97 AS k", "id")
-        .groupBy("k").sum("id").collect()
-      (System.nanoTime() - t0) / 1e9
-    }
+    // shared protocol (BenchProtocol — ONE definition with Bench, r8
+    // review: the copied blocks had already drifted — no noop-write
+    // warm, so with RUNS=1 the single timed run at the SMALLEST scale
+    // point absorbed sink/codegen init and understated small-point
+    // times, inflating the reported scale ratios)
+    val gcMode = sys.env.getOrElse("SPARK_GRAFT_GC", "blocking")
+    BenchProtocol.warmup(spark)
+    val calib = BenchProtocol.calib(spark)
 
     val nRuns = sys.env.getOrElse("SPARK_GRAFT_RUNS", "1").toInt
     require(nRuns >= 1, s"SPARK_GRAFT_RUNS must be >= 1, got $nRuns")
     val times = (1 to nRuns).map { _ =>
       val t0 = System.nanoTime()
-      evaluate(result())
+      BenchProtocol.evaluate(result())
       val dt = (System.nanoTime() - t0) / 1e9
-      releaseStorage()
+      BenchProtocol.releaseStorage(spark, gcMode)
       dt
     }
     // stdout stays one machine-readable line, like Bench

@@ -286,7 +286,18 @@ object JinjaMacros {
     nodes.foreach {
       case Lit(t) => sb.append(if (env.isEmpty) t else substituteParams(t, env))
       case SetNode(name, valueText) =>
-        env = env + (name -> unquote(substIdents(valueText, env).trim))
+        val v = substIdents(valueText, env).trim
+        // literal-subset guard (r8 review: a non-literal RHS previously
+        // passed SILENTLY into SQL against the documented fail-fast):
+        // after substitution the RHS may be a quoted string, number,
+        // boolean, list literal, or a bare substituted word — anything
+        // with an unquoted '(' is a call the renderer cannot evaluate
+        require(topLevelCallFree(v),
+          s"unsupported {% set %} value '$valueText' — literals only " +
+            "(a function call cannot be evaluated at compile time)")
+        // keep the literal's QUOTEDNESS: a set-bound '1' must compare
+        // as a string in conditions (unquoting happens at print time)
+        env = env + (name -> v)
       case IfNode(branches, els) =>
         val body = branches
           .find { case (c, _) => evalCond(substIdents(c, env)) }
@@ -362,6 +373,22 @@ object JinjaMacros {
     */
   private def numeric(s: String): Option[BigDecimal] =
     try Some(BigDecimal(s.trim)) catch { case _: NumberFormatException => None }
+
+  /** No unquoted '(' anywhere in `s` — the cheap syntactic test for "is
+    * a literal, not a call" (quotes shield parens inside string values).
+    */
+  private def topLevelCallFree(s: String): Boolean = {
+    var quote = 0.toChar
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (quote != 0) { if (c == quote) quote = 0.toChar }
+      else if (c == '\'' || c == '"') quote = c
+      else if (c == '(') return false
+      i += 1
+    }
+    true
+  }
 
   /** Evaluate a substituted condition: or < and < not < (==|!=) over
     * literals < parens/booleans. `==`/`!=` compare NUMERICALLY when
@@ -450,6 +477,12 @@ object JinjaMacros {
             s"'${s.substring(callStart, close + 1)}'")
         require(args.head.headOption.exists(c => c == '\'' || c == '"'),
           s"var() name must be a string literal, got '${args.head}'")
+        // the default must itself be a literal — a nested call (e.g.
+        // var('a', var('b'))) cannot be evaluated here and previously
+        // leaked RAW into the rendered SQL via the whole-span path
+        // (r8 review); fail fast like every other non-subset construct
+        args.lift(1).foreach(d => require(topLevelCallFree(d),
+          s"unsupported var() default '$d' — literals only"))
         val name = unquote(args.head)
         val v = vars.get(name).orElse(args.lift(1).map(unquote)).getOrElse(
           throw new IllegalArgumentException(
@@ -740,7 +773,10 @@ object JinjaMacros {
       else {
         out.append(body.substring(i, open))
         val inner = body.substring(open + 2, close)
-        if (bound.contains(inner.trim)) out.append(bound(inner.trim))
+        // whole-span print UNQUOTES: {% set %} keeps a string literal's
+        // quotes in the binding (so conditions compare it as a string);
+        // {{ x }} prints the value, Jinja semantics
+        if (bound.contains(inner.trim)) out.append(unquote(bound(inner.trim)))
         else out.append("{{").append(substIdents(inner, bound)).append("}}")
         i = close + 2
       }

@@ -127,23 +127,34 @@ object Sampling {
     */
   def temperatureShares(df: DataFrame, domainCol: String,
       alpha: Double = 0.5): DataFrame = {
-    def tpow(c: Column): Column = alpha match {
-      case 1.0  => c
-      case 0.5  => sqrt(c)
-      case 0.25 => sqrt(sqrt(c))
-      case a    => pow(c, a)
-    }
+    val spark = df.sparkSession
+    // ONE corpus aggregate, then driver-side arithmetic: the per-domain
+    // count frame is bounded by contract (domains are languages/sources
+    // — dozens, the same boundedness mixToTarget's weights map assumes),
+    // while the previous all-DataFrame formulation re-executed the
+    // corpus scan once per derived aggregate (~4 scans — r8 review).
+    // The math is identical: exact long sums, one IEEE division, one
+    // correctly-rounded power step, ×10⁶ floor-quantization, exact
+    // integer normalization.
     val counts = df.filter(col(domainCol).isNotNull)
       .groupBy(col(domainCol).as("domain")).agg(count(lit(1)).as("n_docs"))
-    val total = counts.agg(sum(col("n_docs")).as("__N")) // exact long sum
-    val w = counts.crossJoin(broadcast(total)) // 1-row scalar
-      .select(col("domain"), col("n_docs"),
-        floor(tpow(col("n_docs").cast("double") / col("__N")) * 1000000L)
-          .cast("long").as("__w"))
-    val wsum = w.agg(sum(col("__w")).as("__ws")) // exact long sum
-    w.crossJoin(broadcast(wsum))
-      .select(col("domain"), col("n_docs"),
-        expr("(1000000L * __w) div __ws").as("share_ppm"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).sortBy(_._1)
+    require(counts.nonEmpty,
+      s"temperatureShares: no non-NULL '$domainCol' values")
+    val total = counts.map(_._2).sum
+    def tpow(p: Double): Double = alpha match {
+      case 1.0  => p
+      case 0.5  => math.sqrt(p)
+      case 0.25 => math.sqrt(math.sqrt(p))
+      case a    => math.pow(p, a)
+    }
+    val w = counts.map { case (d, n) =>
+      (d, n, math.floor(tpow(n.toDouble / total) * 1000000L).toLong)
+    }
+    val ws = w.map(_._3).sum
+    spark.createDataFrame(w.toSeq.map { case (d, n, wi) =>
+      (d, n, 1000000L * wi / ws)
+    }).toDF("domain", "n_docs", "share_ppm")
   }
 
   /** Quality-aware resampling — the "don't throw ALL the low-quality

@@ -383,28 +383,36 @@ object TextDedup {
     * past 128 groups; at 500k docs (32M buckets) that fallback sorted
     * and spilled ~50 GB (the same lesson as x2c2's r4 rewrite).
     */
-  def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
-      threshold: Double,
-      materializeCandidates: Option[DataFrame => DataFrame] = None,
-      maxBucket: Option[Int] = None): DataFrame = {
-    val bands = lshIndex(df, idCol, textCol)
-    // bucket size as a WINDOW over the (band, key) shuffle — one
-    // exchange carries the count, the live-bucket filter, AND both
-    // self-join sides (merge hint: broadcasting a corpus-scale band
-    // index is never right, and an AQE broadcast would also recompute
-    // the signature aggregate per side — plan-gated in TextDedupSpec)
-    val bn = count(lit(1)).over(
-      org.apache.spark.sql.expressions.Window.partitionBy(col("band"), col("key")))
+  /** Candidate pairs of a `(doc_id, band, key)` band frame — the ONE
+    * definition of the LSH candidate machinery ([[minhashLshPairs]] and
+    * [[estimatePairsFromSignatures]] share it, so the estimator's
+    * candidate set can never silently diverge from the exact path's):
+    * bucket size as a WINDOW over the (band, key) shuffle — one exchange
+    * carries the count, the live-bucket filter, AND both self-join sides
+    * (merge hint: broadcasting a corpus-scale band index is never right,
+    * and an AQE broadcast would also recompute the upstream signature
+    * aggregate per side — plan-gated in TextDedupSpec).
+    */
+  private def lshCandidatePairs(bands: DataFrame,
+      maxBucket: Option[Int]): DataFrame = {
+    val bn = count(lit(1)).over(Window.partitionBy(col("band"), col("key")))
     val live = bands.withColumn("bn", bn)
       .filter(maxBucket.fold(col("bn") >= 2)(cap =>
         col("bn") >= 2 && col("bn") <= cap))
       .select(col("doc_id"), col("band"), col("key"))
-    val lazyCand = live.as("a").hint("merge")
+    live.as("a").hint("merge")
       .join(live.as("b").hint("merge"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
       .distinct()
+  }
+
+  def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
+      threshold: Double,
+      materializeCandidates: Option[DataFrame => DataFrame] = None,
+      maxBucket: Option[Int] = None): DataFrame = {
+    val lazyCand = lshCandidatePairs(lshIndex(df, idCol, textCol), maxBucket)
     val (cand, setsBase) = materializeCandidates match {
       case None => (lazyCand, df)
       case Some(m) =>
@@ -469,19 +477,7 @@ object TextDedup {
     */
   def estimatePairsFromSignatures(sigs: DataFrame, threshold: Double,
       maxBucket: Option[Int] = None): DataFrame = {
-    val bands = bandKeysOfSignatures(sigs)
-    val bn = count(lit(1)).over(
-      org.apache.spark.sql.expressions.Window.partitionBy(col("band"), col("key")))
-    val live = bands.withColumn("bn", bn)
-      .filter(maxBucket.fold(col("bn") >= 2)(cap =>
-        col("bn") >= 2 && col("bn") <= cap))
-      .select(col("doc_id"), col("band"), col("key"))
-    val cand = live.as("a").hint("merge")
-      .join(live.as("b").hint("merge"),
-        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
-      .distinct()
+    val cand = lshCandidatePairs(bandKeysOfSignatures(sigs), maxBucket)
     val matches = aggregate(
       zip_with(col("sig_a"), col("sig_b"), (x, y) => when(x === y, 1L).otherwise(0L)),
       lit(0L), (acc, v) => acc + v)

@@ -106,22 +106,16 @@ object CorpusCleanDemos {
     */
   private def cleanStageCtesCapped(cap: Int): String = {
     // the shared chain ends at sh (shingle sets of ek docs); graft the
-    // banding + live-bucket filter + verified-drop stages onto it
+    // banding + the SHARED capped bucket policy + verified-drop stages
+    // onto it (one definition site with the x2b2/x2f2 oracles)
     s"""$cleanStageCtes,
       ${DedupDemos.oracleBandingFromSh},
-      bsz AS (SELECT band, key, count(*) AS bn FROM bk GROUP BY 1, 2),
-      live AS (
-        SELECT bk.doc_id, bk.band, bk.key
-        FROM bk JOIN bsz USING (band, key) WHERE bn >= 2 AND bn <= $cap),
-      ccand AS (
-        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-        FROM live a JOIN live b
-          ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+      ${DedupDemos.oracleCappedCandidateCtes(cap)},
       cdropped AS (
-        SELECT DISTINCT ccand.id_b
-        FROM ccand
-        JOIN sh sa ON sa.doc_id = ccand.id_a
-        JOIN sh sb ON sb.doc_id = ccand.id_b
+        SELECT DISTINCT cand.id_b
+        FROM cand
+        JOIN sh sa ON sa.doc_id = cand.id_a
+        JOIN sh sb ON sb.doc_id = cand.id_b
         WHERE cast(len(list_intersect(sa.shs, sb.shs)) AS double)
               / (len(sa.shs) + len(sb.shs) - len(list_intersect(sa.shs, sb.shs))) >= 0.5),
       cnd AS (

@@ -177,13 +177,13 @@ object DedupDemos {
                + list_min(list_transform(hs, x -> (a1*x + b1) % ${Hashing.P})) AS key
         FROM hs CROSS JOIN g)"""
 
-  /** The capped-banding CTE chain through `cand` (candidate pairs of
-    * live buckets) — shared by the x2b2 pair oracle and the x2f2 capped
-    * cluster-closure oracle, so the two can never disagree on which
-    * buckets the cap drops.
+  /** The SELF-join capped bucket policy over an existing `bk` CTE:
+    * bucket sizes → the 2 ≤ bn ≤ cap live filter → in-bucket candidate
+    * pairs. ONE definition shared by the x2b2/x2f2 oracles and the x11b
+    * capped-pipeline oracle (r8 review: a re-pasted copy could disagree
+    * on which buckets the cap drops).
     */
-  private def oracleLshCappedCtes(cap: Int): String = s"""
-      $oracleBandingCtes,
+  private[queries] def oracleCappedCandidateCtes(cap: Int): String = s"""
       bsz AS (SELECT band, key, count(*) AS bn FROM bk GROUP BY 1, 2),
       live AS (
         SELECT bk.doc_id, bk.band, bk.key
@@ -192,6 +192,15 @@ object DedupDemos {
         SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
         FROM live a JOIN live b
           ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id)"""
+
+  /** The capped-banding CTE chain through `cand` (candidate pairs of
+    * live buckets) — shared by the x2b2 pair oracle and the x2f2 capped
+    * cluster-closure oracle, so the two can never disagree on which
+    * buckets the cap drops.
+    */
+  private def oracleLshCappedCtes(cap: Int): String = s"""
+      $oracleBandingCtes,
+      ${oracleCappedCandidateCtes(cap)}"""
 
   /** Signature-estimator oracle (TextDedup.minhashEstimatePairs): the
     * FULL 128-slot signature per doc replayed declaratively (same

@@ -303,6 +303,27 @@ class JinjaMacrosSpec extends SparkSpec {
     }
   }
 
+  test("non-literal {% set %} RHS and var() defaults fail fast; set keeps quotedness") {
+    // the documented fail-fast is now real (r8 review: a call RHS
+    // previously passed silently into SQL)
+    intercept[IllegalArgumentException] {
+      renderControlFlow("{% set cols = get_columns() %}{{ cols }}")
+    }
+    // quoted values containing parens are literals, not calls
+    assert(renderControlFlow("{% set f = 'a(b)' %}{{ f }}") === "a(b)")
+    // a nested-call var() default cannot be evaluated — fail, never leak
+    intercept[IllegalArgumentException] {
+      renderModel("{{ var('a', var('b')) }}", vars = Map("b" -> "x"))
+    }
+    // a set-bound quoted digit string compares as a STRING (Jinja:
+    // '1' == '1.0' is false), while print still unquotes
+    assert(renderControlFlow(
+      "{% set v = '1' %}{% if v == '1.0' %}X{% else %}Y{% endif %}{{ v }}")
+      === "Y1")
+    assert(renderControlFlow(
+      "{% set v = '1' %}{% if v == '1' %}X{% else %}Y{% endif %}") === "X")
+  }
+
   test("var(): list-literal values drive {% for %} (the dbt vars-as-YAML-list idiom)") {
     val vars = Map("langs" -> "['en', 'de', 'zh']")
     assert(renderModel(
