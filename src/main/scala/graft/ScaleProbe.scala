@@ -24,15 +24,23 @@ object ScaleProbe {
   def main(args: Array[String]): Unit = {
     val (op, sfDir) = (args(0), args(1))
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // SPARK_GRAFT_GC mirrors Bench EXACTLY — validated, read before
+    // session construction, and wired to blocking.shuffle the same way,
+    // so SPARK_GRAFT_GC=async in a probe reproduces Bench's async
+    // behavior (r8 advice: the knob was half-wired here — blocking
+    // shuffle deletion was hardcoded while releaseStorage still honored
+    // the env var, so the A/B was silently partial in this harness)
+    val gcMode = sys.env.getOrElse("SPARK_GRAFT_GC", "blocking")
+    require(Set("blocking", "async", "off")(gcMode),
+      s"SPARK_GRAFT_GC must be blocking|async|off, got '$gcMode'")
     val spark = SparkSession.builder()
       .withExtensions(new graft.plans.GraftExtensions)
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      // Bench's default cleanup mode: shuffle-file deletion completes
-      // inside releaseStorage, never bleeding into the next timed run
-      .config("spark.cleaner.referenceTracking.blocking.shuffle", "true")
+      .config("spark.cleaner.referenceTracking.blocking.shuffle",
+        (gcMode == "blocking").toString)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     org.apache.logging.log4j.core.config.Configurator.setLevel(
@@ -162,7 +170,6 @@ object ScaleProbe {
     // warm, so with RUNS=1 the single timed run at the SMALLEST scale
     // point absorbed sink/codegen init and understated small-point
     // times, inflating the reported scale ratios)
-    val gcMode = sys.env.getOrElse("SPARK_GRAFT_GC", "blocking")
     BenchProtocol.warmup(spark)
     val calib = BenchProtocol.calib(spark)
 

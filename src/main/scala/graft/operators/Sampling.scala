@@ -127,6 +127,11 @@ object Sampling {
     */
   def temperatureShares(df: DataFrame, domainCol: String,
       alpha: Double = 0.5): DataFrame = {
+    // α ≤ 0 inverts the mixture (upweights empty domains toward ∞) and
+    // α > 1 sharpens instead of flattening — both outside the method's
+    // contract, and large α can floor-quantize EVERY weight to 0
+    require(alpha > 0 && alpha <= 1,
+      s"temperatureShares: alpha must be in (0, 1], got $alpha")
     val spark = df.sparkSession
     // ONE corpus aggregate, then driver-side arithmetic: the per-domain
     // count frame is bounded by contract (domains are languages/sources
@@ -136,8 +141,12 @@ object Sampling {
     // The math is identical: exact long sums, one IEEE division, one
     // correctly-rounded power step, ×10⁶ floor-quantization, exact
     // integer normalization.
+    // cast in the aggregate: a non-string domain column (int language
+    // id, date-partition source) shares the path instead of a bare
+    // ClassCastException at getString (r8 advice)
     val counts = df.filter(col(domainCol).isNotNull)
-      .groupBy(col(domainCol).as("domain")).agg(count(lit(1)).as("n_docs"))
+      .groupBy(col(domainCol).cast("string").as("domain"))
+      .agg(count(lit(1)).as("n_docs"))
       .collect().map(r => (r.getString(0), r.getLong(1))).sortBy(_._1)
     require(counts.nonEmpty,
       s"temperatureShares: no non-NULL '$domainCol' values")
@@ -152,6 +161,12 @@ object Sampling {
       (d, n, math.floor(tpow(n.toDouble / total) * 1000000L).toLong)
     }
     val ws = w.map(_._3).sum
+    // with α ≤ 1 the LARGEST domain's weight quantizes to ≥ ⌊(1/D)^α·10⁶⌋
+    // > 0 for any realistic domain count, but guard anyway: a zero sum
+    // here must read as "quantization underflow", not a bare /0
+    require(ws > 0,
+      s"temperatureShares: all ${counts.length} domain weights quantized " +
+        "to 0 (×10⁶) — domain cardinality is too high for the ppm grid")
     spark.createDataFrame(w.toSeq.map { case (d, n, wi) =>
       (d, n, 1000000L * wi / ws)
     }).toDF("domain", "n_docs", "share_ppm")

@@ -22,11 +22,16 @@ import graft.functions.{Hashing, MinHashAgg}
 object TextDedup {
 
   // The pair/probe verify joins (candidate pairs ⋈ per-doc shingle or
-  // signature frames on id_a/id_b/new_id/old_id) key a frame that is
-  // one-row-per-doc BY CONSTRUCTION — a contract FanoutLint cannot see
-  // from plan structure. Registering the contract keys keeps the lint's
-  // WARN channel clear for genuine user-query findings (r7 verdict).
-  graft.plans.FanoutLint.allowContractKeys("id_a", "id_b", "new_id", "old_id")
+  // signature frames) key a frame that is one-row-per-doc BY
+  // CONSTRUCTION — a contract FanoutLint cannot see from plan structure.
+  // The contract join keys are NAMESPACED (__graft_*): operators join on
+  // the reserved names internally and alias to the public id_a/id_b/
+  // new_id/old_id only in their final select, so registering them here
+  // cannot exempt a user query whose own columns happen to be called
+  // id_a (r8 advice: the old public-name allowlist was action at a
+  // distance — any user join on a coinciding name was silently skipped).
+  graft.plans.FanoutLint.allowContractKeys(
+    "__graft_id_a", "__graft_id_b", "__graft_new_id", "__graft_old_id")
 
   /** Keep-first exact dedup by key (X1): one hash shuffle on the keys;
     * `tiebreak` makes "first" deterministic (dropDuplicates' keep-first
@@ -282,25 +287,27 @@ object TextDedup {
         .drop("__bn")
     }
     val lazyCand = lshIndex(batch, idCol, textCol)
-      .select(col("doc_id").as("new_id"), col("band"), col("key"))
+      .select(col("doc_id").as("__graft_new_id"), col("band"), col("key"))
       .join(liveStore
-        .select(col("doc_id").as("old_id"), col("band"), col("key")),
+        .select(col("doc_id").as("__graft_old_id"), col("band"), col("key")),
         Seq("band", "key"))
-      .select(col("new_id"), col("old_id")).distinct()
+      .select(col("__graft_new_id"), col("__graft_old_id")).distinct()
     val (cand, newBase, oldBase) = materializeCandidates match {
       case None => (lazyCand, batch, corpus)
       case Some(m) =>
         val c = m(lazyCand)
         def side(src: DataFrame, k: String) = src.join(
           c.select(col(k).as(idCol)).distinct(), Seq(idCol), "left_semi")
-        (c, side(batch, "new_id"), side(corpus, "old_id"))
+        (c, side(batch, "__graft_new_id"), side(corpus, "__graft_old_id"))
     }
     val newSets = shingleSets(newBase, idCol, textCol)
     val oldSets = shingleSets(oldBase, idCol, textCol)
     cand
-      .join(newSets.select(col("doc_id").as("new_id"), col("shs").as("shs_new")), "new_id")
-      .join(oldSets.select(col("doc_id").as("old_id"), col("shs").as("shs_old")), "old_id")
-      .select(col("new_id"), col("old_id"),
+      .join(newSets.select(col("doc_id").as("__graft_new_id"), col("shs").as("shs_new")),
+        "__graft_new_id")
+      .join(oldSets.select(col("doc_id").as("__graft_old_id"), col("shs").as("shs_old")),
+        "__graft_old_id")
+      .select(col("__graft_new_id").as("new_id"), col("__graft_old_id").as("old_id"),
         jaccardOfSets(col("shs_new"), col("shs_old")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
@@ -404,7 +411,7 @@ object TextDedup {
       .join(live.as("b").hint("merge"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
           col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .select(col("a.doc_id").as("__graft_id_a"), col("b.doc_id").as("__graft_id_b"))
       .distinct()
   }
 
@@ -418,7 +425,8 @@ object TextDedup {
       case Some(m) =>
         val c = m(lazyCand)
         val candIds = c
-          .select(explode(array(col("id_a"), col("id_b"))).as(idCol)).distinct()
+          .select(explode(array(col("__graft_id_a"), col("__graft_id_b"))).as(idCol))
+          .distinct()
         // no broadcast hint: the candidate-doc set is O(docs with a
         // near-dup), unbounded at corpus scale — let AQE broadcast it
         // only when it actually fits, else a shuffled semi join
@@ -426,9 +434,11 @@ object TextDedup {
     }
     val sets = shingleSets(setsBase, idCol, textCol)
     cand
-      .join(sets.select(col("doc_id").as("id_a"), col("shs").as("shs_a")), "id_a")
-      .join(sets.select(col("doc_id").as("id_b"), col("shs").as("shs_b")), "id_b")
-      .select(col("id_a"), col("id_b"),
+      .join(sets.select(col("doc_id").as("__graft_id_a"), col("shs").as("shs_a")),
+        "__graft_id_a")
+      .join(sets.select(col("doc_id").as("__graft_id_b"), col("shs").as("shs_b")),
+        "__graft_id_b")
+      .select(col("__graft_id_a").as("id_a"), col("__graft_id_b").as("id_b"),
         jaccardOfSets(col("shs_a"), col("shs_b")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
@@ -482,9 +492,11 @@ object TextDedup {
       zip_with(col("sig_a"), col("sig_b"), (x, y) => when(x === y, 1L).otherwise(0L)),
       lit(0L), (acc, v) => acc + v)
     cand
-      .join(sigs.select(col("doc_id").as("id_a"), col("sig").as("sig_a")), "id_a")
-      .join(sigs.select(col("doc_id").as("id_b"), col("sig").as("sig_b")), "id_b")
-      .select(col("id_a"), col("id_b"),
+      .join(sigs.select(col("doc_id").as("__graft_id_a"), col("sig").as("sig_a")),
+        "__graft_id_a")
+      .join(sigs.select(col("doc_id").as("__graft_id_b"), col("sig").as("sig_b")),
+        "__graft_id_b")
+      .select(col("__graft_id_a").as("id_a"), col("__graft_id_b").as("id_b"),
         (matches.cast("double") / Hashing.MinhashK).as("est_jaccard"))
       .filter(col("est_jaccard") >= threshold)
   }
@@ -529,11 +541,13 @@ object TextDedup {
     pairPosts.as("a")
       .join(pairPosts.as("b"),
         col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .groupBy(col("a.doc_id").as("__graft_id_a"), col("b.doc_id").as("__graft_id_b"))
       .agg(count(lit(1)).as("inter"))
-      .join(sizes.select(col("doc_id").as("id_a"), col("n").as("na")), "id_a")
-      .join(sizes.select(col("doc_id").as("id_b"), col("n").as("nb")), "id_b")
-      .select(col("id_a"), col("id_b"),
+      .join(sizes.select(col("doc_id").as("__graft_id_a"), col("n").as("na")),
+        "__graft_id_a")
+      .join(sizes.select(col("doc_id").as("__graft_id_b"), col("n").as("nb")),
+        "__graft_id_b")
+      .select(col("__graft_id_a").as("id_a"), col("__graft_id_b").as("id_b"),
         (col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
           .as("jaccard"))
       .filter(col("jaccard") >= threshold)
@@ -569,11 +583,13 @@ object TextDedup {
     pairPosts.as("a")
       .join(pairPosts.as("b"),
         col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .groupBy(col("a.doc_id").as("__graft_id_a"), col("b.doc_id").as("__graft_id_b"))
       .agg(count(lit(1)).as("inter"))
-      .join(sizes.select(col("doc_id").as("id_a"), col("n").as("na")), "id_a")
-      .join(sizes.select(col("doc_id").as("id_b"), col("n").as("nb")), "id_b")
-      .select(col("id_a"), col("id_b"),
+      .join(sizes.select(col("doc_id").as("__graft_id_a"), col("n").as("na")),
+        "__graft_id_a")
+      .join(sizes.select(col("doc_id").as("__graft_id_b"), col("n").as("nb")),
+        "__graft_id_b")
+      .select(col("__graft_id_a").as("id_a"), col("__graft_id_b").as("id_b"),
         (col("inter").cast("double") / col("na")).as("cont_a"),
         (col("inter").cast("double") / col("nb")).as("cont_b"))
       .filter(greatest(col("cont_a"), col("cont_b")) >= threshold)

@@ -32,20 +32,26 @@ object FanoutLint extends Rule[LogicalPlan] {
 
   /** Join keys whose one-row-per-key uniqueness is a LIBRARY CONTRACT
     * rather than plan-provable — graft operators register their internal
-    * contract columns here (e.g. the LSH verify join's `id_a`/`id_b`:
+    * contract columns here (e.g. the LSH verify join's `__graft_id_a`:
     * candidate pairs join per-doc shingle frames keyed by a unique doc
     * id) so the lint stays quiet on joins the library itself guarantees,
     * and a real user-query warning is never buried under operator noise
     * (r7 verdict: at 139 demos the internal WARNs would eventually mask
-    * a genuine one). Deliberately name-based and therefore blunt: a USER
-    * join on a coinciding column name is also skipped — acceptable for a
-    * WARN-level review lint, and the reserved names are graft-internal
-    * pair/probe contract columns unlikely to be user grain keys.
+    * a genuine one). Matching is name-based, so the registered names MUST
+    * live in the reserved `__graft_` namespace: operators join on the
+    * namespaced key internally and alias to their public output names
+    * (`id_a`…) only in the final select, which keeps a user query whose
+    * own columns coincide with the public names fully linted (r8 advice:
+    * the earlier public-name allowlist silently exempted user joins on
+    * `id_a` and made lint behavior depend on class-load order).
     */
   private val contractKeys = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
-  def allowContractKeys(keys: String*): Unit =
+  def allowContractKeys(keys: String*): Unit = {
+    require(keys.forall(_.startsWith("__graft_")),
+      s"contract keys must be __graft_-namespaced, got: ${keys.mkString(", ")}")
     keys.foreach(contractKeys.add)
+  }
 
   private def allContract(keys: Seq[Attribute]): Boolean =
     keys.nonEmpty && keys.forall(k => contractKeys.contains(k.name))

@@ -29,11 +29,15 @@ object CorpusCleanDemos {
       rates.toSeq.sortBy(_._1).map { case (l, p) => s"WHEN '$l' THEN $p" }
         .mkString(" ") + " ELSE 0 END"
 
-  /** The x11 pipeline's stage CTEs (quality → fingerprint dedup →
-    * near-dup removal → stratified sample), shared by the x11 result
-    * query and the x50 waterfall counts.
+  /** The pipeline's SHARED stage prefix (quality → fingerprint dedup →
+    * shingle sets), genuinely ending at `sh`: both the uncapped (x11/x50)
+    * and capped (x11b) oracles graft their near-dup + sample stages onto
+    * this chain, and neither variant's text carries the other's stages
+    * (r8 advice: the capped oracle used to embed the DEAD uncapped
+    * brute-force CTEs — harmless only because DuckDB never evaluates
+    * unreferenced CTEs, and a drift trap for any edit referencing them).
     */
-  private def cleanStageCtes: String = s"""
+  private def cleanSharedCtes: String = s"""
       WITH q AS (
         SELECT doc_id, text, lang, source
         FROM documents
@@ -66,7 +70,12 @@ object CorpusCleanDemos {
         SELECT doc_id,
                list_distinct(list_transform(generate_series(1, len(toks)-2),
                  i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))) AS shs
-        FROM tok),
+        FROM tok)"""
+
+  /** The UNCAPPED near-dup + sample stages (brute-force exact Jaccard),
+    * appended to [[cleanSharedCtes]] by x11 and x50 only.
+    */
+  private def cleanStageCtes: String = s"""$cleanSharedCtes,
       dropped AS (
         SELECT DISTINCT b.doc_id AS id_b
         FROM sh a JOIN sh b ON a.doc_id < b.doc_id
@@ -108,7 +117,7 @@ object CorpusCleanDemos {
     // the shared chain ends at sh (shingle sets of ek docs); graft the
     // banding + the SHARED capped bucket policy + verified-drop stages
     // onto it (one definition site with the x2b2/x2f2 oracles)
-    s"""$cleanStageCtes,
+    s"""$cleanSharedCtes,
       ${DedupDemos.oracleBandingFromSh},
       ${DedupDemos.oracleCappedCandidateCtes(cap)},
       cdropped AS (

@@ -84,18 +84,26 @@ class FanoutLintSpec extends SparkSpec {
     FanoutLint.clear()
     import s.implicits._
     // the LSH verify-join shape: aggregate-grain pairs join a per-doc
-    // frame on the library's contract key — quiet by registration
-    val pairs = Seq((1, 2), (1, 3)).toDF("id_a", "id_b").distinct()
-    val docs = Seq((1, "x"), (2, "y"), (3, "z")).toDF("id_a", "t")
-    pairs.join(docs, Seq("id_a")).collect()
+    // frame on the library's NAMESPACED contract key — quiet by
+    // registration (operators alias to public id_a only after the join)
+    val pairs = Seq((1, 2), (1, 3)).toDF("__graft_id_a", "__graft_id_b").distinct()
+    val docs = Seq((1, "x"), (2, "y"), (3, "z")).toDF("__graft_id_a", "t")
+    pairs.join(docs, Seq("__graft_id_a")).collect()
     assert(FanoutLint.recentFindings.isEmpty,
-      s"contract key id_a should be suppressed: ${FanoutLint.recentFindings}")
-    // a non-contract key in the same shape still fires
+      s"contract key __graft_id_a should be suppressed: ${FanoutLint.recentFindings}")
+    // a USER column that coincides with the PUBLIC output name is NOT
+    // exempt (r8 advice: the old public-name allowlist skipped it)
     FanoutLint.clear()
-    val p2 = Seq((1, 2), (1, 3)).toDF("uk", "id_b").distinct()
-    val d2 = Seq((1, "x"), (2, "y")).toDF("uk", "t")
-    p2.join(d2, Seq("uk")).collect()
+    val p2 = Seq((1, 2), (1, 3)).toDF("id_a", "id_b").distinct()
+    val d2 = Seq((1, "x"), (2, "y")).toDF("id_a", "t")
+    p2.join(d2, Seq("id_a")).collect()
     assert(FanoutLint.recentFindings.exists(_.contains("fan out")),
-      s"non-contract key should still warn: ${FanoutLint.recentFindings}")
+      s"user id_a join should still warn: ${FanoutLint.recentFindings}")
+  }
+
+  test("allowContractKeys rejects non-namespaced keys") {
+    intercept[IllegalArgumentException] {
+      FanoutLint.allowContractKeys("customer_id")
+    }
   }
 }
