@@ -49,6 +49,10 @@ package graft.models
   *     column or UDF named `var` survives), in model texts AND macro
   *     bodies (at call time), including `{% if %}` conditions and
   *     `{% for %}` iterables.
+  *   - `{{ var('x') | upper }}` — a whole-span filter chain on a var
+  *     print: `upper`, `lower`, `trim`, `replace('a', 'b')` (string
+  *     literal arguments). Any other filter — or a filter inside a
+  *     larger expression or tag — fails fast.
   *
   * Not supported (fail fast by design): recursive macros (expansion
   * depth guard), nested `{% macro %}` definitions, non-literal
@@ -295,6 +299,10 @@ object JinjaMacros {
         require(topLevelCallFree(v),
           s"unsupported {% set %} value '$valueText' — literals only " +
             "(a function call cannot be evaluated at compile time)")
+        require(topLevelPipeFree(v),
+          s"unsupported {% set %} value '$valueText' — filters are " +
+            "whole-span print syntax ({{ var('x') | upper }}), not " +
+            "set-bindable literals")
         // keep the literal's QUOTEDNESS: a set-bound '1' must compare
         // as a string in conditions (unquoting happens at print time)
         env = env + (name -> v)
@@ -390,6 +398,24 @@ object JinjaMacros {
     true
   }
 
+  /** True when `s` has no `|` outside string literals — a piped filter
+    * chain is NOT a literal a `{% set %}` can bind (filters are
+    * whole-span print syntax, [[applyFilters]]); without this check the
+    * pipe text bound SILENTLY and surfaced later as malformed SQL.
+    */
+  private def topLevelPipeFree(s: String): Boolean = {
+    var quote = 0.toChar
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (quote != 0) { if (c == quote) quote = 0.toChar }
+      else if (c == '\'' || c == '"') quote = c
+      else if (c == '|') return false
+      i += 1
+    }
+    true
+  }
+
   /** Evaluate a substituted condition: or < and < not < (==|!=) over
     * literals < parens/booleans. `==`/`!=` compare NUMERICALLY when
     * both unquoted operands parse as numbers (Jinja: `1 == 1.0` is
@@ -460,6 +486,58 @@ object JinjaMacros {
     * quoting/comments cannot affect resolution. An undefined var with
     * no default FAILS fast (dbt's compile error).
     */
+  /** Apply a whole-span `| filter` chain to a resolved `var()` value —
+    * the dbt authoring idiom `{{ var('x') | upper }}`. The supported
+    * set is deliberately small and string-in/string-out (`upper`,
+    * `lower`, `trim`, `replace('a', 'b')` with string-literal
+    * arguments); anything else FAILS with the offending filter, the
+    * subset discipline everywhere in this renderer. Filters are
+    * whole-span only — a filter inside a larger expression (an
+    * `{% if %}` condition, a `{% set %}` right-hand side) is outside
+    * the subset and surfaces through those paths' own literal checks.
+    * Case mapping is locale-independent (Locale.ROOT): rendered SQL
+    * must not depend on the driver JVM's default locale.
+    */
+  private def applyFilters(value: String, chain0: String): String = {
+    var v = value
+    var rest = chain0.trim
+    while (rest.nonEmpty) {
+      require(rest.startsWith("|"),
+        s"unsupported trailing text '$rest' after a Jinja filter chain")
+      rest = rest.drop(1).dropWhile(_.isWhitespace)
+      val ni = rest.indexWhere(c => !isIdentChar(c))
+      val nameEnd = if (ni < 0) rest.length else ni
+      val name = rest.substring(0, nameEnd)
+      rest = rest.substring(nameEnd)
+      val args: Seq[String] =
+        if (rest.startsWith("(")) {
+          val close = matchParen(rest, 0)
+          require(close >= 0, s"unbalanced parentheses in filter '| $name'")
+          val a = splitArgs(rest.substring(1, close))
+          rest = rest.substring(close + 1)
+          a
+        } else Nil
+      rest = rest.dropWhile(_.isWhitespace)
+      def str(i: Int): String = {
+        val a = args(i).trim
+        require(a.headOption.exists(c => c == '\'' || c == '"'),
+          s"filter '| $name' arguments must be string literals, got '$a'")
+        unquote(a)
+      }
+      v = (name, args.length) match {
+        case ("upper", 0)   => v.toUpperCase(java.util.Locale.ROOT)
+        case ("lower", 0)   => v.toLowerCase(java.util.Locale.ROOT)
+        case ("trim", 0)    => v.trim
+        case ("replace", 2) => v.replace(str(0), str(1))
+        case _ => throw new IllegalArgumentException(
+          s"unsupported Jinja filter '| $name" +
+            (if (args.nonEmpty) s"(${args.mkString(", ")})" else "") +
+            "' — supported: upper, lower, trim, replace('a', 'b')")
+      }
+    }
+    v
+  }
+
   def substituteVars(text: String, vars: Map[String, String]): String = {
     if (!text.contains("var")) return text
     // returns (value, index past the ')') for a var-call at `callStart`
@@ -556,13 +634,18 @@ object JinjaMacros {
           val wholeSpan = if (!isExpr) None else {
             // {{ var('x') }} with nothing else in the span prints the
             // RAW value (Jinja semantics), even a value with quotes;
-            // whitespace-control markers ({{- -}}) are span syntax, not
-            // content
+            // an optional trailing `| filter` chain transforms the
+            // value before printing ({{ var('x') | upper }} — the dbt
+            // authoring idiom, r8 verdict item 5); whitespace-control
+            // markers ({{- -}}) are span syntax, not content
             val t = inner.trim.stripPrefix("-").stripSuffix("-").trim
             if (t.startsWith("var"))
-              resolve(t, 0).filter { case (_, next) =>
-                t.substring(next).trim.isEmpty
-              }.map(_._1)
+              resolve(t, 0).flatMap { case (v, next) =>
+                val rest = t.substring(next).trim
+                if (rest.isEmpty) Some(v)
+                else if (rest.startsWith("|")) Some(applyFilters(v, rest))
+                else None
+              }
             else None
           }
           wholeSpan match {
@@ -744,7 +827,11 @@ object JinjaMacros {
         positional(idx)
       } else kw.getOrElse(p, default.getOrElse(throw new IllegalArgumentException(
         s"macro '${m.name}' missing required argument '$p'")))
-      p -> unquote(v)
+      // quotedness is KEPT at bind time — the ONE unquote happens at
+      // whole-span print, the same convention as {% set %} bindings.
+      // (r8 advice: unquoting here too made {{ m("'x'") }} print x —
+      // a double unquote — and split the two binding conventions.)
+      p -> v
     }.toMap
     // body control flow renders at CALL time, under the bound params —
     // {% if %}/{% for %} referencing a param are literal once bound; a

@@ -253,5 +253,37 @@ object ModelDemos {
       built("q34_priced_priorities").orderBy(col("priority").asc_nulls_last)
     })
 
-  val all: Seq[Demo] = Seq(x12, x13, x15, q33, q34)
+  // -------------------------------------------------------------------
+  // Q35: JINJA FILTERS on var prints (JinjaMacros.applyFilters via
+  // substituteVars) — the next dbt-authoring construct after vars (r8
+  // verdict item 5): `| trim | upper` normalizes a sloppily-entered
+  // status var (through the var() DEFAULT path), `| replace | upper`
+  // canonicalizes a priority prefix passed as a CLI override. Filters
+  // are whole-span string transforms applied at render time; the
+  // oracle is the fully-substituted SQL.
+  // -------------------------------------------------------------------
+  private val q35Model =
+    "select o_orderpriority as priority, count(*) as n " +
+      "from {{ ref('orders') }} " +
+      "where o_orderstatus = '{{ var(\"status_raw\", \"  o \") | trim | upper }}'" +
+      " and o_orderpriority like" +
+      " '{{ var(\"prio_prefix\") | replace(\"%\", \"\") | upper }}%'" +
+      " group by o_orderpriority"
+
+  private val q35 = Demo("q35_jinja_filters", Some("""
+      SELECT o_orderpriority AS priority, count(*) AS n
+      FROM orders
+      WHERE o_orderstatus = 'O' AND o_orderpriority LIKE '1-URG%'
+      GROUP BY o_orderpriority
+      ORDER BY priority ASC NULLS LAST"""),
+    (s, dir) => {
+      val dag = new graft.models.SqlDag(s, freshScratchDir("q35"))
+      val built = dag.run(
+        Seq(graft.models.SqlDag.SqlModel("q35_urgent_open", q35Model)),
+        seeds = Map("orders" -> t(s, dir, "orders")),
+        vars = Map("prio_prefix" -> "1-urg%"))
+      built("q35_urgent_open").orderBy(col("priority").asc_nulls_last)
+    })
+
+  val all: Seq[Demo] = Seq(x12, x13, x15, q33, q34, q35)
 }

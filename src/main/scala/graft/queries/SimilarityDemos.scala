@@ -216,6 +216,53 @@ object SimilarityDemos {
       .orderBy(col("vec_id").asc_nulls_last))
 
   // -------------------------------------------------------------------
+  // X31b: SEMDEDUP, CONSTANT-CELL-SIZE FACE (VectorSearch.semDeDupAuto)
+  // — the production configuration ScaleProbe measures: the cell COUNT
+  // derives from the corpus (k = max(4, n / targetCellSize)) so cell
+  // SIZE stays constant and the in-cell pairwise verify stays linear as
+  // the corpus grows (a fixed k grows it quadratically — 11.2x vs
+  // ≤ linear per 10x, BENCHNOTES r8). The oracle computes the SAME k
+  // from the SAME corpus count (integer floor division both sides) and
+  // drives the x31 unrolled k-means chain with it — the checked path IS
+  // the measured path (the x2b2 playbook; r8 verdict item 1: the auto
+  // face was measured but no green row exercised it). targetCellSize =
+  // 50 makes k = 10 at the verify SF (500 vectors) — the auto sizing
+  // demonstrably fires past the k = 4 floor — and k = 40 at sf0.1.
+  // -------------------------------------------------------------------
+  private val autoCellSize = 50
+
+  private val x31b = Demo("x31b_semdedup_auto", Some(s"""
+      $oracleQuantCtes,
+      kk AS (SELECT greatest(4, count(*) // $autoCellSize) AS k
+             FROM embeddings),
+      init AS (
+        SELECT cid, sums, cnt FROM (
+          SELECT cast(row_number() OVER (ORDER BY vec_id) - 1 AS int) AS cid,
+                 qv AS sums, cast(1 AS bigint) AS cnt
+          FROM n)
+        WHERE cid < (SELECT k FROM kk)),
+      a1 AS (${oracleAssign("init", "rn = 1")}),
+      c1 AS (${oracleCentroidUpdate("a1")}),
+      a2 AS (${oracleAssign("c1", "rn = 1")}),
+      c2 AS (${oracleCentroidUpdate("a2")}),
+      asg AS (${oracleAssign("c2", "rn = 1")}),
+      dup AS (
+        SELECT x.vec_id, min(y.vec_id) AS dup_of
+        FROM asg x JOIN asg y ON y.cid = x.cid AND y.vec_id < x.vec_id
+        WHERE x.nq > 0 AND y.nq > 0
+          AND cast(cast(list_sum(list_transform(generate_series(1, 64),
+                d -> x.qv[d] * y.qv[d])) AS bigint) AS double)
+              / (sqrt(cast(x.nq AS double)) * sqrt(cast(y.nq AS double))) >= 0.35
+        GROUP BY x.vec_id)
+      SELECT a.vec_id, a.cid,
+             CASE WHEN d.dup_of IS NULL THEN 1 ELSE 0 END AS kept, d.dup_of
+      FROM asg a LEFT JOIN dup d USING (vec_id)
+      ORDER BY vec_id ASC NULLS LAST"""),
+    (s, dir) => VectorSearch.semDeDupAuto(emb(s, dir), "vec_id", "embedding",
+        iters = 2, minCosine = 0.35, targetCellSize = autoCellSize)
+      .orderBy(col("vec_id").asc_nulls_last))
+
+  // -------------------------------------------------------------------
   // X37: SIGNED RANDOM PROJECTION (VectorSearch.signedRandomProjection) —
   // Johnson–Lindenstrauss dim reduction 64 → 16 under deterministic
   // ±1 hyperplanes (Knuth-hash parity seeded by (out-dim, in-dim)).
@@ -340,5 +387,5 @@ object SimilarityDemos {
         .orderBy(col("fused_rank").asc_nulls_last)
     })
 
-  val all: Seq[Demo] = Seq(x3a, x3b, x3c, x3d, x3e, x31, x37, x60)
+  val all: Seq[Demo] = Seq(x3a, x3b, x3c, x3d, x3e, x31, x31b, x37, x60)
 }

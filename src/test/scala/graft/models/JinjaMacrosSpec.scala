@@ -335,6 +335,41 @@ class JinjaMacrosSpec extends SparkSpec {
       === "12")
   }
 
+  test("filters: whole-span | chains on var prints; fail-fast outside the set") {
+    val vars = Map("s" -> "  open ", "p" -> "1-urg%", "r" -> "EU-west")
+    assert(renderModel("{{ var('s') | trim | upper }}", vars = vars) === "OPEN")
+    assert(renderModel("{{ var('s') | trim }}", vars = vars) === "open")
+    assert(renderModel("{{ var('x', 'Mixed') | lower }}") === "mixed")
+    assert(renderModel("{{ var('p') | replace('%', '') | upper }}",
+      vars = vars) === "1-URG")
+    assert(renderModel("{{ var('r') | replace(\"-\", \"_\") }}", vars = vars)
+      === "EU_west")
+    // filters apply through the var() DEFAULT path too
+    assert(renderModel("{{ var('missing', '  pad  ') | trim }}") === "pad")
+    // whitespace-control markers are span syntax, not filter content
+    assert(renderModel("A {{- var('s') | trim -}} B", vars = vars)
+      === "A open B")
+    // unknown filter names the offender; arity/argument-kind errors too
+    val e1 = intercept[IllegalArgumentException] {
+      renderModel("{{ var('s') | titlecase }}", vars = vars)
+    }
+    assert(e1.getMessage.contains("titlecase"))
+    intercept[IllegalArgumentException] {
+      renderModel("{{ var('s') | replace('a') }}", vars = vars)
+    }
+    intercept[IllegalArgumentException] {
+      renderModel("{{ var('s') | replace(1, 2) }}", vars = vars)
+    }
+    intercept[IllegalArgumentException] {
+      renderModel("{{ var('s') | upper(1) }}", vars = vars)
+    }
+    // a filter inside a LARGER expression/tag is outside the subset —
+    // the {% set %} literals-only check rejects the piped RHS
+    intercept[IllegalArgumentException] {
+      renderModel("{% set x = var('s') | upper %}{{ x }}", vars = vars)
+    }
+  }
+
   test("randomized laws: var/set round-trips over arbitrary names and values") {
     val rnd = new scala.util.Random(7)
     def ident(): String =

@@ -14,11 +14,20 @@ def load(name, prefix="probe3"):
         return json.load(f)
 
 
+def calib_line(recs):
+    """One line with BOTH calibration dimensions (r8: totals track the
+    I/O calib, ANTI-correlate with the CPU calib on this box — render
+    both so cross-round tables can be normalized mechanically)."""
+    cpu = " ".join(f"{r.get('calib', 0):.2f}" for r in recs)
+    io = " ".join(f"{r['calib_io']:.2f}" if "calib_io" in r else "n/a"
+                  for r in recs)
+    return f"calib(cpu): {cpu}; calib(io): {io}"
+
+
 def heavy():
     p = sys.argv[2] if len(sys.argv) > 2 else "probe4"
     a, b, c = load("sfc5k", p), load("sf1", p), load("sf10", p)
-    print(f"calib: 5k={a['calib']:.2f} 50k={b['calib']:.2f} "
-          f"500k={c['calib']:.2f}; failed: 5k={a['failed']} "
+    print(calib_line([a, b, c]) + f"; failed: 5k={a['failed']} "
           f"50k={b['failed']} 500k={c['failed']}")
     print()
     print("| query | 5k s | 50k s | 500k s | 50k/5k | 500k/50k | 500k/5k |")
@@ -43,8 +52,8 @@ def heavy():
 
 def full():
     a, b = load("full01"), load("full1")
-    print(f"calib: sf0.1={a['calib']:.2f} sf1={b['calib']:.2f}; "
-          f"failed: sf0.1={a['failed']} sf1={b['failed']}")
+    print(calib_line([a, b]) +
+          f"; failed: sf0.1={a['failed']} sf1={b['failed']}")
     qa, qb = a["queries"], b["queries"]
     rows = [(q, qa[q], qb[q], qb[q] / qa[q]) for q in qa
             if q in qb and qa[q] and qb[q]]
@@ -75,15 +84,24 @@ def scaleprobe():
     byop = {}
     for r in recs:
         byop.setdefault(r["op"], []).append(r)
-    print("| op | " + " | ".join("n / s / calib" for _ in range(
-        max(len(v) for v in byop.values()))) + " | steps |")
+    print("| op | " + " | ".join("n / s / calib / io" for _ in range(
+        max(len(v) for v in byop.values()))) + " | steps | steps(io-norm) |")
     for op, rs in sorted(byop.items()):
         rs.sort(key=lambda r: r["n"])
         cells = [f"{r['n']} / {r['sec']:.2f}s / {r.get('calib', 0):.2f}"
+                 + (f" / {r['calib_io']:.2f}" if "calib_io" in r else "")
                  for r in rs]
         steps = [f"{b['sec']/a['sec']:.1f}x"
                  for a, b in zip(rs, rs[1:])]
-        print(f"| {op} | " + " | ".join(cells) + " | " + " ".join(steps) + " |")
+        # per-step ratio with BOTH points expressed in multiples of
+        # their own run's I/O-calib job — absorbs the box's dominant
+        # (I/O-layer) variance between probe windows (r8 finding; the
+        # CPU calib ANTI-correlates and is shown for context only)
+        steps_io = [f"{(b['sec']/b['calib_io'])/(a['sec']/a['calib_io']):.1f}x"
+                    if "calib_io" in a and "calib_io" in b else "n/a"
+                    for a, b in zip(rs, rs[1:])]
+        print(f"| {op} | " + " | ".join(cells) + " | " + " ".join(steps)
+              + " | " + " ".join(steps_io) + " |")
 
 
 if __name__ == "__main__":
