@@ -172,6 +172,10 @@ object ScaleProbe {
     // times, inflating the reported scale ratios)
     BenchProtocol.warmup(spark)
     val calib = BenchProtocol.calib(spark)
+    // both calibration dimensions, like Bench: on this container query
+    // time tracks the I/O layer and ANTI-correlates with CPU calib
+    // (BENCHNOTES r8), so cross-window probe comparisons need calib_io
+    val calibIo = BenchProtocol.calibIo(spark)
 
     val nRuns = sys.env.getOrElse("SPARK_GRAFT_RUNS", "1").toInt
     require(nRuns >= 1, s"SPARK_GRAFT_RUNS must be >= 1, got $nRuns")
@@ -183,7 +187,7 @@ object ScaleProbe {
       dt
     }
     // stdout stays one machine-readable line, like Bench
-    println(s"""{"op":"$op","n":$n,"param":$param,"sec":${times.min},"calib":$calib,"sf":"$sfDir"}""")
+    println(s"""{"op":"$op","n":$n,"param":$param,"sec":${times.min},"calib":$calib,"calib_io":$calibIo,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
