@@ -50,10 +50,19 @@ object Incremental {
     * it receives `(false, None)` and must produce the full table; on
     * later runs `(true, Some(existing))` and must produce only the delta.
     * Returns the materialized table, re-read from storage.
+    *
+    * `fullRefresh` is dbt's `--full-refresh` flag: the run takes the
+    * FIRST-BUILD path regardless of what exists at `path` —
+    * `is_incremental()` reports false, the body must produce the full
+    * table, and the static overwrite replaces the whole directory (for
+    * InsertOverwrite that includes partitions the rebuild no longer
+    * emits — exactly dbt's drop-and-rebuild, and the escape hatch after
+    * a schema or logic change that incremental folding can't express).
     */
-  def run(spark: SparkSession, path: String, strategy: Strategy)(
+  def run(spark: SparkSession, path: String, strategy: Strategy,
+      fullRefresh: Boolean = false)(
       build: (Boolean, Option[DataFrame]) => DataFrame): DataFrame = {
-    if (!exists(spark, path)) {
+    if (fullRefresh || !exists(spark, path)) {
       val full = build(false, None)
       strategy match {
         case InsertOverwrite(parts) =>

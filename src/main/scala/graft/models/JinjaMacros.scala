@@ -403,17 +403,22 @@ object JinjaMacros {
     * whole-span print syntax, [[applyFilters]]); without this check the
     * pipe text bound SILENTLY and surfaced later as malformed SQL.
     */
-  private def topLevelPipeFree(s: String): Boolean = {
+  private def topLevelPipeFree(s: String): Boolean = topLevelPipeIndex(s) < 0
+
+  /** Index of the first `|` outside string literals, -1 when none —
+    * the split point between a printed name and its filter chain.
+    */
+  private def topLevelPipeIndex(s: String): Int = {
     var quote = 0.toChar
     var i = 0
     while (i < s.length) {
       val c = s.charAt(i)
       if (quote != 0) { if (c == quote) quote = 0.toChar }
       else if (c == '\'' || c == '"') quote = c
-      else if (c == '|') return false
+      else if (c == '|') return i
       i += 1
     }
-    true
+    -1
   }
 
   /** Evaluate a substituted condition: or < and < not < (==|!=) over

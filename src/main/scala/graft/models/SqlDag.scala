@@ -39,9 +39,24 @@ object SqlDag {
   /** One model: a name, its Jinja-SQL text, and how to materialize it.
     * Companion-level type so model lists can be built once and shared
     * across runner instances.
+    *
+    * `preHooks`/`postHooks` are dbt's `pre-hook`/`post-hook` config:
+    * SQL statements executed via `spark.sql` immediately before / after
+    * the model materializes (audit inserts, ANALYZE, GRANT-style side
+    * effects). Hooks render through the same Jinja pipeline as the
+    * model text (macros, vars, control flow) plus `{{ this }}` → the
+    * model's relation name, dbt's convention. Hook side effects are
+    * catalog state, not model output — they participate in neither the
+    * manifest checksum (`state:` selection) nor the returned frames.
     */
   final case class SqlModel(name: String, jinjaSql: String,
-      materialization: Materialization = View)
+      materialization: Materialization = View,
+      preHooks: Seq[String] = Nil, postHooks: Seq[String] = Nil)
+
+  /** dbt's `{{ this }}` in a hook body: the model's own relation name
+    * (whitespace-control markers tolerated like every other span).
+    */
+  private val ThisPattern = raw"\{\{-?\s*this\s*-?\}\}".r
 
   /** One parsed `--select`/`--exclude` token: dbt's graph-operator
     * syntax (reference lifecycle README.md:44-55).
@@ -271,9 +286,13 @@ class SqlDag(spark: SparkSession, warehouseDir: String) {
     require(defer.nonEmpty || !favorState,
       "favorState is only meaningful with defer (dbt: --favor-state " +
         "requires --defer)")
-    val expanded = models.map(m =>
-      m.copy(jinjaSql = JinjaMacros.renderModel(m.jinjaSql, macros,
-        vars = vars)))
+    val expanded = models.map { m =>
+      def jinja(text: String) =
+        JinjaMacros.renderModel(text, macros, vars = vars)
+      m.copy(jinjaSql = jinja(m.jinjaSql),
+        preHooks = m.preHooks.map(jinja),
+        postHooks = m.postHooks.map(jinja))
+    }
     runExpanded(expanded, seeds, threads, select, exclude, state, defer,
       favorState)
   }
@@ -338,6 +357,16 @@ class SqlDag(spark: SparkSession, warehouseDir: String) {
       name -> df
     }.toMap
     def build(m: SqlModel): DataFrame = {
+      // spark.sql executes DML/DDL commands EAGERLY (INSERT/CREATE/
+      // ANALYZE/REFRESH — every statement a dbt hook is in practice);
+      // a pure SELECT hook is side-effect-free and intentionally left
+      // unevaluated rather than collected (no unbounded driver reads).
+      // dbt's hook contract: pre before the relation builds, post once
+      // it exists under its name.
+      def runHooks(hooks: Seq[String]): Unit = hooks.foreach { h =>
+        spark.sql(FictionBankSql.render(ThisPattern.replaceAllIn(h, m.name)))
+      }
+      runHooks(m.preHooks)
       val df = spark.sql(FictionBankSql.render(m.jinjaSql))
       val materialized = m.materialization match {
         case View | Ephemeral => df
@@ -347,6 +376,7 @@ class SqlDag(spark: SparkSession, warehouseDir: String) {
           spark.read.parquet(path)
       }
       materialized.createOrReplaceTempView(m.name)
+      runHooks(m.postHooks)
       materialized
     }
     var built: Map[String, DataFrame] = seeds ++ externallyBuilt

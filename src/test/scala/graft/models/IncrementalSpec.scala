@@ -57,6 +57,39 @@ class IncrementalSpec extends SparkSpec {
     assert(rows(r2) === Set(("a", 1L), ("b", 20L), ("c", 3L)))
   }
 
+  test("full refresh: drop-and-rebuild regardless of existing state") {
+    val path = tmp()
+    Incremental.run(spark, path, Incremental.Append) { (_, _) =>
+      Seq(("a", 1L), ("b", 2L)).toDF("k", "v")
+    }
+    // --full-refresh: is_incremental() false, body rebuilds from
+    // scratch, prior rows do NOT survive (append would keep them)
+    val r = Incremental.run(spark, path, Incremental.Append,
+        fullRefresh = true) { (inc, existing) =>
+      assert(!inc && existing.isEmpty)
+      Seq(("z", 9L)).toDF("k", "v")
+    }
+    assert(rows(r) === Set(("z", 9L)))
+    // a partitioned full refresh also drops partitions the rebuild no
+    // longer emits (static overwrite of the whole directory)
+    val p2 = tmp()
+    val strat = Incremental.InsertOverwrite(Seq("p"))
+    Incremental.run(spark, p2, strat) { (_, _) =>
+      Seq(("d1", "a", 1L), ("d2", "b", 2L)).toDF("p", "k", "v")
+    }
+    val r2 = Incremental.run(spark, p2, strat, fullRefresh = true) { (_, _) =>
+      Seq(("d2", "b", 20L)).toDF("p", "k", "v")
+    }
+    assert(r2.select("p", "k", "v").as[(String, String, Long)]
+      .collect().toSet === Set(("d2", "b", 20L)))
+    // after the refresh, incremental runs resume normally
+    val r3 = Incremental.run(spark, p2, strat) { (inc, _) =>
+      assert(inc); Seq(("d3", "c", 3L)).toDF("p", "k", "v")
+    }
+    assert(r3.select("p", "k", "v").as[(String, String, Long)]
+      .collect().toSet === Set(("d2", "b", 20L), ("d3", "c", 3L)))
+  }
+
   test("insert_overwrite: only the delta's partitions are replaced; re-run is idempotent") {
     val path = tmp()
     def table(ps: (String, String, Long)*): DataFrame =

@@ -47,6 +47,31 @@ class SqlDagSpec extends SparkSpec {
     assert(dag.lineage(models)("mortgage_ltv_rank") === Set("fct_loan_details"))
   }
 
+  test("pre/post hooks run around the build with {{ this }}, vars, and the built relation") {
+    val wh = java.nio.file.Files.createTempDirectory("graft-sqldag-hooks").toString
+    val dag = new SqlDag(spark, wh)
+    spark.sql("DROP TABLE IF EXISTS hook_audit")
+    spark.sql("CREATE TABLE hook_audit (model STRING, phase STRING) USING parquet")
+    try {
+      val models = Seq(
+        SqlModel("hooked_loans",
+          "select loan_id from {{ ref('raw_loans') }}", Table,
+          preHooks = Seq(
+            "INSERT INTO hook_audit VALUES ('{{ this }}', 'pre')"),
+          postHooks = Seq(
+            // hooks render through the same Jinja pipeline (vars here)
+            "INSERT INTO hook_audit VALUES ('{{ this }}', '{{ var('phase', 'post') }}')",
+            // and a post-hook can READ the just-built relation
+            "INSERT INTO hook_audit SELECT 'rows', cast(count(*) AS string) FROM {{ this }}")))
+      val built = dag.run(models, fictionBankSeeds)
+      assert(built("hooked_loans").count() === 10)
+      val audit = spark.table("hook_audit").collect()
+        .map(r => (r.getString(0), r.getString(1))).toSet
+      assert(audit === Set(("hooked_loans", "pre"), ("hooked_loans", "post"),
+        ("rows", "10")))
+    } finally spark.sql("DROP TABLE IF EXISTS hook_audit")
+  }
+
   test("ephemeral models inline into consumers and vanish from the catalog") {
     val wh = java.nio.file.Files.createTempDirectory("graft-sqldag-eph").toString
     val dag = new SqlDag(spark, wh)
