@@ -19,7 +19,63 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * read as a fast run.
   */
 object Bench {
+
+  /** One query's timing outcome: the per-run seconds that completed,
+    * and the first failure as `<exception class>: <message>` (r9
+    * verdict: the old catch dropped the exception, so a failed
+    * OFFICIAL record carried only the query name and could not
+    * self-diagnose — the x5j failure took a judge re-run to explain).
+    */
+  final case class Timed(times: Seq[Double], err: Option[String])
+
+  /** Time `mk()` `nRuns` times under [[BenchProtocol]]; a run that
+    * throws contributes no time but records the reason. Factored out
+    * of `main` so a spec can pin the err format on a deliberately
+    * broken query.
+    */
+  def timeQuery(spark: org.apache.spark.sql.SparkSession, nRuns: Int,
+      gcMode: String)(mk: () => DataFrame): Timed = {
+    var err: Option[String] = None
+    val times = (1 to nRuns).flatMap { _ =>
+      val t0 = System.nanoTime()
+      try {
+        BenchProtocol.evaluate(mk())
+        val dt = (System.nanoTime() - t0) / 1e9
+        BenchProtocol.releaseStorage(spark, gcMode)
+        Some(dt)
+      } catch {
+        case e: Throwable =>
+          if (err.isEmpty) {
+            val msg = String.valueOf(e.getMessage)
+              .linesIterator.mkString(" ").take(300)
+            err = Some(e.getClass.getName + ": " + msg)
+          }
+          BenchProtocol.releaseStorage(spark, gcMode)
+          None
+      }
+    }
+    Timed(times, err)
+  }
+
+  /** Minimal JSON string escaping for the failure messages — Spark
+    * exception texts carry quotes/newlines that would break the
+    * one-line record.
+    */
+  def jsonEscape(s: String): String = s.flatMap {
+    case '"'           => "\\\""
+    case '\\'          => "\\\\"
+    case '\n'          => "\\n"
+    case '\r'          => "\\r"
+    case '\t'          => "\\t"
+    case c if c < ' '  => f"\\u${c.toInt}%04x"
+    case c             => c.toString
+  }
+
   def main(args: Array[String]): Unit = {
+    // mechanical mutual exclusion with any ScaleProbe chain — fail fast
+    // BEFORE building a session, so a contaminated official record
+    // (the r9 failure mode) is impossible rather than discouraged
+    val benchLock = BenchProtocol.acquireBenchLock()
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     // Shuffle-file cleanup mode (SPARK_GRAFT_GC) — the r7 full sweep
@@ -62,12 +118,11 @@ object Bench {
     // cross-harness ratios stay protocol-consistent); Bench additionally
     // warms the entry query (a real datasource scan on the smallest
     // fixture)
-    def evaluate(df: DataFrame): Unit = BenchProtocol.evaluate(df)
     BenchProtocol.warmup(spark)
-    try evaluate(SparkEntry.entry(spark)) catch { case _: Throwable => }
+    try BenchProtocol.evaluate(SparkEntry.entry(spark))
+    catch { case _: Throwable => }
     val calib = BenchProtocol.calib(spark)
     val calibIo = BenchProtocol.calibIo(spark)
-    def releaseStorage(): Unit = BenchProtocol.releaseStorage(spark, gcMode)
 
     // steady-state timing: two runs per query, report the min — the first
     // run still pays per-query codegen compilation, which a long-running
@@ -86,35 +141,37 @@ object Bench {
       require(n >= 1, s"SPARK_GRAFT_RUNS must be >= 1, got $n")
       n
     }
-    val results: Map[String, Option[Double]] =
+    val results: Map[String, Timed] =
       SparkEntry.queries
         .filter { case (name, _) => only.forall(_.exists(name.startsWith)) }
         .map { case (name, fn) =>
-        val times = (1 to nRuns).flatMap { _ =>
-          val t0 = System.nanoTime()
-          try {
-            evaluate(fn(spark, sfDir))
-            val dt = (System.nanoTime() - t0) / 1e9
-            releaseStorage()
-            Some(dt)
-          }
-          catch { case _: Throwable => releaseStorage(); None }
-        }
+        val t = timeQuery(spark, nRuns, gcMode)(() => fn(spark, sfDir))
         // per-query progress on stderr: long sweeps were a black box
         // until the final JSON (stdout stays reserved for that line)
         System.err.println(
-          s"[bench] $name ${times.map(t => f"$t%.2f").mkString("/")}s" +
-            (if (times.size < nRuns) " FAILED" else ""))
-        // all runs must succeed, else the query is a failure, not a time
-        name -> (if (times.size == nRuns) Some(times.min) else None)
+          s"[bench] $name ${t.times.map(x => f"$x%.2f").mkString("/")}s" +
+            (if (t.times.size < nRuns)
+              " FAILED " + t.err.getOrElse("") else ""))
+        name -> t
       }
-    val ok = results.collect { case (k, Some(v)) => k -> v }
-    val failed = results.collect { case (k, None) => k }.toSeq.sorted
+    // all runs must succeed, else the query is a failure, not a time
+    val ok = results.collect {
+      case (k, t) if t.times.size == nRuns => k -> t.times.min }
+    val failedMap = results.collect {
+      case (k, t) if t.times.size < nRuns =>
+        k -> t.err.getOrElse("run did not complete") }
+    val failed = failedMap.keys.toSeq.sorted
     val qs = ok.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    // `failed` keeps its name-only shape (the driver parses it);
+    // `failed_detail` carries the reason so a failed official record is
+    // self-diagnosing (r9 verdict item 3)
+    val failedDetailJson = failed.map(k =>
+      s"""{"name":"$k","err":"${jsonEscape(failedMap(k))}"}""")
+      .mkString("[", ",", "]")
     val total = if (ok.nonEmpty) ok.values.sum else 0.0
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","calib":$calib,"calib_io":$calibIo,"queries":$qs,"failed":$failedJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","calib":$calib,"calib_io":$calibIo,"queries":$qs,"failed":$failedJson,"failed_detail":$failedDetailJson,"sf":"$sfDir"}"""
     Files.createDirectories(Paths.get("target"))
     Files.write(Paths.get("target/bench.json"),
       (json + "\n").getBytes(StandardCharsets.UTF_8))
@@ -126,8 +183,7 @@ object Bench {
     // the repo root (SPARK_GRAFT_REPO, else the sbt-set user.dir, else
     // CWD) so an out-of-repo-root caller doesn't scatter the record
     // (round-5 advice).
-    val repoRoot = sys.env.get("SPARK_GRAFT_REPO")
-      .orElse(sys.props.get("user.dir")).getOrElse(".")
+    val repoRoot = BenchProtocol.repoRoot
     Files.write(Paths.get(repoRoot, "BENCH_FULL.json"),
       (json + "\n").getBytes(StandardCharsets.UTF_8))
     // The full line above carries every per-query timing (~4 KB) and has
@@ -139,6 +195,7 @@ object Bench {
       s"""{"metric":"total","value":$total,"unit":"sec","calib":$calib,"calib_io":$calibIo,"n":${ok.size},"n_failed":${failed.size},"sf":"$sfDir"}"""
     println(summary)
     spark.stop()
+    benchLock.close()
     if (failed.nonEmpty) sys.exit(1)
   }
 }

@@ -11,6 +11,65 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object BenchProtocol {
 
+  /** Repo root for harness artifacts (BENCH_FULL.json, the bench lock):
+    * `SPARK_GRAFT_REPO`, else the sbt-set `user.dir`, else CWD — ONE
+    * definition so Bench and ScaleProbe can never resolve to different
+    * lock files (round-5 advice for the record path; the lock rides
+    * the same rule).
+    */
+  def repoRoot: String = sys.env.get("SPARK_GRAFT_REPO")
+    .orElse(sys.props.get("user.dir")).getOrElse(".")
+
+  /** Mutual-exclusion lock for timing harnesses. r9's OFFICIAL bench
+    * record was invalid because the round-close Bench ran concurrently
+    * with a detached ScaleProbe chain on the same 32 CPUs (and a disk
+    * the chain was exhausting) — 182 s and a spurious per-query
+    * failure vs 117 s on a quiet box. Two timing JVMs sharing the box
+    * can only produce garbage, so exclusion is now MECHANICAL: both
+    * [[Bench]] and [[ScaleProbe]] acquire an OS-level file lock
+    * (`target/.graft_bench_lock` under [[repoRoot]]) before building
+    * their SparkSession; the second acquirer FAILS FAST with a named
+    * error instead of silently contaminating the first. An OS `flock`
+    * — not a marker file — so a crashed/killed harness releases the
+    * lock with its process and can never wedge the next round.
+    * Returns a handle to close when timing is done; process exit also
+    * releases it.
+    */
+  def acquireBenchLock(root: String = repoRoot): java.io.Closeable = {
+    import java.nio.file.{Files, Paths, StandardOpenOption => O}
+    val dir = Paths.get(root, "target")
+    Files.createDirectories(dir)
+    val path = dir.resolve(".graft_bench_lock")
+    val ch = java.nio.channels.FileChannel.open(path, O.CREATE, O.WRITE)
+    val lock =
+      try ch.tryLock()
+      catch { // same-JVM holder (the spec's dummy-holder case)
+        case _: java.nio.channels.OverlappingFileLockException => null
+      }
+    if (lock == null) {
+      val holder =
+        try new String(Files.readAllBytes(path),
+          java.nio.charset.StandardCharsets.UTF_8).trim
+        catch { case _: Throwable => "" }
+      ch.close()
+      throw new IllegalStateException(
+        s"graft bench lock $path is HELD" +
+          (if (holder.nonEmpty) s" ($holder)" else "") +
+          " — another timing harness (Bench or a ScaleProbe chain) is " +
+          "running on this box; a concurrent run would contaminate both " +
+          "records (r9 lesson). Wait for it to finish.")
+    }
+    ch.truncate(0)
+    ch.write(java.nio.ByteBuffer.wrap(
+      s"pid=${ProcessHandle.current().pid()} since=${java.time.Instant.now()}"
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+    ch.force(true)
+    () => {
+      try lock.release() catch { case _: Throwable => }
+      ch.close()
+    }
+  }
+
   /** Timing action: a `noop`-format write — full evaluation of every
     * output column, zero driver collection, zero I/O. (Under `count()`
     * Catalyst's EliminateSorts/pruning would delete the work being

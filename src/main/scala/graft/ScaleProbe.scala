@@ -22,6 +22,10 @@ import org.apache.spark.sql.functions._
 object ScaleProbe {
 
   def main(args: Array[String]): Unit = {
+    // same mechanical mutual exclusion as Bench (ONE lock file): a
+    // probe must never run while an official bench is timing, and vice
+    // versa — the r9 official record was contaminated exactly this way
+    val benchLock = BenchProtocol.acquireBenchLock()
     val (op, sfDir) = (args(0), args(1))
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     // SPARK_GRAFT_GC mirrors Bench EXACTLY — validated, read before
@@ -189,5 +193,6 @@ object ScaleProbe {
     // stdout stays one machine-readable line, like Bench
     println(s"""{"op":"$op","n":$n,"param":$param,"sec":${times.min},"calib":$calib,"calib_io":$calibIo,"sf":"$sfDir"}""")
     spark.stop()
+    benchLock.close()
   }
 }

@@ -51,8 +51,12 @@ package graft.models
   *     `{% for %}` iterables.
   *   - `{{ var('x') | upper }}` — a whole-span filter chain on a var
   *     print: `upper`, `lower`, `trim`, `replace('a', 'b')` (string
-  *     literal arguments). Any other filter — or a filter inside a
-  *     larger expression or tag — fails fast.
+  *     literal arguments), `default('v')`. Any other filter — or a
+  *     filter inside a larger expression or tag — fails fast.
+  *     `default` follows dbt precedence: it fires ONLY when the var is
+  *     undefined AND the `var()` call itself has no default — a
+  *     var-level default always wins, so `{{ var('x', 'a') | default('b') }}`
+  *     never renders `b`.
   *
   * Not supported (fail fast by design): recursive macros (expansion
   * depth guard), nested `{% macro %}` definitions, non-literal
@@ -491,38 +495,54 @@ object JinjaMacros {
     * quoting/comments cannot affect resolution. An undefined var with
     * no default FAILS fast (dbt's compile error).
     */
+  /** One parsed filter step off the front of a `| filter` chain:
+    * (name, args, remaining chain text). Jinja allows whitespace
+    * between the name and its argument list (`| replace ('a', 'b')`),
+    * so the paren check skips it — without that, the valid spelling
+    * parsed as a 0-arg `replace` and died with a misleading
+    * "unsupported filter" for a filter that IS supported (r9 advice).
+    */
+  private def parseFilter(chain: String): (String, Seq[String], String) = {
+    var rest = chain
+    require(rest.startsWith("|"),
+      s"unsupported trailing text '$rest' after a Jinja filter chain")
+    rest = rest.drop(1).dropWhile(_.isWhitespace)
+    val ni = rest.indexWhere(c => !isIdentChar(c))
+    val nameEnd = if (ni < 0) rest.length else ni
+    val name = rest.substring(0, nameEnd)
+    rest = rest.substring(nameEnd).dropWhile(_.isWhitespace)
+    val args: Seq[String] =
+      if (rest.startsWith("(")) {
+        val close = matchParen(rest, 0)
+        require(close >= 0, s"unbalanced parentheses in filter '| $name'")
+        val a = splitArgs(rest.substring(1, close))
+        rest = rest.substring(close + 1)
+        a
+      } else Nil
+    (name, args, rest.dropWhile(_.isWhitespace))
+  }
+
   /** Apply a whole-span `| filter` chain to a resolved `var()` value —
     * the dbt authoring idiom `{{ var('x') | upper }}`. The supported
     * set is deliberately small and string-in/string-out (`upper`,
     * `lower`, `trim`, `replace('a', 'b')` with string-literal
-    * arguments); anything else FAILS with the offending filter, the
-    * subset discipline everywhere in this renderer. Filters are
-    * whole-span only — a filter inside a larger expression (an
-    * `{% if %}` condition, a `{% set %}` right-hand side) is outside
-    * the subset and surfaces through those paths' own literal checks.
-    * Case mapping is locale-independent (Locale.ROOT): rendered SQL
-    * must not depend on the driver JVM's default locale.
+    * arguments, and `default('v')` — a NO-OP here because this path
+    * only runs once the var has resolved to a value; the firing case
+    * lives in [[substituteVars]]'s whole-span handler); anything else
+    * FAILS with the offending filter, the subset discipline everywhere
+    * in this renderer. Filters are whole-span only — a filter inside a
+    * larger expression (an `{% if %}` condition, a `{% set %}`
+    * right-hand side) is outside the subset and surfaces through those
+    * paths' own literal checks. Case mapping is locale-independent
+    * (Locale.ROOT): rendered SQL must not depend on the driver JVM's
+    * default locale.
     */
   private def applyFilters(value: String, chain0: String): String = {
     var v = value
     var rest = chain0.trim
     while (rest.nonEmpty) {
-      require(rest.startsWith("|"),
-        s"unsupported trailing text '$rest' after a Jinja filter chain")
-      rest = rest.drop(1).dropWhile(_.isWhitespace)
-      val ni = rest.indexWhere(c => !isIdentChar(c))
-      val nameEnd = if (ni < 0) rest.length else ni
-      val name = rest.substring(0, nameEnd)
-      rest = rest.substring(nameEnd)
-      val args: Seq[String] =
-        if (rest.startsWith("(")) {
-          val close = matchParen(rest, 0)
-          require(close >= 0, s"unbalanced parentheses in filter '| $name'")
-          val a = splitArgs(rest.substring(1, close))
-          rest = rest.substring(close + 1)
-          a
-        } else Nil
-      rest = rest.dropWhile(_.isWhitespace)
+      val (name, args, rest1) = parseFilter(rest)
+      rest = rest1
       def str(i: Int): String = {
         val a = args(i).trim
         require(a.headOption.exists(c => c == '\'' || c == '"'),
@@ -534,10 +554,12 @@ object JinjaMacros {
         case ("lower", 0)   => v.toLowerCase(java.util.Locale.ROOT)
         case ("trim", 0)    => v.trim
         case ("replace", 2) => v.replace(str(0), str(1))
+        case ("default", 1) => v // var resolved — dbt: default never fires
         case _ => throw new IllegalArgumentException(
           s"unsupported Jinja filter '| $name" +
             (if (args.nonEmpty) s"(${args.mkString(", ")})" else "") +
-            "' — supported: upper, lower, trim, replace('a', 'b')")
+            "' — supported: upper, lower, trim, replace('a', 'b'), " +
+            "default('v')")
       }
     }
     v
@@ -545,9 +567,14 @@ object JinjaMacros {
 
   def substituteVars(text: String, vars: Map[String, String]): String = {
     if (!text.contains("var")) return text
-    // returns (value, index past the ')') for a var-call at `callStart`
-    // of `s`, None when "var" there is not followed by '(' (not a call)
-    def resolve(s: String, callStart: Int): Option[(String, Int)] = {
+    // returns (Some(value), index past the ')') for a var-call at
+    // `callStart` of `s`, None when "var" there is not followed by '('
+    // (not a call). An undefined var with no var() default throws —
+    // unless `undefinedOk` (the whole-span `| default` path, which
+    // must see the undefined case to decide), which yields
+    // (None, past-')') instead.
+    def resolve(s: String, callStart: Int, undefinedOk: Boolean = false)
+        : Option[(Option[String], Int)] = {
       var j = callStart + 3
       while (j < s.length && s.charAt(j).isWhitespace) j += 1
       if (j >= s.length || s.charAt(j) != '(') None
@@ -567,11 +594,11 @@ object JinjaMacros {
         args.lift(1).foreach(d => require(topLevelCallFree(d),
           s"unsupported var() default '$d' — literals only"))
         val name = unquote(args.head)
-        val v = vars.get(name).orElse(args.lift(1).map(unquote)).getOrElse(
-          throw new IllegalArgumentException(
-            s"var '$name' is undefined — pass vars = Map(…) (dbt --vars) " +
-              "or give the var() call a default"))
-        Some((v, close + 1))
+        val vOpt = vars.get(name).orElse(args.lift(1).map(unquote))
+        if (vOpt.isEmpty && !undefinedOk) throw new IllegalArgumentException(
+          s"var '$name' is undefined — pass vars = Map(…) (dbt --vars) " +
+            "or give the var() call a default")
+        Some((vOpt, close + 1))
       }
     }
     // a resolved value as an INLINE literal inside a span/tag: numbers,
@@ -606,8 +633,10 @@ object JinjaMacros {
         else if (inner.startsWith("var", i) &&
             (i == 0 || !isIdentChar(inner.charAt(i - 1)))) {
           resolve(inner, i) match {
-            case Some((v, next)) => out.append(inlineLiteral(v)); i = next
-            case None            => out.append("var"); i += 3
+            // undefinedOk is false here, so the value is always present
+            case Some((vOpt, next)) =>
+              out.append(inlineLiteral(vOpt.get)); i = next
+            case None => out.append("var"); i += 3
           }
         } else { out += c; i += 1 }
       }
@@ -645,11 +674,43 @@ object JinjaMacros {
             // markers ({{- -}}) are span syntax, not content
             val t = inner.trim.stripPrefix("-").stripSuffix("-").trim
             if (t.startsWith("var"))
-              resolve(t, 0).flatMap { case (v, next) =>
+              resolve(t, 0, undefinedOk = true).flatMap { case (vOpt, next) =>
                 val rest = t.substring(next).trim
-                if (rest.isEmpty) Some(v)
-                else if (rest.startsWith("|")) Some(applyFilters(v, rest))
-                else None
+                vOpt match {
+                  case Some(v) =>
+                    if (rest.isEmpty) Some(v)
+                    else if (rest.startsWith("|")) Some(applyFilters(v, rest))
+                    else None
+                  case None =>
+                    // undefined var with no var() default: dbt
+                    // precedence — only a LEADING `| default('v')` can
+                    // supply the value (and it NEVER fires when the
+                    // var resolved or var() itself defaulted, handled
+                    // above where `default` is a no-op). Anything else
+                    // re-raises the canonical undefined error.
+                    val dflt = if (rest.startsWith("|")) {
+                      val (fname, fargs, rest1) = parseFilter(rest)
+                      require(fname != "default" || fargs.length == 1,
+                        s"filter '| default' takes exactly 1 argument, " +
+                          s"got ${fargs.length}")
+                      if (fname == "default") {
+                        val a = fargs.head.trim
+                        val v0 =
+                          if (a.headOption.exists(c => c == '\'' || c == '"'))
+                            unquote(a)
+                          else {
+                            require(numeric(a).isDefined ||
+                              a == "true" || a == "false",
+                              "filter '| default' argument must be a " +
+                                s"literal, got '$a'")
+                            a
+                          }
+                        Some(applyFilters(v0, rest1))
+                      } else None
+                    } else None
+                    if (dflt.isEmpty) resolve(t, 0) // throws undefined
+                    dflt
+                }
               }
             else None
           }

@@ -46,8 +46,11 @@ object SqlDag {
     * effects). Hooks render through the same Jinja pipeline as the
     * model text (macros, vars, control flow) plus `{{ this }}` → the
     * model's relation name, dbt's convention. Hook side effects are
-    * catalog state, not model output — they participate in neither the
-    * manifest checksum (`state:` selection) nor the returned frames.
+    * catalog state, not model output — they never appear in the
+    * returned frames, but they DO participate in the state manifest
+    * (dbt's `state:modified` hashes node config, hooks included — a
+    * CI run must not skip a model whose audit/GRANT hook changed;
+    * r9 advice).
     */
   final case class SqlModel(name: String, jinjaSql: String,
       materialization: Materialization = View,
@@ -112,11 +115,19 @@ class SqlDag(spark: SparkSession, warehouseDir: String) {
 
   /** The selection-state manifest of a model set (dbt's manifest.json
     * reduced to what `state:` selection needs): per model its
-    * materialization, sorted `ref()` deps, and a checksum of the
-    * COMPILED (Jinja-rendered) SQL. Checksumming the compiled text —
-    * not the raw file — means an edit inside a `{% macro %}` marks
-    * every caller modified, dbt's `state:modified.macros` behavior for
-    * free. Driver-side string work only.
+    * materialization, sorted `ref()` deps, a checksum of the COMPILED
+    * (Jinja-rendered) SQL, and the rendered pre/post hooks (dbt's
+    * `state:modified` hashes node CONFIG — hooks included — so a
+    * hook-only edit must flag the model modified; r9 advice: the old
+    * manifest omitted them and a CI `state:modified` run would
+    * silently skip a model whose audit/GRANT hook changed).
+    * Checksumming the compiled text — not the raw file — means an edit
+    * inside a `{% macro %}` marks every caller modified, dbt's
+    * `state:modified.macros` behavior for free (hooks render through
+    * the same pipeline, so a macro edit inside a hook propagates too;
+    * `{{ this }}` stays un-substituted — it resolves to the model name
+    * deterministically, so it carries no state). Driver-side string
+    * work only.
     */
   def stateManifest(models: Seq[SqlModel],
       macros: Seq[JinjaMacros.MacroDef] = Nil,
@@ -130,14 +141,25 @@ class SqlDag(spark: SparkSession, warehouseDir: String) {
       val deps = node.putArray("depends_on")
       refsOf(rendered).toSeq.sorted.foreach(deps.add)
       node.put("checksum", SqlDag.sha256Hex(rendered))
+      if (m.preHooks.nonEmpty) {
+        val pre = node.putArray("pre_hook")
+        m.preHooks.foreach(h =>
+          pre.add(JinjaMacros.renderModel(h, macros, vars = vars)))
+      }
+      if (m.postHooks.nonEmpty) {
+        val post = node.putArray("post_hook")
+        m.postHooks.foreach(h =>
+          post.add(JinjaMacros.renderModel(h, macros, vars = vars)))
+      }
     }
     mapper.writerWithDefaultPrettyPrinter().writeValueAsString(root)
   }
 
   /** (new, modified) model names of `models` vs a previous
     * [[stateManifest]]: new = absent from the manifest; modified =
-    * present with a different compiled checksum, materialization, or
-    * dep set. Removed models are not selectable (they no longer exist).
+    * present with a different compiled checksum, materialization, dep
+    * set, or rendered pre/post hooks. Removed models are not
+    * selectable (they no longer exist).
     */
   def stateDiff(models: Seq[SqlModel], previousManifest: String,
       macros: Seq[JinjaMacros.MacroDef] = Nil,
@@ -364,7 +386,11 @@ class SqlDag(spark: SparkSession, warehouseDir: String) {
       // dbt's hook contract: pre before the relation builds, post once
       // it exists under its name.
       def runHooks(hooks: Seq[String]): Unit = hooks.foreach { h =>
-        spark.sql(FictionBankSql.render(ThisPattern.replaceAllIn(h, m.name)))
+        // quoteReplacement: the model name is DATA to the regex engine —
+        // a '$' or '\' in a name must not be read as a group reference
+        // (r9 advice)
+        spark.sql(FictionBankSql.render(ThisPattern.replaceAllIn(h,
+          scala.util.matching.Regex.quoteReplacement(m.name))))
       }
       runHooks(m.preHooks)
       val df = spark.sql(FictionBankSql.render(m.jinjaSql))

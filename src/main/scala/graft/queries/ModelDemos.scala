@@ -267,13 +267,20 @@ object ModelDemos {
       "from {{ ref('orders') }} " +
       "where o_orderstatus = '{{ var(\"status_raw\", \"  o \") | trim | upper }}'" +
       " and o_orderpriority like" +
-      " '{{ var(\"prio_prefix\") | replace(\"%\", \"\") | upper }}%'" +
+      " '{{ var(\"prio_prefix\") | replace (\"%\", \"\") | upper }}%'" +
+      // `| default` fires only for an UNDEFINED var with no var()
+      // default (dbt precedence; r9 verdict item 7) — status_excl is
+      // never passed, so 'x' | upper → 'X' reaches the SQL. The space
+      // in `replace (…)` above pins the r9-advice fix: Jinja allows
+      // whitespace before a filter's argument list.
+      " and o_orderstatus != '{{ var(\"status_excl\") | default(\"x\") | upper }}'" +
       " group by o_orderpriority"
 
   private val q35 = Demo("q35_jinja_filters", Some("""
       SELECT o_orderpriority AS priority, count(*) AS n
       FROM orders
       WHERE o_orderstatus = 'O' AND o_orderpriority LIKE '1-URG%'
+        AND o_orderstatus <> 'X'
       GROUP BY o_orderpriority
       ORDER BY priority ASC NULLS LAST"""),
     (s, dir) => {

@@ -370,6 +370,55 @@ class JinjaMacrosSpec extends SparkSpec {
     }
   }
 
+  test("filters: whitespace before the argument list is valid Jinja (r9 advice)") {
+    val vars = Map("p" -> "1-urg%")
+    // `| replace ("a","b")` used to parse as a 0-arg replace and die
+    // with a MISLEADING "unsupported filter" for a supported name
+    assert(renderModel("{{ var('p') | replace ('%', '') | upper }}",
+      vars = vars) === "1-URG")
+    assert(renderModel("{{ var('p') | replace\t('%', '!') }}", vars = vars)
+      === "1-urg!")
+  }
+
+  test("filters: | default fires ONLY for undefined var with no var() default") {
+    // undefined + no var default: the filter supplies the value …
+    assert(renderModel("{{ var('missing') | default('fb') }}") === "fb")
+    // … and the rest of the chain applies to it
+    assert(renderModel("{{ var('missing') | default('fb') | upper }}")
+      === "FB")
+    // numeric / boolean literals accepted unquoted
+    assert(renderModel("{{ var('missing') | default(42) }}") === "42")
+    assert(renderModel("{{ var('missing') | default(true) }}") === "true")
+    // a bound var wins — default is a no-op
+    assert(renderModel("{{ var('x') | default('fb') }}",
+      vars = Map("x" -> "bound")) === "bound")
+    // dbt precedence: a var()-level default wins over the filter —
+    // `| default` NEVER fires when var() already defaulted
+    assert(renderModel("{{ var('missing', 'vd') | default('fb') }}")
+      === "vd")
+    assert(renderModel("{{ var('missing', 'vd') | default('fb') | upper }}")
+      === "VD")
+    // a non-default chain on an undefined var keeps the canonical
+    // fail-fast (dbt compile error), not a silent empty string
+    val e = intercept[IllegalArgumentException] {
+      renderModel("{{ var('missing') | upper }}")
+    }
+    assert(e.getMessage.contains("undefined"))
+    // default NOT in leading position cannot rescue an undefined var
+    intercept[IllegalArgumentException] {
+      renderModel("{{ var('missing') | upper | default('fb') }}")
+    }
+    // arity error names the filter, not the var
+    val e2 = intercept[IllegalArgumentException] {
+      renderModel("{{ var('missing') | default('a', 'b') }}")
+    }
+    assert(e2.getMessage.contains("default"))
+    // non-literal argument rejected
+    intercept[IllegalArgumentException] {
+      renderModel("{{ var('missing') | default(foo()) }}")
+    }
+  }
+
   test("randomized laws: var/set round-trips over arbitrary names and values") {
     val rnd = new scala.util.Random(7)
     def ident(): String =

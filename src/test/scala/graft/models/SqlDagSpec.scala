@@ -295,6 +295,37 @@ class SqlDagSpec extends SparkSpec {
       m.copy(jinjaSql = JinjaMacros.renderModel(m.jinjaSql, macroV2)))
     val (newN, modN) = dag.stateDiff(expanded, mManifest)
     assert(newN === Set.empty && modN === Set("uses_macro"))
+    // a HOOK-ONLY edit counts as modified (dbt hashes node config,
+    // hooks included — r9 advice: the old manifest omitted hooks, so
+    // a CI state:modified run would skip a model whose audit/GRANT
+    // hook changed)
+    val withHook = v1.map {
+      case m if m.name == "mart" =>
+        m.copy(postHooks = Seq("refresh table {{ this }}"))
+      case m => m
+    }
+    assert(names(withHook, Seq("state:modified")) === Seq("mart"))
+    // … and editing an existing hook flags it too
+    val hookManifest = dag.stateManifest(withHook)
+    val hookEdited = withHook.map {
+      case m if m.name == "mart" =>
+        m.copy(postHooks = Seq("analyze table {{ this }} compute statistics"))
+      case m => m
+    }
+    val (hNew, hMod) = dag.stateDiff(hookEdited, hookManifest)
+    assert(hNew === Set.empty && hMod === Set("mart"))
+    // unchanged hooks do NOT flag
+    val (sNew, sMod) = dag.stateDiff(withHook, hookManifest)
+    assert(sNew === Set.empty && sMod === Set.empty)
+    // a macro edit INSIDE a hook propagates (hooks render through the
+    // same Jinja pipeline as model text)
+    val hm1 = JinjaMacros.parse("{% macro audit() %}refresh{% endmacro %}")
+    val hm2 = JinjaMacros.parse("{% macro audit() %}analyze{% endmacro %}")
+    val hooked = Seq(SqlModel("hmodel", "select 1 as one",
+      postHooks = Seq("{{ audit() }} table {{ this }}")))
+    val hmManifest = dag.stateManifest(hooked, hm1)
+    val (_, hmMod) = dag.stateDiff(hooked, hmManifest, hm2)
+    assert(hmMod === Set("hmodel"))
     // state selectors without a manifest fail fast
     assert(intercept[IllegalArgumentException] {
       dag.selectModels(v2, Seq("state:modified"))
