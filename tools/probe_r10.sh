@@ -1,0 +1,83 @@
+#!/usr/bin/env bash
+# Round-10 probe chain — the 5M-doc THIRD scale decade for the capped
+# LSH family, re-run under a real disk protocol (r9 verdict item 1: all
+# four sf100 faces died on "No space left on device", each crashed JVM
+# leaking its /tmp block-manager dirs until the box starved — 44 GB of
+# debris, four empty probe JSONs).
+#
+# Disk protocol (new in r10):
+#   1. df PREFLIGHT before every face with a stated budget
+#      (NEED_GB below) — a face that cannot fit is SKIPPED with an
+#      explicit FAILED-PREFLIGHT log line, never started-and-crashed.
+#   2. spark.local.dir pointed at a dedicated scratch dir
+#      (target/scratch) that is rm -rf'd BETWEEN faces — a face that
+#      hard-fails cannot leak its shuffle dirs into /tmp or starve the
+#      next face.
+#   3. Non-empty-record guard: a probe JSON is copied into probes/r10/
+#      only if the record line actually exists ([ -s ]); a face that
+#      produced no record logs FAILED with its tail instead of
+#      committing a zero-byte artifact.
+#
+# Measurement protocol unchanged from probe_r9.sh: BenchProtocol
+# (warmup + cpu/io calib), SPARK_GRAFT_RUNS=1, 2 MiB split scan
+# partitions, shuffle.partitions=32. Each face's 500k anchor is re-run
+# in the same chain so the 500k -> 5M step ratio is same-session.
+set -u
+cd /root/repo
+mkdir -p target probes/r10
+LOG=target/probe10_chain.log
+SCRATCH=/root/repo/target/scratch
+NEED_GB=40   # budget: the 500k minhash face spills a few GB; 10x that
+             # plus the global-sort doubling still fits in 40 G, and the
+             # box has ~80 G free after the r9 debris cleanup
+
+avail_gb() { df -BG --output=avail /root/repo | tail -1 | tr -dc 0-9; }
+
+echo "=== probe_r10 start $(date +%H:%M:%S) avail=$(avail_gb)G" >> $LOG
+
+# fixtures: 500k (sf10 anchor) + 5M (sf100 decade), documents-only
+for f in sf10:500000 sf100:5000000; do
+  tag=${f%%:*}; n=${f#*:}
+  if [ ! -f target/$tag/documents.parquet ]; then
+    echo "=== gen $tag ($n docs) $(date +%H:%M:%S)" >> $LOG
+    python3 tools/gen_fixtures.py $n target/$tag >> $LOG 2>&1 \
+      || { echo "FAILED gen $tag" >> $LOG; exit 1; }
+  fi
+done
+echo "=== gen done $(date +%H:%M:%S) avail=$(avail_gb)G" >> $LOG
+
+export SPARK_GRAFT_RUNS=1
+export SPARK_DRIVER_MEM=48g
+
+for op in minhash_capped clusters_capped clean_capped incremental_capped; do
+  for p in sf10:target/sf10 sf100:target/sf100; do
+    tag=${p%%:*}; dir=${p#*:}
+    name=probe10_${op}_$tag
+    # (1) preflight: refuse to start a face the disk cannot hold
+    free=$(avail_gb)
+    if [ "$free" -lt "$NEED_GB" ]; then
+      echo "FAILED-PREFLIGHT $name: ${free}G free < ${NEED_GB}G budget $(date +%H:%M:%S)" >> $LOG
+      continue
+    fi
+    # (2) dedicated scratch, cleaned between faces
+    rm -rf "$SCRATCH"; mkdir -p "$SCRATCH"
+    echo "=== $name $(date +%H:%M:%S) avail=${free}G" >> $LOG
+    JAVA_TOOL_OPTIONS="-Dspark.sql.files.maxPartitionBytes=2097152 -Dspark.sql.files.openCostInBytes=262144 -Dspark.local.dir=$SCRATCH" \
+      sbt -batch "runMain graft.ScaleProbe $op $dir" \
+      > target/$name.log 2>&1
+    rc=$?
+    grep '^{"op"' target/$name.log | tail -1 > target/$name.json
+    # (3) only a real record becomes an artifact
+    if [ -s target/$name.json ]; then
+      cp target/$name.json probes/r10/
+      echo "OK $name $(cat target/$name.json)" >> $LOG
+    else
+      echo "FAILED $name rc=$rc $(date +%H:%M:%S); log tail:" >> $LOG
+      tail -5 target/$name.log >> $LOG
+    fi
+    rm -rf "$SCRATCH"
+  done
+done
+
+unset SPARK_GRAFT_RUNS SPARK_DRIVER_MEM
+echo "PROBE_R10_DONE $(date +%H:%M:%S) avail=$(avail_gb)G" >> $LOG
