@@ -104,6 +104,73 @@ object SchemaConfig {
     }
   }
 
+  /** One dbt exposure (dbt docs: exposures — a named downstream use of
+    * the DAG, declared in schema.yml, selectable as `exposure:name`).
+    * `dependsOn` holds resolved relation names (the YAML writes
+    * `ref('x')`).
+    */
+  final case class Exposure(name: String, exposureType: String,
+      dependsOn: Seq[String], ownerName: Option[String],
+      ownerEmail: Option[String], url: Option[String],
+      maturity: Option[String], description: Option[String])
+
+  /** dbt's closed exposure-type vocabulary. */
+  private val ExposureTypes =
+    Set("dashboard", "notebook", "analysis", "ml", "application")
+  private val Maturities = Set("high", "medium", "low")
+  private val IdentifierPattern = "^[A-Za-z0-9_]+$".r
+
+  /** Parse the `exposures:` block of a schema.yml. A file without one
+    * yields Nil (most schema.yml files carry only models). Validation
+    * is dbt's: `name` (identifier), `type` (one of dbt's five), a
+    * non-empty `depends_on` of `ref(...)` entries, and an `owner` with
+    * at least one of `name`/`email`; `maturity`, when present, must be
+    * high/medium/low. Unknown extra keys (`meta`, `tags`, …) are
+    * ignored, as dbt ignores what it does not model. Every violation
+    * fails fast — an exposure that silently drops a dependency would
+    * select the wrong sub-DAG in `+exposure:` runs.
+    */
+  def exposures(yamlText: String): Seq[Exposure] = {
+    val root = mapper.readTree(yamlText)
+    Option(root.get("exposures")).toSeq.flatMap { list =>
+      require(list.isArray, "`exposures` must be a list")
+      list.elements.asScala.map { e =>
+        val name = reqText(e, "name", "exposure")
+        require(IdentifierPattern.matches(name),
+          s"exposure name '$name' must be [A-Za-z0-9_]+")
+        val tpe = reqText(e, "type", s"exposure $name")
+        require(ExposureTypes(tpe),
+          s"exposure $name: unknown type '$tpe' " +
+            s"(dbt's: ${ExposureTypes.toSeq.sorted.mkString(", ")})")
+        val depsNode = Option(e.get("depends_on")).getOrElse(
+          throw new IllegalArgumentException(
+            s"exposure $name needs `depends_on`"))
+        require(depsNode.isArray && depsNode.size > 0,
+          s"exposure $name: `depends_on` must be a non-empty list")
+        val deps = depsNode.elements.asScala.map { d =>
+          require(d.isTextual,
+            s"exposure $name: depends_on entries must be ref(...) strings")
+          refName(d.asText)
+        }.toSeq
+        val owner = Option(e.get("owner")).getOrElse(
+          throw new IllegalArgumentException(s"exposure $name needs `owner`"))
+        val oName = Option(owner.get("name")).filter(_.isTextual).map(_.asText)
+        val oMail = Option(owner.get("email")).filter(_.isTextual).map(_.asText)
+        require(oName.nonEmpty || oMail.nonEmpty,
+          s"exposure $name: owner needs `name` or `email`")
+        val maturity =
+          Option(e.get("maturity")).filter(_.isTextual).map(_.asText)
+        maturity.foreach(m => require(Maturities(m),
+          s"exposure $name: maturity must be high/medium/low, got '$m'"))
+        Exposure(name, tpe, deps, oName, oMail,
+          url = Option(e.get("url")).filter(_.isTextual).map(_.asText),
+          maturity = maturity,
+          description =
+            Option(e.get("description")).filter(_.isTextual).map(_.asText))
+      }.toSeq
+    }
+  }
+
   private val RefInTo = """ref\(\s*['"]([A-Za-z0-9_]+)['"]\s*\)""".r
 
   /** `ref('x')` → x; a bare name passes through. */

@@ -78,7 +78,8 @@ object SqlDag {
   private final case class Selector(name: String, ancestors: Boolean,
       descendants: Boolean, at: Boolean)
 
-  private val SelectorPattern = "^(\\+)?(@)?([A-Za-z0-9_]+|state:modified|state:new)(\\+)?$".r
+  private val SelectorPattern =
+    "^(\\+)?(@)?([A-Za-z0-9_]+|state:modified|state:new|exposure:[A-Za-z0-9_]+)(\\+)?$".r
 
   private def parseSelector(token: String): Selector = token match {
     case SelectorPattern(plus0, at, name, plus1) =>
@@ -86,11 +87,18 @@ object SqlDag {
         s"@ cannot combine with +: '$token'")
       require(at == null || !name.startsWith("state:"),
         s"@ cannot combine with state selectors: '$token'")
+      require(at == null || !name.startsWith("exposure:"),
+        s"@ cannot combine with exposure selectors: '$token'")
+      // exposures are graph sinks — a descendants closure is always
+      // empty, so a trailing + can only be a mistyped +exposure:name
+      require(plus1 == null || !name.startsWith("exposure:"),
+        s"'$token': exposures have no descendants; did you mean +$token?")
       Selector(name, ancestors = plus0 != null, descendants = plus1 != null,
         at = at != null)
     case _ => throw new IllegalArgumentException(
       s"unsupported selector '$token' (supported: model, model+, +model, " +
-        "+model+, @model, state:modified, state:new)")
+        "+model+, @model, state:modified, state:new, exposure:name, " +
+        "+exposure:name)")
   }
 
   private def sha256Hex(s: String): String =
@@ -190,6 +198,16 @@ class SqlDag(spark: SparkSession, warehouseDir: String) {
     * Closures run over MODEL nodes only; seeds are dependency leaves,
     * never selected (dbt separates `dbt seed` from `dbt run`).
     *
+    * `exposure:name` (dbt's exposure method, declared in schema.yml —
+    * pass `exposures` = [[SchemaConfig.exposures]]) selects the
+    * exposure NODE, which is a sink that runs nothing, so the bare form
+    * contributes no models — dbt parity; the working idiom is
+    * `+exposure:name`, "build everything this dashboard reads": the
+    * exposure's `depends_on` models plus their ancestor closures. It
+    * composes with `exclude` the same way (`--exclude +exposure:name`
+    * = skip everything that report touches). Unknown exposure names
+    * and `depends_on` entries naming unknown models fail fast.
+    *
     * `macros`/`vars` matter ONLY to `state:` selectors: [[stateDiff]]
     * checksums the COMPILED text, so pass the same macro definitions and
     * var bindings the manifest was built with — calling with raw
@@ -202,7 +220,8 @@ class SqlDag(spark: SparkSession, warehouseDir: String) {
       exclude: Seq[String] = Nil,
       state: Option[String] = None,
       macros: Seq[JinjaMacros.MacroDef] = Nil,
-      vars: Map[String, String] = Map.empty): Seq[SqlModel] = {
+      vars: Map[String, String] = Map.empty,
+      exposures: Seq[SchemaConfig.Exposure] = Nil): Seq[SqlModel] = {
     val names = models.map(_.name).toSet
     val parents: Map[String, Set[String]] =
       lineage(models).map { case (n, deps) => n -> deps.intersect(names) }
@@ -220,7 +239,25 @@ class SqlDag(spark: SparkSession, warehouseDir: String) {
     }
     def resolve(token: String): Set[String] = {
       val sel = SqlDag.parseSelector(token)
-      if (sel.name.startsWith("state:")) {
+      if (sel.name.startsWith("exposure:")) {
+        // dbt's exposure: method — the node itself is a sink that runs
+        // nothing, so the bare form selects no models (dbt parity: the
+        // useful idiom is +exposure:name, "build everything this
+        // dashboard reads"). Ancestors = the exposure's depends_on
+        // models plus THEIR ancestor closures.
+        val expName = sel.name.stripPrefix("exposure:")
+        val exp = exposures.find(_.name == expName).getOrElse(
+          throw new IllegalArgumentException(
+            s"selector '$token' names unknown exposure '$expName' " +
+              s"(known: ${exposures.map(_.name).sorted.mkString(", ")})"))
+        val badDeps = exp.dependsOn.filterNot(names.contains)
+        require(badDeps.isEmpty,
+          s"exposure '$expName' depends on unknown models: " +
+            badDeps.mkString(", "))
+        if (sel.ancestors)
+          exp.dependsOn.toSet.flatMap((d: String) => closure(d, parents))
+        else Set.empty
+      } else if (sel.name.startsWith("state:")) {
         val prev = state.getOrElse(throw new IllegalArgumentException(
           s"selector '$token' needs the previous state manifest " +
             "(pass state = Some(stateManifest(...)))"))
@@ -303,7 +340,8 @@ class SqlDag(spark: SparkSession, warehouseDir: String) {
       state: Option[String] = None,
       defer: Option[String] = None,
       favorState: Boolean = false,
-      vars: Map[String, String] = Map.empty): Map[String, DataFrame] = {
+      vars: Map[String, String] = Map.empty,
+      exposures: Seq[SchemaConfig.Exposure] = Nil): Map[String, DataFrame] = {
     require(threads >= 1, s"need threads >= 1, got $threads")
     require(defer.nonEmpty || !favorState,
       "favorState is only meaningful with defer (dbt: --favor-state " +
@@ -316,7 +354,7 @@ class SqlDag(spark: SparkSession, warehouseDir: String) {
         postHooks = m.postHooks.map(jinja))
     }
     runExpanded(expanded, seeds, threads, select, exclude, state, defer,
-      favorState)
+      favorState, exposures)
   }
 
   private def runExpanded(models: Seq[SqlModel], seeds: Map[String, DataFrame],
@@ -324,7 +362,8 @@ class SqlDag(spark: SparkSession, warehouseDir: String) {
       exclude: Seq[String],
       state: Option[String],
       defer: Option[String],
-      favorState: Boolean): Map[String, DataFrame] = {
+      favorState: Boolean,
+      exposures: Seq[SchemaConfig.Exposure] = Nil): Map[String, DataFrame] = {
     val dupNames = models.groupBy(_.name).collect { case (n, ms) if ms.size > 1 => n }
     require(dupNames.isEmpty, s"duplicate model names: ${dupNames.mkString(", ")}")
     val shadowing = models.map(_.name).toSet.intersect(seeds.keySet)
@@ -338,7 +377,8 @@ class SqlDag(spark: SparkSession, warehouseDir: String) {
     }
     val chosen =
       if (select.isEmpty && exclude.isEmpty) models
-      else selectModels(models, select, exclude, state)
+      else selectModels(models, select, exclude, state,
+        exposures = exposures)
     val byName = models.map(m => m.name -> m).toMap
     seeds.foreach { case (name, df) => df.createOrReplaceTempView(name) }
     // refs that leave the selection resolve to already-built relations —

@@ -292,5 +292,173 @@ object ModelDemos {
       built("q35_urgent_open").orderBy(col("priority").asc_nulls_last)
     })
 
-  val all: Seq[Demo] = Seq(x12, x13, x15, q33, q34, q35)
+  // -------------------------------------------------------------------
+  // Q36: SEED +column_types (SeedConfig + Tables.seedCsvTyped) — dbt's
+  // dbt_project.yml seed typing, end-to-end: orders is round-tripped
+  // through a header CSV (the seed file a migrating project ships),
+  // re-ingested with agate-style inference plus the configured
+  // overrides (`o_orderdate: date`, `o_orderkey: bigint` — inference
+  // alone would leave a string and an int), and aggregated off the
+  // TYPED columns (date_trunc needs the date; max needs the bigint).
+  // The oracle replays the same casts over the parquet table, so the
+  // compare proves the CSV round trip + override typing is
+  // value-exact. Scale: seeds are small by dbt's definition — the CSV
+  // write is a demo fixture, not a data path.
+  // -------------------------------------------------------------------
+  private val q36ProjectYml =
+    """seeds:
+      |  demo_project:
+      |    +column_types:
+      |      o_orderkey: bigint
+      |    orders_seed:
+      |      +column_types:
+      |        o_orderdate: date
+      |""".stripMargin
+
+  private val q36 = Demo("q36_seed_column_types", Some("""
+      SELECT CAST(date_trunc('month', CAST(o_orderdate AS DATE)) AS DATE) AS month,
+             count(*) AS n, round(sum(o_totalprice), 2) AS total,
+             CAST(max(o_orderkey) AS BIGINT) AS max_key
+      FROM orders
+      GROUP BY 1
+      ORDER BY month ASC NULLS LAST"""),
+    (s, dir) => {
+      val scratch = freshScratchDir("q36")
+      val csvDir = s"$scratch/orders_seed"
+      t(s, dir, "orders")
+        .select(col("o_orderkey"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"),
+          col("o_totalprice"))
+        .coalesce(1)
+        .write.option("header", "true").csv(csvDir)
+      val typed = Tables.seedCsvTyped(s, csvDir,
+        graft.models.SeedConfig.columnTypes(q36ProjectYml, "orders_seed"))
+      typed
+        .groupBy(trunc(col("o_orderdate"), "month").as("month"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("o_totalprice")), 2).as("total"),
+          max(col("o_orderkey")).as("max_key"))
+        .orderBy(col("month").asc_nulls_last)
+    })
+
+  // -------------------------------------------------------------------
+  // Q37: EXPOSURE-DRIVEN RUN (`+exposure:` — SchemaConfig.exposures +
+  // SqlDag selection) — dbt's "build everything this dashboard reads"
+  // CI idiom. The project declares three models; the ops_dashboard
+  // exposure depends only on priority_daily, so
+  // `run(select = +exposure:ops_dashboard)` builds the
+  // orders_enriched → priority_daily chain and SKIPS region_names
+  // (whose ref would fail if it ran against an empty catalog entry —
+  // the returned map simply omits it). The oracle replays the selected
+  // chain's SQL composed by hand.
+  // -------------------------------------------------------------------
+  private val q37ExposuresYml =
+    """version: 2
+      |exposures:
+      |  - name: ops_dashboard
+      |    type: dashboard
+      |    maturity: high
+      |    url: https://bi.example.com/ops
+      |    owner:
+      |      name: Ops Analytics
+      |      email: ops@example.com
+      |    depends_on:
+      |      - ref('priority_daily')
+      |""".stripMargin
+
+  private val q37 = Demo("q37_exposure_select", Some("""
+      WITH orders_enriched AS (
+        SELECT o_orderkey, o_orderpriority, o_totalprice,
+               CAST(o_orderdate AS DATE) AS order_date
+        FROM orders WHERE o_orderstatus <> 'F'),
+      priority_daily AS (
+        SELECT o_orderpriority AS priority,
+               CAST(date_trunc('month', order_date) AS DATE) AS month,
+               count(*) AS n, round(avg(o_totalprice), 2) AS avg_price
+        FROM orders_enriched GROUP BY 1, 2)
+      SELECT priority, month, n, avg_price FROM priority_daily
+      ORDER BY priority ASC NULLS LAST, month ASC NULLS LAST"""),
+    (s, dir) => {
+      val models = Seq(
+        graft.models.SqlDag.SqlModel("orders_enriched",
+          "select o_orderkey, o_orderpriority, o_totalprice, " +
+            "cast(o_orderdate as date) as order_date " +
+            "from {{ ref('orders') }} where o_orderstatus <> 'F'"),
+        graft.models.SqlDag.SqlModel("priority_daily",
+          "select o_orderpriority as priority, " +
+            "cast(date_trunc('month', order_date) as date) as month, " +
+            "count(*) as n, round(avg(o_totalprice), 2) as avg_price " +
+            "from {{ ref('orders_enriched') }} group by 1, 2"),
+        // outside the exposure's upstream — selection must skip it
+        graft.models.SqlDag.SqlModel("region_names",
+          "select r_name from {{ ref('region') }}"))
+      val dag = new graft.models.SqlDag(s, freshScratchDir("q37"))
+      val built = dag.run(models,
+        seeds = Map("orders" -> t(s, dir, "orders"),
+          "region" -> t(s, dir, "region")),
+        select = Seq("+exposure:ops_dashboard"),
+        exposures = graft.models.SchemaConfig.exposures(q37ExposuresYml))
+      require(!built.contains("region_names"),
+        "exposure selection built a model outside the dashboard's upstream")
+      built("priority_daily")
+        .orderBy(col("priority").asc_nulls_last, col("month").asc_nulls_last)
+    })
+
+  // -------------------------------------------------------------------
+  // Q38: METRICS NODE (`metrics:` YAML + Metrics.calculate) — dbt's
+  // v1.3 semantic-layer surface: a revenue metric DECLARED in YAML
+  // (sum of o_totalprice at declared grains/dimensions, filtered to
+  // open orders) over a SqlDag-built model, computed with dbt's
+  // calculate(grain, dimensions) contract. The oracle replays the
+  // model SQL + the metric rollup by hand; the round(…, 2) shaping on
+  // both sides absorbs float-sum ordering, as in every sum(double)
+  // demo. Scale: one (period, dim) shuffle with partial aggregation;
+  // the status filter sits under it.
+  // -------------------------------------------------------------------
+  private val q38MetricsYml =
+    """version: 2
+      |metrics:
+      |  - name: revenue
+      |    label: Open-order revenue
+      |    model: ref('orders_enriched_m')
+      |    calculation_method: sum
+      |    expression: o_totalprice
+      |    timestamp: order_date
+      |    time_grains: [day, month, year]
+      |    dimensions: [priority]
+      |    filters:
+      |      - field: o_orderstatus
+      |        operator: '='
+      |        value: "'O'"
+      |""".stripMargin
+
+  private val q38 = Demo("q38_metric_calculate", Some("""
+      WITH orders_enriched_m AS (
+        SELECT o_orderpriority AS priority, o_totalprice, o_orderstatus,
+               CAST(o_orderdate AS DATE) AS order_date
+        FROM orders)
+      SELECT CAST(date_trunc('month', order_date) AS DATE) AS period,
+             priority, round(sum(o_totalprice), 2) AS revenue
+      FROM orders_enriched_m
+      WHERE o_orderstatus = 'O'
+      GROUP BY 1, 2
+      ORDER BY period ASC NULLS LAST, priority ASC NULLS LAST"""),
+    (s, dir) => {
+      val dag = new graft.models.SqlDag(s, freshScratchDir("q38"))
+      val built = dag.run(
+        Seq(graft.models.SqlDag.SqlModel("orders_enriched_m",
+          "select o_orderpriority as priority, o_totalprice, " +
+            "o_orderstatus, cast(o_orderdate as date) as order_date " +
+            "from {{ ref('orders') }}")),
+        seeds = Map("orders" -> t(s, dir, "orders")))
+      val metric = graft.models.Metrics.metrics(q38MetricsYml)
+        .find(_.name == "revenue").get
+      graft.models.Metrics
+        .calculate(built(metric.model), metric, grain = "month",
+          dimensions = Seq("priority"))
+        .withColumn("revenue", round(col("revenue"), 2))
+        .orderBy(col("period").asc_nulls_last, col("priority").asc_nulls_last)
+    })
+
+  val all: Seq[Demo] = Seq(x12, x13, x15, q33, q34, q35, q36, q37, q38)
 }

@@ -157,4 +157,34 @@ object Tables {
       .option("quote", "\"")
       .schema(schema)
       .csv(path)
+
+  /** CSV seed ingest under dbt's `+column_types` config
+    * ([[graft.models.SeedConfig]]): schema inference plays agate's role
+    * (dbt's default seed typing), then each configured column is cast
+    * to its declared SQL type. An override naming a column the file
+    * does not have fails fast — dbt errors on that too, and a typo'd
+    * override silently not applying is how a seed ships mistyped.
+    * Unparseable values fail at load under ANSI mode, matching dbt's
+    * load-time type error. Inference is one extra driver-coordinated
+    * pass over the file — seeds are small by dbt's own definition.
+    */
+  def seedCsvTyped(spark: SparkSession, path: String,
+      columnTypes: Map[String, String]): DataFrame = {
+    val inferred = spark.read
+      .option("header", "true")
+      .option("quote", "\"")
+      .option("inferSchema", "true")
+      .csv(path)
+    val unknown = columnTypes.keySet.diff(inferred.columns.toSet)
+    require(unknown.isEmpty,
+      s"column_types name columns absent from $path: ${unknown.toSeq.sorted.mkString(", ")}")
+    columnTypes.foldLeft(inferred) { case (df, (c, t)) =>
+      // parse the type eagerly so a bad DDL string names the column
+      val dt =
+        try org.apache.spark.sql.types.DataType.fromDDL(t)
+        catch { case e: Exception => throw new IllegalArgumentException(
+          s"column_types.$c: unparseable SQL type '$t'", e) }
+      df.withColumn(c, col(c).cast(dt))
+    }
+  }
 }

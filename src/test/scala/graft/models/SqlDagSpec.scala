@@ -459,4 +459,87 @@ class SqlDagSpec extends SparkSpec {
       .orderBy("month", "loan_type_name", "customer_id").collect().toSeq
     assert(a === b)
   }
+
+  test("exposures parse from schema.yml and +exposure: selects the dashboard's upstream") {
+    val yml =
+      """version: 2
+        |exposures:
+        |  - name: ltv_dashboard
+        |    type: dashboard
+        |    maturity: high
+        |    url: https://bi.example.com/ltv
+        |    description: Monthly LTV reporting
+        |    owner:
+        |      name: Analytics
+        |      email: analytics@example.com
+        |    depends_on:
+        |      - ref('ltv_top')
+        |  - name: risk_model
+        |    type: ml
+        |    owner:
+        |      email: risk@example.com
+        |    depends_on:
+        |      - ref('agg_monthly_loans')
+        |""".stripMargin
+    val exps = SchemaConfig.exposures(yml)
+    assert(exps.map(_.name) === Seq("ltv_dashboard", "risk_model"))
+    assert(exps.head.exposureType === "dashboard")
+    assert(exps.head.dependsOn === Seq("ltv_top"))
+    assert(exps.head.ownerEmail === Some("analytics@example.com"))
+    assert(exps(1).ownerName === None) // email alone satisfies dbt's owner rule
+    // a schema.yml without an exposures block parses to none
+    assert(SchemaConfig.exposures("version: 2\n") === Nil)
+
+    val dag = new SqlDag(spark, "/tmp/unused-wh")
+    def names(sel: Seq[String], excl: Seq[String] = Nil) =
+      dag.selectModels(selectionModels, sel, excl, exposures = exps).map(_.name)
+    // +exposure: = the depends_on models plus their ancestor closures
+    assert(names(Seq("+exposure:ltv_dashboard")) ===
+      Seq("stg_loans", "fct_loan_details", "ltv_top"))
+    // the bare form selects the exposure NODE — a sink, no models run
+    // (dbt parity: `dbt run --select exposure:x` has nothing to do)
+    assert(names(Seq("exposure:ltv_dashboard")) === Seq())
+    // union with a model selector, and exclude composition: run all
+    // EXCEPT what the risk model reads
+    assert(names(Seq("exposure:ltv_dashboard", "stg_loans")) === Seq("stg_loans"))
+    assert(names(Seq(), Seq("+exposure:risk_model")) === Seq("ltv_top"))
+  }
+
+  test("exposure selection and parsing reject the documented misuses") {
+    val dag = new SqlDag(spark, "/tmp/unused-wh")
+    val exps = SchemaConfig.exposures(
+      """exposures:
+        |  - name: dash
+        |    type: dashboard
+        |    owner: {name: A}
+        |    depends_on: [ref('no_such_model')]
+        |""".stripMargin)
+    // a typo'd exposure name must not silently select nothing
+    assert(intercept[IllegalArgumentException] {
+      dag.selectModels(selectionModels, Seq("+exposure:nope"), exposures = exps)
+    }.getMessage.contains("unknown exposure"))
+    // depends_on naming an unknown model fails at selection, not silently
+    assert(intercept[IllegalArgumentException] {
+      dag.selectModels(selectionModels, Seq("+exposure:dash"), exposures = exps)
+    }.getMessage.contains("no_such_model"))
+    // exposures are sinks: a descendants closure is a mistyped +exposure:
+    assert(intercept[IllegalArgumentException] {
+      dag.selectModels(selectionModels, Seq("exposure:dash+"), exposures = exps)
+    }.getMessage.contains("no descendants"))
+    assert(intercept[IllegalArgumentException] {
+      dag.selectModels(selectionModels, Seq("@exposure:dash"), exposures = exps)
+    }.getMessage.contains("cannot combine"))
+    // parse-time validation: dbt's closed type vocabulary, owner rule,
+    // non-empty depends_on, maturity vocabulary
+    def bad(y: String) =
+      intercept[IllegalArgumentException](SchemaConfig.exposures(y)).getMessage
+    assert(bad("exposures:\n  - name: x\n    type: spreadsheet\n    owner: {name: A}\n    depends_on: [ref('m')]\n")
+      .contains("unknown type"))
+    assert(bad("exposures:\n  - name: x\n    type: dashboard\n    owner: {}\n    depends_on: [ref('m')]\n")
+      .contains("owner"))
+    assert(bad("exposures:\n  - name: x\n    type: dashboard\n    owner: {name: A}\n    depends_on: []\n")
+      .contains("non-empty"))
+    assert(bad("exposures:\n  - name: x\n    type: dashboard\n    maturity: extreme\n    owner: {name: A}\n    depends_on: [ref('m')]\n")
+      .contains("maturity"))
+  }
 }

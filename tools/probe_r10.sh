@@ -35,8 +35,15 @@ avail_gb() { df -BG --output=avail /root/repo | tail -1 | tr -dc 0-9; }
 
 echo "=== probe_r10 start $(date +%H:%M:%S) avail=$(avail_gb)G" >> $LOG
 
-# fixtures: 500k (sf10 anchor) + 5M (sf100 decade), documents-only
-for f in sf10:500000 sf100:5000000; do
+# Third scale point: 2M docs (sf40), NOT 5M. The 5M minhash face was
+# attempted first under this protocol and died cleanly on disk: it
+# consumed the box's entire 79 G of scratch in ~10 min of shuffle spill
+# (FAILED probe10_minhash_capped_sf100 in target/probe10_chain.log;
+# the 500k face spills ~8 G, so 10x needs ~80 G — just past this box).
+# The r9 verdict pre-authorized exactly this fallback: "if it doesn't
+# fit, run the decade at 2M docs and say so." 2M spills ~4x the 500k
+# face (~30 G), inside the 40 G budget with headroom.
+for f in sf10:500000 sf40:2000000; do
   tag=${f%%:*}; n=${f#*:}
   if [ ! -f target/$tag/documents.parquet ]; then
     echo "=== gen $tag ($n docs) $(date +%H:%M:%S)" >> $LOG
@@ -50,9 +57,14 @@ export SPARK_GRAFT_RUNS=1
 export SPARK_DRIVER_MEM=48g
 
 for op in minhash_capped clusters_capped clean_capped incremental_capped; do
-  for p in sf10:target/sf10 sf100:target/sf100; do
+  for p in sf10:target/sf10 sf40:target/sf40; do
     tag=${p%%:*}; dir=${p#*:}
     name=probe10_${op}_$tag
+    # idempotent restart: a face already recorded this round is done
+    if [ -s probes/r10/$name.json ]; then
+      echo "SKIP $name (already recorded)" >> $LOG
+      continue
+    fi
     # (1) preflight: refuse to start a face the disk cannot hold
     free=$(avail_gb)
     if [ "$free" -lt "$NEED_GB" ]; then
