@@ -27,9 +27,12 @@ cd /root/repo
 mkdir -p target probes/r10
 LOG=target/probe10_chain.log
 SCRATCH=/root/repo/target/scratch
-NEED_GB=40   # budget: the 500k minhash face spills a few GB; 10x that
-             # plus the global-sort doubling still fits in 40 G, and the
-             # box has ~80 G free after the r9 debris cleanup
+NEED_GB=70   # budget: the first 2M minhash attempt (killed externally
+             # mid-run when its parent session died) had 63 G in scratch
+             # on Job 19 — cumulative shuffle files across the signature
+             # agg, band self-join, pair-verify joins, and final sort.
+             # 70 G is the honest floor for the 2M faces; the box holds
+             # ~79 G free after cleanup.
 
 avail_gb() { df -BG --output=avail /root/repo | tail -1 | tr -dc 0-9; }
 
