@@ -294,6 +294,17 @@ class PlanSpec extends SparkSpec {
     assert(offenders.isEmpty, offenders.mkString("\n"))
   }
 
+  test("q38 metric calculate: two-phase hash agg, metric filter pushed to the scan") {
+    val p = plan("q38_metric_calculate")
+    // Metrics.calculate is one declarative filter → groupBy(period, dims)
+    // → agg chain: partial + final aggregation around the one exchange,
+    // and the YAML filter (o_orderstatus = 'O') reaches the parquet scan
+    // — a metric that re-scanned or single-phase-shuffled raw rows would
+    // not be the rollup a user hand-writes
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+    assert(p.contains("PushedFilters: [IsNotNull(o_orderstatus), EqualTo(o_orderstatus,O)]"), p)
+  }
+
   test("x35 segment dedup: exactly the two semantic shuffles (segment window, doc agg)") {
     val df = graft.operators.TextDedup.segmentDedup(
       graft.sources.Tables.table(spark, sfDir, "documents"),
