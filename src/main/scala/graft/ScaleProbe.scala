@@ -190,8 +190,13 @@ object ScaleProbe {
       BenchProtocol.releaseStorage(spark, gcMode)
       dt
     }
-    // stdout stays one machine-readable line, like Bench
-    println(s"""{"op":"$op","n":$n,"param":$param,"sec":${times.min},"calib":$calib,"calib_io":$calibIo,"sf":"$sfDir"}""")
+    // stdout stays one machine-readable line, like Bench. The record
+    // carries the shuffle codec because the r10 chain runs under zstd
+    // (-Dspark.io.compression.codec): lz4's ratio is what pushed the 2M
+    // faces' cumulative shuffle past the box — a record must say which
+    // regime it measured or cross-round ratios silently mix codecs.
+    val codec = spark.conf.getOption("spark.io.compression.codec").getOrElse("lz4")
+    println(s"""{"op":"$op","n":$n,"param":$param,"sec":${times.min},"calib":$calib,"calib_io":$calibIo,"codec":"$codec","sf":"$sfDir"}""")
     spark.stop()
     benchLock.close()
   }

@@ -46,6 +46,21 @@ echo "=== probe_r10 start $(date +%H:%M:%S) avail=$(avail_gb)G" >> $LOG
 # The r9 verdict pre-authorized exactly this fallback: "if it doesn't
 # fit, run the decade at 2M docs and say so." 2M spills ~4x the 500k
 # face (~30 G), inside the 40 G budget with headroom.
+#
+# PROTOCOL v2 (the first v1 pass at 2M ALSO died on disk — every sf40
+# face exhausted the 79 G despite the preflight; cumulative shuffle
+# files under lz4 exceed the box): all faces now run with
+# spark.io.compression.codec=zstd — shuffle + spill bytes drop ~1.5-2x
+# vs lz4 on this text-heavy data, the same lever a shuffle-bound LSH
+# job pulls on a real cluster. The sf10 anchors are RE-RUN under zstd
+# (their v1/lz4 records are deleted below) so every 500k→2M step ratio
+# compares like with like; ScaleProbe records carry a "codec" field so
+# a record can never misstate its regime.
+# (idempotency-safe: only v1 records — no "codec" field — are swept,
+# so a relaunch after a mid-chain death keeps completed v2 faces)
+for f in probes/r10/probe10_*_sf*.json; do
+  [ -f "$f" ] && ! grep -q '"codec"' "$f" && rm -f "$f"
+done
 for f in sf10:500000 sf40:2000000; do
   tag=${f%%:*}; n=${f#*:}
   if [ ! -f target/$tag/documents.parquet ]; then
@@ -77,7 +92,7 @@ for op in minhash_capped clusters_capped clean_capped incremental_capped; do
     # (2) dedicated scratch, cleaned between faces
     rm -rf "$SCRATCH"; mkdir -p "$SCRATCH"
     echo "=== $name $(date +%H:%M:%S) avail=${free}G" >> $LOG
-    JAVA_TOOL_OPTIONS="-Dspark.sql.files.maxPartitionBytes=2097152 -Dspark.sql.files.openCostInBytes=262144 -Dspark.local.dir=$SCRATCH" \
+    JAVA_TOOL_OPTIONS="-Dspark.sql.files.maxPartitionBytes=2097152 -Dspark.sql.files.openCostInBytes=262144 -Dspark.local.dir=$SCRATCH -Dspark.io.compression.codec=zstd" \
       sbt -batch "runMain graft.ScaleProbe $op $dir" \
       > target/$name.log 2>&1
     rc=$?
