@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Scale-probe variants that the demo registry cannot express: a
@@ -20,6 +20,50 @@ import org.apache.spark.sql.functions._
   * Prints ONE JSON line {"op":…,"n":…,"param":…,"sec":…,"calib":…}.
   */
 object ScaleProbe {
+
+  /** Task-metrics accumulator for the timed window — the counters that
+    * DISTINGUISH a spill-regime transition from a candidate-volume
+    * blowup (r10 verdict: the 2M-doc step ratios were super-linear and
+    * nobody could say which): total shuffle bytes written/read and
+    * spill bytes (memory-resident size / on-disk size). Attached after
+    * calibration so warmup/calib jobs never pollute the record.
+    */
+  private final class ProbeMetrics extends org.apache.spark.scheduler.SparkListener {
+    import java.util.concurrent.atomic.AtomicLong
+    val shufWrite = new AtomicLong; val shufRead = new AtomicLong
+    val spillDisk = new AtomicLong; val spillMem = new AtomicLong
+    @volatile var tasks = 0L
+    override def onTaskEnd(
+        e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+      val m = e.taskMetrics
+      if (m != null) {
+        shufWrite.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+        shufRead.addAndGet(m.shuffleReadMetrics.totalBytesRead)
+        spillDisk.addAndGet(m.diskBytesSpilled)
+        spillMem.addAndGet(m.memoryBytesSpilled)
+        tasks += 1
+      }
+    }
+    /** Listener events are delivered async; poll until the counters stop
+      * moving so the record never misses the tail of the last stage.
+      */
+    def quiesce(): Unit = {
+      var prev = -1L
+      var same = 0
+      var waited = 0
+      while (same < 2 && waited < 100) { // two consecutive stable reads
+        val now = shufWrite.get + shufRead.get + spillDisk.get +
+          spillMem.get + tasks
+        if (now == prev) same += 1 else same = 0
+        prev = now
+        Thread.sleep(100); waited += 1
+      }
+    }
+    def json: String = {
+      def gb(v: Long): String = f"${v / 1e9}%.3f"
+      s""""shuffle_write_gb":${gb(shufWrite.get)},"shuffle_read_gb":${gb(shufRead.get)},"spill_disk_gb":${gb(spillDisk.get)},"spill_mem_gb":${gb(spillMem.get)}"""
+    }
+  }
 
   def main(args: Array[String]): Unit = {
     // same mechanical mutual exclusion as Bench (ONE lock file): a
@@ -56,6 +100,17 @@ object ScaleProbe {
     val rates = graft.queries.CorpusCleanDemos.rates // x11/x50's exact params
     def docs = graft.sources.Tables.table(spark, sfDir, "documents")
 
+    // the band-group split (r10 verdict item 1): bounds the LSH faces'
+    // live shuffle-spill footprint at ~1/groups — set on BOTH scale
+    // points of a face so step ratios compare like with like
+    val bandGroups = sys.env.get("SPARK_GRAFT_BAND_GROUPS").map(_.toInt)
+    bandGroups.foreach(g => require(g >= 1,
+      s"SPARK_GRAFT_BAND_GROUPS must be >= 1, got $g"))
+
+    // diag_* ops fill this (stage-count evidence: candidate volumes,
+    // bucket histograms); printed as a "diag" object in the record
+    var diag: Map[String, Long] = Map.empty
+
     val (n, param, result): (Long, Long, () => DataFrame) = op match {
       case "semdedup_scaled" =>
         // the x31 demo pins kCells=4 for its unrolled oracle, so at 10x
@@ -80,7 +135,7 @@ object ScaleProbe {
         // grew 45x at 10x docs (random band collisions are O(n²·p))
         (docs.count(), cap.toLong, () => graft.operators.TextDedup
           .minhashLshPairs(docs, "doc_id", "text", 0.5,
-            maxBucket = Some(cap))
+            maxBucket = Some(cap), bandGroups = bandGroups)
           .orderBy(col("id_a").asc_nulls_last, col("id_b").asc_nulls_last))
       case "estimate" | "estimate_capped" =>
         // x2h at scale: signature-only re-scoring — candidate volume is
@@ -129,7 +184,7 @@ object ScaleProbe {
         (docs.count(), cap.toLong, () => graft.operators.TextDedup
           .dedupClusters(graft.operators.TextDedup
             .minhashLshPairs(docs, "doc_id", "text", 0.5,
-              maxBucket = Some(cap)))
+              maxBucket = Some(cap), bandGroups = bandGroups))
           .select(col("node").as("doc_id"), col("cluster_id"))
           .orderBy(col("doc_id").asc_nulls_last))
       case "clean_capped" =>
@@ -166,6 +221,63 @@ object ScaleProbe {
               col("r.n_docs").as("n_docs"), col("r.n_removed").as("n_removed"))
             .orderBy(col("stage_idx").asc_nulls_last)
         })
+      case "diag_minhash" =>
+        // The discriminator the r10 verdict asks for: EXACT pre-distinct
+        // candidate volume from the band-bucket histogram alone —
+        // sum over buckets of C(bn, 2) — with NO pair self-join (linear
+        // cost: signatures + banding + one (band, key) aggregate). If
+        // cand_pairs grows ~linearly with docs while the probe faces'
+        // wall-clock doesn't, the super-linear step is a spill-regime
+        // transition, not algorithmic blowup (opposite remedies).
+        (docs.count(), cap.toLong, () => {
+          // Column `/` is double division; bn·(bn−1) is even, so the
+          // cast back to long is exact for any bucket this box can hold
+          val pairsOf = (bn: Column) => (bn * (bn - 1) / 2).cast("long")
+          val bn = col("bn")
+          val row = graft.operators.TextDedup.lshIndex(docs, "doc_id", "text")
+            .groupBy(col("band"), col("key")).agg(count(lit(1)).as("bn"))
+            .agg(
+              sum(bn).as("index_rows"),
+              count(lit(1)).as("buckets"),
+              sum(when(bn.between(2, cap), bn)).as("live_rows"),
+              sum(when(bn.between(2, cap), pairsOf(bn))).as("cand_pairs"),
+              sum(when(bn >= 2, pairsOf(bn))).as("cand_pairs_uncapped"),
+              sum(when(bn > cap, lit(1L))).as("dropped_buckets"),
+              sum(when(bn > cap, bn)).as("dropped_rows"))
+            .na.fill(0L).collect().head
+          diag = row.schema.fieldNames.zipWithIndex
+            .map { case (f, i) => f -> row.getLong(i) }.toMap
+          spark.range(1).toDF("ok") // counts already collected above
+        })
+      case "diag_incremental" =>
+        // same discriminator for the crawl-probe face: candidate volume
+        // = Σ_buckets batch_bn × store_bn (store side cap-filtered like
+        // probeLshStore's live-store window) — two histograms + one
+        // bucket-keyed join, never the pair join itself
+        (docs.count(), cap.toLong, () => {
+          def hist(df: org.apache.spark.sql.DataFrame, as: String) =
+            graft.operators.TextDedup.lshIndex(df, "doc_id", "text")
+              .groupBy(col("band"), col("key")).agg(count(lit(1)).as(as))
+          val sHist = hist(docs.filter(col("doc_id") % 5 =!= 4), "sbn")
+          val bHist = hist(docs.filter(col("doc_id") % 5 === 4), "bbn")
+          val sRow = sHist.agg(
+            sum(col("sbn")).as("store_rows"),
+            sum(when(col("sbn") <= cap, col("sbn"))).as("live_store_rows"))
+            .na.fill(0L).collect().head
+          val jRow = bHist.join(sHist, Seq("band", "key"))
+            .agg(
+              sum(col("bbn")).as("batch_rows_colliding"),
+              sum(when(col("sbn") <= cap, col("bbn") * col("sbn")))
+                .as("cand_pairs"),
+              sum(col("bbn") * col("sbn")).as("cand_pairs_uncapped"))
+            .na.fill(0L).collect().head
+          diag =
+            (sRow.schema.fieldNames.zipWithIndex.map { case (f, i) =>
+              f -> sRow.getLong(i) } ++
+             jRow.schema.fieldNames.zipWithIndex.map { case (f, i) =>
+              f -> jRow.getLong(i) }).toMap
+          spark.range(1).toDF("ok")
+        })
       case other => sys.error(s"unknown probe op '$other'")
     }
 
@@ -183,6 +295,10 @@ object ScaleProbe {
 
     val nRuns = sys.env.getOrElse("SPARK_GRAFT_RUNS", "1").toInt
     require(nRuns >= 1, s"SPARK_GRAFT_RUNS must be >= 1, got $nRuns")
+    // attached after warmup + calib: the record's shuffle/spill counters
+    // cover ONLY the timed runs
+    val metrics = new ProbeMetrics
+    spark.sparkContext.addSparkListener(metrics)
     val times = (1 to nRuns).map { _ =>
       val t0 = System.nanoTime()
       BenchProtocol.evaluate(result())
@@ -190,13 +306,20 @@ object ScaleProbe {
       BenchProtocol.releaseStorage(spark, gcMode)
       dt
     }
+    metrics.quiesce()
     // stdout stays one machine-readable line, like Bench. The record
     // carries the shuffle codec because the r10 chain runs under zstd
     // (-Dspark.io.compression.codec): lz4's ratio is what pushed the 2M
     // faces' cumulative shuffle past the box — a record must say which
     // regime it measured or cross-round ratios silently mix codecs.
     val codec = spark.conf.getOption("spark.io.compression.codec").getOrElse("lz4")
-    println(s"""{"op":"$op","n":$n,"param":$param,"sec":${times.min},"calib":$calib,"calib_io":$calibIo,"codec":"$codec","sf":"$sfDir"}""")
+    val bg = bandGroups.fold("")(g => s""","band_groups":$g""")
+    val dg =
+      if (diag.isEmpty) ""
+      else diag.toSeq.sortBy(_._1)
+        .map { case (k, v) => s""""$k":$v""" }
+        .mkString(""","diag":{""", ",", "}")
+    println(s"""{"op":"$op","n":$n,"param":$param,"sec":${times.min},"calib":$calib,"calib_io":$calibIo,"codec":"$codec",${metrics.json}$bg$dg,"sf":"$sfDir"}""")
     spark.stop()
     benchLock.close()
   }

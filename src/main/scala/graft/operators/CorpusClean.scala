@@ -57,11 +57,18 @@ object CorpusClean {
     * open-web scale the cap is this pipeline's linearity knob too.
     * Default None keeps exact all-in-bucket-pairs semantics.
     */
+  /** `lshBandGroups` passes through to [[TextDedup.minhashLshPairs]]'
+    * band-group split — the DISK knob (the cap bounds candidate compute;
+    * the grouping bounds the live shuffle-spill footprint of the LSH
+    * stage at ~1/groups, which is what keeps the pipeline runnable when
+    * per-node scratch, not CPU, is the binding constraint).
+    */
   def stages(docs: DataFrame, idCol: String, textCol: String,
       stratumCol: String, nearDupThreshold: Double,
       rates: Map[String, Int], defaultPercent: Int = 0,
       materializeCut: DataFrame => DataFrame = identity,
-      lshMaxBucket: Option[Int] = None): CleanStages = {
+      lshMaxBucket: Option[Int] = None,
+      lshBandGroups: Option[Int] = None): CleanStages = {
     // 1. quality: C4-style keep flag
     val quality = TextAnalysis.qualityMetrics(docs, textCol)
       .filter(col("keep") === 1)
@@ -81,7 +88,7 @@ object CorpusClean {
     // hit the (typically materializeCut-checkpointed) exactKept frame,
     // which is exactly what that cut exists to make cheap.
     val pairs = TextDedup.minhashLshPairs(exactKept, idCol, textCol,
-      nearDupThreshold, maxBucket = lshMaxBucket)
+      nearDupThreshold, maxBucket = lshMaxBucket, bandGroups = lshBandGroups)
     val nearKept = exactKept.join(
       pairs.select(col("id_b").as(idCol)).distinct(),
       Seq(idCol), "left_anti")
@@ -96,9 +103,11 @@ object CorpusClean {
       stratumCol: String, nearDupThreshold: Double,
       rates: Map[String, Int], defaultPercent: Int = 0,
       materializeCut: DataFrame => DataFrame = identity,
-      lshMaxBucket: Option[Int] = None): DataFrame =
+      lshMaxBucket: Option[Int] = None,
+      lshBandGroups: Option[Int] = None): DataFrame =
     stages(docs, idCol, textCol, stratumCol, nearDupThreshold,
-      rates, defaultPercent, materializeCut, lshMaxBucket).sampled
+      rates, defaultPercent, materializeCut, lshMaxBucket,
+      lshBandGroups).sampled
 
   /** Curriculum ordering: place every doc in a difficulty band (the
     * CCNet perplexity terciles of [[TextAnalysis.perplexityBuckets]] —

@@ -33,6 +33,36 @@ object TextDedup {
   graft.plans.FanoutLint.allowContractKeys(
     "__graft_id_a", "__graft_id_b", "__graft_new_id", "__graft_old_id")
 
+  /** localCheckpoint(eager) + track exactly which persistent RDD ids the
+    * checkpoint created, so a caller can release THAT generation later
+    * (localCheckpoint persists into executor storage and offers no
+    * Dataset-level release). Shared by [[dedupClusters]]' per-round
+    * label generations and the band-group candidate passes.
+    */
+  private def checkpointTracked(df: DataFrame): (DataFrame, Set[Int]) = {
+    val sc = df.sparkSession.sparkContext
+    val before: Set[Int] = sc.getPersistentRDDs.keySet.toSet
+    val out = df.localCheckpoint(true)
+    (out, sc.getPersistentRDDs.keySet.toSet.diff(before))
+  }
+
+  private def release(sc: org.apache.spark.SparkContext, ids: Set[Int]): Unit =
+    ids.foreach(id =>
+      sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
+
+  /** Nudge the ContextCleaner to reclaim the SHUFFLE FILES of plans that
+    * just went unreachable (a localCheckpoint truncates lineage, so the
+    * pre-checkpoint shuffles' dependencies become garbage): ContextCleaner
+    * deletes shuffle files only when their ShuffleDependency is GC'd — on
+    * a big heap that can be never, and a sequential multi-pass job would
+    * otherwise accumulate every pass's spill until the disk fills (the
+    * exact r10 failure: the monolithic 2M-doc LSH probes' cumulative
+    * shuffle files exceeded 79 G even under zstd). Pair with
+    * `spark.cleaner.referenceTracking.blocking.shuffle=true` so deletions
+    * complete before the next pass starts writing.
+    */
+  private def releaseShuffles(): Unit = System.gc()
+
   /** Keep-first exact dedup by key (X1): one hash shuffle on the keys;
     * `tiebreak` makes "first" deterministic (dropDuplicates' keep-first
     * depends on partition order — never use it for reproducible corpora).
@@ -415,10 +445,47 @@ object TextDedup {
       .distinct()
   }
 
+  /** `bandGroups` bounds the candidate generation's LIVE shuffle-spill
+    * footprint — the disk knob the r10 2M-doc probes were missing: the
+    * monolithic formulation is ONE job whose shuffle files (signature
+    * aggregate + band-bucket window + band self-join + pair distinct)
+    * all coexist on disk until the job ends; at 2M docs that cumulative
+    * footprint exceeded the probe box's 79 G of scratch even under zstd.
+    * With `Some(g)` the band index is localCheckpoint'ed ONCE (after
+    * which the signature aggregate's shuffle files release) and the
+    * (band, key) self-join runs as `g` SEQUENTIAL passes over bands
+    * ≡ i (mod g), each pass's pair set checkpointed and its shuffle
+    * files GC-released before the next pass starts — live scratch is
+    * bounded at ~1/g of the monolithic job's, identical output (band
+    * membership partitions the candidate universe; the final distinct
+    * dedups pairs that collide in bands of different groups —
+    * spec-pinned equality). This is also the honest 100 TB story: a
+    * real cluster bounds spill per STAGE, not per pipeline.
+    *
+    * Grouped mode always materializes the candidate set (the per-pass
+    * results already are): `materializeCandidates` selects HOW the
+    * unioned set is cut (default `_.localCheckpoint(true)`), and
+    * verification shingles only candidate docs via semi joins — the
+    * scale path, which is the only regime where `bandGroups` makes
+    * sense. Demo scale should keep `None`: g sequential passes forfeit
+    * operator overlap, costing wall-clock to save scratch.
+    */
   def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
       threshold: Double,
       materializeCandidates: Option[DataFrame => DataFrame] = None,
-      maxBucket: Option[Int] = None): DataFrame = {
+      maxBucket: Option[Int] = None,
+      bandGroups: Option[Int] = None): DataFrame = bandGroups match {
+    case Some(g) =>
+      minhashLshPairsGrouped(df, idCol, textCol, threshold,
+        materializeCandidates.getOrElse(_.localCheckpoint(true)), maxBucket, g)
+    case None => minhashLshPairsMonolithic(df, idCol, textCol, threshold,
+      materializeCandidates, maxBucket)
+  }
+
+  private def minhashLshPairsMonolithic(df: DataFrame, idCol: String,
+      textCol: String, threshold: Double,
+      materializeCandidates: Option[DataFrame => DataFrame],
+      maxBucket: Option[Int]): DataFrame = {
     val lazyCand = lshCandidatePairs(lshIndex(df, idCol, textCol), maxBucket)
     val (cand, setsBase) = materializeCandidates match {
       case None => (lazyCand, df)
@@ -432,6 +499,16 @@ object TextDedup {
         // only when it actually fits, else a shuffled semi join
         (c, df.join(candIds, Seq(idCol), "left_semi"))
     }
+    verifyCandidatePairs(cand, setsBase, idCol, textCol, threshold)
+  }
+
+  /** Exact-Jaccard verification of a `(__graft_id_a, __graft_id_b)`
+    * candidate frame against shingle sets built from `setsBase` — the
+    * shared tail of the monolithic and band-grouped paths (ONE
+    * definition, so the grouped path's semantics can never drift).
+    */
+  private def verifyCandidatePairs(cand: DataFrame, setsBase: DataFrame,
+      idCol: String, textCol: String, threshold: Double): DataFrame = {
     val sets = shingleSets(setsBase, idCol, textCol)
     cand
       .join(sets.select(col("doc_id").as("__graft_id_a"), col("shs").as("shs_a")),
@@ -441,6 +518,42 @@ object TextDedup {
       .select(col("__graft_id_a").as("id_a"), col("__graft_id_b").as("id_b"),
         jaccardOfSets(col("shs_a"), col("shs_b")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
+  }
+
+  /** The band-grouped candidate path (see [[minhashLshPairs]]'
+    * `bandGroups` doc): checkpoint the band index once, run the
+    * candidate self-join as `groups` sequential band-slice passes with
+    * per-pass checkpoint + shuffle release, union + distinct + cut the
+    * candidate set, release every intermediate generation, then verify
+    * over semi-joined candidate docs only.
+    */
+  private def minhashLshPairsGrouped(df: DataFrame, idCol: String,
+      textCol: String, threshold: Double,
+      materialize: DataFrame => DataFrame, maxBucket: Option[Int],
+      groups: Int): DataFrame = {
+    require(groups >= 1, s"bandGroups must be >= 1, got $groups")
+    val sc = df.sparkSession.sparkContext
+    val (bands, bandIds) = checkpointTracked(lshIndex(df, idCol, textCol))
+    releaseShuffles() // the signature aggregate's shuffle files
+    val passes = (0 until groups).map { g =>
+      // slicing by band is windowing-safe: the (band, key) bucket count
+      // never crosses bands, so a slice sees every row of its buckets
+      val out = checkpointTracked(
+        lshCandidatePairs(bands.filter(col("band") % groups === g), maxBucket))
+      releaseShuffles() // this pass's window + self-join shuffle files
+      out
+    }
+    val cand = materialize(
+      passes.map(_._1).reduce(_ union _).distinct())
+    // candidates are cut: the band index and every pass generation are
+    // dead weight from here — release before the verify stage spills
+    release(sc, bandIds ++ passes.flatMap(_._2).toSet)
+    releaseShuffles()
+    val candIds = cand
+      .select(explode(array(col("__graft_id_a"), col("__graft_id_b"))).as(idCol))
+      .distinct()
+    verifyCandidatePairs(cand, df.join(candIds, Seq(idCol), "left_semi"),
+      idCol, textCol, threshold)
   }
 
   /** Signature-only near-dup pairs (X2h) — [[minhashLshPairs]]' candidate
@@ -614,18 +727,10 @@ object TextDedup {
   def dedupClusters(pairs: DataFrame, idACol: String = "id_a",
       idBCol: String = "id_b", maxIters: Int = 20): DataFrame = {
     val sc = pairs.sparkSession.sparkContext
-    // localCheckpoint persists into executor storage and offers no
-    // Dataset-level release — track each round's checkpoint RDD ids and
-    // explicitly unpersist the superseded round, so live storage stays at
-    // edges + one label generation instead of one copy per iteration
-    def checkpointTracked(df: DataFrame): (DataFrame, Set[Int]) = {
-      val before: Set[Int] = sc.getPersistentRDDs.keySet.toSet
-      val out = df.localCheckpoint(true)
-      (out, sc.getPersistentRDDs.keySet.toSet.diff(before))
-    }
-    def release(ids: Set[Int]): Unit =
-      ids.foreach(id =>
-        sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
+    // track each round's checkpoint RDD ids and explicitly unpersist the
+    // superseded round, so live storage stays at edges + one label
+    // generation instead of one copy per iteration
+    def release(ids: Set[Int]): Unit = TextDedup.release(sc, ids)
     val (edges, edgeIds) = checkpointTracked(
       pairs.select(col(idACol).as("src"), col(idBCol).as("dst"))
         .union(pairs.select(col(idBCol).as("src"), col(idACol).as("dst")))

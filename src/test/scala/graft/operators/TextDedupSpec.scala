@@ -23,6 +23,53 @@ class TextDedupSpec extends SparkSpec {
     assert(lazyPairs.nonEmpty)
   }
 
+  test("minhash LSH: band-grouped path ≡ monolithic, runs ≥ groups+2 sequential jobs, releases its intermediates") {
+    val docs = Tables.table(spark, sfDir, "documents")
+    val mono = TextDedup.minhashLshPairs(docs, "doc_id", "text", 0.5,
+        maxBucket = Some(64))
+      .collect().map(_.mkString("|")).toSet
+    val sc = spark.sparkContext
+    val groups = 3
+    // job-group-scoped counting: suites run in parallel against the
+    // shared session, so a global job counter would see other suites'
+    // jobs — eager checkpoints run on THIS thread and inherit its group
+    val groupId = "graft-band-group-spec"
+    @volatile var groupJobs = 0
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          e: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        if (e.properties != null &&
+            groupId == e.properties.getProperty("spark.jobGroup.id"))
+          groupJobs += 1
+    }
+    sc.addSparkListener(listener)
+    val persistedBefore = sc.getPersistentRDDs.keySet.toSet
+    val grouped =
+      try {
+        sc.setJobGroup(groupId, "band-grouped construction")
+        val df = TextDedup.minhashLshPairs(docs, "doc_id", "text", 0.5,
+          maxBucket = Some(64), bandGroups = Some(groups))
+        sc.clearJobGroup()
+        // construction is synchronous (eager checkpoints); give the
+        // async listener bus a bounded beat to deliver the job starts
+        val deadline = System.nanoTime() + 10e9.toLong
+        while (groupJobs < groups + 2 && System.nanoTime() < deadline)
+          Thread.sleep(50)
+        df
+      } finally sc.removeSparkListener(listener)
+    // band-index checkpoint + one per pass + the candidate-union cut
+    assert(groupJobs >= groups + 2,
+      s"expected >= ${groups + 2} sequential checkpoint jobs, saw $groupJobs")
+    // hygiene: the pass generations and the band index are RELEASED at
+    // construction end — only the candidate cut may remain. (<= 2, not
+    // == 1: a parallel suite may persist concurrently; a release
+    // regression would leave groups + 2 = 5 behind.)
+    val leaked = sc.getPersistentRDDs.keySet.toSet.diff(persistedBefore)
+    assert(leaked.size <= 2, s"grouped path leaked checkpoints: $leaked")
+    assert(grouped.collect().map(_.mkString("|")).toSet === mono)
+    assert(mono.nonEmpty)
+  }
+
   test("minhash LSH: stop-bucket cap wiring — generous cap ≡ uncapped, cap below pairability drops all") {
     val docs = Tables.table(spark, sfDir, "documents")
     val uncapped = TextDedup.minhashLshPairs(docs, "doc_id", "text", 0.5)
