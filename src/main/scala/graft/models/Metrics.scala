@@ -48,6 +48,10 @@ object Metrics {
   /** One filter conjunct: rendered as `field operator value` with the
     * value text inlined verbatim (dbt's filters are raw SQL fragments —
     * the YAML quotes string literals itself, e.g. `value: "'O'"`).
+    * Deliberate asymmetry: `field`/`operator` are allowlisted (typo
+    * protection), but `value` is a TRUSTED fragment — a value like
+    * `"1 OR x IS NOT NULL"` widens the metric exactly as it would in
+    * dbt. The project YAML is code; review it as such.
     */
   final case class MetricFilter(field: String, operator: String,
       value: String)

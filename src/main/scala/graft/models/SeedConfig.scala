@@ -51,11 +51,33 @@ object SeedConfig {
     * with no `seeds:` key, or no config reaching the seed, yields an
     * empty map — dbt's "fall back to inference". Non-string type
     * values fail fast.
+    *
+    * A seed living in a configured SUBDIRECTORY should be passed as its
+    * path, e.g. `"raw/raw_loans"`: dbt's hierarchy mirrors the seeds/
+    * filesystem, so `seeds.<project>.raw.+column_types` applies to
+    * every CSV under `seeds/raw/` whether or not the file has its own
+    * key — the path form walks project → each directory segment → the
+    * seed key (each level that EXISTS contributes its config; absent
+    * levels just stop the descent), which the bare-name form cannot do
+    * for unlisted seeds (it only inherits the project-root cascade).
     */
   def columnTypes(yamlText: String, seedName: String): Map[String, String] = {
     val root = mapper.readTree(yamlText)
     Option(root.get("seeds")) match {
       case None => Map.empty
+      case Some(seeds) if seedName.contains('/') =>
+        // path form: seeds-level config, then the project key, then one
+        // level per path segment — dbt's filesystem-mirroring cascade
+        var acc = typesOf(seeds, "seeds")
+        var node: Option[JsonNode] =
+          Option(root.get("name")).filter(_.isTextual).map(_.asText)
+            .flatMap(n => Option(seeds.get(n)))
+        node.filter(_.isObject).foreach(n => acc = acc ++ typesOf(n, "project"))
+        seedName.split('/').foreach { seg =>
+          node = node.flatMap(n => Option(n.get(seg)))
+          node.filter(_.isObject).foreach(n => acc = acc ++ typesOf(n, seg))
+        }
+        acc
       case Some(seeds) =>
         // collect the merge along every path ending at `seedName`;
         // dbt resolves a seed under its project/subdir keys, so the

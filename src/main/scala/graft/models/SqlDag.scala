@@ -52,9 +52,30 @@ object SqlDag {
     * CI run must not skip a model whose audit/GRANT hook changed;
     * r9 advice).
     */
+  /** `tags` is dbt's `+tags` node config: free-form labels selectable
+    * with `tag:name` tokens (`dbt run --select tag:nightly`).
+    */
   final case class SqlModel(name: String, jinjaSql: String,
       materialization: Materialization = View,
-      preHooks: Seq[String] = Nil, postHooks: Seq[String] = Nil)
+      preHooks: Seq[String] = Nil, postHooks: Seq[String] = Nil,
+      tags: Seq[String] = Nil)
+
+  /** dbt's `{{ source('src', 'table') }}` — the staging-layer idiom the
+    * reference never uses (its seed-only project refs even raw CSVs via
+    * `ref()`, stg_loans.sql:2), but the single most common dbt pattern
+    * against real warehouses. Both quote forms, whitespace-control
+    * markers tolerated like [[ThisPattern]].
+    */
+  val SourcePattern: scala.util.matching.Regex =
+    raw"""\{\{-?\s*source\(\s*['"]([^'"]+)['"]\s*,\s*['"]([^'"]+)['"]\s*\)\s*-?\}\}""".r
+
+  /** The temp-view name a declared source table registers under — one
+    * deterministic mangling shared by registration and substitution.
+    * Namespaced (`__src_`) so a user model name can never collide
+    * silently; [[SqlDag.run]] refuses models that use the prefix.
+    */
+  def sourceViewName(source: String, table: String): String =
+    s"__src_${source}__$table"
 
   /** dbt's `{{ this }}` in a hook body: the model's own relation name
     * (whitespace-control markers tolerated like every other span).
@@ -79,26 +100,32 @@ object SqlDag {
       descendants: Boolean, at: Boolean)
 
   private val SelectorPattern =
-    "^(\\+)?(@)?([A-Za-z0-9_]+|state:modified|state:new|exposure:[A-Za-z0-9_]+)(\\+)?$".r
+    ("^(\\+)?(@)?([A-Za-z0-9_]+|state:modified|state:new" +
+      "|exposure:[A-Za-z0-9_]+|tag:[A-Za-z0-9_]+" +
+      "|source:[A-Za-z0-9_]+(?:\\.[A-Za-z0-9_]+)?)(\\+)?$").r
 
   private def parseSelector(token: String): Selector = token match {
     case SelectorPattern(plus0, at, name, plus1) =>
       require(at == null || (plus0 == null && plus1 == null),
         s"@ cannot combine with +: '$token'")
-      require(at == null || !name.startsWith("state:"),
-        s"@ cannot combine with state selectors: '$token'")
-      require(at == null || !name.startsWith("exposure:"),
-        s"@ cannot combine with exposure selectors: '$token'")
+      Seq("state:", "exposure:", "tag:", "source:").foreach(p =>
+        require(at == null || !name.startsWith(p),
+          s"@ cannot combine with $p selectors: '$token'"))
       // exposures are graph sinks — a descendants closure is always
       // empty, so a trailing + can only be a mistyped +exposure:name
       require(plus1 == null || !name.startsWith("exposure:"),
         s"'$token': exposures have no descendants; did you mean +$token?")
+      // sources are graph ROOTS — mirror image of the exposure guard:
+      // nothing is upstream of a source, so +source: is a mistyped
+      // source:…+ (the working idiom, "everything this source feeds")
+      require(plus0 == null || !name.startsWith("source:"),
+        s"'$token': sources have no ancestors; did you mean ${token.drop(1)}+?")
       Selector(name, ancestors = plus0 != null, descendants = plus1 != null,
         at = at != null)
     case _ => throw new IllegalArgumentException(
       s"unsupported selector '$token' (supported: model, model+, +model, " +
         "+model+, @model, state:modified, state:new, exposure:name, " +
-        "+exposure:name)")
+        "+exposure:name, tag:name, source:name, source:name.table)")
   }
 
   private def sha256Hex(s: String): String =
@@ -117,9 +144,21 @@ class SqlDag(spark: SparkSession, warehouseDir: String) {
   def refsOf(jinjaSql: String): Set[String] =
     FictionBankSql.RefPattern.findAllMatchIn(jinjaSql).map(_.group(1)).toSet
 
+  /** `source()` targets of one model text as (source, table) pairs. */
+  def sourcesOf(jinjaSql: String): Set[(String, String)] =
+    SqlDag.SourcePattern.findAllMatchIn(jinjaSql)
+      .map(m => (m.group(1), m.group(2))).toSet
+
   /** Lineage graph over the given models (seeds appear as leaf deps). */
   def lineage(models: Seq[SqlModel]): Map[String, Set[String]] =
     models.map(m => m.name -> refsOf(m.jinjaSql)).toMap
+
+  /** Source edges of the models: model name → its declared (source,
+    * table) dependencies — the staging layer's half of the lineage
+    * graph ([[lineage]] carries the ref() half).
+    */
+  def sourceLineage(models: Seq[SqlModel]): Map[String, Set[(String, String)]] =
+    models.map(m => m.name -> sourcesOf(m.jinjaSql)).toMap
 
   /** The selection-state manifest of a model set (dbt's manifest.json
     * reduced to what `state:` selection needs): per model its
@@ -147,8 +186,16 @@ class SqlDag(spark: SparkSession, warehouseDir: String) {
       val node = root.putObject(m.name)
       node.put("materialization", m.materialization.toString.toLowerCase)
       val deps = node.putArray("depends_on")
-      refsOf(rendered).toSeq.sorted.foreach(deps.add)
+      // source deps ride the manifest as dbt-style qualified names, so a
+      // model switching from one source table to another flags modified
+      (refsOf(rendered).toSeq ++
+        sourcesOf(rendered).toSeq.map(st => s"source:${st._1}.${st._2}"))
+        .sorted.foreach(deps.add)
       node.put("checksum", SqlDag.sha256Hex(rendered))
+      if (m.tags.nonEmpty) {
+        val tags = node.putArray("tags")
+        m.tags.sorted.foreach(tags.add) // config: a tag edit flags modified
+      }
       if (m.preHooks.nonEmpty) {
         val pre = node.putArray("pre_hook")
         m.preHooks.foreach(h =>
@@ -166,8 +213,8 @@ class SqlDag(spark: SparkSession, warehouseDir: String) {
   /** (new, modified) model names of `models` vs a previous
     * [[stateManifest]]: new = absent from the manifest; modified =
     * present with a different compiled checksum, materialization, dep
-    * set, or rendered pre/post hooks. Removed models are not
-    * selectable (they no longer exist).
+    * set (refs AND source tables), tags, or rendered pre/post hooks.
+    * Removed models are not selectable (they no longer exist).
     */
   def stateDiff(models: Seq[SqlModel], previousManifest: String,
       macros: Seq[JinjaMacros.MacroDef] = Nil,
@@ -257,6 +304,37 @@ class SqlDag(spark: SparkSession, warehouseDir: String) {
         if (sel.ancestors)
           exp.dependsOn.toSet.flatMap((d: String) => closure(d, parents))
         else Set.empty
+      } else if (sel.name.startsWith("tag:")) {
+        // dbt's tag: method — every model carrying the tag, with the
+        // usual closure suffixes (tag:nightly+ = tagged models and
+        // everything downstream)
+        val tag = sel.name.stripPrefix("tag:")
+        val tagged = models.filter(_.tags.contains(tag)).map(_.name).toSet
+        tagged.flatMap(n => Set(n) ++
+          (if (sel.ancestors) closure(n, parents) else Set.empty) ++
+          (if (sel.descendants) closure(n, children) else Set.empty))
+      } else if (sel.name.startsWith("source:")) {
+        // dbt's source: method — the source node itself runs nothing, so
+        // the bare form selects no models (parity with exposures' sink
+        // mirror-image); the working idiom is source:name+ — direct
+        // consumers of the source (any table, or the named one) plus
+        // their descendant closures
+        val spec = sel.name.stripPrefix("source:")
+        val (src, tbl) = spec.split("\\.", 2) match {
+          case Array(s, t) => (s, Some(t))
+          case Array(s)    => (s, None)
+        }
+        def hits(m: SqlModel) = sourcesOf(m.jinjaSql).exists {
+          case (s, t) => s == src && tbl.forall(_ == t)
+        }
+        // a typo silently selecting nothing is the same hazard as an
+        // unknown model name — fail fast against the declared edges
+        require(models.exists(hits), s"selector '$token' names a source " +
+          s"no model reads (known: ${models.flatMap(m => sourcesOf(m.jinjaSql))
+            .map(st => s"${st._1}.${st._2}").distinct.sorted.mkString(", ")})")
+        val consumers = models.filter(hits).map(_.name).toSet
+        if (sel.descendants) consumers.flatMap(n => closure(n, children))
+        else Set.empty
       } else if (sel.name.startsWith("state:")) {
         val prev = state.getOrElse(throw new IllegalArgumentException(
           s"selector '$token' needs the previous state manifest " +
@@ -333,6 +411,14 @@ class SqlDag(spark: SparkSession, warehouseDir: String) {
     * and macro expansion; an undefined var with no default fails fast
     * ([[JinjaMacros.substituteVars]]).
     */
+  /** `sources` declares the project's source tables (dbt's schema.yml
+    * `sources:` + the warehouse relations they point at), keyed
+    * (source_name, table_name): `{{ source('a', 'b') }}` in any model
+    * text resolves to the registered frame. A model naming an
+    * undeclared source fails fast — dbt's compilation error. Source
+    * relations are graph ROOTS: they are inputs like seeds, never
+    * built, and selectable via `source:a+` / `source:a.b+` tokens.
+    */
   def run(models: Seq[SqlModel], seeds: Map[String, DataFrame],
       threads: Int = 1, select: Seq[String] = Nil,
       exclude: Seq[String] = Nil,
@@ -341,7 +427,8 @@ class SqlDag(spark: SparkSession, warehouseDir: String) {
       defer: Option[String] = None,
       favorState: Boolean = false,
       vars: Map[String, String] = Map.empty,
-      exposures: Seq[SchemaConfig.Exposure] = Nil): Map[String, DataFrame] = {
+      exposures: Seq[SchemaConfig.Exposure] = Nil,
+      sources: Map[(String, String), DataFrame] = Map.empty): Map[String, DataFrame] = {
     require(threads >= 1, s"need threads >= 1, got $threads")
     require(defer.nonEmpty || !favorState,
       "favorState is only meaningful with defer (dbt: --favor-state " +
@@ -354,7 +441,7 @@ class SqlDag(spark: SparkSession, warehouseDir: String) {
         postHooks = m.postHooks.map(jinja))
     }
     runExpanded(expanded, seeds, threads, select, exclude, state, defer,
-      favorState, exposures)
+      favorState, exposures, sources)
   }
 
   private def runExpanded(models: Seq[SqlModel], seeds: Map[String, DataFrame],
@@ -363,7 +450,8 @@ class SqlDag(spark: SparkSession, warehouseDir: String) {
       state: Option[String],
       defer: Option[String],
       favorState: Boolean,
-      exposures: Seq[SchemaConfig.Exposure] = Nil): Map[String, DataFrame] = {
+      exposures: Seq[SchemaConfig.Exposure] = Nil,
+      sources: Map[(String, String), DataFrame] = Map.empty): Map[String, DataFrame] = {
     val dupNames = models.groupBy(_.name).collect { case (n, ms) if ms.size > 1 => n }
     require(dupNames.isEmpty, s"duplicate model names: ${dupNames.mkString(", ")}")
     val shadowing = models.map(_.name).toSet.intersect(seeds.keySet)
@@ -374,6 +462,17 @@ class SqlDag(spark: SparkSession, warehouseDir: String) {
       val missing = refsOf(m.jinjaSql).diff(known)
       require(missing.isEmpty,
         s"model ${m.name} refs unknown relations: ${missing.mkString(", ")}")
+      require(!m.name.startsWith("__src_"),
+        s"model name '${m.name}' uses the reserved source-view prefix __src_")
+      val missingSrc = sourcesOf(m.jinjaSql).diff(sources.keySet)
+      require(missingSrc.isEmpty,
+        s"model ${m.name} reads undeclared sources: " +
+          missingSrc.map(st => s"${st._1}.${st._2}").mkString(", ") +
+          " — declare them in run(sources = Map((source, table) -> frame))")
+    }
+    // source relations register like seeds: inputs, never built
+    sources.foreach { case ((s, t), df) =>
+      df.createOrReplaceTempView(SqlDag.sourceViewName(s, t))
     }
     val chosen =
       if (select.isEmpty && exclude.isEmpty) models
@@ -418,6 +517,11 @@ class SqlDag(spark: SparkSession, warehouseDir: String) {
       if (needsView) df.createOrReplaceTempView(name)
       name -> df
     }.toMap
+    // source() spans resolve at build time (after selection, which
+    // still needs them as graph edges) to the registered view names
+    def renderSources(sql: String): String =
+      SqlDag.SourcePattern.replaceAllIn(sql,
+        mm => SqlDag.sourceViewName(mm.group(1), mm.group(2)))
     def build(m: SqlModel): DataFrame = {
       // spark.sql executes DML/DDL commands EAGERLY (INSERT/CREATE/
       // ANALYZE/REFRESH — every statement a dbt hook is in practice);
@@ -429,11 +533,11 @@ class SqlDag(spark: SparkSession, warehouseDir: String) {
         // quoteReplacement: the model name is DATA to the regex engine —
         // a '$' or '\' in a name must not be read as a group reference
         // (r9 advice)
-        spark.sql(FictionBankSql.render(ThisPattern.replaceAllIn(h,
-          scala.util.matching.Regex.quoteReplacement(m.name))))
+        spark.sql(FictionBankSql.render(renderSources(ThisPattern.replaceAllIn(h,
+          scala.util.matching.Regex.quoteReplacement(m.name)))))
       }
       runHooks(m.preHooks)
-      val df = spark.sql(FictionBankSql.render(m.jinjaSql))
+      val df = spark.sql(FictionBankSql.render(renderSources(m.jinjaSql)))
       val materialized = m.materialization match {
         case View | Ephemeral => df
         case Table =>

@@ -460,5 +460,55 @@ object ModelDemos {
         .orderBy(col("period").asc_nulls_last, col("priority").asc_nulls_last)
     })
 
-  val all: Seq[Demo] = Seq(x12, x13, x15, q33, q34, q35, q36, q37, q38)
+  // -------------------------------------------------------------------
+  // Q39: SOURCE RESOLUTION — dbt's `{{ source('a', 'b') }}`, the
+  // staging-layer idiom the reference never exercises (its seed-only
+  // project refs raw CSVs via ref(), stg_loans.sql:2 — this is
+  // extension surface): a staging model reads a DECLARED source
+  // relation, a mart aggregates it, and the run is SELECTED by
+  // `source:warehouse+` — "build everything this source feeds" — which
+  // must skip a sibling model that only reads a seed. The oracle
+  // replays staging + mart as CTEs over the same orders table.
+  // Scale: source resolution is driver-side name substitution; the
+  // built plan is a filter → one (month) hash aggregate, the status
+  // filter pushed to the scan.
+  // -------------------------------------------------------------------
+  private val q39 = Demo("q39_source_staging", Some("""
+      WITH stg_open_orders AS (
+        SELECT o_orderkey, o_totalprice,
+               CAST(date_trunc('month', CAST(o_orderdate AS DATE)) AS DATE) AS month
+        FROM orders WHERE o_orderstatus = 'O'),
+      monthly_open AS (
+        SELECT month, count(*) AS n_orders,
+               round(sum(o_totalprice), 2) AS total
+        FROM stg_open_orders GROUP BY 1)
+      SELECT month, n_orders, total FROM monthly_open
+      ORDER BY month ASC NULLS LAST"""),
+    (s, dir) => {
+      val models = Seq(
+        graft.models.SqlDag.SqlModel("stg_open_orders",
+          "select o_orderkey, o_totalprice, " +
+            "cast(date_trunc('month', cast(o_orderdate as date)) as date) " +
+            "as month " +
+            "from {{ source('warehouse', 'orders') }} " +
+            "where o_orderstatus = 'O'"),
+        graft.models.SqlDag.SqlModel("monthly_open",
+          "select month, count(*) as n_orders, " +
+            "round(sum(o_totalprice), 2) as total " +
+            "from {{ ref('stg_open_orders') }} group by 1"),
+        // seed-fed sibling, NOT downstream of the source — the
+        // source:warehouse+ selection must not build it
+        graft.models.SqlDag.SqlModel("nation_names",
+          "select n_name from {{ ref('nation') }}"))
+      val dag = new graft.models.SqlDag(s, freshScratchDir("q39"))
+      val built = dag.run(models,
+        seeds = Map("nation" -> t(s, dir, "nation")),
+        select = Seq("source:warehouse+"),
+        sources = Map(("warehouse", "orders") -> t(s, dir, "orders")))
+      require(!built.contains("nation_names"),
+        "source: selection built a model outside the source's downstream")
+      built("monthly_open").orderBy(col("month").asc_nulls_last)
+    })
+
+  val all: Seq[Demo] = Seq(x12, x13, x15, q33, q34, q35, q36, q37, q38, q39)
 }

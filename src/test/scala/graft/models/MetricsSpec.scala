@@ -112,7 +112,10 @@ class MetricsSpec extends SparkSpec {
     assert(bad(metric(
       "    model: ref('x')\n    calculation_method: count\n    timestamp: t\n    time_grains: [fortnight]\n"))
       .contains("time grain"))
-    // filter operators come from the allowlist (no SQL injection seam)
+    // filter FIELD and OPERATOR come from allowlists; the VALUE stays a
+    // trusted raw SQL fragment by dbt's own contract (see MetricFilter)
+    // — the allowlists bound where a fragment can appear, not what a
+    // trusted value may say
     assert(bad(metric(
       "    model: ref('x')\n    calculation_method: count\n    timestamp: t\n    time_grains: [day]\n" +
         "    filters:\n      - field: a\n        operator: '; drop'\n        value: '1'\n"))

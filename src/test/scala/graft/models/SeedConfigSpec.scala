@@ -47,6 +47,38 @@ class SeedConfigSpec extends SparkSpec {
       Map("amount" -> "decimal(10,2)"))
   }
 
+  test("path form: an unlisted seed in a configured subdirectory gets the subdir cascade") {
+    val yml =
+      """name: proj
+        |seeds:
+        |  +column_types:
+        |    a: string
+        |  proj:
+        |    +column_types:
+        |      b: bigint
+        |    raw:
+        |      +column_types:
+        |        c: double
+        |      raw_loans:
+        |        +column_types:
+        |          d: date
+        |""".stripMargin
+    // dbt mirrors the filesystem: seeds/raw/anything.csv inherits the
+    // raw/ directory cascade even with NO key of its own
+    assert(SeedConfig.columnTypes(yml, "raw/unlisted_seed") ===
+      Map("a" -> "string", "b" -> "bigint", "c" -> "double"))
+    // a keyed seed under the subdir merges its own level on top
+    assert(SeedConfig.columnTypes(yml, "raw/raw_loans") ===
+      Map("a" -> "string", "b" -> "bigint", "c" -> "double", "d" -> "date"))
+    // path segments that exist nowhere stop the descent at the last
+    // configured level (project root here)
+    assert(SeedConfig.columnTypes(yml, "elsewhere/unlisted_seed") ===
+      Map("a" -> "string", "b" -> "bigint"))
+    // bare-name resolution of the SAME keyed seed is unchanged
+    assert(SeedConfig.columnTypes(yml, "raw_loans") ===
+      Map("a" -> "string", "b" -> "bigint", "c" -> "double", "d" -> "date"))
+  }
+
   test("no seeds key or unconfigured seed falls back to inference (empty map)") {
     assert(SeedConfig.columnTypes("name: p\n", "raw_loans") === Map.empty)
     assert(SeedConfig.columnTypes(projectYml, "raw_loan_payments") ===

@@ -542,4 +542,91 @@ class SqlDagSpec extends SparkSpec {
     assert(bad("exposures:\n  - name: x\n    type: dashboard\n    maturity: extreme\n    owner: {name: A}\n    depends_on: [ref('m')]\n")
       .contains("maturity"))
   }
+
+  // ---- source() resolution + source:/tag: selection -------------------
+
+  private def sourceModels = Seq(
+    SqlModel("stg_ext",
+      "select loan_id, amount from {{ source('warehouse', 'loans') }}",
+      tags = Seq("staging", "nightly")),
+    SqlModel("mart_ext",
+      "select count(*) as n from {{ ref('stg_ext') }}",
+      tags = Seq("nightly")),
+    SqlModel("island", "select * from {{ ref('raw_loans') }}"))
+
+  test("source(): resolves a declared relation, builds it, and records lineage") {
+    val s = spark
+    import s.implicits._
+    val dag = new SqlDag(spark, "/tmp/unused-wh")
+    val ext = Seq(("L1", 100L), ("L2", 250L)).toDF("loan_id", "amount")
+    val built = dag.run(sourceModels, fictionBankSeeds,
+      sources = Map(("warehouse", "loans") -> ext))
+    assert(built("mart_ext").head().getLong(0) === 2L)
+    assert(built("stg_ext").collect().map(_.getString(0)).sorted
+      === Array("L1", "L2"))
+    // both halves of the lineage graph
+    assert(dag.sourceLineage(sourceModels)("stg_ext")
+      === Set(("warehouse", "loans")))
+    assert(dag.sourceLineage(sourceModels)("mart_ext") === Set.empty)
+    // the manifest carries the source edge as a qualified dep, so
+    // re-pointing a staging model at another source table flags modified
+    assert(dag.stateManifest(sourceModels)
+      .contains("source:warehouse.loans"))
+    val repointed = sourceModels.map(m =>
+      if (m.name != "stg_ext") m
+      else m.copy(jinjaSql =
+        "select loan_id, amount from {{ source('warehouse', 'loans_v2') }}"))
+    val (newN, modified) =
+      dag.stateDiff(repointed, dag.stateManifest(sourceModels))
+    assert(newN === Set.empty && modified === Set("stg_ext"))
+  }
+
+  test("source(): undeclared sources and reserved names fail fast") {
+    val dag = new SqlDag(spark, "/tmp/unused-wh")
+    // model reads a source the run never declared — dbt's compile error
+    assert(intercept[IllegalArgumentException] {
+      dag.run(sourceModels, fictionBankSeeds)
+    }.getMessage.contains("undeclared sources: warehouse.loans"))
+    // the mangled-view namespace is reserved
+    val s = spark
+    import s.implicits._
+    assert(intercept[IllegalArgumentException] {
+      dag.run(Seq(SqlModel("__src_a__b", "select 1 as one")),
+        fictionBankSeeds)
+    }.getMessage.contains("reserved source-view prefix"))
+  }
+
+  test("source:/tag: selection — closures, bare-form parity, misuse rejection") {
+    val dag = new SqlDag(spark, "/tmp/unused-wh")
+    def names(sel: Seq[String]) =
+      dag.selectModels(sourceModels, sel).map(_.name)
+    // the working idiom: everything the source feeds (direct consumer +
+    // its downstream), island skipped
+    assert(names(Seq("source:warehouse+")) === Seq("stg_ext", "mart_ext"))
+    assert(names(Seq("source:warehouse.loans+")) === Seq("stg_ext", "mart_ext"))
+    // bare form selects the source NODE, which runs nothing (dbt parity,
+    // mirroring exposures)
+    assert(names(Seq("source:warehouse")) === Seq.empty)
+    // typos fail fast instead of silently selecting nothing
+    assert(intercept[IllegalArgumentException] {
+      names(Seq("source:nope+"))
+    }.getMessage.contains("no model reads"))
+    assert(intercept[IllegalArgumentException] {
+      names(Seq("source:warehouse.nope+"))
+    }.getMessage.contains("no model reads"))
+    // sources are roots: a leading + is a mistyped trailing +
+    assert(intercept[IllegalArgumentException] {
+      names(Seq("+source:warehouse"))
+    }.getMessage.contains("no ancestors"))
+    // tag: selects by node config, with the usual closure suffixes
+    assert(names(Seq("tag:nightly")) === Seq("stg_ext", "mart_ext"))
+    assert(names(Seq("tag:staging"))  === Seq("stg_ext"))
+    assert(names(Seq("tag:staging+")) === Seq("stg_ext", "mart_ext"))
+    assert(names(Seq("tag:absent"))   === Seq.empty) // dbt: empty, not an error
+    // a tag edit alone flags state:modified (tags are node config)
+    val retagged = sourceModels.map(m =>
+      if (m.name == "island") m.copy(tags = Seq("weekly")) else m)
+    val (n2, m2) = dag.stateDiff(retagged, dag.stateManifest(sourceModels))
+    assert(n2 === Set.empty && m2 === Set("island"))
+  }
 }
