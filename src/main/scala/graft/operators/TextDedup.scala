@@ -556,6 +556,52 @@ object TextDedup {
       idCol, textCol, threshold)
   }
 
+  /** The stop-bucket cap CALIBRATED to a candidate-pair budget — the
+    * scale rule the r11 probes made necessary: at a FIXED cap the
+    * candidate volume Σ_buckets C(bn∧cap, 2) grows SUPER-linearly with
+    * corpus size (measured 10.3× per 4× docs at cap 64, 500k→2M —
+    * sub-threshold band collisions keep FILLING buckets as n grows, so
+    * the constant that was "the linearity knob" at one scale is the
+    * super-linear term at the next). The production rule is a PAIR
+    * BUDGET — at most `pairsPerDoc` candidate pairs per document, the
+    * quantity downstream verify cost actually scales with — and the cap
+    * is the LARGEST value whose capped volume fits the budget (largest
+    * = maximal recall within the budget). Never returns below 2 (the
+    * pairability floor): if even cap 2 exceeds the budget, 2 is
+    * returned and the caller's budget is advisory.
+    *
+    * Cost: one narrow (band, key) count over the index + one
+    * bucket-SIZE histogram collect bounded by `capMax` rows (buckets
+    * larger than capMax are dropped at every cap ≤ capMax, so they
+    * cannot affect the choice) — a pre-pass any production run can
+    * afford, same bounded-collect legitimacy as IVF's k centroids.
+    */
+  def calibrateMaxBucket(bands: DataFrame, nDocs: Long, pairsPerDoc: Double,
+      capMax: Int = 1024): Int = {
+    require(nDocs > 0, s"need nDocs > 0, got $nDocs")
+    require(pairsPerDoc > 0, s"need pairsPerDoc > 0, got $pairsPerDoc")
+    require(capMax >= 2, s"need capMax >= 2, got $capMax")
+    val hist = bands.groupBy(col("band"), col("key"))
+      .agg(count(lit(1)).as("bn"))
+      .filter(col("bn") >= 2 && col("bn") <= capMax)
+      .groupBy(col("bn")).agg(count(lit(1)).as("cnt"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    val budget = (pairsPerDoc * nDocs).toLong
+    var acc = 0L
+    var i = 0
+    while (i < hist.length) {
+      val (size, cnt) = hist(i)
+      val v = acc + cnt * size * (size - 1) / 2
+      if (v > budget)
+        // volume is a step function that jumps at occupied sizes: the
+        // largest admissible cap is just below the size that overflows
+        return math.max(size - 1, 2L).toInt
+      acc = v
+      i += 1
+    }
+    capMax
+  }
+
   /** Signature-only near-dup pairs (X2h) — [[minhashLshPairs]]' candidate
     * machinery with ESTIMATED Jaccard instead of exact verification: the
     * score is the fraction of agreeing signature slots (the classic

@@ -86,6 +86,28 @@ class TextDedupSpec extends SparkSpec {
       maxBucket = Some(1)).isEmpty)
   }
 
+  test("calibrateMaxBucket: largest cap within the pair budget, pairability floor, capMax when unbound") {
+    val s = spark
+    import s.implicits._
+    // hand-built band index with bucket sizes 2, 2, 3, 5 → capped pair
+    // volumes: cap 2 → 2, cap 3..4 → 5, cap ≥ 5 → 15
+    val bands = Seq(
+      (1L, 0, 10L), (2L, 0, 10L),
+      (3L, 0, 11L), (4L, 0, 11L),
+      (5L, 1, 20L), (6L, 1, 20L), (7L, 1, 20L),
+      (8L, 2, 30L), (9L, 2, 30L), (10L, 2, 30L), (11L, 2, 30L), (12L, 2, 30L)
+    ).toDF("doc_id", "band", "key")
+    // budget 5 pairs: vol(3) = 5 fits, vol(5) = 15 overflows — the
+    // largest admissible cap sits just below the overflowing size
+    assert(TextDedup.calibrateMaxBucket(bands, 1, 5.0) === 4)
+    // budget covers the whole volume → capMax (max recall)
+    assert(TextDedup.calibrateMaxBucket(bands, 1, 15.0, capMax = 64) === 64)
+    // budget below even the size-2 volume → the pairability floor
+    assert(TextDedup.calibrateMaxBucket(bands, 1, 1.0) === 2)
+    // the budget is per document: 5 docs x 1 pair/doc = the cap-4 case
+    assert(TextDedup.calibrateMaxBucket(bands, 5, 1.0) === 4)
+  }
+
   test("minhash estimator: exact 1.0 on identical docs; k/128-quantized; tracks exact Jaccard") {
     val s = spark
     import s.implicits._

@@ -91,18 +91,28 @@ attempt_face() { # name op dir bg
   }
 }
 
-# faces: op:tag:need_gb:band_groups — priority order (the two faces with
-# NO third-decade record land first, then the diagnosis faces, then the
-# metric-bearing re-runs of the two that completed in r10)
+# faces: op:tag:need_gb:band_groups. History of this list within r11:
+#   pass 1 ran minhash_capped_sf40 (fixed cap 64, band-grouped) first —
+#   it survived candidate GENERATION (scratch ≤21 G through the passes;
+#   the band-group split works) and then died in the verify tail.
+#   pass 2 ran the diag faces: capped candidate volume grows 10.3x per
+#   4x docs at FIXED cap 64 (minhash 15.9M→163.8M; incremental
+#   5.6M→57.3M) — the fixed cap is itself the super-linear term, and
+#   164M candidates x ~2KB shingle sets cannot verify inside this box.
+#   pass 3 (this list): the heavy faces run BUDGET-CALIBRATED
+#   (minhash_budget/clusters_budget: cap = calibrateMaxBucket at 32
+#   pairs/doc — reproduces cap~64 at the 500k anchor, tightens at 2M),
+#   which is the production rule the fixed constant should have been.
+#   The cap-64 sf10 records stay as the fixed-cap baseline points.
 FACES="
-minhash_capped:sf10:50:8
-minhash_capped:sf40:50:8
-clusters_capped:sf10:50:8
-clusters_capped:sf40:50:8
 diag_minhash:sf10:25:
 diag_minhash:sf40:25:
 diag_incremental:sf10:25:
 diag_incremental:sf40:25:
+minhash_budget:sf10:60:8
+minhash_budget:sf40:60:8
+clusters_budget:sf10:60:8
+clusters_budget:sf40:60:8
 incremental_capped:sf10:60:
 incremental_capped:sf40:60:
 clean_capped:sf10:70:
