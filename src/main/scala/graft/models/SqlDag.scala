@@ -418,6 +418,20 @@ class SqlDag(spark: SparkSession, warehouseDir: String) {
     * undeclared source fails fast — dbt's compilation error. Source
     * relations are graph ROOTS: they are inputs like seeds, never
     * built, and selectable via `source:a+` / `source:a.b+` tokens.
+    *
+    * `onRunStart`/`onRunEnd` are dbt_project.yml's `on-run-start` /
+    * `on-run-end` hooks: SQL statements executed via `spark.sql` ONCE
+    * per invocation — start hooks after seeds/sources register but
+    * before the first model builds (so a start hook can create
+    * relations models read: session-init, audit-open), end hooks after
+    * the last model materializes (audit-close, summary tables). They
+    * render through the same Jinja pipeline as model texts (macros,
+    * vars, control flow) and may use `source()`; `{{ this }}` has no
+    * meaning at project level (there is no "current model") and is
+    * rejected by the SQL parser like any other unresolved span. Hooks
+    * run even for a narrowed `select` — dbt's contract (project hooks
+    * wrap the RUN, not a node) — but are skipped entirely when the
+    * selection resolves to zero models, matching dbt's no-op runs.
     */
   def run(models: Seq[SqlModel], seeds: Map[String, DataFrame],
       threads: Int = 1, select: Seq[String] = Nil,
@@ -428,20 +442,23 @@ class SqlDag(spark: SparkSession, warehouseDir: String) {
       favorState: Boolean = false,
       vars: Map[String, String] = Map.empty,
       exposures: Seq[SchemaConfig.Exposure] = Nil,
-      sources: Map[(String, String), DataFrame] = Map.empty): Map[String, DataFrame] = {
+      sources: Map[(String, String), DataFrame] = Map.empty,
+      onRunStart: Seq[String] = Nil,
+      onRunEnd: Seq[String] = Nil): Map[String, DataFrame] = {
     require(threads >= 1, s"need threads >= 1, got $threads")
     require(defer.nonEmpty || !favorState,
       "favorState is only meaningful with defer (dbt: --favor-state " +
         "requires --defer)")
+    def jinja(text: String) =
+      JinjaMacros.renderModel(text, macros, vars = vars)
     val expanded = models.map { m =>
-      def jinja(text: String) =
-        JinjaMacros.renderModel(text, macros, vars = vars)
       m.copy(jinjaSql = jinja(m.jinjaSql),
         preHooks = m.preHooks.map(jinja),
         postHooks = m.postHooks.map(jinja))
     }
     runExpanded(expanded, seeds, threads, select, exclude, state, defer,
-      favorState, exposures, sources)
+      favorState, exposures, sources,
+      onRunStart.map(jinja), onRunEnd.map(jinja))
   }
 
   private def runExpanded(models: Seq[SqlModel], seeds: Map[String, DataFrame],
@@ -451,7 +468,9 @@ class SqlDag(spark: SparkSession, warehouseDir: String) {
       defer: Option[String],
       favorState: Boolean,
       exposures: Seq[SchemaConfig.Exposure] = Nil,
-      sources: Map[(String, String), DataFrame] = Map.empty): Map[String, DataFrame] = {
+      sources: Map[(String, String), DataFrame] = Map.empty,
+      onRunStart: Seq[String] = Nil,
+      onRunEnd: Seq[String] = Nil): Map[String, DataFrame] = {
     val dupNames = models.groupBy(_.name).collect { case (n, ms) if ms.size > 1 => n }
     require(dupNames.isEmpty, s"duplicate model names: ${dupNames.mkString(", ")}")
     val shadowing = models.map(_.name).toSet.intersect(seeds.keySet)
@@ -549,6 +568,12 @@ class SqlDag(spark: SparkSession, warehouseDir: String) {
       runHooks(m.postHooks)
       materialized
     }
+    // project-level hooks wrap the RUN (dbt's on-run-start/on-run-end):
+    // eager spark.sql like model hooks, skipped when nothing is selected
+    def runProjectHooks(hooks: Seq[String]): Unit =
+      if (chosen.nonEmpty)
+        hooks.foreach(h => spark.sql(FictionBankSql.render(renderSources(h))))
+    runProjectHooks(onRunStart)
     var built: Map[String, DataFrame] = seeds ++ externallyBuilt
     var remaining = chosen
     while (remaining.nonEmpty) {
@@ -585,6 +610,9 @@ class SqlDag(spark: SparkSession, warehouseDir: String) {
       spark.catalog.dropTempView(m.name)
       built -= m.name
     }
+    // after the ephemeral drop: end hooks observe the same relation
+    // state dbt's would (ephemeral models never reach the warehouse)
+    runProjectHooks(onRunEnd)
     built
   }
 }

@@ -510,5 +510,49 @@ object ModelDemos {
       built("monthly_open").orderBy(col("month").asc_nulls_last)
     })
 
-  val all: Seq[Demo] = Seq(x12, x13, x15, q33, q34, q35, q36, q37, q38, q39)
+  // -------------------------------------------------------------------
+  // Q40: PROJECT-LEVEL RUN HOOKS — dbt_project.yml's `on-run-start` /
+  // `on-run-end` (the reference project declares none; its README's
+  // lifecycle section documents the verb surface): the start hook runs
+  // ONCE before the first model and may create relations models read
+  // (here an fx_rate view parameterized by a dbt var with a default);
+  // the end hook runs once after the last model (here an audit summary
+  // whose existence and count the demo asserts). The oracle replays the
+  // model with the hook's constant inlined. Scale: hooks are eager
+  // driver-side spark.sql statements — catalog work, not a data path.
+  // -------------------------------------------------------------------
+  private val q40 = Demo("q40_run_hooks", Some("""
+      WITH priced AS (
+        SELECT o_orderkey, o_totalprice * 1.1 AS gross
+        FROM orders WHERE o_orderstatus = 'O')
+      SELECT count(*) AS n, round(sum(gross), 2) AS total_gross
+      FROM priced"""),
+    (s, dir) => {
+      val dag = new graft.models.SqlDag(s, freshScratchDir("q40"))
+      // shared session: clear leftovers so the existence assertions
+      // below can only be satisfied by THIS run's hooks
+      s.catalog.dropTempView("fx_rate")
+      s.catalog.dropTempView("run_summary")
+      val built = dag.run(
+        Seq(graft.models.SqlDag.SqlModel("priced",
+          "select o_orderkey, " +
+            "o_totalprice * (select rate from fx_rate) as gross " +
+            "from {{ ref('orders') }} where o_orderstatus = 'O'")),
+        seeds = Map("orders" -> t(s, dir, "orders")),
+        onRunStart = Seq("create or replace temporary view fx_rate as " +
+          "select {{ var('fx', '1.1') }} as rate"),
+        onRunEnd = Seq("create or replace temporary view run_summary as " +
+          "select count(*) as n_rows from priced"))
+      require(s.catalog.tableExists("run_summary"),
+        "on-run-end hook did not execute")
+      require(s.table("run_summary").head().getLong(0)
+        == built("priced").count(),
+        "on-run-end audit row disagrees with the built model")
+      built("priced")
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("gross")), 2).as("total_gross"))
+    })
+
+  val all: Seq[Demo] =
+    Seq(x12, x13, x15, q33, q34, q35, q36, q37, q38, q39, q40)
 }

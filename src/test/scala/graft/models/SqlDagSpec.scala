@@ -543,6 +543,34 @@ class SqlDagSpec extends SparkSpec {
       .contains("maturity"))
   }
 
+  test("on-run-start/on-run-end: once per run, around the waves, skipped on empty selection") {
+    val dag = new SqlDag(spark, "/tmp/unused-wh")
+    spark.catalog.dropTempView("hook_start_v")
+    spark.catalog.dropTempView("hook_end_v")
+    val models = Seq(
+      // the model READS the start hook's relation — pinning that start
+      // hooks run before the first wave
+      SqlModel("uses_start",
+        "select n + 1 as n1 from hook_start_v"),
+      SqlModel("downstream",
+        "select n1 from {{ ref('uses_start') }}"))
+    val built = dag.run(models, fictionBankSeeds,
+      onRunStart = Seq(
+        "create or replace temporary view hook_start_v as " +
+          "select cast({{ var('base', '41') }} as bigint) as n"),
+      onRunEnd = Seq(
+        "create or replace temporary view hook_end_v as select count(*) as c from downstream"))
+    assert(built("downstream").head().getLong(0) === 42L)
+    // the end hook saw the BUILT relations
+    assert(spark.table("hook_end_v").head().getLong(0) === 1L)
+    // empty selection = dbt no-op run: hooks skipped entirely
+    spark.catalog.dropTempView("hook_start_v")
+    dag.run(models, fictionBankSeeds,
+      select = Seq("tag:absent"),
+      onRunStart = Seq("create or replace temporary view hook_start_v as select 1 as n"))
+    assert(!spark.catalog.tableExists("hook_start_v"))
+  }
+
   // ---- source() resolution + source:/tag: selection -------------------
 
   private def sourceModels = Seq(
