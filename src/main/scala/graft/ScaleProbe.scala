@@ -252,6 +252,46 @@ object ScaleProbe {
             pairs.orderBy(col("id_a").asc_nulls_last,
               col("id_b").asc_nulls_last)
         })
+      case "incremental_budget" =>
+        // the crawl face under the budget rule: the cap is calibrated
+        // on the STORE index (the index the cap filters), so the same
+        // one-aggregate pre-pass a production ingest runs against its
+        // persisted band store. Budget 32 resolves to cap 64 at the
+        // 500k anchor (store self-volume 10.2M ≤ 12.8M budget) —
+        // continuity with the fixed-cap family — and tightens at 2M.
+        val budget = sys.env.getOrElse("SPARK_GRAFT_PAIR_BUDGET", "32").toDouble
+        val nd = docs.count()
+        (nd, budget.toLong, () => {
+          val store = docs.filter(col("doc_id") % 5 =!= 4)
+          val cap = graft.operators.TextDedup.calibrateMaxBucket(
+            graft.operators.TextDedup.lshIndex(store, "doc_id", "text"),
+            store.count(), budget)
+          diag = Map("calibrated_cap" -> cap.toLong)
+          graft.operators.TextDedup.incrementalLshPairs(
+            docs.filter(col("doc_id") % 5 === 4), store,
+            "doc_id", "text", threshold = 0.5, maxBucket = Some(cap))
+            .orderBy(col("new_id").asc_nulls_last,
+              col("old_id").asc_nulls_last)
+        })
+      case "clean_budget" =>
+        // the composed pipeline under the budget rule: calibrated on
+        // the raw corpus index (survivors ⊆ docs, so the cap is
+        // conservative), passed through CorpusClean's lshMaxBucket
+        val budget = sys.env.getOrElse("SPARK_GRAFT_PAIR_BUDGET", "32").toDouble
+        val nd = docs.count()
+        (nd, budget.toLong, () => {
+          val cap = graft.operators.TextDedup.calibrateMaxBucket(
+            graft.operators.TextDedup.lshIndex(docs, "doc_id", "text"),
+            nd, budget)
+          diag = Map("calibrated_cap" -> cap.toLong)
+          graft.operators.CorpusClean
+            .pipeline(docs, idCol = "doc_id", textCol = "text",
+              stratumCol = "lang", nearDupThreshold = 0.5, rates = rates,
+              materializeCut = _.localCheckpoint(true),
+              lshMaxBucket = Some(cap), lshBandGroups = bandGroups)
+            .select(col("doc_id"), col("lang"), col("source"))
+            .orderBy(col("doc_id").asc_nulls_last)
+        })
       case "diag_minhash" =>
         // The discriminator the r10 verdict asks for: EXACT pre-distinct
         // candidate volume from the band-bucket histogram alone —

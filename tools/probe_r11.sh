@@ -117,6 +117,10 @@ incremental_capped:sf10:60:
 incremental_capped:sf40:60:
 clean_capped:sf10:70:
 clean_capped:sf40:70:
+incremental_budget:sf10:60:
+incremental_budget:sf40:60:
+clean_budget:sf10:70:
+clean_budget:sf40:70:
 "
 
 for face in $FACES; do
