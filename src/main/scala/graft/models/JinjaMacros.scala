@@ -803,8 +803,13 @@ object JinjaMacros {
     var i = open + 2
     while (i < sql.length && sql.charAt(i).isWhitespace) i += 1
     val ns = i
+    // '.' admits package-qualified call sites ({{ dbt_utils.m(...) }},
+    // the dbt spelling [[DbtUtils]] registers aliases for); an unknown
+    // dotted name simply fails the byName lookup and passes through
+    // like every other non-macro span
     while (i < sql.length &&
-      (sql.charAt(i).isLetterOrDigit || sql.charAt(i) == '_')) i += 1
+      (sql.charAt(i).isLetterOrDigit || sql.charAt(i) == '_' ||
+        sql.charAt(i) == '.')) i += 1
     val name = sql.substring(ns, i)
     byName.get(name).flatMap { m =>
       while (i < sql.length && sql.charAt(i).isWhitespace) i += 1

@@ -553,6 +553,42 @@ object ModelDemos {
           round(sum(col("gross")), 2).as("total_gross"))
     })
 
+  // -------------------------------------------------------------------
+  // Q41: DBT_UTILS SHIMS — the de-facto standard package's most-used
+  // macros (generate_surrogate_key, safe_divide) running UNCHANGED at
+  // their dbt call-site spellings (bare and dbt_utils.-qualified)
+  // through the real SqlDag + Jinja pipeline. The oracle replays the
+  // published macro shape by hand in DuckDB — md5 over the
+  // '-'-joined, null-sentineled, string-cast fields — so the surrogate
+  // keys themselves (not just row counts) are hash-compared across
+  // engines. Scale: compile-time expansion to codegen'd expressions
+  // (md5, nullif); one narrow projection, no shuffle.
+  // -------------------------------------------------------------------
+  private val q41 = Demo("q41_dbt_utils_shims", Some("""
+      SELECT md5(CAST(
+               coalesce(CAST(o_orderkey AS VARCHAR), '_dbt_utils_surrogate_key_null_')
+               || '-' ||
+               coalesce(CAST(o_orderstatus AS VARCHAR), '_dbt_utils_surrogate_key_null_')
+             AS VARCHAR)) AS order_sk,
+             o_orderkey,
+             o_totalprice / nullif(o_custkey, 0) AS price_per_cust,
+             o_totalprice / nullif(o_orderkey % 2, 0) AS price_odd_only
+      FROM orders
+      ORDER BY o_orderkey ASC NULLS LAST"""),
+    (s, dir) => {
+      val dag = new graft.models.SqlDag(s, freshScratchDir("q41"))
+      val built = dag.run(
+        Seq(graft.models.SqlDag.SqlModel("orders_keyed",
+          "select {{ dbt_utils.generate_surrogate_key(['o_orderkey', 'o_orderstatus']) }} as order_sk, " +
+            "o_orderkey, " +
+            "{{ safe_divide('o_totalprice', 'o_custkey') }} as price_per_cust, " +
+            "{{ dbt_utils.safe_divide('o_totalprice', 'o_orderkey % 2') }} as price_odd_only " +
+            "from {{ ref('orders') }}")),
+        seeds = Map("orders" -> t(s, dir, "orders")),
+        macros = graft.models.DbtUtils.macros)
+      built("orders_keyed").orderBy(col("o_orderkey").asc_nulls_last)
+    })
+
   val all: Seq[Demo] =
-    Seq(x12, x13, x15, q33, q34, q35, q36, q37, q38, q39, q40)
+    Seq(x12, x13, x15, q33, q34, q35, q36, q37, q38, q39, q40, q41)
 }
