@@ -305,6 +305,27 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("PushedFilters: [IsNotNull(o_orderstatus), EqualTo(o_orderstatus,O)]"), p)
   }
 
+  test("q39 source staging: the staging filter pushes through source resolution to the scan") {
+    val p = plan("q39_source_staging")
+    // source() resolution is name substitution, not a plan barrier: the
+    // staging model's status filter must still reach the parquet scan,
+    // and the mart is a partial+final hash aggregate above it
+    assert(p.contains("PushedFilters: [IsNotNull(o_orderstatus), Not(EqualTo(o_orderstatus,O))]")
+      || p.contains("PushedFilters: [IsNotNull(o_orderstatus), EqualTo(o_orderstatus,O)]"), p)
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+  }
+
+  test("q41 dbt_utils shims: compile-time expansion — one projection, no exchange before the output sort") {
+    val p = plan("q41_dbt_utils_shims")
+    // the shims expand to codegen'd expressions (md5, nullif) inside ONE
+    // narrow projection: the only exchange tolerated is the declared
+    // output sort's range partitioning; a UDF or an extra shuffle would
+    // mean the macro layer leaked run-time work into the data path
+    assert("\\(\\d+\\) Exchange".r.findAllIn(p).size <= 1, p)
+    assert(!p.contains("BatchEvalPython") && !p.contains("ScalaUDF"), p)
+    assert(p.contains("md5"), p)
+  }
+
   test("x35 segment dedup: exactly the two semantic shuffles (segment window, doc agg)") {
     val df = graft.operators.TextDedup.segmentDedup(
       graft.sources.Tables.table(spark, sfDir, "documents"),
