@@ -18,7 +18,13 @@ package graft.models
   *    `datepart` step in [start_date, end_date) — the half-open
   *    interval dbt_utils documents — as `date_<datepart>`. Spark
   *    expression: explode(sequence(...)), a generated relation with no
-  *    input scan.
+  *    input scan. `start_date`/`end_date` are SQL EXPRESSIONS, exactly
+  *    as dbt_utils documents its call sites — pass
+  *    `"cast('2019-01-01' as date)"` or a quoted literal `"'2019-01-01'"`
+  *    (the shim wraps each argument in its own `cast(… as date)`, a
+  *    no-op on an already-date expression), never a bare unquoted
+  *    `2019-01-01` (r11 advice: the shim used to add its own quotes,
+  *    which broke dbt_utils' documented expression-style arguments).
   *
   * Scale: every shim expands to engine SQL at COMPILE time —
   * whole-stage-codegen expressions (md5, nullif, sequence), zero UDFs,
@@ -43,7 +49,7 @@ object DbtUtils {
 
 {% macro hash(field) %}md5(cast({{ field }} as string)){% endmacro %}
 
-{% macro date_spine(datepart, start_date, end_date) %}select explode(sequence(cast('{{ start_date }}' as date), cast('{{ end_date }}' as date) - interval 1 day, interval 1 {{ datepart }})) as date_{{ datepart }}{% endmacro %}
+{% macro date_spine(datepart, start_date, end_date) %}select explode(sequence(cast({{ start_date }} as date), cast({{ end_date }} as date) - interval 1 day, interval 1 {{ datepart }})) as date_{{ datepart }}{% endmacro %}
 """
 
   /** The registered shim set: bare names + `dbt_utils.`-qualified

@@ -67,17 +67,43 @@ object SeedConfig {
       case None => Map.empty
       case Some(seeds) if seedName.contains('/') =>
         // path form: seeds-level config, then the project key, then one
-        // level per path segment — dbt's filesystem-mirroring cascade
-        var acc = typesOf(seeds, "seeds")
-        var node: Option[JsonNode] =
-          Option(root.get("name")).filter(_.isTextual).map(_.asText)
-            .flatMap(n => Option(seeds.get(n)))
-        node.filter(_.isObject).foreach(n => acc = acc ++ typesOf(n, "project"))
-        seedName.split('/').foreach { seg =>
-          node = node.flatMap(n => Option(n.get(seg)))
-          node.filter(_.isObject).foreach(n => acc = acc ++ typesOf(n, seg))
+        // level per path segment — dbt's filesystem-mirroring cascade.
+        // The project level resolves via the root `name:` key when it
+        // matches a seeds child; otherwise (no `name`, or seeds keyed
+        // under a package name differing from root name — r11 advice)
+        // fall back to every seeds child whose subtree contains the
+        // path's first segment, mirroring the bare-name form's any-path
+        // merge, with the same conflicting-config guard.
+        val segs = seedName.split('/').toSeq
+        def cascade(project: JsonNode): Map[String, String] = {
+          var acc = typesOf(project, "project")
+          var node: Option[JsonNode] = Some(project)
+          segs.foreach { seg =>
+            node = node.flatMap(n => Option(n.get(seg)))
+            node.filter(_.isObject).foreach(n => acc = acc ++ typesOf(n, seg))
+          }
+          acc
         }
-        acc
+        val base = typesOf(seeds, "seeds")
+        val named = Option(root.get("name")).filter(_.isTextual).map(_.asText)
+          .flatMap(n => Option(seeds.get(n))).filter(_.isObject)
+        named match {
+          case Some(project) => base ++ cascade(project)
+          case None =>
+            // candidates: the seeds node itself (path directly under
+            // seeds:, no project level) plus every non-config child
+            // whose subtree starts the path
+            val candidates =
+              Option(seeds).filter(s => Option(s.get(segs.head)).isDefined).toSeq ++
+                seeds.properties.asScala.toSeq
+                  .filterNot(e => isConfigKey(e.getKey))
+                  .map(_.getValue)
+                  .filter(c => c.isObject && Option(c.get(segs.head)).isDefined)
+            val merges = candidates.map(cascade).distinct
+            require(merges.size <= 1,
+              s"seed '$seedName' has conflicting column_types at multiple paths")
+            base ++ merges.headOption.getOrElse(Map.empty)
+        }
       case Some(seeds) =>
         // collect the merge along every path ending at `seedName`;
         // dbt resolves a seed under its project/subdir keys, so the

@@ -613,6 +613,15 @@ class SqlDag(spark: SparkSession, warehouseDir: String) {
     // after the ephemeral drop: end hooks observe the same relation
     // state dbt's would (ephemeral models never reach the warehouse)
     runProjectHooks(onRunEnd)
+    // source temp views are run-scoped plumbing, not relations the run
+    // produced: drop them after the end hooks (the last consumer), like
+    // the ephemeral cleanup — in a shared session a stale __src_* view
+    // from a prior run must not stay addressable by raw SQL when the
+    // current run declares fewer sources (r11 advice). Models captured
+    // their analyzed plans eagerly, so the drop cannot break them.
+    sources.keys.foreach { case (s, t) =>
+      spark.catalog.dropTempView(SqlDag.sourceViewName(s, t))
+    }
     built
   }
 }

@@ -470,36 +470,65 @@ object TextDedup {
     * sense. Demo scale should keep `None`: g sequential passes forfeit
     * operator overlap, costing wall-clock to save scratch.
     */
+  /** `verifyGroups` is the verify-stage analogue of `bandGroups` — the
+    * SECOND disk knob: the exact-Jaccard verification joins attach a
+    * shingle set to each side of every candidate pair, so the verify
+    * stage's live shuffle footprint is O(candidates × set size) — at
+    * 160M+ candidates that alone exceeds a box/executor's scratch even
+    * when candidate GENERATION was bounded by `bandGroups` (the r11
+    * 2M-doc fixed-cap face survived generation and died in the verify
+    * tail). With `Some(g)` the MATERIALIZED candidate set verifies as
+    * `g` sequential hash-slices (deterministic xxhash64 of the pair),
+    * each slice's result checkpointed and its verify shuffles released
+    * before the next slice starts — live verify scratch is ~1/g,
+    * identical output (the slices partition the candidate set; verify
+    * is per-pair). Requires materialized candidates (`bandGroups`, or
+    * `materializeCandidates` on the monolithic path): slicing a LAZY
+    * candidate plan would re-run candidate generation per slice.
+    */
   def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
       threshold: Double,
       materializeCandidates: Option[DataFrame => DataFrame] = None,
       maxBucket: Option[Int] = None,
-      bandGroups: Option[Int] = None): DataFrame = bandGroups match {
+      bandGroups: Option[Int] = None,
+      verifyGroups: Option[Int] = None): DataFrame = bandGroups match {
     case Some(g) =>
       minhashLshPairsGrouped(df, idCol, textCol, threshold,
-        materializeCandidates.getOrElse(_.localCheckpoint(true)), maxBucket, g)
-    case None => minhashLshPairsMonolithic(df, idCol, textCol, threshold,
-      materializeCandidates, maxBucket)
+        materializeCandidates.getOrElse(_.localCheckpoint(true)), maxBucket, g,
+        verifyGroups)
+    case None =>
+      require(verifyGroups.isEmpty || materializeCandidates.nonEmpty,
+        "verifyGroups needs materialized candidates (set bandGroups or " +
+          "materializeCandidates) — slicing a lazy candidate plan would " +
+          "re-run candidate generation once per slice")
+      minhashLshPairsMonolithic(df, idCol, textCol, threshold,
+        materializeCandidates, maxBucket, verifyGroups)
   }
 
   private def minhashLshPairsMonolithic(df: DataFrame, idCol: String,
       textCol: String, threshold: Double,
       materializeCandidates: Option[DataFrame => DataFrame],
-      maxBucket: Option[Int]): DataFrame = {
+      maxBucket: Option[Int],
+      verifyGroups: Option[Int] = None): DataFrame = {
     val lazyCand = lshCandidatePairs(lshIndex(df, idCol, textCol), maxBucket)
-    val (cand, setsBase) = materializeCandidates match {
-      case None => (lazyCand, df)
+    materializeCandidates match {
+      case None => verifyCandidatePairs(lazyCand, df, idCol, textCol, threshold)
       case Some(m) =>
         val c = m(lazyCand)
-        val candIds = c
-          .select(explode(array(col("__graft_id_a"), col("__graft_id_b"))).as(idCol))
-          .distinct()
-        // no broadcast hint: the candidate-doc set is O(docs with a
-        // near-dup), unbounded at corpus scale — let AQE broadcast it
-        // only when it actually fits, else a shuffled semi join
-        (c, df.join(candIds, Seq(idCol), "left_semi"))
+        verifyGroups match {
+          case Some(vg) =>
+            verifyCandidatePairsGrouped(c, df, idCol, textCol, threshold, vg)
+          case None =>
+            val candIds = c
+              .select(explode(array(col("__graft_id_a"), col("__graft_id_b"))).as(idCol))
+              .distinct()
+            // no broadcast hint: the candidate-doc set is O(docs with a
+            // near-dup), unbounded at corpus scale — let AQE broadcast it
+            // only when it actually fits, else a shuffled semi join
+            verifyCandidatePairs(c, df.join(candIds, Seq(idCol), "left_semi"),
+              idCol, textCol, threshold)
+        }
     }
-    verifyCandidatePairs(cand, setsBase, idCol, textCol, threshold)
   }
 
   /** Exact-Jaccard verification of a `(__graft_id_a, __graft_id_b)`
@@ -520,6 +549,35 @@ object TextDedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** [[verifyCandidatePairs]] as `groups` SEQUENTIAL hash-slices of a
+    * MATERIALIZED candidate frame (see [[minhashLshPairs]]'
+    * `verifyGroups` doc): each slice semi-joins its own candidate docs,
+    * verifies, checkpoints its (small) verified output, and releases its
+    * verify shuffles before the next slice starts — the slice outputs
+    * stay persisted because they ARE the result. The slice key is a
+    * deterministic pair hash, so the slices partition the candidate set
+    * and the union equals the monolithic verify exactly (spec-pinned).
+    */
+  private def verifyCandidatePairsGrouped(cand: DataFrame, df: DataFrame,
+      idCol: String, textCol: String, threshold: Double,
+      groups: Int): DataFrame = {
+    require(groups >= 1, s"verifyGroups must be >= 1, got $groups")
+    val passes = (0 until groups).map { g =>
+      val slice = cand.filter(
+        pmod(xxhash64(col("__graft_id_a"), col("__graft_id_b")),
+          lit(groups.toLong)) === g)
+      val sliceIds = slice
+        .select(explode(array(col("__graft_id_a"), col("__graft_id_b"))).as(idCol))
+        .distinct()
+      val (out, _) = checkpointTracked(
+        verifyCandidatePairs(slice, df.join(sliceIds, Seq(idCol), "left_semi"),
+          idCol, textCol, threshold))
+      releaseShuffles() // this slice's shingle-build + verify-join shuffles
+      out
+    }
+    passes.reduce(_ union _)
+  }
+
   /** The band-grouped candidate path (see [[minhashLshPairs]]'
     * `bandGroups` doc): checkpoint the band index once, run the
     * candidate self-join as `groups` sequential band-slice passes with
@@ -530,7 +588,7 @@ object TextDedup {
   private def minhashLshPairsGrouped(df: DataFrame, idCol: String,
       textCol: String, threshold: Double,
       materialize: DataFrame => DataFrame, maxBucket: Option[Int],
-      groups: Int): DataFrame = {
+      groups: Int, verifyGroups: Option[Int] = None): DataFrame = {
     require(groups >= 1, s"bandGroups must be >= 1, got $groups")
     val sc = df.sparkSession.sparkContext
     val (bands, bandIds) = checkpointTracked(lshIndex(df, idCol, textCol))
@@ -543,17 +601,32 @@ object TextDedup {
       releaseShuffles() // this pass's window + self-join shuffle files
       out
     }
-    val cand = materialize(
-      passes.map(_._1).reduce(_ union _).distinct())
+    // the cut must be EAGER and lineage-truncating before the pass
+    // generations release below — a lazy cut (identity, cache()) would
+    // leave the candidate plan backed by released checkpoint blocks,
+    // which localCheckpoint'd RDDs cannot recompute (r11 advice). A cut
+    // that already produced a checkpoint-backed plan (LogicalRDD root —
+    // the default localCheckpoint(true) path) is trusted; anything else
+    // is re-cut here.
+    val cut = materialize(passes.map(_._1).reduce(_ union _).distinct())
+    val cand =
+      if (cut.queryExecution.analyzed
+        .isInstanceOf[org.apache.spark.sql.execution.LogicalRDD]) cut
+      else cut.localCheckpoint(true)
     // candidates are cut: the band index and every pass generation are
     // dead weight from here — release before the verify stage spills
     release(sc, bandIds ++ passes.flatMap(_._2).toSet)
     releaseShuffles()
-    val candIds = cand
-      .select(explode(array(col("__graft_id_a"), col("__graft_id_b"))).as(idCol))
-      .distinct()
-    verifyCandidatePairs(cand, df.join(candIds, Seq(idCol), "left_semi"),
-      idCol, textCol, threshold)
+    verifyGroups match {
+      case Some(vg) =>
+        verifyCandidatePairsGrouped(cand, df, idCol, textCol, threshold, vg)
+      case None =>
+        val candIds = cand
+          .select(explode(array(col("__graft_id_a"), col("__graft_id_b"))).as(idCol))
+          .distinct()
+        verifyCandidatePairs(cand, df.join(candIds, Seq(idCol), "left_semi"),
+          idCol, textCol, threshold)
+    }
   }
 
   /** The stop-bucket cap CALIBRATED to a candidate-pair budget — the
@@ -600,6 +673,122 @@ object TextDedup {
       i += 1
     }
     capMax
+  }
+
+  /** Per-TRUE-PAIR survival statistics of the stop-bucket cap — the
+    * recall instrument the budget rule ([[calibrateMaxBucket]]) needs:
+    * bounded cost with unmeasured recall is half a production story
+    * (r11 verdict item 1). One row per TRUE near-dup pair (exact
+    * Jaccard ≥ `threshold` among the uncapped LSH candidates):
+    * `(id_a, id_b, jaccard, min_bn)` where `min_bn` is the SMALLEST
+    * colliding band-bucket the pair shares, over ALL bands. The capped
+    * operator keeps a pair iff at least one of its shared buckets is
+    * within the cap, so the survival law is exactly
+    * `pair survives cap c ⟺ min_bn ≤ c` — spec-pinned against
+    * [[minhashLshPairs]]`(maxBucket = Some(c))` itself, and the recall
+    * curve at any cap list reads off this one frame
+    * ([[recallAtCaps]]).
+    *
+    * `discoveryBands = Some(k)`: ground-truth discovery restricted to
+    * the FIRST k bands — the scale path where the full uncapped verify
+    * does not fit (at 2M docs the 64-band candidate set is 1.19B pairs;
+    * k = 2 is ~1/32 of that). Discovered pairs are a j-BIASED sample of
+    * the true-pair universe (a pair at Jaccard j collides in a given
+    * band w.p. j², so inclusion probability is
+    * π(j) = 1−(1−j²)^k, rising with j); `min_bn` is still computed
+    * over ALL bands, so [[recallAtCaps]] can reweight each pair by
+    * 1/π(j) (Horvitz–Thompson) to estimate the full-universe recall.
+    * Residual bias (conditioning on an early-band collision adds ~1
+    * expected colliding bucket, nudging min_bn down) is measured, not
+    * assumed: the probe harness runs k-sampled and exact side by side
+    * at 500k docs (BENCHNOTES r12).
+    *
+    * Recall here is RELATIVE TO UNCAPPED LSH: pairs that never collide
+    * in any band are invisible to both capped and uncapped runs and are
+    * governed by the analytic (1−t²)^64 ≤ 1e-8 miss bound (x2b's
+    * contract), not by the cap.
+    *
+    * `materialize` cuts (a) the candidate set before verification and
+    * (b) the verified true-pair set before the min-bucket join re-uses
+    * it on both sides — pass `Some(_.localCheckpoint(true))` at scale;
+    * the `None` default keeps the whole computation lazy for
+    * oracle-checkable demo use.
+    */
+  def lshSurvivalStats(df: DataFrame, idCol: String, textCol: String,
+      threshold: Double, discoveryBands: Option[Int] = None,
+      materialize: Option[DataFrame => DataFrame] = None): DataFrame = {
+    discoveryBands.foreach(k => require(k >= 1 && k <= Hashing.MinhashK / 2,
+      s"discoveryBands must be in [1, ${Hashing.MinhashK / 2}], got $k"))
+    val cut = materialize.getOrElse(identity[DataFrame] _)
+    val bands = lshIndex(df, idCol, textCol)
+    val discovery = discoveryBands.fold(bands)(k => bands.filter(col("band") < k))
+    val cand = cut(lshCandidatePairs(discovery, maxBucket = None))
+    val setsBase = materialize match {
+      case None => df // lazy demo path: verify against the whole corpus
+      case Some(_) =>
+        val candIds = cand
+          .select(explode(array(col("__graft_id_a"), col("__graft_id_b"))).as(idCol))
+          .distinct()
+        df.join(candIds, Seq(idCol), "left_semi")
+    }
+    val truePairs = cut(
+      verifyCandidatePairs(cand, setsBase, idCol, textCol, threshold))
+    // bucket sizes over the FULL index (the sizes the capped operator
+    // filters on), then restricted to docs that appear in a true pair —
+    // the window must see every bucket member, so filter AFTER it
+    val bn = bands.withColumn("bn",
+      count(lit(1)).over(Window.partitionBy(col("band"), col("key"))))
+    val pairDocs = truePairs
+      .select(explode(array(col("id_a"), col("id_b"))).as("doc_id"))
+      .distinct()
+    val bnPair = bn.join(pairDocs, Seq("doc_id"), "left_semi")
+    truePairs
+      .join(bnPair.select(col("doc_id").as("id_a"), col("band"), col("key"),
+        col("bn")), "id_a")
+      .join(bnPair.select(col("doc_id").as("__graft_bid"),
+        col("band").as("__graft_bband"), col("key").as("__graft_bkey")),
+        col("id_b") === col("__graft_bid") &&
+          col("band") === col("__graft_bband") &&
+          col("key") === col("__graft_bkey"))
+      .groupBy(col("id_a"), col("id_b"), col("jaccard"))
+      .agg(min(col("bn")).as("min_bn"))
+  }
+
+  /** The recall-vs-cap curve off a [[lshSurvivalStats]] frame: one row
+    * per cap, `(cap, n_true, n_surviving, recall)` — `n_surviving` is
+    * the raw count of true pairs with `min_bn ≤ cap`, `recall` the
+    * weighted fraction. With `discoveryBands = Some(k)` (MUST match the
+    * value the stats frame was built with) each pair is
+    * Horvitz–Thompson-reweighted by its inclusion probability
+    * π(j) = (1−(1−j²)^k) / (1−(1−j²)^B) — the probability a true pair
+    * at Jaccard j that collides somewhere in the B bands collides in
+    * the first k (per-band collisions are independent Bernoulli(j²) by
+    * MinHash construction) — so the k-band sample estimates the
+    * FULL-universe recall instead of the j-biased sample's. `None`
+    * (exact discovery) weighs every pair 1.
+    *
+    * Cost: one explode over |caps| × one hash aggregate — runs off the
+    * (small) stats frame, never the corpus.
+    */
+  def recallAtCaps(stats: DataFrame, caps: Seq[Int],
+      discoveryBands: Option[Int] = None): DataFrame = {
+    require(caps.nonEmpty, "need at least one cap")
+    val b = (Hashing.MinhashK / 2).toDouble
+    val missBase = lit(1.0) - col("jaccard") * col("jaccard")
+    val w = discoveryBands.fold(lit(1.0)) { k =>
+      (lit(1.0) - pow(missBase, lit(b))) /
+        (lit(1.0) - pow(missBase, lit(k.toDouble)))
+    }
+    stats
+      .select(col("min_bn"), w.as("__graft_w"))
+      .select(explode(array(caps.distinct.sorted.map(c => lit(c)): _*)).as("cap"),
+        col("min_bn"), col("__graft_w"))
+      .groupBy(col("cap"))
+      .agg(
+        count(lit(1)).as("n_true"),
+        sum(when(col("min_bn") <= col("cap"), 1L).otherwise(0L)).as("n_surviving"),
+        (sum(when(col("min_bn") <= col("cap"), col("__graft_w"))
+          .otherwise(lit(0.0))) / sum(col("__graft_w"))).as("recall"))
   }
 
   /** Signature-only near-dup pairs (X2h) — [[minhashLshPairs]]' candidate

@@ -58,13 +58,24 @@ class DbtUtilsSpec extends SparkSpec {
   }
 
   test("date_spine generates the half-open interval as date_<datepart>") {
+    // dbt_utils' documented call style: the date arguments are SQL
+    // EXPRESSIONS (r11 advice: the shim must not add its own quotes)
     val sql = JinjaMacros.renderModel(
-      "{{ dbt_utils.date_spine('day', '2024-01-01', '2024-01-05') }}",
+      """{{ dbt_utils.date_spine('day', "cast('2024-01-01' as date)", "cast('2024-01-05' as date)") }}""",
       DbtUtils.macros)
     val out = spark.sql(sql)
     assert(out.columns.toSeq === Seq("date_day"))
     val days = out.collect().map(_.getDate(0).toString).sorted
     assert(days === Array("2024-01-01", "2024-01-02", "2024-01-03",
       "2024-01-04")) // end date excluded, dbt_utils' contract
+  }
+
+  test("date_spine also accepts quoted date-literal expressions") {
+    // the other common dbt_utils spelling: start_date="'2024-01-01'"
+    val sql = JinjaMacros.renderModel(
+      """{{ date_spine('day', "'2024-01-01'", "'2024-01-03'") }}""",
+      DbtUtils.macros)
+    val days = spark.sql(sql).collect().map(_.getDate(0).toString).sorted
+    assert(days === Array("2024-01-01", "2024-01-02"))
   }
 }
