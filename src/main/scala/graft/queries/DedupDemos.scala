@@ -942,7 +942,96 @@ object DedupDemos {
           col("old_id").asc_nulls_last)
     })
 
+  /** Survival-stats oracle (TextDedup.lshSurvivalStats): the x2b2
+    * banding chain (same CTE definition site), uncapped candidates —
+    * restricted to the first `discoveryBands` bands when sampled —
+    * exact-verified at `threshold`, then each true pair's MINIMUM
+    * shared-bucket size over ALL bands. `min(bn) ≤ cap ⟺ the pair
+    * survives the capped operator` is the law the Scala spec pins; this
+    * oracle proves the statistic itself on real data.
+    */
+  private def oracleSurvivalCtes(threshold: Double,
+      discoveryBands: Option[Int]): String = {
+    val disc = discoveryBands.fold("bk")(k =>
+      s"(SELECT * FROM bk WHERE band < $k)")
+    s"""
+      $oracleBandingCtes,
+      bsz AS (SELECT band, key, count(*) AS bn FROM bk GROUP BY 1, 2),
+      cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM $disc a JOIN $disc b
+          ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+      tp AS (
+        SELECT cand.id_a, cand.id_b,
+               cast(len(list_intersect(sa.shs, sb.shs)) AS double)
+                 / (len(sa.shs) + len(sb.shs) - len(list_intersect(sa.shs, sb.shs))) AS jaccard
+        FROM cand
+        JOIN sh sa ON sa.doc_id = cand.id_a
+        JOIN sh sb ON sb.doc_id = cand.id_b
+        WHERE jaccard >= $threshold),
+      stats AS (
+        SELECT tp.id_a, tp.id_b, tp.jaccard, min(bsz.bn) AS min_bn
+        FROM tp
+        JOIN bk ka ON ka.doc_id = tp.id_a
+        JOIN bk kb ON kb.doc_id = tp.id_b AND kb.band = ka.band AND kb.key = ka.key
+        JOIN bsz ON bsz.band = ka.band AND bsz.key = ka.key
+        GROUP BY 1, 2, 3)"""
+  }
+
+  private def oracleSurvivalStats(threshold: Double,
+      discoveryBands: Option[Int]): String = s"""
+      ${oracleSurvivalCtes(threshold, discoveryBands)}
+      SELECT id_a, id_b, jaccard, min_bn
+      FROM stats
+      ORDER BY id_a ASC NULLS LAST, id_b ASC NULLS LAST"""
+
+  // X62: per-true-pair cap-survival statistics — the recall instrument
+  // behind the budget rule (calibrateMaxBucket bounds COST; this frame
+  // measures what the chosen cap COSTS IN RECALL: a pair survives cap c
+  // iff its smallest shared band bucket is ≤ c). Exact discovery face.
+  // Scale: candidate gen is the x2b machinery; min_bn rides the same
+  // (band, key) bucket-count shuffle restricted to pair docs — the probe
+  // harness runs this at 500k docs (graft.ScaleProbe recall_exact).
+  private val x62 = Demo("x62_lsh_survival",
+    Some(oracleSurvivalStats(0.5, None)),
+    (s, dir) => TextDedup.lshSurvivalStats(
+        t(s, dir, "documents"), "doc_id", "text", threshold = 0.5)
+      .orderBy(col("id_a").asc_nulls_last, col("id_b").asc_nulls_last))
+
+  // X62b: the SAMPLED-discovery face — ground truth from the first 8
+  // bands only (the 2M-doc regime where the full uncapped verify does
+  // not fit), min_bn still over all 64 bands. The oracle proves the
+  // sample is the claimed restriction, not an approximation.
+  private val x62b = Demo("x62b_lsh_survival_sampled",
+    Some(oracleSurvivalStats(0.5, Some(8))),
+    (s, dir) => TextDedup.lshSurvivalStats(
+        t(s, dir, "documents"), "doc_id", "text", threshold = 0.5,
+        discoveryBands = Some(8))
+      .orderBy(col("id_a").asc_nulls_last, col("id_b").asc_nulls_last))
+
+  // X63: the recall-vs-cap CURVE off the exact survival stats — the
+  // table the r11 verdict asked for, as an oracle-checked query shape
+  // (exact face: every weight is 1, so recall = n_surviving / n_true
+  // in exact double arithmetic, bit-identical across engines).
+  private val x63 = Demo("x63_lsh_recall_curve",
+    Some(s"""
+      ${oracleSurvivalCtes(0.5, None)},
+      caps AS (SELECT unnest([2, 4, 8, 16, 32, 64]) AS cap)
+      SELECT caps.cap AS cap,
+             count(*) AS n_true,
+             count(*) FILTER (WHERE min_bn <= cap) AS n_surviving,
+             cast(count(*) FILTER (WHERE min_bn <= cap) AS double)
+               / count(*) AS recall
+      FROM stats, caps
+      GROUP BY 1
+      ORDER BY cap ASC NULLS LAST"""),
+    (s, dir) => TextDedup.recallAtCaps(
+        TextDedup.lshSurvivalStats(
+          t(s, dir, "documents"), "doc_id", "text", threshold = 0.5),
+        caps = Seq(2, 4, 8, 16, 32, 64))
+      .orderBy(col("cap").asc_nulls_last))
+
   val all: Seq[Demo] =
     Seq(x1, x2a, x2b, x2b2, x2c, x2c2, x2d, x2e, x2f, x2f2, x2g, x2h, x18, x23, x23b, x28, x35,
-      x41, x52, x54, x56, x58, x58b, x59)
+      x41, x52, x54, x56, x58, x58b, x59, x62, x62b, x63)
 }
