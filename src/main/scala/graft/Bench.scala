@@ -124,42 +124,68 @@ object Bench {
     val calib = BenchProtocol.calib(spark)
     val calibIo = BenchProtocol.calibIo(spark)
 
-    // steady-state timing: two runs per query, report the min — the first
-    // run still pays per-query codegen compilation, which a long-running
-    // cluster amortizes away
+    // steady-state timing: SWEEPS whole-suite repetitions, per-query
+    // MEDIAN across sweeps (sweep 1 pays per-query codegen, which a
+    // long-running cluster amortizes away — the median discards it)
     // SPARK_GRAFT_ONLY: comma-separated name prefixes for local builder
     // iteration on a query subset (the driver never sets it → full run)
-    // SPARK_GRAFT_RUNS: runs per query (default 2) — big local scale
-    // probes (sf10) use 1: the min-of-2 protocol doubles hours-long
-    // sweeps, and a ratio is protocol-consistent as long as BOTH scale
-    // points use the same run count (the driver never sets it)
+    // SPARK_GRAFT_RUNS: runs per query per sweep (default 1); big local
+    // scale probes keep 1 — a ratio is protocol-consistent as long as
+    // BOTH scale points use the same run count (the driver never sets it)
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(',').toSeq)
-    val nRuns = {
-      val raw = sys.env.getOrElse("SPARK_GRAFT_RUNS", "2")
+    // SPARK_GRAFT_SWEEPS: whole-suite repetitions (default 3) — the
+    // OFFICIAL per-query statistic is the MEDIAN across sweeps (r11
+    // verdict item 2: three same-code close sweeps spread ±7% on the
+    // total; a single-sweep number inherits whichever I/O window it ran
+    // in, and min-of-back-to-back-runs shares one window). Sweeps
+    // repeat the whole suite, so a query's samples land in DIFFERENT
+    // windows; the median is robust to one bad window AND to sweep 1's
+    // per-query codegen warmup.
+    def intEnv(name: String, default: Int): Int = {
+      val raw = sys.env.getOrElse(name, default.toString)
       val n = raw.toIntOption.getOrElse(sys.error(
-        s"SPARK_GRAFT_RUNS must be a positive integer, got '$raw'"))
-      require(n >= 1, s"SPARK_GRAFT_RUNS must be >= 1, got $n")
+        s"$name must be a positive integer, got '$raw'"))
+      require(n >= 1, s"$name must be >= 1, got $n")
       n
     }
-    val results: Map[String, Timed] =
-      SparkEntry.queries
-        .filter { case (name, _) => only.forall(_.exists(name.startsWith)) }
-        .map { case (name, fn) =>
+    // runs-per-query-per-sweep default drops to 1: the cross-sweep
+    // median replaces min-of-2 as the steady-state estimator (3 sweeps
+    // of 1 cost the same as 1 sweep of 3 and sample 3 windows, not 1)
+    val nRuns = intEnv("SPARK_GRAFT_RUNS", 1)
+    val sweeps = intEnv("SPARK_GRAFT_SWEEPS", 3)
+    val queries = SparkEntry.queries
+      .filter { case (name, _) => only.forall(_.exists(name.startsWith)) }
+    val perSweep: Seq[Map[String, Timed]] = (1 to sweeps).map { s =>
+      queries.map { case (name, fn) =>
         val t = timeQuery(spark, nRuns, gcMode)(() => fn(spark, sfDir))
         // per-query progress on stderr: long sweeps were a black box
         // until the final JSON (stdout stays reserved for that line)
         System.err.println(
-          s"[bench] $name ${t.times.map(x => f"$x%.2f").mkString("/")}s" +
+          s"[bench $s/$sweeps] $name ${t.times.map(x => f"$x%.2f").mkString("/")}s" +
             (if (t.times.size < nRuns)
               " FAILED " + t.err.getOrElse("") else ""))
         name -> t
       }
-    // all runs must succeed, else the query is a failure, not a time
-    val ok = results.collect {
-      case (k, t) if t.times.size == nRuns => k -> t.times.min }
-    val failedMap = results.collect {
-      case (k, t) if t.times.size < nRuns =>
-        k -> t.err.getOrElse("run did not complete") }
+    }
+    def median(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      if (s.size % 2 == 1) s(s.size / 2)
+      else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
+    }
+    // every run of every sweep must succeed, else the query is a
+    // failure, not a time; the per-sweep sample is that sweep's min
+    val ok = queries.keys.toSeq.collect(scala.Function.unlift { k =>
+      val samples = perSweep.map(_(k))
+      if (samples.forall(_.times.size == nRuns))
+        Some(k -> median(samples.map(_.times.min)))
+      else None
+    }).toMap
+    val failedMap = queries.keys.toSeq.collect(scala.Function.unlift { k =>
+      val samples = perSweep.map(_(k))
+      if (samples.forall(_.times.size == nRuns)) None
+      else Some(k -> samples.flatMap(_.err).headOption
+        .getOrElse("run did not complete"))
+    }).toMap
     val failed = failedMap.keys.toSeq.sorted
     val qs = ok.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
@@ -170,8 +196,16 @@ object Bench {
       s"""{"name":"$k","err":"${jsonEscape(failedMap(k))}"}""")
       .mkString("[", ",", "]")
     val total = if (ok.nonEmpty) ok.values.sum else 0.0
+    // per-sweep totals over the queries that succeeded everywhere: the
+    // same-code spread is part of the record (r11 close measured ±7%
+    // across three sweeps — a cross-round comparison needs to know it)
+    val sweepTotals = perSweep
+      .map(m => ok.keys.map(k => m(k).times.min).sum)
+      .map(v => f"$v%.3f").mkString("[", ",", "]")
+    // "queries" carries the official (median) statistic; the explicit
+    // "queries_median" alias says so to any consumer diffing rounds
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","calib":$calib,"calib_io":$calibIo,"queries":$qs,"failed":$failedJson,"failed_detail":$failedDetailJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","stat":"median_of_sweeps","sweeps":$sweeps,"sweep_totals":$sweepTotals,"calib":$calib,"calib_io":$calibIo,"queries":$qs,"queries_median":$qs,"failed":$failedJson,"failed_detail":$failedDetailJson,"sf":"$sfDir"}"""
     Files.createDirectories(Paths.get("target"))
     Files.write(Paths.get("target/bench.json"),
       (json + "\n").getBytes(StandardCharsets.UTF_8))
@@ -192,7 +226,7 @@ object Bench {
     // stdout with a COMPACT summary line (<200 bytes) so a tail of any
     // reasonable size contains a complete, parseable JSON object.
     val summary =
-      s"""{"metric":"total","value":$total,"unit":"sec","calib":$calib,"calib_io":$calibIo,"n":${ok.size},"n_failed":${failed.size},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","stat":"median_of_sweeps","sweeps":$sweeps,"calib":$calib,"calib_io":$calibIo,"n":${ok.size},"n_failed":${failed.size},"sf":"$sfDir"}"""
     println(summary)
     spark.stop()
     benchLock.close()

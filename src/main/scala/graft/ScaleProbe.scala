@@ -106,6 +106,13 @@ object ScaleProbe {
     val bandGroups = sys.env.get("SPARK_GRAFT_BAND_GROUPS").map(_.toInt)
     bandGroups.foreach(g => require(g >= 1,
       s"SPARK_GRAFT_BAND_GROUPS must be >= 1, got $g"))
+    // the verify-group split (r12): bounds the VERIFY stage's live
+    // footprint the same way — the knob the 5M-doc (sf100) faces need
+    // (at 32 pairs/doc the 5M candidate set is ~160M pairs, the volume
+    // whose monolithic verify killed the r11 fixed-cap 2M face)
+    val verifyGroups = sys.env.get("SPARK_GRAFT_VERIFY_GROUPS").map(_.toInt)
+    verifyGroups.foreach(g => require(g >= 1,
+      s"SPARK_GRAFT_VERIFY_GROUPS must be >= 1, got $g"))
 
     // diag_* ops fill this (stage-count evidence: candidate volumes,
     // bucket histograms); printed as a "diag" object in the record
@@ -243,7 +250,8 @@ object ScaleProbe {
           diag = Map("calibrated_cap" -> cap.toLong)
           val pairs = graft.operators.TextDedup.minhashLshPairs(
             docs, "doc_id", "text", 0.5,
-            maxBucket = Some(cap), bandGroups = bandGroups)
+            maxBucket = Some(cap), bandGroups = bandGroups,
+            verifyGroups = verifyGroups)
           if (op == "clusters_budget")
             graft.operators.TextDedup.dedupClusters(pairs)
               .select(col("node").as("doc_id"), col("cluster_id"))
@@ -361,6 +369,46 @@ object ScaleProbe {
               f -> jRow.getLong(i) }).toMap
           spark.range(1).toDF("ok")
         })
+      case "recall_exact" | "recall_sampled" =>
+        // The r11 verdict's job #1: recall-vs-cap, MEASURED. Ground
+        // truth = exact-verified uncapped candidates (recall_exact: all
+        // 64 bands — feasible at 500k, where r7 verified the 74.6M
+        // uncapped pairs; recall_sampled: the first
+        // SPARK_GRAFT_RECALL_BANDS bands — the 2M+ regime, where the
+        // 64-band uncapped set is 1.19B pairs and does not fit). Each
+        // true pair carries min_bn over ALL bands, so the curve at any
+        // cap is exact for the discovered pairs; the sampled face's
+        // Horvitz–Thompson reweighting (TextDedup.recallAtCaps)
+        // estimates the full-universe recall, and running both faces at
+        // 500k measures the estimator's residual bias directly.
+        val k = if (op == "recall_sampled")
+          Some(sys.env.getOrElse("SPARK_GRAFT_RECALL_BANDS", "2").toInt)
+        else None
+        val budget = sys.env.getOrElse("SPARK_GRAFT_PAIR_BUDGET", "32").toDouble
+        val nd = docs.count()
+        (nd, k.fold(0L)(_.toLong), () => {
+          // the calibrated cap joins the fixed grid, so the record reads
+          // recall at the budget rule's own operating point
+          val calCap = graft.operators.TextDedup.calibrateMaxBucket(
+            graft.operators.TextDedup.lshIndex(docs, "doc_id", "text"),
+            nd, budget)
+          val caps = (Seq(2, 4, 5, 8, 16, 32, 64) :+ calCap).distinct.sorted
+          val stats = graft.operators.TextDedup.lshSurvivalStats(
+            docs, "doc_id", "text", threshold = 0.5, discoveryBands = k,
+            materialize = Some(_.localCheckpoint(true)))
+          val curve = graft.operators.TextDedup
+            .recallAtCaps(stats, caps, discoveryBands = k)
+            .orderBy(col("cap").asc_nulls_last)
+          val rows = curve.collect() // ≤ |caps| rows, bounded by construction
+          diag = Map(
+            "calibrated_cap" -> calCap.toLong,
+            "n_true" -> rows.headOption.fold(0L)(_.getLong(1))) ++
+            rows.flatMap(r => Seq(
+              s"surv_c${r.getInt(0)}" -> r.getLong(2),
+              s"recall_ppm_c${r.getInt(0)}" ->
+                math.round(r.getDouble(3) * 1e6))).toMap
+          curve
+        })
       case other => sys.error(s"unknown probe op '$other'")
     }
 
@@ -396,7 +444,8 @@ object ScaleProbe {
     // faces' cumulative shuffle past the box — a record must say which
     // regime it measured or cross-round ratios silently mix codecs.
     val codec = spark.conf.getOption("spark.io.compression.codec").getOrElse("lz4")
-    val bg = bandGroups.fold("")(g => s""","band_groups":$g""")
+    val bg = bandGroups.fold("")(g => s""","band_groups":$g""") +
+      verifyGroups.fold("")(g => s""","verify_groups":$g""")
     val dg =
       if (diag.isEmpty) ""
       else diag.toSeq.sortBy(_._1)
