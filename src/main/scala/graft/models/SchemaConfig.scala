@@ -171,6 +171,142 @@ object SchemaConfig {
     }
   }
 
+  /** One model's enforced contract: the declared column names and SQL
+    * types, in declaration order (dbt ≥1.5 `contract: enforced` — the
+    * schema-stability gate a production DAG runs at build time).
+    */
+  final case class Contract(model: String, columns: Seq[(String, String)])
+
+  /** Parse enforced model contracts from schema.yml (dbt ≥1.5):
+    *
+    * {{{
+    * models:
+    *   - name: fct_loans
+    *     config:
+    *       contract:
+    *         enforced: true
+    *     columns:
+    *       - name: loan_id
+    *         data_type: bigint
+    * }}}
+    *
+    * Only models with `config.contract.enforced: true` yield a
+    * [[Contract]]; dbt's validation is reproduced — an enforced
+    * contract requires EVERY declared column to carry `data_type`
+    * (a contract that silently skipped a column would not gate what it
+    * claims to), and an enforced model with no `columns:` at all fails
+    * fast. Enforcement itself lives in [[SqlDag.run]]'s `contracts`
+    * parameter. Driver-side YAML work only.
+    */
+  def contracts(yamlText: String): Seq[Contract] = {
+    val root = mapper.readTree(yamlText)
+    Option(root.get("models")).toSeq.flatMap { models =>
+      require(models.isArray, "`models` must be a list")
+      models.elements.asScala.flatMap { m =>
+        val model = reqText(m, "name", "model")
+        val enforced = Option(m.get("config"))
+          .flatMap(c => Option(c.get("contract")))
+          .flatMap(c => Option(c.get("enforced")))
+          .exists(e => e.isBoolean && e.asBoolean)
+        if (!enforced) None
+        else {
+          val colsNode = Option(m.get("columns")).getOrElse(
+            throw new IllegalArgumentException(
+              s"model $model: contract.enforced needs `columns` with data_type"))
+          val cols = colsNode.elements.asScala.map { c =>
+            val name = reqText(c, "name", s"contract column of $model")
+            val tpe = reqText(c, "data_type",
+              s"contract column $model.$name (enforced contracts require " +
+                "data_type on every column)")
+            name -> tpe
+          }.toSeq
+          require(cols.nonEmpty,
+            s"model $model: contract.enforced with an empty column list")
+          Some(Contract(model, cols))
+        }
+      }.toSeq
+    }
+  }
+
+  /** One dbt 1.8 unit test: fixture rows for each of the model's
+    * inputs, expected rows out. `given` keys are the resolved input
+    * names — a ref target's model/seed name, or a source's registered
+    * view name ([[SqlDag.sourceViewName]]).
+    */
+  final case class UnitTest(name: String, model: String,
+      given: Seq[(String, Seq[Map[String, Any]])],
+      expect: Seq[Map[String, Any]])
+
+  /** Parse the `unit_tests:` block (dbt 1.8):
+    *
+    * {{{
+    * unit_tests:
+    *   - name: test_monthly_rollup
+    *     model: monthly_loans
+    *     given:
+    *       - input: ref('stg_loans')
+    *         rows:
+    *           - {loan_id: 1, amount: 100.0}
+    *       - input: source('raw', 'rates')
+    *         rows: []
+    *     expect:
+    *       rows:
+    *         - {n: 1, total: 100.0}
+    * }}}
+    *
+    * Scalars map to the JVM types [[UnitTests]] builds fixture frames
+    * from (long / double / boolean / string; `null` allowed). Missing
+    * `name`/`model`/`given`/`expect` fail fast; execution lives in
+    * [[UnitTests.run]].
+    */
+  def unitTests(yamlText: String): Seq[UnitTest] = {
+    val root = mapper.readTree(yamlText)
+    Option(root.get("unit_tests")).toSeq.flatMap { list =>
+      require(list.isArray, "`unit_tests` must be a list")
+      list.elements.asScala.map { u =>
+        val name = reqText(u, "name", "unit test")
+        val model = reqText(u, "model", s"unit test $name")
+        val givenNode = Option(u.get("given")).getOrElse(
+          throw new IllegalArgumentException(s"unit test $name needs `given`"))
+        require(givenNode.isArray, s"unit test $name: `given` must be a list")
+        val given = givenNode.elements.asScala.map { g =>
+          val input = inputName(reqText(g, "input", s"given of unit test $name"))
+          input -> rowsOf(Option(g.get("rows")), s"unit test $name given $input")
+        }.toSeq
+        val expectNode = Option(u.get("expect")).getOrElse(
+          throw new IllegalArgumentException(s"unit test $name needs `expect`"))
+        val expect = rowsOf(Option(expectNode.get("rows")),
+          s"unit test $name expect")
+        UnitTest(name, model, given, expect)
+      }.toSeq
+    }
+  }
+
+  /** A `rows:` list of maps → literal row maps (absent/`rows: []` ok). */
+  private def rowsOf(node: Option[JsonNode], where: String): Seq[Map[String, Any]] =
+    node.fold(Seq.empty[Map[String, Any]]) { list =>
+      require(list.isArray, s"$where: `rows` must be a list")
+      list.elements.asScala.map { r =>
+        require(r.isObject, s"$where: each row must be a mapping")
+        r.properties.asScala.map { e =>
+          e.getKey -> (if (e.getValue.isNull) null
+          else scalar(e.getValue, s"$where.${e.getKey}"))
+        }.toMap
+      }.toSeq
+    }
+
+  private val SourceInInput =
+    raw"""source\(\s*['"]([A-Za-z0-9_]+)['"]\s*,\s*['"]([A-Za-z0-9_]+)['"]\s*\)""".r
+
+  /** A unit-test `input:` — `ref('x')`, `source('a', 'b')`, or a bare
+    * relation name — resolved to the view name the model's compiled SQL
+    * will read.
+    */
+  private def inputName(input: String): String = input.trim match {
+    case SourceInInput(s, t) => SqlDag.sourceViewName(s, t)
+    case other => refName(other)
+  }
+
   private val RefInTo = """ref\(\s*['"]([A-Za-z0-9_]+)['"]\s*\)""".r
 
   /** `ref('x')` → x; a bare name passes through. */

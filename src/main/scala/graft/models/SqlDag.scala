@@ -433,6 +433,17 @@ class SqlDag(spark: SparkSession, warehouseDir: String) {
     * wrap the RUN, not a node) — but are skipped entirely when the
     * selection resolves to zero models, matching dbt's no-op runs.
     */
+  /** `contracts` are the project's enforced model contracts
+    * ([[SchemaConfig.contracts]], dbt ≥1.5 `contract: enforced`): when a
+    * contracted model materializes, its ACTUAL schema is checked against
+    * the declared column set and Spark-parsed types — the build FAILS
+    * FAST on a missing declared column, an undeclared extra column, or
+    * a type mismatch (dbt's semantics: the contract is the relation's
+    * public API; a drift that shipped would break every downstream
+    * consumer at read time instead of this model at build time). The
+    * check is analysis-time metadata only — no data pass; a contract
+    * naming an unknown model fails before anything builds.
+    */
   def run(models: Seq[SqlModel], seeds: Map[String, DataFrame],
       threads: Int = 1, select: Seq[String] = Nil,
       exclude: Seq[String] = Nil,
@@ -444,7 +455,8 @@ class SqlDag(spark: SparkSession, warehouseDir: String) {
       exposures: Seq[SchemaConfig.Exposure] = Nil,
       sources: Map[(String, String), DataFrame] = Map.empty,
       onRunStart: Seq[String] = Nil,
-      onRunEnd: Seq[String] = Nil): Map[String, DataFrame] = {
+      onRunEnd: Seq[String] = Nil,
+      contracts: Seq[SchemaConfig.Contract] = Nil): Map[String, DataFrame] = {
     require(threads >= 1, s"need threads >= 1, got $threads")
     require(defer.nonEmpty || !favorState,
       "favorState is only meaningful with defer (dbt: --favor-state " +
@@ -458,7 +470,7 @@ class SqlDag(spark: SparkSession, warehouseDir: String) {
     }
     runExpanded(expanded, seeds, threads, select, exclude, state, defer,
       favorState, exposures, sources,
-      onRunStart.map(jinja), onRunEnd.map(jinja))
+      onRunStart.map(jinja), onRunEnd.map(jinja), contracts)
   }
 
   private def runExpanded(models: Seq[SqlModel], seeds: Map[String, DataFrame],
@@ -470,9 +482,17 @@ class SqlDag(spark: SparkSession, warehouseDir: String) {
       exposures: Seq[SchemaConfig.Exposure] = Nil,
       sources: Map[(String, String), DataFrame] = Map.empty,
       onRunStart: Seq[String] = Nil,
-      onRunEnd: Seq[String] = Nil): Map[String, DataFrame] = {
+      onRunEnd: Seq[String] = Nil,
+      contracts: Seq[SchemaConfig.Contract] = Nil): Map[String, DataFrame] = {
     val dupNames = models.groupBy(_.name).collect { case (n, ms) if ms.size > 1 => n }
     require(dupNames.isEmpty, s"duplicate model names: ${dupNames.mkString(", ")}")
+    val contractByModel = contracts.map(c => c.model -> c).toMap
+    require(contracts.size == contractByModel.size,
+      s"duplicate contracts: ${contracts.map(_.model)
+        .diff(contractByModel.keys.toSeq).distinct.mkString(", ")}")
+    val orphanContracts = contractByModel.keySet.diff(models.map(_.name).toSet)
+    require(orphanContracts.isEmpty,
+      s"contracts name unknown models: ${orphanContracts.toSeq.sorted.mkString(", ")}")
     val shadowing = models.map(_.name).toSet.intersect(seeds.keySet)
     require(shadowing.isEmpty,
       s"model names shadow seeds: ${shadowing.mkString(", ")}")
@@ -557,6 +577,9 @@ class SqlDag(spark: SparkSession, warehouseDir: String) {
       }
       runHooks(m.preHooks)
       val df = spark.sql(FictionBankSql.render(renderSources(m.jinjaSql)))
+      // enforced contract: fail BEFORE materialization — a drifted
+      // relation must never reach the warehouse under a contract
+      contractByModel.get(m.name).foreach(enforceContract(_, df))
       val materialized = m.materialization match {
         case View | Ephemeral => df
         case Table =>
@@ -567,6 +590,30 @@ class SqlDag(spark: SparkSession, warehouseDir: String) {
       materialized.createOrReplaceTempView(m.name)
       runHooks(m.postHooks)
       materialized
+    }
+    // the whole contract diff in ONE failure — a drift is usually a
+    // refactor, and fixing one column per build is dbt's own UX lesson
+    def enforceContract(c: SchemaConfig.Contract, df: DataFrame): Unit = {
+      val declared = c.columns.map { case (n, t) =>
+        n -> (try org.apache.spark.sql.types.DataType.fromDDL(t)
+        catch {
+          case e: Exception => throw new IllegalArgumentException(
+            s"contract on ${c.model}: cannot parse data_type '$t' for " +
+              s"column $n: ${e.getMessage}")
+        })
+      }
+      val actual = df.schema.map(f => f.name -> f.dataType).toMap
+      val declaredNames = declared.map(_._1).toSet
+      val problems =
+        declared.collect { case (n, _) if !actual.contains(n) =>
+          s"missing declared column $n" } ++
+        df.schema.map(_.name).collect { case n if !declaredNames.contains(n) =>
+          s"undeclared column $n in the model output" } ++
+        declared.collect { case (n, t) if actual.get(n).exists(_ != t) =>
+          s"column $n: declared ${t.sql} but the model produces ${actual(n).sql}" }
+      if (problems.nonEmpty) throw new IllegalArgumentException(
+        s"model ${c.model} violates its enforced contract:\n  " +
+          problems.mkString("\n  "))
     }
     // project-level hooks wrap the RUN (dbt's on-run-start/on-run-end):
     // eager spark.sql like model hooks, skipped when nothing is selected

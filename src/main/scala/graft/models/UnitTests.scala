@@ -1,0 +1,178 @@
+package graft.models
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types._
+
+/** dbt 1.8 unit tests (`unit_tests:` YAML, [[SchemaConfig.unitTests]]):
+  * given literal fixture rows for each of a model's `ref()`/`source()`
+  * inputs, run the model's COMPILED SQL over them and compare against
+  * the expected rows — dbt's build-time logic test, as opposed to the
+  * data tests of [[GenericTests]] (which gate what's IN the warehouse,
+  * not what the SQL does).
+  *
+  * Execution contract mirrors [[GenericTests]]: [[run]] returns a
+  * MUST-BE-EMPTY diff frame — the multiset symmetric difference between
+  * actual and expected rows, each tagged `__graft_side` (`actual` = row
+  * produced but not expected, `expected` = row expected but not
+  * produced) — so a failure's frame IS the diagnostic.
+  *
+  * Fixture typing follows dbt: when the tested model's real input
+  * relation is available (pass `inputFrames`, e.g. the seeds map or a
+  * prior run's relations), fixture literals are CAST to that relation's
+  * column types and unlisted columns materialize as typed NULLs — a
+  * fixture never has to spell every column (dbt fills the rest with
+  * NULL). Without a real relation, types are inferred from the literals
+  * themselves (long / double / boolean / string), and every column the
+  * model reads must appear in some fixture row.
+  *
+  * Expected rows are compared AFTER casting to the model output's
+  * actual schema (dbt's behavior — `expect` literals are authored
+  * untyped in YAML).
+  *
+  * Scale: unit tests run on literal local relations — a handful of rows
+  * by design; no corpus scan, no shuffle beyond the model SQL's own
+  * plan over those rows. The point is CI logic coverage, paid once per
+  * model edit, not a data path.
+  */
+object UnitTests {
+
+  /** Run one unit test. `models` must contain the tested model; its
+    * Jinja renders through the same pipeline as [[SqlDag.run]] (macros,
+    * vars, control flow), then each `ref()`/`source()` span resolves to
+    * the matching fixture. Every input the compiled SQL reads MUST have
+    * a `given` entry — dbt's isolation rule (a unit test that silently
+    * read a real table would not be a unit test) — and unknown `given`
+    * inputs fail fast (a typo'd input name must never silently no-op).
+    */
+  def run(test: SchemaConfig.UnitTest, models: Seq[SqlDag.SqlModel],
+      macros: Seq[JinjaMacros.MacroDef] = Nil,
+      vars: Map[String, String] = Map.empty,
+      inputFrames: Map[String, DataFrame] = Map.empty): DataFrame = {
+    val model = models.find(_.name == test.model).getOrElse(
+      throw new IllegalArgumentException(
+        s"unit test ${test.name}: unknown model '${test.model}' " +
+          s"(known: ${models.map(_.name).sorted.mkString(", ")})"))
+    val spark = inputFrames.values.headOption.map(_.sparkSession)
+      .getOrElse(org.apache.spark.sql.SparkSession.active)
+    val rendered = JinjaMacros.renderModel(model.jinjaSql, macros, vars = vars)
+    // the compiled SQL's input set, resolved like SqlDag.run resolves it
+    val refs = FictionBankSql.RefPattern.findAllMatchIn(rendered)
+      .map(_.group(1)).toSet
+    val srcs = SqlDag.SourcePattern.findAllMatchIn(rendered)
+      .map(m => SqlDag.sourceViewName(m.group(1), m.group(2))).toSet
+    val needed = refs ++ srcs
+    val givenMap = test.given.toMap
+    require(test.given.map(_._1).distinct.size == test.given.size,
+      s"unit test ${test.name}: duplicate given inputs")
+    val missing = needed.diff(givenMap.keySet)
+    require(missing.isEmpty,
+      s"unit test ${test.name}: model reads inputs with no `given` " +
+        s"fixture: ${missing.toSeq.sorted.mkString(", ")}")
+    val unknown = givenMap.keySet.diff(needed)
+    require(unknown.isEmpty,
+      s"unit test ${test.name}: given inputs the model never reads: " +
+        unknown.toSeq.sorted.mkString(", "))
+    // fixtures register under MANGLED names — a unit test must never
+    // overwrite a real relation of the shared session
+    val fixtureNames = needed.toSeq.sorted.zipWithIndex
+      .map { case (n, i) => n -> s"__graft_ut_${i}_$n" }.toMap
+    fixtureNames.foreach { case (input, view) =>
+      fixtureFrame(spark, givenMap(input), inputFrames.get(input),
+        s"${test.name} given $input").createOrReplaceTempView(view)
+    }
+    try {
+      val inlined = SqlDag.SourcePattern.replaceAllIn(
+        FictionBankSql.RefPattern.replaceAllIn(rendered,
+          m => fixtureNames(m.group(1))),
+        m => fixtureNames(SqlDag.sourceViewName(m.group(1), m.group(2))))
+      val actual = spark.sql(inlined)
+      // expected literals cast to the model's ACTUAL output schema
+      val expected = fixtureFrame(spark, test.expect, Some(actual),
+        s"${test.name} expect")
+        .select(actual.columns.map(org.apache.spark.sql.functions.col): _*)
+      import org.apache.spark.sql.functions.lit
+      actual.exceptAll(expected).withColumn("__graft_side", lit("actual"))
+        .unionByName(
+          expected.exceptAll(actual).withColumn("__graft_side", lit("expected")))
+        // the diff must survive the fixture-view cleanup in finally:
+        // localCheckpoint cuts the plan's dependence on the temp views
+        .localCheckpoint(true)
+    } finally fixtureNames.values.foreach(spark.catalog.dropTempView(_))
+  }
+
+  /** `dbt test` over the unit suite: name → diff-row count (0 = pass). */
+  def runAll(tests: Seq[SchemaConfig.UnitTest], models: Seq[SqlDag.SqlModel],
+      macros: Seq[JinjaMacros.MacroDef] = Nil,
+      vars: Map[String, String] = Map.empty,
+      inputFrames: Map[String, DataFrame] = Map.empty): Seq[(String, Long)] =
+    tests.map(t =>
+      t.name -> run(t, models, macros, vars, inputFrames).count())
+
+  /** Literal row maps → a typed local DataFrame. With a `template`
+    * relation its schema gives every column's type (and the full column
+    * set — unlisted columns become typed NULLs); without one, types are
+    * inferred from the literals (long / double / boolean / string;
+    * long+double widens to double), and an all-NULL column fails fast.
+    */
+  private def fixtureFrame(spark: SparkSession, rows: Seq[Map[String, Any]],
+      template: Option[DataFrame], where: String): DataFrame = template match {
+    case Some(t) =>
+      val schema = t.schema
+      val known = schema.fieldNames.toSet
+      rows.foreach(r => r.keys.foreach(k => require(known.contains(k),
+        s"$where: column '$k' does not exist on the relation " +
+          s"(has: ${schema.fieldNames.sorted.mkString(", ")})")))
+      // literals load untyped (strings), then CAST per the template —
+      // dbt's fixture semantics (YAML scalars against catalog types)
+      val untypedSchema = StructType(schema.map(f =>
+        StructField(f.name, StringType, nullable = true)))
+      val data = rows.map(r => Row.fromSeq(schema.map(f =>
+        r.get(f.name).flatMap(Option(_)).map(_.toString).orNull)))
+      val untyped = spark.createDataFrame(
+        new java.util.ArrayList[Row](scala.jdk.CollectionConverters
+          .SeqHasAsJava(data).asJava), untypedSchema)
+      untyped.select(schema.map(f =>
+        org.apache.spark.sql.functions.col(f.name).cast(f.dataType)
+          .as(f.name)): _*)
+    case None =>
+      require(rows.nonEmpty,
+        s"$where: cannot infer a schema from zero rows — pass the real " +
+          "relation via inputFrames, or give at least one row")
+      val cols = rows.flatMap(_.keys).distinct
+      val schema = StructType(cols.map { c =>
+        val vs = rows.flatMap(_.get(c)).filter(_ != null)
+        require(vs.nonEmpty,
+          s"$where: column '$c' is NULL in every row — its type cannot " +
+            "be inferred; pass the real relation via inputFrames")
+        val tpe = vs.map {
+          case _: java.lang.Long | _: java.lang.Integer => LongType: DataType
+          case _: java.lang.Double => DoubleType
+          case _: java.lang.Boolean => BooleanType
+          case _: String => StringType
+          case other => throw new IllegalArgumentException(
+            s"$where.$c: unsupported fixture literal $other")
+        }.reduce[DataType] {
+          case (LongType, DoubleType) | (DoubleType, LongType) => DoubleType
+          case (a, b) if a == b => a
+          case (a, b) => throw new IllegalArgumentException(
+            s"$where.$c: mixed literal types $a vs $b")
+        }
+        StructField(c, tpe, nullable = true)
+      })
+      val data = rows.map(r => Row.fromSeq(schema.map { f =>
+        r.get(f.name).flatMap(Option(_)) match {
+          case None => null
+          case Some(v: java.lang.Integer) if f.dataType == LongType =>
+            v.longValue()
+          case Some(v: java.lang.Long) if f.dataType == DoubleType =>
+            v.doubleValue()
+          case Some(v: java.lang.Integer) if f.dataType == DoubleType =>
+            v.doubleValue()
+          case Some(v) => v
+        }
+      }))
+      spark.createDataFrame(
+        new java.util.ArrayList[Row](scala.jdk.CollectionConverters
+          .SeqHasAsJava(data).asJava), schema)
+  }
+}

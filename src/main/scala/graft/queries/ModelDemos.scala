@@ -589,6 +589,57 @@ object ModelDemos {
       built("orders_keyed").orderBy(col("o_orderkey").asc_nulls_last)
     })
 
+  // -------------------------------------------------------------------
+  // Q42: MODEL CONTRACTS — dbt ≥1.5 `contract: enforced` (the largest
+  // migration-visible dbt surface the repo lacked, r11 verdict): the
+  // schema.yml declares the model's column names and types; the build
+  // checks the ACTUAL materialized schema against them and fails fast
+  // on drift. The demo builds a contracted rollup (green face), then
+  // asserts IN-DEMO that a drifted declaration fails with the contract
+  // diff (red face) — both semantics ride one oracle row. Scale: the
+  // check is analysis-time metadata, no data pass.
+  // -------------------------------------------------------------------
+  private val q42 = Demo("q42_model_contract", Some("""
+      SELECT o_orderstatus AS status, count(*) AS n_orders,
+             round(sum(o_totalprice), 2) AS total
+      FROM orders GROUP BY 1
+      ORDER BY status ASC NULLS LAST"""),
+    (s, dir) => {
+      val yaml = """
+models:
+  - name: status_rollup
+    config:
+      contract:
+        enforced: true
+    columns:
+      - name: status
+        data_type: string
+      - name: n_orders
+        data_type: bigint
+      - name: total
+        data_type: double
+"""
+      val models = Seq(graft.models.SqlDag.SqlModel("status_rollup",
+        "select o_orderstatus as status, count(*) as n_orders, " +
+          "round(sum(o_totalprice), 2) as total " +
+          "from {{ ref('orders') }} group by 1"))
+      val seeds = Map("orders" -> t(s, dir, "orders"))
+      val dag = new graft.models.SqlDag(s, freshScratchDir("q42"))
+      val built = dag.run(models, seeds,
+        contracts = graft.models.SchemaConfig.contracts(yaml))
+      // red face: the same model under a drifted declaration must fail
+      // BEFORE materializing, with the offending column in the message
+      val drifted = graft.models.SchemaConfig.contracts(
+        yaml.replace("data_type: double", "data_type: decimal(10,2)"))
+      val err =
+        try { dag.run(models, seeds, contracts = drifted); None }
+        catch { case e: IllegalArgumentException => Some(e.getMessage) }
+      require(err.exists(m => m.contains("violates its enforced contract")
+        && m.contains("column total")),
+        s"drifted contract did not fail the build: $err")
+      built("status_rollup").orderBy(col("status").asc_nulls_last)
+    })
+
   val all: Seq[Demo] =
-    Seq(x12, x13, x15, q33, q34, q35, q36, q37, q38, q39, q40, q41)
+    Seq(x12, x13, x15, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42)
 }

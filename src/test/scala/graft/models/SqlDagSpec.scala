@@ -657,4 +657,137 @@ class SqlDagSpec extends SparkSpec {
     val (n2, m2) = dag.stateDiff(retagged, dag.stateManifest(sourceModels))
     assert(n2 === Set.empty && m2 === Set("island"))
   }
+
+  test("source views are dropped after the run (no stale __src_* in the shared session)") {
+    val s = spark
+    import s.implicits._
+    val dag = new SqlDag(spark,
+      java.nio.file.Files.createTempDirectory("graft-srcdrop").toString)
+    val built = dag.run(
+      Seq(SqlModel("m1", "select v from {{ source('ext', 'raw') }}")),
+      seeds = Map.empty,
+      sources = Map(("ext", "raw") -> Seq(1, 2).toDF("v")))
+    // the model stays addressable; the plumbing view does not
+    assert(built("m1").count() === 2)
+    assert(spark.table("m1").count() === 2)
+    assert(!spark.catalog.tableExists(SqlDag.sourceViewName("ext", "raw")),
+      "__src_ext__raw survived the run — stale source views leak " +
+        "across runs in a shared session")
+  }
+
+  private val contractYaml = """
+models:
+  - name: typed
+    config:
+      contract:
+        enforced: true
+    columns:
+      - name: k
+        data_type: bigint
+      - name: label
+        data_type: string
+"""
+
+  test("contracts: enforced schema passes on match, fails fast on every drift axis") {
+    val s = spark
+    import s.implicits._
+    val dag = new SqlDag(spark,
+      java.nio.file.Files.createTempDirectory("graft-contract").toString)
+    val seeds = Map("src" -> Seq((1L, "a"), (2L, "b")).toDF("k", "label"))
+    val contracts = SchemaConfig.contracts(contractYaml)
+    assert(contracts === Seq(SchemaConfig.Contract("typed",
+      Seq("k" -> "bigint", "label" -> "string"))))
+    // green: names and Spark-parsed types match exactly
+    val ok = dag.run(Seq(SqlModel("typed",
+      "select k, label from {{ ref('src') }}")), seeds, contracts = contracts)
+    assert(ok("typed").count() === 2)
+    def failing(sql: String): String =
+      intercept[IllegalArgumentException] {
+        dag.run(Seq(SqlModel("typed", sql)), seeds, contracts = contracts)
+      }.getMessage
+    // type drift
+    val typeDrift = failing("select cast(k as int) as k, label from {{ ref('src') }}")
+    assert(typeDrift.contains("violates its enforced contract") &&
+      typeDrift.contains("declared BIGINT") && typeDrift.contains("INT"))
+    // missing declared column
+    assert(failing("select k from {{ ref('src') }}")
+      .contains("missing declared column label"))
+    // undeclared extra column
+    assert(failing("select k, label, 1 as extra from {{ ref('src') }}")
+      .contains("undeclared column extra"))
+    // ALL drift axes in one failure (refactor UX): drop one, add one
+    val multi = failing("select cast(k as int) as k, 1 as extra from {{ ref('src') }}")
+    assert(multi.contains("missing declared column label") &&
+      multi.contains("undeclared column extra") && multi.contains("column k"))
+    // a contract naming an unknown model fails before anything builds
+    assert(intercept[IllegalArgumentException] {
+      dag.run(Seq(SqlModel("other", "select 1 as x")), seeds,
+        contracts = Seq(SchemaConfig.Contract("typed", Seq("k" -> "bigint"))))
+    }.getMessage.contains("unknown models: typed"))
+    // an unparseable declared type names the column and model
+    assert(intercept[IllegalArgumentException] {
+      dag.run(Seq(SqlModel("typed", "select k, label from {{ ref('src') }}")),
+        seeds, contracts = Seq(SchemaConfig.Contract("typed",
+          Seq("k" -> "not_a_type", "label" -> "string"))))
+    }.getMessage.contains("cannot parse data_type 'not_a_type'"))
+  }
+
+  test("contract parsing: enforced requires data_type everywhere; unenforced models yield none") {
+    // un-enforced (absent config, or enforced: false) → no contract
+    assert(SchemaConfig.contracts("""
+models:
+  - name: plain
+    columns:
+      - name: k
+        tests: [not_null]
+  - name: disabled
+    config:
+      contract:
+        enforced: false
+    columns:
+      - name: k
+        data_type: bigint
+""") === Seq.empty)
+    // enforced without a data_type on some column fails fast
+    val e = intercept[IllegalArgumentException] {
+      SchemaConfig.contracts("""
+models:
+  - name: broken
+    config:
+      contract:
+        enforced: true
+    columns:
+      - name: k
+        data_type: bigint
+      - name: untyped
+""")
+    }
+    assert(e.getMessage.contains("broken.untyped"))
+    // enforced with no columns at all fails fast
+    assert(intercept[IllegalArgumentException] {
+      SchemaConfig.contracts("""
+models:
+  - name: empty
+    config:
+      contract:
+        enforced: true
+""")
+    }.getMessage.contains("needs `columns`"))
+    // contracts and generic tests parse from the SAME yaml (one file,
+    // dbt's authoring reality)
+    val both = """
+models:
+  - name: typed
+    config:
+      contract:
+        enforced: true
+    columns:
+      - name: k
+        data_type: bigint
+        tests:
+          - unique
+"""
+    assert(SchemaConfig.contracts(both).head.columns === Seq("k" -> "bigint"))
+    assert(SchemaConfig.tests(both).map(_.name) === Seq("unique_typed_k"))
+  }
 }
