@@ -44,7 +44,8 @@ object UnitTests {
     * read a real table would not be a unit test) — and unknown `given`
     * inputs fail fast (a typo'd input name must never silently no-op).
     */
-  def run(test: SchemaConfig.UnitTest, models: Seq[SqlDag.SqlModel],
+  def run(spark: SparkSession, test: SchemaConfig.UnitTest,
+      models: Seq[SqlDag.SqlModel],
       macros: Seq[JinjaMacros.MacroDef] = Nil,
       vars: Map[String, String] = Map.empty,
       inputFrames: Map[String, DataFrame] = Map.empty): DataFrame = {
@@ -52,8 +53,6 @@ object UnitTests {
       throw new IllegalArgumentException(
         s"unit test ${test.name}: unknown model '${test.model}' " +
           s"(known: ${models.map(_.name).sorted.mkString(", ")})"))
-    val spark = inputFrames.values.headOption.map(_.sparkSession)
-      .getOrElse(org.apache.spark.sql.SparkSession.active)
     val rendered = JinjaMacros.renderModel(model.jinjaSql, macros, vars = vars)
     // the compiled SQL's input set, resolved like SqlDag.run resolves it
     val refs = FictionBankSql.RefPattern.findAllMatchIn(rendered)
@@ -101,12 +100,13 @@ object UnitTests {
   }
 
   /** `dbt test` over the unit suite: name → diff-row count (0 = pass). */
-  def runAll(tests: Seq[SchemaConfig.UnitTest], models: Seq[SqlDag.SqlModel],
+  def runAll(spark: SparkSession, tests: Seq[SchemaConfig.UnitTest],
+      models: Seq[SqlDag.SqlModel],
       macros: Seq[JinjaMacros.MacroDef] = Nil,
       vars: Map[String, String] = Map.empty,
       inputFrames: Map[String, DataFrame] = Map.empty): Seq[(String, Long)] =
     tests.map(t =>
-      t.name -> run(t, models, macros, vars, inputFrames).count())
+      t.name -> run(spark, t, models, macros, vars, inputFrames).count())
 
   /** Literal row maps → a typed local DataFrame. With a `template`
     * relation its schema gives every column's type (and the full column

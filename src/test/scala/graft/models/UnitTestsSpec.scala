@@ -59,7 +59,7 @@ unit_tests:
   }
 
   test("runner: passing tests yield empty diffs over ref AND source fixtures") {
-    val results = UnitTests.runAll(SchemaConfig.unitTests(yaml), models)
+    val results = UnitTests.runAll(spark, SchemaConfig.unitTests(yaml), models)
     assert(results === Seq(
       "rollup_groups_and_sums" -> 0L, "staging_filters_nonpositive" -> 0L))
   }
@@ -67,7 +67,7 @@ unit_tests:
   test("runner: a failing expectation returns the tagged symmetric diff") {
     val bad = SchemaConfig.unitTests(yaml.replace(
       "- {grade: B, n: 1, total: 1.0}", "- {grade: B, n: 2, total: 9.0}"))
-    val diff = UnitTests.run(bad.head, models)
+    val diff = UnitTests.run(spark, bad.head, models)
     val rows = diff.collect().map(r =>
       (r.getString(0), r.getLong(1), r.getDouble(2), r.getString(3))).toSet
     assert(rows === Set(
@@ -79,15 +79,15 @@ unit_tests:
     val ts = SchemaConfig.unitTests(yaml)
     // a model input with no given fixture: refuse (dbt's isolation rule)
     assert(intercept[IllegalArgumentException] {
-      UnitTests.run(ts.head.copy(given = Nil), models)
+      UnitTests.run(spark, ts.head.copy(given = Nil), models)
     }.getMessage.contains("no `given` fixture: graded"))
     // a given input the model never reads: a typo must not no-op
     assert(intercept[IllegalArgumentException] {
-      UnitTests.run(ts.head.copy(given =
+      UnitTests.run(spark, ts.head.copy(given =
         ts.head.given :+ ("phantom" -> Seq(Map[String, Any]("x" -> 1L)))), models)
     }.getMessage.contains("never reads: phantom"))
     assert(intercept[IllegalArgumentException] {
-      UnitTests.run(ts.head.copy(model = "nope"), models)
+      UnitTests.run(spark, ts.head.copy(model = "nope"), models)
     }.getMessage.contains("unknown model 'nope'"))
     // fixtures register under mangled names and are dropped afterwards
     assert(!spark.catalog.tableExists("graded"))
@@ -111,12 +111,12 @@ unit_tests:
         Seq(Map[String, Any]("loan_id" -> 7L, "loaded_on" -> "2024-02-28"))),
       expect = Seq(Map[String, Any]("loan_id" -> 7L,
         "next_day" -> "2024-02-29", "note" -> null)))
-    assert(UnitTests.run(t, m,
+    assert(UnitTests.run(spark, t, m,
       inputFrames = Map("raw_loans" -> real)).count() === 0L)
     // without the template, a date-string literal stays a string and the
     // all-NULL column cannot be typed — fail fast with the remedy named
     assert(intercept[IllegalArgumentException] {
-      UnitTests.run(t.copy(given = Seq("raw_loans" -> Seq(
+      UnitTests.run(spark, t.copy(given = Seq("raw_loans" -> Seq(
         Map[String, Any]("loan_id" -> 7L, "loaded_on" -> null)))), m)
     }.getMessage.contains("inputFrames"))
   }
@@ -128,9 +128,9 @@ unit_tests:
       given = Seq("vals" -> Seq(
         Map[String, Any]("v" -> 1L), Map[String, Any]("v" -> 2.5))),
       expect = Seq(Map[String, Any]("s" -> 3.5)))
-    assert(UnitTests.run(widened, m).count() === 0L)
+    assert(UnitTests.run(spark, widened, m).count() === 0L)
     assert(intercept[IllegalArgumentException] {
-      UnitTests.run(widened.copy(given = Seq("vals" -> Seq(
+      UnitTests.run(spark, widened.copy(given = Seq("vals" -> Seq(
         Map[String, Any]("v" -> 1L), Map[String, Any]("v" -> "x")))), m)
     }.getMessage.contains("mixed literal types"))
   }
