@@ -95,13 +95,19 @@ attempt_face() { # name op dir bg vg
     sbt -batch "runMain graft.ScaleProbe $op $dir" \
     > target/$name.log 2>&1
   local rc=$?
-  grep '^{"op"' target/$name.log | tail -1 > target/$name.json
+  # stage the extraction: a FAILED attempt must never clobber an earlier
+  # attempt's valid record (the r12 chain lost a completed dirty-tagged
+  # sf100 record exactly this way when its gate retry OOM'd)
+  grep '^{"op"' target/$name.log | tail -1 > target/$name.json.new
   rm -rf "$SCRATCH"
-  [ -s target/$name.json ] || {
+  if [ -s target/$name.json.new ]; then
+    mv target/$name.json.new target/$name.json
+  else
+    rm -f target/$name.json.new
     echo "FAILED $name rc=$rc $(date +%H:%M:%S); log tail:" >> $LOG
     tail -5 target/$name.log >> $LOG
     return 1
-  }
+  fi
 }
 
 # arithmetic GO/NO-GO for a heavy sf100 face (v4c): project the verify
