@@ -48,23 +48,31 @@ object RunPipeline {
     }
     built("fct_loan_details").orderBy("loan_id").show(12, truncate = false)
     built("agg_monthly_loans_fixed").show(12, truncate = false)
-    // `dbt test` analog: the grain checks are EXPECTED to flag the
-    // checked-in buggy mart (docs/bug-analysis.md's thesis) and the
-    // reference grain test's over-strict payment-only-month artifact;
-    // the integrity tests must pass. Like `dbt test`, an unexpected
-    // outcome exits nonzero so CI can't read a broken run as green.
-    val expectedFail = Set("grain_agg_monthly_loans",
+    // `dbt test` analog with dbt's config semantics: the grain checks
+    // that flag the checked-in buggy mart (docs/bug-analysis.md's
+    // thesis) and the reference grain test's over-strict payment-only-
+    // month artifact are declared `severity: warn` + `store_failures`
+    // in the dag itself — a WARN keeps the build green while the
+    // flagged rows persist to the audit schema; an ERROR (full-severity
+    // test failing) exits nonzero so CI can't read a broken run as
+    // green. The known-informational tests are also REQUIRED to warn:
+    // a grain test that silently passed would mean the documented bug
+    // vanished — that's a harness regression, not a success.
+    val expectedWarn = Set("grain_agg_monthly_loans",
       "grain_agg_monthly_loans_fixed", "unique_agg_monthly_loans_grain")
-    val results = dag.test(built)
-    results.foreach { case (name, violations) =>
-      val status =
-        if (violations == 0) "PASS"
-        else if (expectedFail(name)) s"FAIL ($violations, expected)"
-        else s"FAIL ($violations)"
-      println(f"test $name%-44s $status")
+    val results = dag.testDetailed(built, s"$warehouseDir/test_failures")
+    results.foreach { r =>
+      val label = r.status match {
+        case "pass" => "PASS"
+        case "warn" => s"WARN (${r.failures}${if (expectedWarn(r.name)) ", expected" else ""})"
+        case _ => s"ERROR (${r.failures})"
+      }
+      println(f"test ${r.name}%-44s $label" +
+        r.storedPath.fold("")(p => s" [failures stored: $p]"))
     }
     val unexpected = results.collect {
-      case (name, v) if (v > 0) != expectedFail(name) => name
+      case r if r.status == "error" => r.name
+      case r if (r.status == "warn") != expectedWarn(r.name) => r.name
     }
     // `dbt docs generate` analog: lineage + schema manifest next to the
     // materialized marts

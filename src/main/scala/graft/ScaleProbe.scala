@@ -395,7 +395,8 @@ object ScaleProbe {
           val caps = (Seq(2, 4, 5, 8, 16, 32, 64) :+ calCap).distinct.sorted
           val stats = graft.operators.TextDedup.lshSurvivalStats(
             docs, "doc_id", "text", threshold = 0.5, discoveryBands = k,
-            materialize = Some(_.localCheckpoint(true)))
+            materialize = Some(_.localCheckpoint(true)),
+            verifyGroups = verifyGroups)
           val curve = graft.operators.TextDedup
             .recallAtCaps(stats, caps, discoveryBands = k)
             .orderBy(col("cap").asc_nulls_last)

@@ -268,26 +268,45 @@ class FictionBankDag(spark: SparkSession, warehouseDir: String) {
           b("stg_loans"), "loan_id")),
       // the reference's grain test — over-strict by design: the payment-
       // only month (NULL type) makes it flag BOTH mart variants with
-      // extra_rows = 1 (see FictionBankSpec's golden assertion)
+      // extra_rows = 1 (see FictionBankSpec's golden assertion). These
+      // KNOWN-informational tests carry dbt's triage config — demoted to
+      // `severity: warn` with `store_failures` so a build still goes
+      // green while the flagged rows persist to the audit schema — the
+      // exact workflow dbt users run while a bug like the checked-in
+      // fan-out is being analyzed (docs/bug-analysis.md)
       DataTest("grain_agg_monthly_loans",
-        b => grainTest(b("fct_loan_details"), b("agg_monthly_loans"))),
+        b => grainTest(b("fct_loan_details"), b("agg_monthly_loans")),
+        TestConfig(severity = "warn", storeFailures = true)),
       DataTest("grain_agg_monthly_loans_fixed",
-        b => grainTest(b("fct_loan_details"), b("agg_monthly_loans_fixed"))),
+        b => grainTest(b("fct_loan_details"), b("agg_monthly_loans_fixed")),
+        TestConfig(severity = "warn", storeFailures = true)),
       // the DISCRIMINATING grain check, via the dbt `unique` generic test:
       // the mart's intended grain is one row per (month, type) — the
-      // checked-in fan-out bug duplicates every origination combo, the
-      // fixed variant none
+      // checked-in fan-out bug duplicates every origination combo (warn +
+      // store_failures: the documented bug under triage), the fixed
+      // variant none (full-severity: a failure THERE is a regression)
       DataTest("unique_agg_monthly_loans_grain",
-        b => unique(b("agg_monthly_loans"), "month", "loan_type_name")),
+        b => unique(b("agg_monthly_loans"), "month", "loan_type_name"),
+        TestConfig(severity = "warn", storeFailures = true)),
       DataTest("unique_agg_monthly_loans_fixed_grain",
         b => unique(b("agg_monthly_loans_fixed"), "month", "loan_type_name")))
   }
 
   /** `dbt test`: violation count per test name over the built relations
-    * (seeds included), 0 = pass.
+    * (seeds included), 0 = pass. Note the warn-severity tests with
+    * `store_failures` throw here for want of an audit location — use
+    * [[testDetailed]] for the full config semantics.
     */
   def test(built: Map[String, DataFrame]): Seq[(String, Long)] =
-    GenericTests.run(dataTests, built)
+    GenericTests.run(dataTests.map(_.copy(
+      config = GenericTests.TestConfig())), built)
+
+  /** `dbt test` with the full config semantics: pass/warn/error verdicts
+    * and `store_failures` audit tables under `storeDir`.
+    */
+  def testDetailed(built: Map[String, DataFrame],
+      storeDir: String): Seq[GenericTests.TestResult] =
+    GenericTests.runDetailed(dataTests, built, Some(storeDir))
 
   /** `dbt docs generate` analog: the manifest artifact — every model node
     * with its materialization, upstream deps (`ref()` lineage) and output

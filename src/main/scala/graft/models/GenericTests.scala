@@ -49,14 +49,97 @@ object GenericTests {
       .join(parent.select(col(parentCol).as("__parent_key")).distinct(),
         col(c) === col("__parent_key"), "left_anti")
 
-  /** A named test over built relations: `frame(built)` must be empty. */
+  /** dbt's test-config block (`severity`, `warn_if`/`error_if`
+    * thresholds, `store_failures`): how a test's violation COUNT maps to
+    * a verdict. dbt's semantics — `severity: error` (the default)
+    * checks `error_if` first, then falls back to `warn_if`;
+    * `severity: warn` never errors, it checks `warn_if` only. Both
+    * thresholds default to `!= 0`. Conditions are dbt's comparator
+    * strings over the failure count (`">10"`, `">= 3"`, `"!=0"`) and
+    * parse at CONSTRUCTION — a typo'd threshold must fail when declared,
+    * not silently pass forever at evaluation time.
+    */
+  final case class TestConfig(severity: String = "error",
+      warnIf: String = "!= 0", errorIf: String = "!= 0",
+      storeFailures: Boolean = false) {
+    require(Set("warn", "error")(severity),
+      s"severity must be warn or error, got '$severity'")
+    TestConfig.met(warnIf, 0)
+    TestConfig.met(errorIf, 0)
+
+    /** The verdict for `failures` violating rows: pass / warn / error. */
+    def status(failures: Long): String =
+      if (severity == "error" && TestConfig.met(errorIf, failures)) "error"
+      else if (TestConfig.met(warnIf, failures)) "warn"
+      else "pass"
+  }
+
+  object TestConfig {
+    private val Cond = """^\s*(>=|<=|!=|==|>|<|=)\s*(\d+)\s*$""".r
+
+    /** Evaluate a dbt threshold condition against a failure count. */
+    def met(cond: String, n: Long): Boolean = cond match {
+      case Cond(op, v) =>
+        val t = v.toLong
+        op match {
+          case ">" => n > t
+          case ">=" => n >= t
+          case "<" => n < t
+          case "<=" => n <= t
+          case "!=" => n != t
+          case "=" | "==" => n == t
+        }
+      case _ => throw new IllegalArgumentException(
+        s"cannot parse test threshold '$cond' " +
+          "(expected a comparator + integer, e.g. '>10', '!=0')")
+    }
+  }
+
+  /** A named test over built relations: `frame(built)` must be empty —
+    * or, under a non-default [[TestConfig]], within its thresholds.
+    */
   final case class DataTest(name: String,
-      frame: Map[String, DataFrame] => DataFrame)
+      frame: Map[String, DataFrame] => DataFrame,
+      config: TestConfig = TestConfig())
+
+  /** One evaluated test: violation count, the [[TestConfig]] verdict,
+    * and where the failing rows were persisted (when `store_failures`).
+    */
+  final case class TestResult(name: String, failures: Long, status: String,
+      storedPath: Option[String])
 
   /** `dbt test` analog: evaluate each test, returning name → violation
     * count (0 = pass). One Spark job per test; no driver-side data.
     */
   def run(tests: Seq[DataTest],
       built: Map[String, DataFrame]): Seq[(String, Long)] =
-    tests.map(t => t.name -> t.frame(built).count())
+    runDetailed(tests, built).map(r => r.name -> r.failures)
+
+  /** [[run]] with dbt's full test-config semantics: each test's count
+    * maps through its [[TestConfig]] to pass/warn/error, and a test with
+    * `store_failures` persists its violating rows as a parquet audit
+    * table under `storeDir/<test_name>` (dbt's audit schema) — written
+    * even when empty, so the audit relation always reflects the LATEST
+    * run (a stale failure table from a previous run would read as a
+    * live problem). The count is then taken off the stored table: one
+    * evaluation of the test frame, and the persisted audit rows provably
+    * back the verdict. Scale: unchanged — one bounded job per test; the
+    * store is a write of the (small) violation set, never the relation.
+    */
+  def runDetailed(tests: Seq[DataTest], built: Map[String, DataFrame],
+      storeDir: Option[String] = None): Seq[TestResult] =
+    tests.map { t =>
+      val frame = t.frame(built)
+      val stored = if (t.config.storeFailures) {
+        val dir = storeDir.getOrElse(throw new IllegalArgumentException(
+          s"test ${t.name} sets store_failures but runDetailed got no " +
+            "storeDir — pass the audit location"))
+        val path = s"$dir/${t.name}"
+        frame.write.mode("overwrite").parquet(path)
+        Some(path)
+      } else None
+      val n = stored.fold(frame.count())(p =>
+        frame.sparkSession.read.parquet(p).count())
+      TestResult(t.name, n, t.config.status(n), stored)
+    }
 }

@@ -78,11 +78,12 @@ object SchemaConfig {
     def rel(built: Map[String, org.apache.spark.sql.DataFrame], name: String) =
       built.getOrElse(name, throw new IllegalArgumentException(
         s"test on $model.$column references unknown relation: $name"))
+    val config = testConfigOf(args, s"$model.$column")
     kind match {
       case "unique" => GenericTests.DataTest(s"unique_${model}_$column",
-        built => GenericTests.unique(rel(built, model), column))
+        built => GenericTests.unique(rel(built, model), column), config)
       case "not_null" => GenericTests.DataTest(s"not_null_${model}_$column",
-        built => GenericTests.notNull(rel(built, model), column))
+        built => GenericTests.notNull(rel(built, model), column), config)
       case "accepted_values" =>
         val vn = Option(args.get("values")).getOrElse(
           throw new IllegalArgumentException(
@@ -91,16 +92,51 @@ object SchemaConfig {
         val values: Seq[Any] = vn.elements.asScala.map(scalar(_,
           s"accepted_values value on $model.$column")).toSeq
         GenericTests.DataTest(s"accepted_values_${model}_$column",
-          built => GenericTests.acceptedValues(rel(built, model), column, values))
+          built => GenericTests.acceptedValues(rel(built, model), column, values),
+          config)
       case "relationships" =>
         val to = refName(reqText(args, "to", s"relationships on $model.$column"))
         val field = reqText(args, "field", s"relationships on $model.$column")
         GenericTests.DataTest(s"relationships_${model}_$column",
           built => GenericTests.relationships(rel(built, model), column,
-            rel(built, to), field))
+            rel(built, to), field), config)
       case other => throw new IllegalArgumentException(
         s"unknown generic test `$other` on $model.$column " +
           "(supported: unique, not_null, accepted_values, relationships)")
+    }
+  }
+
+  /** dbt's test `config:` block — `severity`, `warn_if`/`error_if`
+    * thresholds, `store_failures` — parsed off a test's argument node.
+    * dbt also accepts these keys INLINE next to the test's own arguments
+    * (the pre-`config:` syntax, still common in migrating projects);
+    * both spellings are read, `config:` winning on a clash. Validation
+    * is [[GenericTests.TestConfig]]'s, re-thrown with the test's
+    * location named.
+    */
+  private def testConfigOf(args: JsonNode,
+      where: String): GenericTests.TestConfig = {
+    val cfg = Option(args.get("config"))
+    def key(k: String): Option[JsonNode] =
+      cfg.flatMap(c => Option(c.get(k))).orElse(Option(args.get(k)))
+    def text(k: String): Option[String] = key(k).map { n =>
+      require(n.isTextual, s"test config `$k` on $where must be a string")
+      n.asText
+    }
+    val store = key("store_failures").map { n =>
+      require(n.isBoolean, s"test config `store_failures` on $where must " +
+        "be a boolean")
+      n.asBoolean
+    }
+    val default = GenericTests.TestConfig()
+    try GenericTests.TestConfig(
+      severity = text("severity").getOrElse(default.severity),
+      warnIf = text("warn_if").getOrElse(default.warnIf),
+      errorIf = text("error_if").getOrElse(default.errorIf),
+      storeFailures = store.getOrElse(default.storeFailures))
+    catch {
+      case e: IllegalArgumentException => throw new IllegalArgumentException(
+        s"test config on $where: ${e.getMessage}")
     }
   }
 
@@ -228,14 +264,26 @@ object SchemaConfig {
     }
   }
 
-  /** One dbt 1.8 unit test: fixture rows for each of the model's
-    * inputs, expected rows out. `given` keys are the resolved input
-    * names — a ref target's model/seed name, or a source's registered
-    * view name ([[SqlDag.sourceViewName]]).
+  /** One unit-test fixture, in any of dbt 1.8's three formats: dict
+    * (literal row maps — the default), an inline CSV text block
+    * (`format: csv`), or a standalone SQL select (`format: sql`).
+    * Typing/execution semantics live in [[UnitTests]].
+    */
+  sealed trait Fixture
+  object Fixture {
+    final case class Rows(rows: Seq[Map[String, Any]]) extends Fixture
+    final case class Csv(text: String) extends Fixture
+    final case class Sql(sql: String) extends Fixture
+  }
+
+  /** One dbt 1.8 unit test: a fixture for each of the model's inputs,
+    * expected output. `given` keys are the resolved input names — a ref
+    * target's model/seed name, or a source's registered view name
+    * ([[SqlDag.sourceViewName]]).
     */
   final case class UnitTest(name: String, model: String,
-      given: Seq[(String, Seq[Map[String, Any]])],
-      expect: Seq[Map[String, Any]])
+      given: Seq[(String, Fixture)],
+      expect: Fixture)
 
   /** Parse the `unit_tests:` block (dbt 1.8):
     *
@@ -248,16 +296,26 @@ object SchemaConfig {
     *         rows:
     *           - {loan_id: 1, amount: 100.0}
     *       - input: source('raw', 'rates')
-    *         rows: []
+    *         format: csv
+    *         rows: |
+    *           rate_date,rate
+    *           2024-01-01,0.05
+    *       - input: ref('fx')
+    *         format: sql
+    *         sql: select 1 as fx_id, 1.1 as eur_usd
     *     expect:
     *       rows:
     *         - {n: 1, total: 100.0}
     * }}}
     *
-    * Scalars map to the JVM types [[UnitTests]] builds fixture frames
-    * from (long / double / boolean / string; `null` allowed). Missing
-    * `name`/`model`/`given`/`expect` fail fast; execution lives in
-    * [[UnitTests.run]].
+    * Dict scalars map to the JVM types [[UnitTests]] builds fixture
+    * frames from (long / double / boolean / string; `null` allowed);
+    * `format: csv` takes the block as inline CSV with a header row;
+    * `format: sql` takes a standalone select (dbt's escape hatch for
+    * values YAML/CSV literals can't spell). `expect` accepts the same
+    * three formats. Missing `name`/`model`/`given`/`expect`, unknown
+    * formats, and `fixture:` file refs (unsupported — inline the data)
+    * fail fast; execution lives in [[UnitTests.run]].
     */
   def unitTests(yamlText: String): Seq[UnitTest] = {
     val root = mapper.readTree(yamlText)
@@ -271,14 +329,44 @@ object SchemaConfig {
         require(givenNode.isArray, s"unit test $name: `given` must be a list")
         val given = givenNode.elements.asScala.map { g =>
           val input = inputName(reqText(g, "input", s"given of unit test $name"))
-          input -> rowsOf(Option(g.get("rows")), s"unit test $name given $input")
+          input -> fixtureOf(g, s"unit test $name given $input")
         }.toSeq
         val expectNode = Option(u.get("expect")).getOrElse(
           throw new IllegalArgumentException(s"unit test $name needs `expect`"))
-        val expect = rowsOf(Option(expectNode.get("rows")),
-          s"unit test $name expect")
+        val expect = fixtureOf(expectNode, s"unit test $name expect")
         UnitTest(name, model, given, expect)
       }.toSeq
+    }
+  }
+
+  /** One fixture node → [[Fixture]], dispatching on dbt's `format:` key
+    * (absent = dict). Every malformed shape fails fast with the format's
+    * own contract named — a fixture that silently parsed as empty would
+    * make its test vacuous.
+    */
+  private def fixtureOf(node: JsonNode, where: String): Fixture = {
+    require(!node.has("fixture"),
+      s"$where: `fixture:` file refs are not supported — inline the data " +
+        "under `rows` (dict/csv) or `sql`")
+    val format = Option(node.get("format")).map { f =>
+      require(f.isTextual, s"$where: `format` must be a string")
+      f.asText
+    }.getOrElse("dict")
+    format match {
+      case "dict" => Fixture.Rows(rowsOf(Option(node.get("rows")), where))
+      case "csv" =>
+        val text = Option(node.get("rows")).filter(_.isTextual).map(_.asText)
+          .getOrElse(throw new IllegalArgumentException(
+            s"$where: format csv needs `rows` as an inline CSV text block " +
+              "(YAML `rows: |` with a header line)"))
+        Fixture.Csv(text)
+      case "sql" =>
+        val sql = Option(node.get("sql")).filter(_.isTextual).map(_.asText)
+          .getOrElse(throw new IllegalArgumentException(
+            s"$where: format sql needs `sql` with a standalone select"))
+        Fixture.Sql(sql)
+      case other => throw new IllegalArgumentException(
+        s"$where: unknown fixture format '$other' (dict, csv, sql)")
     }
   }
 

@@ -509,10 +509,17 @@ class SqlDag(spark: SparkSession, warehouseDir: String) {
           missingSrc.map(st => s"${st._1}.${st._2}").mkString(", ") +
           " — declare them in run(sources = Map((source, table) -> frame))")
     }
-    // source relations register like seeds: inputs, never built
+    // source relations register like seeds: inputs, never built. From
+    // here the run owns __src_* catalog state, so everything through the
+    // end hooks runs under the try whose finally drops them — a run that
+    // throws MID-build (contract violation, hook failure, unbuilt ref)
+    // must not leave stale source views addressable in the shared
+    // session either (r12 advice; the success-path-only cleanup guarded
+    // against exactly the staleness an aborted run still produced).
     sources.foreach { case ((s, t), df) =>
       df.createOrReplaceTempView(SqlDag.sourceViewName(s, t))
     }
+    try {
     val chosen =
       if (select.isEmpty && exclude.isEmpty) models
       else selectModels(models, select, exclude, state,
@@ -660,15 +667,18 @@ class SqlDag(spark: SparkSession, warehouseDir: String) {
     // after the ephemeral drop: end hooks observe the same relation
     // state dbt's would (ephemeral models never reach the warehouse)
     runProjectHooks(onRunEnd)
-    // source temp views are run-scoped plumbing, not relations the run
-    // produced: drop them after the end hooks (the last consumer), like
-    // the ephemeral cleanup — in a shared session a stale __src_* view
-    // from a prior run must not stay addressable by raw SQL when the
-    // current run declares fewer sources (r11 advice). Models captured
-    // their analyzed plans eagerly, so the drop cannot break them.
-    sources.keys.foreach { case (s, t) =>
-      spark.catalog.dropTempView(SqlDag.sourceViewName(s, t))
-    }
     built
+    // source temp views are run-scoped plumbing, not relations the run
+    // produced: drop them after the end hooks (the last consumer) on
+    // success, and unconditionally on failure — in a shared session a
+    // stale __src_* view must not stay addressable by raw SQL, whether
+    // the next run declares fewer sources (r11 advice) or this one
+    // aborted mid-build (r12 advice). Models captured their analyzed
+    // plans eagerly, so the drop cannot break anything already built.
+    } finally {
+      sources.keys.foreach { case (s, t) =>
+        spark.catalog.dropTempView(SqlDag.sourceViewName(s, t))
+      }
+    }
   }
 }

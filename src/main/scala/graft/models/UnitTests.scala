@@ -4,11 +4,12 @@ import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.types._
 
 /** dbt 1.8 unit tests (`unit_tests:` YAML, [[SchemaConfig.unitTests]]):
-  * given literal fixture rows for each of a model's `ref()`/`source()`
-  * inputs, run the model's COMPILED SQL over them and compare against
-  * the expected rows — dbt's build-time logic test, as opposed to the
-  * data tests of [[GenericTests]] (which gate what's IN the warehouse,
-  * not what the SQL does).
+  * given a fixture for each of a model's `ref()`/`source()` inputs —
+  * literal dict rows, an inline CSV block, or a standalone SQL select
+  * ([[SchemaConfig.Fixture]]) — run the model's COMPILED SQL over them
+  * and compare against the expected rows — dbt's build-time logic test,
+  * as opposed to the data tests of [[GenericTests]] (which gate what's
+  * IN the warehouse, not what the SQL does).
   *
   * Execution contract mirrors [[GenericTests]]: [[run]] returns a
   * MUST-BE-EMPTY diff frame — the multiset symmetric difference between
@@ -108,32 +109,101 @@ object UnitTests {
     tests.map(t =>
       t.name -> run(spark, t, models, macros, vars, inputFrames).count())
 
+  /** One [[SchemaConfig.Fixture]] → a typed local DataFrame, per its
+    * format: dict rows ([[rowsFrame]]), an inline CSV block
+    * ([[csvFrame]]), or a standalone SQL select (typed columns straight
+    * from the engine — dbt's escape hatch for values literals can't
+    * spell; with a template its columns conform the same way).
+    */
+  private def fixtureFrame(spark: SparkSession, fixture: SchemaConfig.Fixture,
+      template: Option[DataFrame], where: String): DataFrame = fixture match {
+    case SchemaConfig.Fixture.Rows(rows) =>
+      rowsFrame(spark, rows, template, where)
+    case SchemaConfig.Fixture.Csv(text) =>
+      csvFrame(spark, text, template, where)
+    case SchemaConfig.Fixture.Sql(sql) =>
+      val df = spark.sql(sql)
+      template.fold(df)(t =>
+        castToTemplate(df, t.schema, where, stringSourced = false))
+  }
+
+  /** Conform a fixture frame to the template relation's schema: every
+    * provided column must exist on the relation; provided columns CAST
+    * to the relation's types, unlisted columns materialize as typed
+    * NULLs (dbt's backfill). `stringSourced` marks fixtures whose values
+    * arrive as strings (dict/csv): Spark casts a string to a non-atomic
+    * type (array/map/struct/binary) as silent NULL, so a string-sourced
+    * value for such a column would become a typed NULL instead of the
+    * literal — fail fast with the remedy named, like the other
+    * unsupported-literal paths (r12 advice). SQL fixtures produce typed
+    * columns whose complex values cast faithfully, so they pass.
+    */
+  private def castToTemplate(untyped: DataFrame, schema: StructType,
+      where: String, stringSourced: Boolean): DataFrame = {
+    val known = schema.fieldNames.toSet
+    untyped.columns.foreach(k => require(known.contains(k),
+      s"$where: column '$k' does not exist on the relation " +
+        s"(has: ${schema.fieldNames.sorted.mkString(", ")})"))
+    val provided = untyped.columns.toSet
+    if (stringSourced) schema.filter(f => provided.contains(f.name)).foreach { f =>
+      val atomic = f.dataType match {
+        case _: ArrayType | _: MapType | _: StructType | BinaryType => false
+        case _ => true
+      }
+      require(atomic,
+        s"$where: column '${f.name}' has non-atomic type ${f.dataType.sql} " +
+          "— dict/csv fixture literals cannot express it (a string cast " +
+          "yields NULL silently); omit the column (it becomes a typed " +
+          "NULL) or use a `format: sql` fixture")
+    }
+    untyped.select(schema.map(f =>
+      (if (provided.contains(f.name))
+        org.apache.spark.sql.functions.col(f.name).cast(f.dataType)
+      else org.apache.spark.sql.functions.lit(null).cast(f.dataType))
+        .as(f.name)): _*)
+  }
+
+  /** Inline-CSV fixture → frame, through Spark's real CSV reader (the
+    * header row names the columns; an empty cell is NULL). With a
+    * template the parsed strings cast per the relation's types and
+    * unlisted columns NULL-backfill exactly like dict rows; without one
+    * Spark's CSV schema inference types the literals.
+    */
+  private def csvFrame(spark: SparkSession, text: String,
+      template: Option[DataFrame], where: String): DataFrame = {
+    val lines = text.linesIterator.filter(_.trim.nonEmpty).toSeq
+    require(lines.nonEmpty, s"$where: empty CSV block — need a header line")
+    val ds = spark.createDataset(lines)(org.apache.spark.sql.Encoders.STRING)
+    template match {
+      case Some(t) =>
+        castToTemplate(spark.read.option("header", true).csv(ds),
+          t.schema, where, stringSourced = true)
+      case None =>
+        spark.read.option("header", true).option("inferSchema", true).csv(ds)
+    }
+  }
+
   /** Literal row maps → a typed local DataFrame. With a `template`
     * relation its schema gives every column's type (and the full column
     * set — unlisted columns become typed NULLs); without one, types are
     * inferred from the literals (long / double / boolean / string;
     * long+double widens to double), and an all-NULL column fails fast.
     */
-  private def fixtureFrame(spark: SparkSession, rows: Seq[Map[String, Any]],
+  private def rowsFrame(spark: SparkSession, rows: Seq[Map[String, Any]],
       template: Option[DataFrame], where: String): DataFrame = template match {
     case Some(t) =>
-      val schema = t.schema
-      val known = schema.fieldNames.toSet
-      rows.foreach(r => r.keys.foreach(k => require(known.contains(k),
-        s"$where: column '$k' does not exist on the relation " +
-          s"(has: ${schema.fieldNames.sorted.mkString(", ")})")))
-      // literals load untyped (strings), then CAST per the template —
-      // dbt's fixture semantics (YAML scalars against catalog types)
-      val untypedSchema = StructType(schema.map(f =>
-        StructField(f.name, StringType, nullable = true)))
-      val data = rows.map(r => Row.fromSeq(schema.map(f =>
-        r.get(f.name).flatMap(Option(_)).map(_.toString).orNull)))
+      // literals load untyped (strings) under the PROVIDED column set,
+      // then conform to the template — dbt's fixture semantics (YAML
+      // scalars against catalog types, NULL backfill for the rest)
+      val provided = rows.flatMap(_.keys).distinct
+      val untypedSchema = StructType(provided.map(c =>
+        StructField(c, StringType, nullable = true)))
+      val data = rows.map(r => Row.fromSeq(provided.map(c =>
+        r.get(c).flatMap(Option(_)).map(_.toString).orNull)))
       val untyped = spark.createDataFrame(
         new java.util.ArrayList[Row](scala.jdk.CollectionConverters
           .SeqHasAsJava(data).asJava), untypedSchema)
-      untyped.select(schema.map(f =>
-        org.apache.spark.sql.functions.col(f.name).cast(f.dataType)
-          .as(f.name)): _*)
+      castToTemplate(untyped, t.schema, where, stringSourced = true)
     case None =>
       require(rows.nonEmpty,
         s"$where: cannot infer a schema from zero rows — pass the real " +

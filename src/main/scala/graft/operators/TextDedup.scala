@@ -505,6 +505,22 @@ object TextDedup {
         materializeCandidates, maxBucket, verifyGroups)
   }
 
+  /** Trust a caller-provided materialization only when it actually
+    * truncated lineage: a plan whose analyzed root is a `LogicalRDD` is
+    * checkpoint-backed (the default `localCheckpoint(true)` path);
+    * anything else — `identity`, `cache()`, another lazy cut — is re-cut
+    * here. The grouped candidate path needs the cut before it RELEASES
+    * the pass generations the lazy plan still references (r11 advice);
+    * the grouped VERIFY path needs it so each slice filters a computed
+    * RDD instead of silently re-running candidate generation once per
+    * slice (r12 advice — the monolithic path's require checked only
+    * that a materializer was provided, not that it cut).
+    */
+  private[operators] def ensureEagerCut(df: DataFrame): DataFrame =
+    if (df.queryExecution.analyzed
+      .isInstanceOf[org.apache.spark.sql.execution.LogicalRDD]) df
+    else df.localCheckpoint(true)
+
   private def minhashLshPairsMonolithic(df: DataFrame, idCol: String,
       textCol: String, threshold: Double,
       materializeCandidates: Option[DataFrame => DataFrame],
@@ -517,7 +533,8 @@ object TextDedup {
         val c = m(lazyCand)
         verifyGroups match {
           case Some(vg) =>
-            verifyCandidatePairsGrouped(c, df, idCol, textCol, threshold, vg)
+            verifyCandidatePairsGrouped(ensureEagerCut(c), df, idCol, textCol,
+              threshold, vg)
           case None =>
             val candIds = c
               .select(explode(array(col("__graft_id_a"), col("__graft_id_b"))).as(idCol))
@@ -602,17 +619,11 @@ object TextDedup {
       out
     }
     // the cut must be EAGER and lineage-truncating before the pass
-    // generations release below — a lazy cut (identity, cache()) would
-    // leave the candidate plan backed by released checkpoint blocks,
-    // which localCheckpoint'd RDDs cannot recompute (r11 advice). A cut
-    // that already produced a checkpoint-backed plan (LogicalRDD root —
-    // the default localCheckpoint(true) path) is trusted; anything else
-    // is re-cut here.
-    val cut = materialize(passes.map(_._1).reduce(_ union _).distinct())
-    val cand =
-      if (cut.queryExecution.analyzed
-        .isInstanceOf[org.apache.spark.sql.execution.LogicalRDD]) cut
-      else cut.localCheckpoint(true)
+    // generations release below — a lazy cut would leave the candidate
+    // plan backed by released checkpoint blocks, which localCheckpoint'd
+    // RDDs cannot recompute (r11 advice; see [[ensureEagerCut]])
+    val cand = ensureEagerCut(
+      materialize(passes.map(_._1).reduce(_ union _).distinct()))
     // candidates are cut: the band index and every pass generation are
     // dead weight from here — release before the verify stage spills
     release(sc, bandIds ++ passes.flatMap(_._2).toSet)
@@ -712,27 +723,44 @@ object TextDedup {
     * (b) the verified true-pair set before the min-bucket join re-uses
     * it on both sides — pass `Some(_.localCheckpoint(true))` at scale;
     * the `None` default keeps the whole computation lazy for
-    * oracle-checkable demo use.
+    * oracle-checkable demo use. `verifyGroups` slices the exact-verify
+    * stage exactly like [[minhashLshPairs]]' knob (requires
+    * `materialize`) — the instrument's k-band UNCAPPED candidate set
+    * grows with n² just like the operator's, so the at-scale recall
+    * faces need the same disk bound.
     */
   def lshSurvivalStats(df: DataFrame, idCol: String, textCol: String,
       threshold: Double, discoveryBands: Option[Int] = None,
-      materialize: Option[DataFrame => DataFrame] = None): DataFrame = {
+      materialize: Option[DataFrame => DataFrame] = None,
+      verifyGroups: Option[Int] = None): DataFrame = {
     discoveryBands.foreach(k => require(k >= 1 && k <= Hashing.MinhashK / 2,
       s"discoveryBands must be in [1, ${Hashing.MinhashK / 2}], got $k"))
+    require(verifyGroups.isEmpty || materialize.nonEmpty,
+      "verifyGroups needs materialized candidates (set materialize) — " +
+        "slicing a lazy candidate plan would re-run discovery per slice")
     val cut = materialize.getOrElse(identity[DataFrame] _)
     val bands = lshIndex(df, idCol, textCol)
     val discovery = discoveryBands.fold(bands)(k => bands.filter(col("band") < k))
     val cand = cut(lshCandidatePairs(discovery, maxBucket = None))
-    val setsBase = materialize match {
-      case None => df // lazy demo path: verify against the whole corpus
-      case Some(_) =>
-        val candIds = cand
-          .select(explode(array(col("__graft_id_a"), col("__graft_id_b"))).as(idCol))
-          .distinct()
-        df.join(candIds, Seq(idCol), "left_semi")
+    // the instrument meets the same wall the capped operator did: the
+    // UNCAPPED k-band candidate set at corpus scale (~230M pairs at 5M
+    // docs, k=2) exceeds a box's scratch under a monolithic verify, so
+    // the verify stage takes the same slice knob as minhashLshPairs
+    val truePairs = verifyGroups match {
+      case Some(vg) =>
+        cut(verifyCandidatePairsGrouped(ensureEagerCut(cand), df,
+          idCol, textCol, threshold, vg))
+      case None =>
+        val setsBase = materialize match {
+          case None => df // lazy demo path: verify against the whole corpus
+          case Some(_) =>
+            val candIds = cand
+              .select(explode(array(col("__graft_id_a"), col("__graft_id_b"))).as(idCol))
+              .distinct()
+            df.join(candIds, Seq(idCol), "left_semi")
+        }
+        cut(verifyCandidatePairs(cand, setsBase, idCol, textCol, threshold))
     }
-    val truePairs = cut(
-      verifyCandidatePairs(cand, setsBase, idCol, textCol, threshold))
     // bucket sizes over the FULL index (the sizes the capped operator
     // filters on), then restricted to docs that appear in a true pair —
     // the window must see every bucket member, so filter AFTER it

@@ -640,6 +640,65 @@ models:
       built("status_rollup").orderBy(col("status").asc_nulls_last)
     })
 
+  // -------------------------------------------------------------------
+  // Q43: TEST SEVERITY + STORE_FAILURES — dbt's test-config block (r12
+  // verdict item 3): `severity: warn` keeps a flagging test from
+  // breaking the build, `warn_if`/`error_if` thresholds grade the
+  // failure count, and `store_failures` persists the violating rows to
+  // an audit table. The demo declares the tests in schema.yml form,
+  // runs them with the full config semantics, asserts the verdict
+  // matrix in-demo (warn face green-but-flagging, threshold face
+  // passing, full-severity face erroring), and returns the PERSISTED
+  // audit table — so the oracle hash-checks the stored failure rows
+  // themselves, not just a count. Scale: each test is one bounded job;
+  // the audit write is the (small) violation set, never the relation.
+  // -------------------------------------------------------------------
+  private val q43 = Demo("q43_test_severity_audit", Some("""
+      SELECT o_orderkey, o_orderstatus
+      FROM orders
+      WHERE o_orderstatus IS NOT NULL AND o_orderstatus NOT IN ('O', 'F')
+      ORDER BY o_orderkey ASC NULLS LAST"""),
+    (s, dir) => {
+      val yaml = """
+models:
+  - name: orders
+    columns:
+      - name: o_orderstatus
+        tests:
+          - accepted_values:
+              values: ['O', 'F']
+              config:
+                severity: warn
+                store_failures: true
+          - not_null:
+              config:
+                warn_if: "> 0"
+                error_if: "> 999999999"
+"""
+      val built = Map("orders" -> t(s, dir, "orders"))
+      val store = freshScratchDir("q43")
+      // red face first: the same flagging test at dbt's default
+      // severity must grade error (CI exit), before the warn face's
+      // audit table is read back as the query result
+      val hard = graft.models.GenericTests.runDetailed(
+        graft.models.SchemaConfig.tests(
+          yaml.replace("severity: warn", "severity: error")),
+        built, Some(store))
+      require(hard.find(_.name == "accepted_values_orders_o_orderstatus")
+        .exists(_.status == "error"), s"full severity did not error: $hard")
+      val results = graft.models.GenericTests.runDetailed(
+        graft.models.SchemaConfig.tests(yaml), built, Some(store))
+      val byName = results.map(r => r.name -> r).toMap
+      val av = byName("accepted_values_orders_o_orderstatus")
+      require(av.status == "warn" && av.failures > 0,
+        s"expected a flagging warn, got: $av")
+      require(byName("not_null_orders_o_orderstatus").status == "pass",
+        "threshold face should pass: no NULL statuses in orders")
+      s.read.parquet(av.storedPath.get)
+        .select(col("o_orderkey"), col("o_orderstatus"))
+        .orderBy(col("o_orderkey").asc_nulls_last)
+    })
+
   val all: Seq[Demo] =
-    Seq(x12, x13, x15, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42)
+    Seq(x12, x13, x15, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43)
 }

@@ -72,4 +72,108 @@ class GenericTestsSpec extends SparkSpec {
     assert(results("unique_agg_monthly_loans_grain") === 10)
     assert(results("unique_agg_monthly_loans_fixed_grain") === 0)
   }
+
+  test("TestConfig: dbt's severity/threshold verdict matrix; typos fail at construction") {
+    // defaults: severity error, both thresholds != 0
+    assert(TestConfig().status(0) === "pass")
+    assert(TestConfig().status(1) === "error")
+    // severity warn never errors, whatever the count
+    assert(TestConfig(severity = "warn").status(1000) === "warn")
+    assert(TestConfig(severity = "warn").status(0) === "pass")
+    // dbt's triage ladder: small counts warn, large ones error
+    val ladder = TestConfig(warnIf = "> 0", errorIf = "> 10")
+    assert(ladder.status(0) === "pass")
+    assert(ladder.status(5) === "warn")
+    assert(ladder.status(11) === "error")
+    // every comparator spelling
+    assert(TestConfig.met(">= 3", 3) && !TestConfig.met(">=3", 2))
+    assert(TestConfig.met("<=3", 3) && TestConfig.met("< 3", 2))
+    assert(TestConfig.met("= 0", 0) && TestConfig.met("== 2", 2))
+    // a typo'd threshold or severity must fail when DECLARED, not
+    // silently never-fire at evaluation time
+    assert(intercept[IllegalArgumentException] {
+      TestConfig(warnIf = "more than ten")
+    }.getMessage.contains("cannot parse test threshold"))
+    assert(intercept[IllegalArgumentException] {
+      TestConfig(severity = "warning")
+    }.getMessage.contains("severity must be warn or error"))
+  }
+
+  test("runDetailed: store_failures persists the violating rows (and empty on pass)") {
+    val d = df(Seq((1, "a"), (2, "b"), (2, "c")))
+    val store = java.nio.file.Files.createTempDirectory("graft-audit").toString
+    val tests = Seq(
+      DataTest("unique_t_k", b => unique(b("t"), "k"),
+        TestConfig(severity = "warn", storeFailures = true)),
+      DataTest("not_null_t_v", b => notNull(b("t"), "v"),
+        TestConfig(storeFailures = true)))
+    val results = GenericTests.runDetailed(tests, Map("t" -> d), Some(store))
+    val byName = results.map(r => r.name -> r).toMap
+    assert(byName("unique_t_k").status === "warn")
+    assert(byName("unique_t_k").failures === 1)
+    // the audit table IS the violation frame
+    val audit = spark.read.parquet(s"$store/unique_t_k").collect()
+    assert(audit.map(r => (r.getInt(0), r.getLong(1))).toSeq === Seq((2, 2L)))
+    // a PASSING store_failures test still (re)writes its table, empty —
+    // a stale failure table from a previous run must not read as live
+    assert(byName("not_null_t_v").status === "pass")
+    assert(spark.read.parquet(s"$store/not_null_t_v").isEmpty)
+    // store_failures with nowhere to store: fail fast
+    assert(intercept[IllegalArgumentException] {
+      GenericTests.runDetailed(tests, Map("t" -> d), None)
+    }.getMessage.contains("no storeDir"))
+  }
+
+  test("schema.yml test config: `config:` block and dbt's inline spelling both parse") {
+    val yaml = """
+models:
+  - name: t
+    columns:
+      - name: k
+        tests:
+          - unique:
+              config:
+                severity: warn
+                store_failures: true
+          - not_null:
+              severity: warn
+              warn_if: "> 2"
+"""
+    val parsed = SchemaConfig.tests(yaml)
+    assert(parsed.map(_.name) === Seq("unique_t_k", "not_null_t_k"))
+    assert(parsed.head.config ===
+      TestConfig(severity = "warn", storeFailures = true))
+    assert(parsed(1).config ===
+      TestConfig(severity = "warn", warnIf = "> 2"))
+    // the inline-threshold test: 2 nulls is under the "> 2" bar
+    val d = df(Seq((null, "a"), (null, "b"), (1, "c")))
+    val store = java.nio.file.Files.createTempDirectory("graft-audit-y").toString
+    val r = GenericTests.runDetailed(parsed, Map("t" -> d), Some(store))
+    assert(r.map(t => t.name -> t.status) ===
+      Seq("unique_t_k" -> "pass", "not_null_t_k" -> "pass"))
+    // a threshold typo fails at PARSE time with the column named
+    assert(intercept[IllegalArgumentException] {
+      SchemaConfig.tests(yaml.replace("\"> 2\"", "lots"))
+    }.getMessage.contains("test config on t.k"))
+  }
+
+  test("project suite detailed: known-informational tests WARN and store, the rest pass") {
+    val seeds = fictionBankSeeds
+    val wh = java.nio.file.Files.createTempDirectory("graft-test-wh2").toString
+    val dag = new FictionBankDag(spark, wh)
+    val results = dag.testDetailed(dag.run(seeds), s"$wh/test_failures")
+    val byName = results.map(r => r.name -> r).toMap
+    // the demoted triage tests warn — the build stays green — and their
+    // flagged rows persist to the audit schema
+    Seq("grain_agg_monthly_loans", "grain_agg_monthly_loans_fixed",
+      "unique_agg_monthly_loans_grain").foreach { n =>
+      assert(byName(n).status === "warn", n)
+      val stored = spark.read.parquet(byName(n).storedPath.get)
+      assert(stored.count() === byName(n).failures, n)
+    }
+    // full-severity tests: all pass, nothing stored
+    assert(byName("unique_agg_monthly_loans_fixed_grain").status === "pass")
+    assert(byName("unique_agg_monthly_loans_fixed_grain").storedPath.isEmpty)
+    assert(results.count(_.status == "error") === 0)
+  }
 }

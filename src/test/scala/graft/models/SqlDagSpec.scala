@@ -675,6 +675,24 @@ class SqlDagSpec extends SparkSpec {
         "across runs in a shared session")
   }
 
+  test("source views are dropped when the run THROWS mid-build (r12 advice)") {
+    val s = spark
+    import s.implicits._
+    val dag = new SqlDag(spark,
+      java.nio.file.Files.createTempDirectory("graft-srcdrop-f").toString)
+    // a contract violation aborts the build AFTER the source registered
+    intercept[IllegalArgumentException] {
+      dag.run(
+        Seq(SqlModel("m1", "select v from {{ source('ext', 'raw') }}")),
+        seeds = Map.empty,
+        sources = Map(("ext", "raw") -> Seq(1, 2).toDF("v")),
+        contracts = Seq(SchemaConfig.Contract("m1", Seq("v" -> "string"))))
+    }
+    assert(!spark.catalog.tableExists(SqlDag.sourceViewName("ext", "raw")),
+      "__src_ext__raw survived an ABORTED run — the failure path must " +
+        "clean the plumbing views too")
+  }
+
   private val contractYaml = """
 models:
   - name: typed

@@ -637,6 +637,15 @@ class TextDedupSpec extends SparkSpec {
       .collect().map(_.mkString("|")).toSet
     assert(vgMono === mono)
     assert(mono.nonEmpty)
+    // r12 advice: a LAZY cut (identity) on the monolithic verify-grouped
+    // path passed the materializer require but let each verify slice
+    // re-run candidate generation — it is now RE-CUT eagerly; output
+    // stays ≡ monolithic either way
+    val vgLazy = TextDedup.minhashLshPairs(docs, "doc_id", "text", 0.5,
+        materializeCandidates = Some(identity),
+        maxBucket = Some(64), verifyGroups = Some(3))
+      .collect().map(_.mkString("|")).toSet
+    assert(vgLazy === mono)
     // verifyGroups without materialized candidates would re-run candidate
     // generation per slice — refused, not silently slow
     val e = intercept[IllegalArgumentException] {
@@ -644,6 +653,24 @@ class TextDedupSpec extends SparkSpec {
         verifyGroups = Some(2))
     }
     assert(e.getMessage.contains("materialized candidates"))
+  }
+
+  test("ensureEagerCut: checkpoint-backed plans pass through untouched; lazy cuts re-cut") {
+    val s = spark
+    import s.implicits._
+    def isRddBacked(d: org.apache.spark.sql.DataFrame) =
+      d.queryExecution.analyzed
+        .isInstanceOf[org.apache.spark.sql.execution.LogicalRDD]
+    val df = Seq(1, 2, 3).toDF("v")
+    val cut = df.localCheckpoint(true)
+    assert(isRddBacked(cut))
+    assert(TextDedup.ensureEagerCut(cut) eq cut)
+    // identity and cache() are NOT lineage cuts: both re-cut
+    assert(!isRddBacked(df))
+    assert(isRddBacked(TextDedup.ensureEagerCut(df)))
+    val cached = df.cache()
+    assert(isRddBacked(TextDedup.ensureEagerCut(cached)))
+    cached.unpersist()
   }
 
   test("band-grouped path survives a LAZY materializeCandidates cut") {
@@ -709,6 +736,19 @@ class TextDedupSpec extends SparkSpec {
         materialize = Some(_.localCheckpoint(true)))
       .collect().map(_.mkString("|")).toSet
     assert(sampledCut === sampled)
+    // the instrument's verify-stage disk knob (r13, for the 5M-doc
+    // recall face): hash-sliced verify ≡ monolithic verify
+    val sampledVg = TextDedup.lshSurvivalStats(docs, "doc_id", "text", 0.5,
+        discoveryBands = Some(8),
+        materialize = Some(_.localCheckpoint(true)),
+        verifyGroups = Some(3))
+      .collect().map(_.mkString("|")).toSet
+    assert(sampledVg === sampled)
+    // and like the operator's knob, it refuses a lazy candidate plan
+    assert(intercept[IllegalArgumentException] {
+      TextDedup.lshSurvivalStats(docs, "doc_id", "text", 0.5,
+        verifyGroups = Some(2))
+    }.getMessage.contains("materialize"))
   }
 
   test("recallAtCaps: exact-face fractions, cap monotonicity, HT reweighting on a pinned frame") {

@@ -3,7 +3,7 @@ package graft.streaming
 import java.nio.file.Files
 import java.sql.Timestamp
 
-import org.apache.spark.sql.SaveMode
+import org.apache.spark.sql.{Dataset, SaveMode}
 
 import graft.SparkSpec
 
@@ -325,5 +325,84 @@ class FileStreamSpec extends SparkSpec {
     q.stop()
     val persisted = s.read.parquet(out)
     assert(persisted.count() >= 2, persisted.collect().mkString(";"))
+  }
+
+  test("checkpoint RECOVERY: a mid-stream kill resumes exactly-once from offsets AND agg state") {
+    val s = spark
+    import s.implicits._
+    val src = Files.createTempDirectory("graft-rec-src").toString
+    val out = Files.createTempDirectory("graft-rec-out").toString
+    val ckpt = Files.createTempDirectory("graft-rec-ckpt").toString
+    def write(evs: Seq[Ev]): Unit =
+      evs.toDF().coalesce(1).write.mode(SaveMode.Append).parquet(src)
+    // the fault fires BEFORE the sink write, so sink output stays
+    // exactly-once and the test isolates what the CHECKPOINT must
+    // recover across an ABNORMAL termination: committed source offsets
+    // (the input file must not re-read) and the open-window state store
+    // (the windows to emit exist ONLY there — their events are in no
+    // unprocessed input, so a lost state store would surface as a gap)
+    val armed = new java.util.concurrent.atomic.AtomicBoolean(false)
+    def sink() =
+      StreamingPipelines.tumblingStream(
+          StreamingPipelines.readEventsStream(s, src))
+        .writeStream
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+          if (armed.get && !batch.isEmpty)
+            throw new RuntimeException("injected mid-stream kill")
+          batch.write.mode(SaveMode.Append).parquet(out)
+        }
+        .start()
+
+    // run 1: the input file's batch commits (offsets advance, hours
+    // 0/1/2 sit open in state, the watermark reaches 02:20), then the
+    // query DIES on the first batch that tries to emit a closed window
+    write(Seq(
+      Ev(1, ts(10), 1L, "click", 10.0, "{}"),
+      Ev(2, ts(20), 1L, "view", 1.0, "{}"),
+      Ev(3, ts(70), 2L, "click", 20.0, "{}"),
+      Ev(4, ts(150), 2L, "click", 5.0, "{}")))
+    armed.set(true)
+    val q1 = sink()
+    intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q1.processAllAvailable()
+    }
+    assert(!q1.isActive, "the injected fault must kill the query")
+    assert(scala.util.Try(s.read.parquet(out).count()).getOrElse(0L) === 0L,
+      "nothing may emit before the kill")
+
+    // run 2: SAME checkpoint, fault disarmed — the uncommitted emitting
+    // batch replays (hours 0 and 1 from RESTORED state), then a
+    // far-future sentinel closes hour 2
+    armed.set(false)
+    val q2 = sink()
+    q2.processAllAvailable()
+    assert(s.read.parquet(out).count() > 0,
+      "restart must emit the windows the killed run left in state")
+    write(Seq(Ev(9, ts(600), 9L, "sentinel", 0.0, "{}")))
+    q2.processAllAvailable()
+    q2.stop()
+
+    // exactly-once across the kill: multiset equality with the batch
+    // result over the same events (sentinel's own window never closes)
+    val emitted = s.read.parquet(out).collect().map(_.mkString("|")).toSeq
+    assert(emitted.length === emitted.toSet.size,
+      s"duplicate emissions after restart: $emitted")
+    val batch = graft.queries.EventsDemos.tumbling(
+        s.read.schema(StreamingPipelines.eventsSchema).parquet(src)
+          .filter($"event_type" =!= "sentinel"))
+      .collect().map(_.mkString("|")).toSet
+    assert(emitted.toSet === batch,
+      s"missing=${batch.diff(emitted.toSet)} extra=${emitted.toSet.diff(batch)}")
+
+    // run 3: a restart with NO new input appends nothing — the
+    // checkpoint makes re-runs resume, not re-emit
+    val before = s.read.parquet(out).count()
+    val q3 = sink()
+    q3.processAllAvailable()
+    q3.stop()
+    assert(s.read.parquet(out).count() === before,
+      "an idle restart re-appended rows")
   }
 }

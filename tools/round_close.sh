@@ -47,13 +47,53 @@ fi
 sed -i -E "s/[0-9]+ tests across [0-9]+ suites/${tests} tests across ${suites} suites/" README.md
 echo "README test count synced: ${tests} tests / ${suites} suites"
 
+# RECALL GATE (r12 verdict item 8): any change to banding/capping that
+# costs recall at the calibrated cap must fail the round MECHANICALLY,
+# not editorially — the x63 oracle row can't catch it (DuckDB recomputes
+# the same degraded curve and the hash still matches). recall_exact at
+# sf0.1 measures against exact ground truth (full uncapped verify — fine
+# at this scale) and the gate pins recall == 1.0 at the budget rule's
+# own operating point.
+sbt -batch "runMain graft.ScaleProbe recall_exact /root/testdata/sf0.1" \
+  2>&1 | tee target/recall_gate.log | grep '^{"op"' | tail -1
+python3 - <<'EOF'
+import json
+rec = None
+for line in open('target/recall_gate.log'):
+    if line.startswith('{"op"'):
+        rec = json.loads(line)
+assert rec, "REFUSE: no probe record in target/recall_gate.log"
+diag = rec["diag"]
+# pin BOTH the calibrated cap (the rule's own operating point — at
+# sf0.1 the budget never binds, so this alone is weak) and cap 5, the
+# smallest cap the budget rule has calibrated to at the production
+# decades (sf10-sf100) — the pin that actually moves if banding moves
+for cap, label in ((diag["calibrated_cap"], "calibrated cap"),
+                   (5, "production cap")):
+    ppm = diag[f"recall_ppm_c{cap}"]
+    assert ppm == 1000000, (
+        f"REFUSE: recall at {label} {cap} is {ppm/1e6:.4f} < 1.0 "
+        "— a banding/capping change cost recall; reopen the "
+        "budget-default conversation with numbers before closing")
+print(f"recall gate OK: calibrated cap {diag['calibrated_cap']} and "
+      f"production cap 5 at recall 1.0, n_true {diag['n_true']}")
+EOF
+
 SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 sbt -batch "runMain graft.Bench" \
   2>&1 | grep '^{"metric"' | tail -1
 
-# evidence commits mechanically — never again "modified at round close"
-git add -- BENCH_FULL.json LEAKCHECK.json README.md probes/ 2>/dev/null || true
-ls BENCH_r*.json CORRECTNESS_r*.json BENCHNOTES.md > /dev/null 2>&1 \
-  && git add -- BENCH_r*.json CORRECTNESS_r*.json BENCHNOTES.md || true
+# BENCHNOTES record block regenerates from the record itself (r12
+# verdict item 6: the comparability prose once drifted from the
+# committed record); fails on a malformed record
+python3 tools/sync_benchnotes.py
+
+# evidence commits mechanically — never again "modified at round close".
+# add per-file: one git add with a list stages NOTHING if any pathspec
+# matches no file (r12 advice, same fix as round_open)
+for f in BENCH_FULL.json LEAKCHECK.json README.md probes/ \
+  BENCH_r*.json CORRECTNESS_r*.json BENCHNOTES.md; do
+  if [ -e "$f" ]; then git add -- "$f"; fi
+done
 if ! git diff --cached --quiet; then
   git commit -m "round close: bench record, probe evidence, README counts"
 fi

@@ -7,8 +7,13 @@
 # Idempotent: a no-op when the tree is already clean.
 set -euo pipefail
 cd /root/repo
-git add -- BENCH_r*.json CORRECTNESS_r*.json BENCH_FULL.json \
-  LEAKCHECK.json COPYCHECK.json VERDICT.md ADVICE.md 2>/dev/null || true
+# add per-file: one `git add` with a list aborts and stages NOTHING if
+# any pathspec matches no file (r12 advice — a round missing e.g.
+# COPYCHECK.json would silently skip ALL the present artifacts)
+for f in BENCH_r*.json CORRECTNESS_r*.json BENCH_FULL.json \
+  LEAKCHECK.json COPYCHECK.json VERDICT.md ADVICE.md; do
+  if [ -e "$f" ]; then git add -- "$f"; fi
+done
 if ! git diff --cached --quiet; then
   git commit -m "round open: previous round's driver evidence"
   echo "round_open: committed driver evidence"
