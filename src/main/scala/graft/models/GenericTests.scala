@@ -50,20 +50,31 @@ object GenericTests {
         col(c) === col("__parent_key"), "left_anti")
 
   /** dbt's test-config block (`severity`, `warn_if`/`error_if`
-    * thresholds, `store_failures`): how a test's violation COUNT maps to
-    * a verdict. dbt's semantics — `severity: error` (the default)
-    * checks `error_if` first, then falls back to `warn_if`;
-    * `severity: warn` never errors, it checks `warn_if` only. Both
-    * thresholds default to `!= 0`. Conditions are dbt's comparator
-    * strings over the failure count (`">10"`, `">= 3"`, `"!=0"`) and
-    * parse at CONSTRUCTION — a typo'd threshold must fail when declared,
-    * not silently pass forever at evaluation time.
+    * thresholds, `store_failures`, `where`, `limit`): how a test's
+    * violation COUNT maps to a verdict. dbt's semantics —
+    * `severity: error` (the default) checks `error_if` first, then
+    * falls back to `warn_if`; `severity: warn` never errors, it checks
+    * `warn_if` only. Both thresholds default to `!= 0`. Conditions are
+    * dbt's comparator strings over the failure count (`">10"`,
+    * `">= 3"`, `"!=0"`) and parse at CONSTRUCTION — a typo'd threshold
+    * must fail when declared, not silently pass forever at evaluation
+    * time. `where` filters the TESTED relation before the test (dbt
+    * wraps the model in a WHERE subquery — applied by the schema.yml
+    * builders, [[SchemaConfig.tests]]); `limit` caps the failure rows
+    * the test considers (dbt appends LIMIT to the test query — so the
+    * count, the verdict, AND the stored audit rows are all capped,
+    * applied in [[runDetailed]]). At scale `limit` is also the early-out
+    * knob: a LocalLimit over the violation plan stops scanning once N
+    * rows are found instead of materializing every violation.
     */
   final case class TestConfig(severity: String = "error",
       warnIf: String = "!= 0", errorIf: String = "!= 0",
-      storeFailures: Boolean = false) {
+      storeFailures: Boolean = false,
+      where: Option[String] = None,
+      limit: Option[Int] = None) {
     require(Set("warn", "error")(severity),
       s"severity must be warn or error, got '$severity'")
+    limit.foreach(n => require(n >= 1, s"test limit must be >= 1, got $n"))
     TestConfig.met(warnIf, 0)
     TestConfig.met(errorIf, 0)
 
@@ -129,7 +140,7 @@ object GenericTests {
   def runDetailed(tests: Seq[DataTest], built: Map[String, DataFrame],
       storeDir: Option[String] = None): Seq[TestResult] =
     tests.map { t =>
-      val frame = t.frame(built)
+      val frame = t.config.limit.fold(t.frame(built))(t.frame(built).limit)
       val stored = if (t.config.storeFailures) {
         val dir = storeDir.getOrElse(throw new IllegalArgumentException(
           s"test ${t.name} sets store_failures but runDetailed got no " +

@@ -79,11 +79,16 @@ object SchemaConfig {
       built.getOrElse(name, throw new IllegalArgumentException(
         s"test on $model.$column references unknown relation: $name"))
     val config = testConfigOf(args, s"$model.$column")
+    // dbt's `where` config filters the TESTED relation (dbt wraps the
+    // model in a WHERE subquery before the test SQL); the relationships
+    // PARENT is never filtered — dbt's semantics too
+    def tested(built: Map[String, org.apache.spark.sql.DataFrame]) =
+      config.where.fold(rel(built, model))(rel(built, model).where(_))
     kind match {
       case "unique" => GenericTests.DataTest(s"unique_${model}_$column",
-        built => GenericTests.unique(rel(built, model), column), config)
+        built => GenericTests.unique(tested(built), column), config)
       case "not_null" => GenericTests.DataTest(s"not_null_${model}_$column",
-        built => GenericTests.notNull(rel(built, model), column), config)
+        built => GenericTests.notNull(tested(built), column), config)
       case "accepted_values" =>
         val vn = Option(args.get("values")).getOrElse(
           throw new IllegalArgumentException(
@@ -92,13 +97,13 @@ object SchemaConfig {
         val values: Seq[Any] = vn.elements.asScala.map(scalar(_,
           s"accepted_values value on $model.$column")).toSeq
         GenericTests.DataTest(s"accepted_values_${model}_$column",
-          built => GenericTests.acceptedValues(rel(built, model), column, values),
+          built => GenericTests.acceptedValues(tested(built), column, values),
           config)
       case "relationships" =>
         val to = refName(reqText(args, "to", s"relationships on $model.$column"))
         val field = reqText(args, "field", s"relationships on $model.$column")
         GenericTests.DataTest(s"relationships_${model}_$column",
-          built => GenericTests.relationships(rel(built, model), column,
+          built => GenericTests.relationships(tested(built), column,
             rel(built, to), field), config)
       case other => throw new IllegalArgumentException(
         s"unknown generic test `$other` on $model.$column " +
@@ -107,7 +112,8 @@ object SchemaConfig {
   }
 
   /** dbt's test `config:` block — `severity`, `warn_if`/`error_if`
-    * thresholds, `store_failures` — parsed off a test's argument node.
+    * thresholds, `store_failures`, `where`, `limit` — parsed off a
+    * test's argument node.
     * dbt also accepts these keys INLINE next to the test's own arguments
     * (the pre-`config:` syntax, still common in migrating projects);
     * both spellings are read, `config:` winning on a clash. Validation
@@ -128,12 +134,18 @@ object SchemaConfig {
         "be a boolean")
       n.asBoolean
     }
+    val limit = key("limit").map { n =>
+      require(n.isInt, s"test config `limit` on $where must be an integer")
+      n.asInt
+    }
     val default = GenericTests.TestConfig()
     try GenericTests.TestConfig(
       severity = text("severity").getOrElse(default.severity),
       warnIf = text("warn_if").getOrElse(default.warnIf),
       errorIf = text("error_if").getOrElse(default.errorIf),
-      storeFailures = store.getOrElse(default.storeFailures))
+      storeFailures = store.getOrElse(default.storeFailures),
+      where = text("where"),
+      limit = limit)
     catch {
       case e: IllegalArgumentException => throw new IllegalArgumentException(
         s"test config on $where: ${e.getMessage}")

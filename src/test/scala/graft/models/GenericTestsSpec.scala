@@ -157,6 +157,46 @@ models:
     }.getMessage.contains("test config on t.k"))
   }
 
+  test("test config where/limit: dbt's relation filter and failure-row cap") {
+    val yaml = """
+models:
+  - name: t
+    columns:
+      - name: v
+        tests:
+          - not_null:
+              config:
+                where: "k > 1"
+      - name: k
+        tests:
+          - unique:
+              config:
+                limit: 2
+                store_failures: true
+"""
+    val parsed = SchemaConfig.tests(yaml)
+    assert(parsed.head.config.where === Some("k > 1"))
+    assert(parsed(1).config.limit === Some(2))
+    // where: only the filtered slice is tested — k=1's NULL is exempt
+    val d = df(Seq((1, null), (2, null), (3, "c")))
+    val store = java.nio.file.Files.createTempDirectory("graft-audit-wl").toString
+    // dups on keys 1, 2, 3 → 3 violations, capped at 2 by limit; the
+    // stored audit table carries exactly the capped rows
+    val dup = df(Seq((1, "a"), (1, "b"), (2, "a"), (2, "b"), (3, "a"), (3, "b")))
+    val byName = GenericTests
+      .runDetailed(parsed, Map("t" -> d.union(dup)), Some(store))
+      .map(r => r.name -> r).toMap
+    // union frame: not_null sees NULLs at k=1 (exempted by where) and
+    // k=2 (counted)
+    assert(byName("not_null_t_v").failures === 1L)
+    assert(byName("unique_t_k").failures === 2L)
+    assert(spark.read.parquet(s"$store/unique_t_k").count() === 2L)
+    // a non-positive limit fails at declaration
+    assert(intercept[IllegalArgumentException] {
+      SchemaConfig.tests(yaml.replace("limit: 2", "limit: 0"))
+    }.getMessage.contains("limit must be >= 1"))
+  }
+
   test("project suite detailed: known-informational tests WARN and store, the rest pass") {
     val seeds = fictionBankSeeds
     val wh = java.nio.file.Files.createTempDirectory("graft-test-wh2").toString
