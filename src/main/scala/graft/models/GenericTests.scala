@@ -72,15 +72,21 @@ object GenericTests {
       storeFailures: Boolean = false,
       where: Option[String] = None,
       limit: Option[Int] = None) {
-    require(Set("warn", "error")(severity),
-      s"severity must be warn or error, got '$severity'")
+    // dbt-core validates severity case-insensitively (WARN / Warn /
+    // error are all legal schema.yml spellings) — normalize once and
+    // compare against the normalized form everywhere
+    val severityNormalized: String =
+      severity.toLowerCase(java.util.Locale.ROOT)
+    require(Set("warn", "error")(severityNormalized),
+      s"severity must be warn or error (any case), got '$severity'")
     limit.foreach(n => require(n >= 1, s"test limit must be >= 1, got $n"))
     TestConfig.met(warnIf, 0)
     TestConfig.met(errorIf, 0)
 
     /** The verdict for `failures` violating rows: pass / warn / error. */
     def status(failures: Long): String =
-      if (severity == "error" && TestConfig.met(errorIf, failures)) "error"
+      if (severityNormalized == "error" && TestConfig.met(errorIf, failures))
+        "error"
       else if (TestConfig.met(warnIf, failures)) "warn"
       else "pass"
   }
@@ -121,10 +127,19 @@ object GenericTests {
 
   /** `dbt test` analog: evaluate each test, returning name → violation
     * count (0 = pass). One Spark job per test; no driver-side data.
+    * Count-only API: it never promised an audit table, so a test whose
+    * config sets `store_failures` is evaluated with the store step
+    * skipped (use [[runDetailed]] with a `storeDir` to persist audits)
+    * rather than throwing on a config the caller can't act on.
     */
   def run(tests: Seq[DataTest],
       built: Map[String, DataFrame]): Seq[(String, Long)] =
-    runDetailed(tests, built).map(r => r.name -> r.failures)
+    runDetailed(
+      tests.map(t =>
+        if (t.config.storeFailures)
+          t.copy(config = t.config.copy(storeFailures = false))
+        else t),
+      built).map(r => r.name -> r.failures)
 
   /** [[run]] with dbt's full test-config semantics: each test's count
     * maps through its [[TestConfig]] to pass/warn/error, and a test with

@@ -509,17 +509,17 @@ class SqlDag(spark: SparkSession, warehouseDir: String) {
           missingSrc.map(st => s"${st._1}.${st._2}").mkString(", ") +
           " — declare them in run(sources = Map((source, table) -> frame))")
     }
-    // source relations register like seeds: inputs, never built. From
-    // here the run owns __src_* catalog state, so everything through the
-    // end hooks runs under the try whose finally drops them — a run that
-    // throws MID-build (contract violation, hook failure, unbuilt ref)
-    // must not leave stale source views addressable in the shared
-    // session either (r12 advice; the success-path-only cleanup guarded
-    // against exactly the staleness an aborted run still produced).
+    // source relations register like seeds: inputs, never built. The
+    // registration loop itself runs INSIDE the try: if a view name
+    // mangles invalid partway through, the finally's drop loop (keyed on
+    // sources.keys, tolerant of never-registered names) still sweeps the
+    // views that did register — a run that throws at ANY point after the
+    // first createOrReplaceTempView must not leave stale __src_* views
+    // addressable in the shared session (r12/r13 advice).
+    try {
     sources.foreach { case ((s, t), df) =>
       df.createOrReplaceTempView(SqlDag.sourceViewName(s, t))
     }
-    try {
     val chosen =
       if (select.isEmpty && exclude.isEmpty) models
       else selectModels(models, select, exclude, state,
@@ -676,8 +676,11 @@ class SqlDag(spark: SparkSession, warehouseDir: String) {
     // aborted mid-build (r12 advice). Models captured their analyzed
     // plans eagerly, so the drop cannot break anything already built.
     } finally {
+      // tolerant sweep: a name the CREATE refused (so it never
+      // registered) must not abort the drops of the views that did
       sources.keys.foreach { case (s, t) =>
-        spark.catalog.dropTempView(SqlDag.sourceViewName(s, t))
+        scala.util.Try(
+          spark.catalog.dropTempView(SqlDag.sourceViewName(s, t)))
       }
     }
   }

@@ -171,6 +171,23 @@ object UnitTests {
     */
   private def csvFrame(spark: SparkSession, text: String,
       template: Option[DataFrame], where: String): DataFrame = {
+    // the fixture is handed to Spark's CSV reader one LINE per record,
+    // so a quoted field with an embedded newline cannot survive the
+    // split — fail fast with the remedy instead of silently parsing
+    // restructured rows (an unterminated quote at end-of-text is the
+    // same hazard spelled differently)
+    val inQuotesAtNewline = {
+      var inQ = false; var hit = false
+      text.foreach { c =>
+        if (c == '"') inQ = !inQ
+        else if (c == '\n' && inQ) hit = true
+      }
+      hit || inQ
+    }
+    require(!inQuotesAtNewline,
+      s"$where: csv fixture has a quoted field spanning lines (or an " +
+        "unterminated quote) — line-per-record parsing cannot express " +
+        "it; use a `format: sql` fixture for multi-line values")
     val lines = text.linesIterator.filter(_.trim.nonEmpty).toSeq
     require(lines.nonEmpty, s"$where: empty CSV block — need a header line")
     val ds = spark.createDataset(lines)(org.apache.spark.sql.Encoders.STRING)

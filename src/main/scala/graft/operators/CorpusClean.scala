@@ -63,12 +63,28 @@ object CorpusClean {
     * stage at ~1/groups, which is what keeps the pipeline runnable when
     * per-node scratch, not CPU, is the binding constraint).
     */
+  /** `lshRecallFloor` is the RECALL knob — the third face of the same
+    * LSH stage: instead of a hand-picked cap (`lshMaxBucket`), the
+    * pipeline prices the floor through the measured recall table
+    * ([[TextDedup.budgetForRecall]] — refusing floors/corpus sizes the
+    * table can't price) and calibrates the cap to the resulting
+    * pairs-per-doc budget ([[TextDedup.calibrateMaxBucket]]) on the
+    * ACTUAL post-exact-dedup survivors. Mutually exclusive with
+    * `lshMaxBucket` (one cap authority). Cost: two bounded pre-pass
+    * jobs on the (typically checkpointed) survivor frame — a count and
+    * the band-bucket histogram — before the LSH stage proper; both are
+    * narrow aggregates any production run affords.
+    */
   def stages(docs: DataFrame, idCol: String, textCol: String,
       stratumCol: String, nearDupThreshold: Double,
       rates: Map[String, Int], defaultPercent: Int = 0,
       materializeCut: DataFrame => DataFrame = identity,
       lshMaxBucket: Option[Int] = None,
-      lshBandGroups: Option[Int] = None): CleanStages = {
+      lshBandGroups: Option[Int] = None,
+      lshRecallFloor: Option[Double] = None): CleanStages = {
+    require(lshMaxBucket.isEmpty || lshRecallFloor.isEmpty,
+      "lshMaxBucket and lshRecallFloor both set — pass one cap " +
+        "authority (an explicit cap, or a floor the measured table prices)")
     // 1. quality: C4-style keep flag
     val quality = TextAnalysis.qualityMetrics(docs, textCol)
       .filter(col("keep") === 1)
@@ -87,8 +103,14 @@ object CorpusClean {
     // verification stays in default lazy mode: the re-reads it implies
     // hit the (typically materializeCut-checkpointed) exactKept frame,
     // which is exactly what that cut exists to make cheap.
+    val cap = lshRecallFloor.fold(lshMaxBucket) { floor =>
+      val n = exactKept.count()
+      Some(TextDedup.calibrateMaxBucket(
+        TextDedup.lshIndex(exactKept, idCol, textCol), n,
+        TextDedup.budgetForRecall(n, floor)))
+    }
     val pairs = TextDedup.minhashLshPairs(exactKept, idCol, textCol,
-      nearDupThreshold, maxBucket = lshMaxBucket, bandGroups = lshBandGroups)
+      nearDupThreshold, maxBucket = cap, bandGroups = lshBandGroups)
     val nearKept = exactKept.join(
       pairs.select(col("id_b").as(idCol)).distinct(),
       Seq(idCol), "left_anti")
@@ -104,10 +126,11 @@ object CorpusClean {
       rates: Map[String, Int], defaultPercent: Int = 0,
       materializeCut: DataFrame => DataFrame = identity,
       lshMaxBucket: Option[Int] = None,
-      lshBandGroups: Option[Int] = None): DataFrame =
+      lshBandGroups: Option[Int] = None,
+      lshRecallFloor: Option[Double] = None): DataFrame =
     stages(docs, idCol, textCol, stratumCol, nearDupThreshold,
       rates, defaultPercent, materializeCut, lshMaxBucket,
-      lshBandGroups).sampled
+      lshBandGroups, lshRecallFloor).sampled
 
   /** Curriculum ordering: place every doc in a difficulty band (the
     * CCNet perplexity terciles of [[TextAnalysis.perplexityBuckets]] —

@@ -819,6 +819,76 @@ object TextDedup {
           .otherwise(lit(0.0))) / sum(col("__graft_w"))).as("recall"))
   }
 
+  /** The MEASURED recall table behind [[budgetForRecall]] — one row per
+    * probed corpus decade: `docs → (pairsPerDoc budget → recall at the
+    * budget's calibrated cap)`. Every number is a probe-chain
+    * measurement of THIS operator on this repo's synthetic corpus
+    * ([[lshSurvivalStats]] + [[recallAtCaps]], probes/r12–r13;
+    * BENCHNOTES.md "recall-vs-cap" sections): at 500k and 2M docs the
+    * default budget 32 has measured recall 1.0; at 5M docs budget 32
+    * (calibrated cap 6) measures 0.998271, budget 48 (cap 8) 0.99982,
+    * and budget 105 (cap 16) 1.0. Recall here is relative to the
+    * UNCAPPED LSH output (the cap's own price) — the banding scheme's
+    * threshold-curve miss rate is a separate, analytic quantity.
+    */
+  private[graft] val measuredRecallTable: Seq[(Long, Seq[(Double, Double)])] =
+    Seq(
+      500000L -> Seq(32.0 -> 1.0),
+      2000000L -> Seq(32.0 -> 1.0),
+      5000000L -> Seq(32.0 -> 0.998271, 48.0 -> 0.99982, 105.0 -> 1.0))
+
+  /** The pairs-per-doc budget that delivers at least `recallFloor` —
+    * the measured recall curve consumed as an API instead of prose. The
+    * lookup is CONSERVATIVE on both axes: `nDocs` maps to the smallest
+    * measured decade ≥ it (recall at a fixed budget decays with corpus
+    * growth — 1.0 → 1.0 → 0.998271 across the measured decades — so
+    * pricing a smaller corpus off a larger decade's row can only
+    * over-deliver), and within the decade the SMALLEST measured budget
+    * whose measured recall ≥ the floor is returned (never an
+    * interpolated midpoint: between measured budgets the curve is
+    * unknown, so the next measured point up is the honest choice).
+    *
+    * REFUSES what the table cannot price, rather than extrapolating: a
+    * corpus beyond the largest measured decade (5M docs), or a floor
+    * above the decade's best measured recall. Extend the table by
+    * running the instrument ([[lshSurvivalStats]] → [[recallAtCaps]])
+    * at the new operating point — that is a measurement, not a code
+    * change, which is the point of keeping the table data.
+    */
+  def budgetForRecall(nDocs: Long, recallFloor: Double): Double = {
+    require(nDocs > 0, s"need nDocs > 0, got $nDocs")
+    require(recallFloor > 0.0 && recallFloor <= 1.0,
+      s"recallFloor must be in (0, 1], got $recallFloor")
+    val row = measuredRecallTable.find(_._1 >= nDocs).getOrElse(
+      throw new IllegalArgumentException(
+        s"no measured recall decade covers $nDocs docs (largest priced: " +
+          s"${measuredRecallTable.last._1}) — extend the measured table " +
+          "with lshSurvivalStats + recallAtCaps at this corpus size " +
+          "before asking for a priced floor"))._2
+    row.find(_._2 >= recallFloor).map(_._1).getOrElse(
+      throw new IllegalArgumentException(
+        f"recall floor $recallFloor%.6f is above the best measured " +
+          f"recall ${row.map(_._2).max}%.6f at this corpus decade — " +
+          "no priced budget delivers it; measure a larger budget with " +
+          "lshSurvivalStats + recallAtCaps or lower the floor"))
+  }
+
+  /** The measured recall a `pairsPerDoc` budget buys at `nDocs` docs —
+    * [[budgetForRecall]]'s inverse, for LOGGING an operating point's
+    * implied floor (the probe chain stamps each face's record with it).
+    * Conservative like the forward lookup (decade rounds UP; the budget
+    * rounds DOWN to the largest measured budget ≤ it, whose recall the
+    * larger budget can only meet or beat). `None` when unpriced — an
+    * honest "the table doesn't know" instead of a guess.
+    */
+  def pricedRecall(nDocs: Long, pairsPerDoc: Double): Option[Double] = {
+    require(nDocs > 0, s"need nDocs > 0, got $nDocs")
+    require(pairsPerDoc > 0, s"need pairsPerDoc > 0, got $pairsPerDoc")
+    measuredRecallTable.find(_._1 >= nDocs)
+      .flatMap(_._2.filter(_._1 <= pairsPerDoc).lastOption)
+      .map(_._2)
+  }
+
   /** Signature-only near-dup pairs (X2h) — [[minhashLshPairs]]' candidate
     * machinery with ESTIMATED Jaccard instead of exact verification: the
     * score is the fraction of agreeing signature slots (the classic

@@ -1031,7 +1031,89 @@ object DedupDemos {
         caps = Seq(2, 4, 8, 16, 32, 64))
       .orderBy(col("cap").asc_nulls_last))
 
+  /** One preset arm of the x64 oracle: the calibrated cap replayed in
+    * SQL — calibrateMaxBucket's exact arithmetic (bucket-size histogram
+    * over 2 ≤ bn ≤ capMax, cumulative capped volume Σ cnt·C(bn,2)
+    * ascending, cap = max(first-overflow-size − 1, 2), else capMax) —
+    * then the live-bucket filter, candidate pairs, and exact-Jaccard
+    * verify at that cap. `budget` is whole pairs-per-doc so the SQL
+    * integer product equals the Scala `(pairsPerDoc * nDocs).toLong`.
+    */
+  private def oracleRecallFloorArm(preset: String, budget: Int,
+      threshold: Double): String = s"""
+      cap_$preset AS (
+        SELECT coalesce(
+          min(greatest(bn - 1, 2)) FILTER (
+            WHERE v > $budget * (SELECT count(*) FROM documents)),
+          1024) AS c
+        FROM cum),
+      live_$preset AS (
+        SELECT bk.doc_id, bk.band, bk.key
+        FROM bk JOIN bsz USING (band, key)
+        WHERE bn >= 2 AND bn <= (SELECT c FROM cap_$preset)),
+      cand_$preset AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM live_$preset a JOIN live_$preset b
+          ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+      arm_$preset AS (
+        SELECT '$preset' AS preset,
+               cast($budget AS double) AS pairs_per_doc,
+               (SELECT c FROM cap_$preset) AS cap,
+               cand_$preset.id_a, cand_$preset.id_b,
+               cast(len(list_intersect(sa.shs, sb.shs)) AS double)
+                 / (len(sa.shs) + len(sb.shs)
+                    - len(list_intersect(sa.shs, sb.shs))) AS jaccard
+        FROM cand_$preset
+        JOIN sh sa ON sa.doc_id = cand_$preset.id_a
+        JOIN sh sb ON sb.doc_id = cand_$preset.id_b
+        WHERE jaccard >= $threshold)"""
+
+  // X64: the recall-floor knob end-to-end — the measured recall curve
+  // consumed as an API (r13 verdict item 2). Each preset prices its
+  // floor at the 5M-doc decade through TextDedup.budgetForRecall
+  // (default floor 0.998 → 32 pairs/doc; the high-recall preset
+  // 0.9995 → 48, the measured cap-8 operating point), calibrates that
+  // budget to a stop-bucket cap on THIS corpus's band histogram, and
+  // runs the capped operator. The oracle replays BOTH the calibration
+  // arithmetic and the capped chain per preset (budgets themselves are
+  // the API's spec-pinned contract, constants on both sides), so the
+  // green row proves floor → budget → cap → pairs end to end.
+  private val x64 = Demo("x64_recall_floor_presets", Some(s"""
+      $oracleBandingCtes,
+      bsz AS (SELECT band, key, count(*) AS bn FROM bk GROUP BY 1, 2),
+      hist AS (
+        SELECT bn, count(*) AS cnt FROM bsz
+        WHERE bn >= 2 AND bn <= 1024 GROUP BY bn),
+      cum AS (
+        SELECT bn, sum(cnt * bn * (bn - 1) // 2) OVER (ORDER BY bn) AS v
+        FROM hist),
+      ${oracleRecallFloorArm("default", 32, 0.5)},
+      ${oracleRecallFloorArm("high_recall", 48, 0.5)}
+      SELECT * FROM arm_default
+      UNION ALL
+      SELECT * FROM arm_high_recall
+      ORDER BY preset ASC NULLS LAST, id_a ASC NULLS LAST,
+               id_b ASC NULLS LAST"""),
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val n = docs.count()
+      val bands = TextDedup.lshIndex(docs, "doc_id", "text")
+        .localCheckpoint(true) // two calibrations read it; cut once
+      Seq(("default", 0.998), ("high_recall", 0.9995)).map {
+        case (preset, floor) =>
+          val budget = TextDedup.budgetForRecall(5000000L, floor)
+          val cap = TextDedup.calibrateMaxBucket(bands, n, budget)
+          TextDedup.minhashLshPairs(docs, "doc_id", "text",
+              threshold = 0.5, maxBucket = Some(cap))
+            .select(lit(preset).as("preset"),
+              lit(budget).as("pairs_per_doc"), lit(cap).as("cap"),
+              col("id_a"), col("id_b"), col("jaccard"))
+      }.reduce(_ unionAll _)
+        .orderBy(col("preset").asc_nulls_last, col("id_a").asc_nulls_last,
+          col("id_b").asc_nulls_last)
+    })
+
   val all: Seq[Demo] =
     Seq(x1, x2a, x2b, x2b2, x2c, x2c2, x2d, x2e, x2f, x2f2, x2g, x2h, x18, x23, x23b, x28, x35,
-      x41, x52, x54, x56, x58, x58b, x59, x62, x62b, x63)
+      x41, x52, x54, x56, x58, x58b, x59, x62, x62b, x63, x64)
 }

@@ -99,6 +99,29 @@ class GenericTestsSpec extends SparkSpec {
     }.getMessage.contains("severity must be warn or error"))
   }
 
+  test("TestConfig: severity validates case-insensitively (dbt accepts WARN/Warn/error)") {
+    // dbt-core normalizes severity case; a schema.yml legal under dbt
+    // must parse here too (r13 advice)
+    for (spelling <- Seq("WARN", "Warn", "warn"))
+      assert(TestConfig(severity = spelling).status(5) === "warn")
+    for (spelling <- Seq("ERROR", "Error"))
+      assert(TestConfig(severity = spelling).status(5) === "error")
+    assert(TestConfig(severity = "WARN").severityNormalized === "warn")
+    // a real typo still fails at construction, any case
+    assert(intercept[IllegalArgumentException] {
+      TestConfig(severity = "WARNING")
+    }.getMessage.contains("severity must be warn or error"))
+  }
+
+  test("run: count-only API skips store_failures instead of throwing (r13 advice)") {
+    val d = df(Seq((1, "a"), (2, "b"), (2, "c")))
+    val tests = Seq(
+      DataTest("unique_t_k", b => unique(b("t"), "k"),
+        TestConfig(severity = "warn", storeFailures = true)))
+    // pre-fix this threw "no storeDir"; the count contract needs no audit
+    assert(GenericTests.run(tests, Map("t" -> d)) === Seq("unique_t_k" -> 1L))
+  }
+
   test("runDetailed: store_failures persists the violating rows (and empty on pass)") {
     val d = df(Seq((1, "a"), (2, "b"), (2, "c")))
     val store = java.nio.file.Files.createTempDirectory("graft-audit").toString

@@ -693,6 +693,27 @@ class SqlDagSpec extends SparkSpec {
         "clean the plumbing views too")
   }
 
+  test("source views are dropped when REGISTRATION itself throws partway (r13 advice)") {
+    val s = spark
+    import s.implicits._
+    val dag = new SqlDag(spark,
+      java.nio.file.Files.createTempDirectory("graft-srcdrop-r").toString)
+    // the second source's mangled view name is an invalid identifier —
+    // createOrReplaceTempView throws AFTER the first source registered,
+    // so the sweep must cover partially-registered state too
+    intercept[Exception] {
+      dag.run(
+        Seq(SqlModel("m1", "select v from {{ source('ext', 'raw') }}")),
+        seeds = Map.empty,
+        sources = Map(
+          ("ext", "raw") -> Seq(1, 2).toDF("v"),
+          ("ext", "bad name") -> Seq(3).toDF("v")))
+    }
+    assert(!spark.catalog.tableExists(SqlDag.sourceViewName("ext", "raw")),
+      "__src_ext__raw survived a run whose source REGISTRATION aborted " +
+        "— the try must start before the registration loop")
+  }
+
   private val contractYaml = """
 models:
   - name: typed

@@ -192,6 +192,17 @@ unit_tests:
         SchemaConfig.Fixture.Csv("loan_id,phantom\n7,x"))), m,
         inputFrames = Map("raw_loans" -> real))
     }.getMessage.contains("'phantom' does not exist"))
+    // a quoted field spanning lines cannot survive line-per-record
+    // parsing: fail fast with the format-sql remedy instead of silently
+    // restructuring the fixture into garbage rows (r13 advice) — an
+    // unterminated quote is the same hazard
+    for (broken <- Seq("loan_id,note\n7,\"line one\nline two\"",
+      "loan_id,note\n7,\"unterminated"))
+      assert(intercept[IllegalArgumentException] {
+        UnitTests.run(spark, t.copy(given = Seq("raw_loans" ->
+          SchemaConfig.Fixture.Csv(broken))), m,
+          inputFrames = Map("raw_loans" -> real))
+      }.getMessage.contains("format: sql"))
   }
 
   test("format sql: typed fixtures run as-is, including non-atomic columns") {

@@ -46,6 +46,45 @@ class CorpusCleanSpec extends SparkSpec {
     assert(grouped.nonEmpty)
   }
 
+  test("lshRecallFloor: prices the floor through the measured table and calibrates the cap") {
+    // the floor path must equal the explicit-cap path at the cap the
+    // floor implies: budgetForRecall prices the floor at the corpus's
+    // decade (tiny corpus → 500k row → budget 32), calibrateMaxBucket
+    // turns that budget into a cap on the ACTUAL survivor band
+    // histogram — so running with lshRecallFloor ≡ running with that
+    // cap passed by hand
+    val docs = Tables.table(spark, sfDir, "documents")
+    def survivors(maxBucket: Option[Int], floor: Option[Double]) =
+      CorpusClean.pipeline(docs,
+          idCol = "doc_id", textCol = "text", stratumCol = "lang",
+          nearDupThreshold = 0.5, rates = rates,
+          materializeCut = _.localCheckpoint(true),
+          lshMaxBucket = maxBucket, lshRecallFloor = floor)
+        .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    // replicate the pipeline's own pre-passes to get the implied cap
+    val quality = TextAnalysis.qualityMetrics(docs, "text")
+      .filter(col("keep") === 1).select(docs.columns.map(col): _*)
+    val exactKept = TextDedup.exactDedup(
+        TextDedup.withFingerprint(quality, "text"),
+        keys = Seq("fingerprint"), tiebreak = col("doc_id"))
+      .drop("fingerprint").localCheckpoint(true)
+    val n = exactKept.count()
+    val impliedCap = TextDedup.calibrateMaxBucket(
+      TextDedup.lshIndex(exactKept, "doc_id", "text"), n,
+      TextDedup.budgetForRecall(n, 0.999))
+    val floored = survivors(None, Some(0.999))
+    assert(floored === survivors(Some(impliedCap), None))
+    assert(floored.nonEmpty)
+    // one cap authority: both knobs together refuse at plan-build time
+    assert(intercept[IllegalArgumentException] {
+      survivors(Some(8), Some(0.999))
+    }.getMessage.contains("one cap authority"))
+    // an unpriced floor propagates budgetForRecall's refusal
+    assert(intercept[IllegalArgumentException] {
+      survivors(None, Some(0.0))
+    }.getMessage.contains("(0, 1]"))
+  }
+
   test("localCheckpoint cut: upstream subtree materializes once (no source scans downstream)") {
     // without the cut the parquet source is scanned by every LSH re-read
     // of the dedup output: >= 3 scans in the optimized plan

@@ -778,4 +778,62 @@ class TextDedupSpec extends SparkSpec {
       .orderBy(col("cap")).collect().map(_.getDouble(3))
     assert(curve.zip(curve.tail).forall { case (a, b) => a <= b }, curve.toSeq)
   }
+
+  test("budgetForRecall: conservative table lookup; refuses unpriced floors and decades") {
+    // the measured decades (probes/r12–r13): 500k/2M at budget 32 →
+    // recall 1.0; 5M at 32 → 0.998271, 48 → 0.99982, 105 → 1.0
+    // — any floor at or below a decade's measured recall maps to the
+    // SMALLEST budget that meets it
+    assert(TextDedup.budgetForRecall(500000L, 1.0) === 32.0)
+    assert(TextDedup.budgetForRecall(2000000L, 0.95) === 32.0)
+    assert(TextDedup.budgetForRecall(2000000L, 1.0) === 32.0)
+    assert(TextDedup.budgetForRecall(5000000L, 0.998) === 32.0)
+    assert(TextDedup.budgetForRecall(5000000L, 0.998271) === 32.0) // exact
+    assert(TextDedup.budgetForRecall(5000000L, 0.9983) === 48.0)
+    assert(TextDedup.budgetForRecall(5000000L, 0.99982) === 48.0) // exact
+    assert(TextDedup.budgetForRecall(5000000L, 0.9999) === 105.0)
+    assert(TextDedup.budgetForRecall(5000000L, 1.0) === 105.0)
+    // decade rounds UP (conservative): an unmeasured corpus size prices
+    // off the next measured decade, never the smaller one
+    assert(TextDedup.budgetForRecall(600000L, 1.0) === 32.0) // 2M row
+    assert(TextDedup.budgetForRecall(3000000L, 1.0) === 105.0) // 5M row
+    assert(TextDedup.budgetForRecall(100L, 1.0) === 32.0) // 500k row
+    // refusals: beyond the measured table, extrapolation is a guess —
+    // the API names the instrument that extends the table instead
+    assert(intercept[IllegalArgumentException] {
+      TextDedup.budgetForRecall(6000000L, 0.99)
+    }.getMessage.contains("lshSurvivalStats"))
+    assert(intercept[IllegalArgumentException] {
+      TextDedup.budgetForRecall(5000000L, 0.0)
+    }.getMessage.contains("(0, 1]"))
+    assert(intercept[IllegalArgumentException] {
+      TextDedup.budgetForRecall(5000000L, 1.1)
+    }.getMessage.contains("(0, 1]"))
+    // a floor above the decade's best measured recall would also refuse
+    // — every decade currently prices up to 1.0, so pin the invariant
+    // structurally: the forward lookup at each decade's own best recall
+    // must return a priced budget (never throw)
+    TextDedup.measuredRecallTable.foreach { case (docs, row) =>
+      assert(TextDedup.budgetForRecall(docs, row.map(_._2).max) > 0)
+    }
+  }
+
+  test("pricedRecall: the inverse lookup — budget rounds DOWN, decade rounds UP, None when unpriced") {
+    assert(TextDedup.pricedRecall(5000000L, 32.0) === Some(0.998271))
+    assert(TextDedup.pricedRecall(5000000L, 40.0) === Some(0.998271)) // 32 ≤ 40 < 48
+    assert(TextDedup.pricedRecall(5000000L, 48.0) === Some(0.99982))
+    assert(TextDedup.pricedRecall(5000000L, 200.0) === Some(1.0)) // ≥ 105
+    assert(TextDedup.pricedRecall(2000000L, 32.0) === Some(1.0))
+    assert(TextDedup.pricedRecall(400000L, 32.0) === Some(1.0))
+    // below the smallest measured budget: unpriced, not extrapolated
+    assert(TextDedup.pricedRecall(5000000L, 8.0) === None)
+    // beyond the largest measured decade: unpriced
+    assert(TextDedup.pricedRecall(50000000L, 32.0) === None)
+    // round-trip coherence: the budget the forward lookup picks must
+    // price back to a recall meeting the floor it was asked for
+    for (floor <- Seq(0.9, 0.998, 0.9995, 1.0)) {
+      val b = TextDedup.budgetForRecall(5000000L, floor)
+      assert(TextDedup.pricedRecall(5000000L, b).exists(_ >= floor))
+    }
+  }
 }
