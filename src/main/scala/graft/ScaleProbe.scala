@@ -247,7 +247,12 @@ object ScaleProbe {
           val cap = graft.operators.TextDedup.calibrateMaxBucket(
             graft.operators.TextDedup.lshIndex(docs, "doc_id", "text"),
             nd, budget)
-          diag = Map("calibrated_cap" -> cap.toLong)
+          // the budget's measured recall at this decade (r13 verdict
+          // stretch 8b): the record reads its own implied floor next to
+          // the cap — absent when the table doesn't price this point
+          diag = Map("calibrated_cap" -> cap.toLong) ++
+            graft.operators.TextDedup.pricedRecall(nd, budget)
+              .map(r => "implied_floor_ppm" -> math.round(r * 1e6)).toMap
           val pairs = graft.operators.TextDedup.minhashLshPairs(
             docs, "doc_id", "text", 0.5,
             maxBucket = Some(cap), bandGroups = bandGroups,
@@ -291,7 +296,9 @@ object ScaleProbe {
           val cap = graft.operators.TextDedup.calibrateMaxBucket(
             graft.operators.TextDedup.lshIndex(docs, "doc_id", "text"),
             nd, budget)
-          diag = Map("calibrated_cap" -> cap.toLong)
+          diag = Map("calibrated_cap" -> cap.toLong) ++
+            graft.operators.TextDedup.pricedRecall(nd, budget)
+              .map(r => "implied_floor_ppm" -> math.round(r * 1e6)).toMap
           graft.operators.CorpusClean
             .pipeline(docs, idCol = "doc_id", textCol = "text",
               stratumCol = "lang", nearDupThreshold = 0.5, rates = rates,

@@ -219,6 +219,160 @@ object SchemaConfig {
     }
   }
 
+  /** One node of a selectors.yml definition — dbt's named-selection
+    * grammar: a selection TOKEN (the full graph-operator syntax
+    * [[SqlDag.selectModels]] already speaks: `model+`, `tag:nightly`,
+    * `state:modified`, …) or a composition over child definitions.
+    * `Exclude` is only legal INSIDE a union/intersection (dbt: the
+    * exclude element removes resources from the set its siblings
+    * build); the parser refuses it at top level.
+    */
+  sealed trait SelectorDef
+  object SelectorDef {
+    final case class Token(token: String) extends SelectorDef
+    final case class Union(of: Seq[SelectorDef]) extends SelectorDef
+    final case class Intersection(of: Seq[SelectorDef]) extends SelectorDef
+    final case class Exclude(of: Seq[SelectorDef]) extends SelectorDef
+  }
+
+  /** One named selection from selectors.yml (`dbt run --selector name`). */
+  final case class NamedSelector(name: String, isDefault: Boolean,
+      definition: SelectorDef, description: Option[String])
+
+  /** dbt's selector method vocabulary as this engine supports it —
+    * each maps onto a token the selection grammar already resolves.
+    * `fqn` is dbt's bare-name method (the value IS the token).
+    */
+  private val SelectorMethods =
+    Set("fqn", "tag", "source", "exposure", "state", "analysis")
+
+  /** Parse selectors.yml (dbt's named-selection file). Closed
+    * vocabulary at every level — an unknown key is refused, not
+    * ignored: a selectors.yml typo (`methods:`, `defualt:`) silently
+    * selecting the wrong sub-DAG is exactly the hazard named selections
+    * exist to prevent. Shapes per dbt:
+    *
+    * {{{
+    * selectors:
+    *   - name: nightly
+    *     default: true
+    *     definition:
+    *       union:
+    *         - stg_loans+
+    *         - method: tag
+    *           value: nightly
+    *         - exclude:
+    *             - method: tag
+    *               value: deprecated
+    * }}}
+    *
+    * A definition node is a STRING (full operator syntax), a
+    * `method`/`value` map (optional `parents`/`children`/
+    * `childrens_parents` booleans → the `+`/`@` operators), or a
+    * one-key `union:`/`intersection:`/`exclude:` map over a non-empty
+    * list of child definitions. At most one selector may set
+    * `default: true`; names must be unique identifiers.
+    */
+  def selectors(yamlText: String): Seq[NamedSelector] = {
+    val root = mapper.readTree(yamlText)
+    val list = Option(root.get("selectors")).getOrElse(
+      throw new IllegalArgumentException("selectors.yml has no `selectors` key"))
+    require(list.isArray && list.size > 0,
+      "`selectors` must be a non-empty list")
+    val out = list.elements.asScala.map { s =>
+      val name = reqText(s, "name", "selector")
+      require(IdentifierPattern.matches(name),
+        s"selector name '$name' must be [A-Za-z0-9_]+")
+      val knownKeys = Set("name", "description", "default", "definition")
+      val unknown = s.properties.asScala.map(_.getKey).filterNot(knownKeys)
+      require(unknown.isEmpty,
+        s"selector $name: unknown keys ${unknown.mkString(", ")} " +
+          s"(allowed: ${knownKeys.toSeq.sorted.mkString(", ")})")
+      val defNode = Option(s.get("definition")).getOrElse(
+        throw new IllegalArgumentException(s"selector $name needs `definition`"))
+      val isDefault = Option(s.get("default")).map { d =>
+        require(d.isBoolean, s"selector $name: `default` must be a boolean")
+        d.asBoolean
+      }.getOrElse(false)
+      val d = selectorDef(defNode, s"selector $name")
+      require(!d.isInstanceOf[SelectorDef.Exclude],
+        s"selector $name: `exclude` cannot be the whole definition — " +
+          "it removes from what its union/intersection siblings select")
+      NamedSelector(name, isDefault, d,
+        Option(s.get("description")).filter(_.isTextual).map(_.asText))
+    }.toSeq
+    val dup = out.groupBy(_.name).collect { case (n, ss) if ss.size > 1 => n }
+    require(dup.isEmpty, s"duplicate selector names: ${dup.mkString(", ")}")
+    require(out.count(_.isDefault) <= 1,
+      s"multiple selectors claim default: true: " +
+        out.filter(_.isDefault).map(_.name).mkString(", "))
+    out
+  }
+
+  /** The selector a run should use: the named one when `name` is given
+    * (unknown names fail fast — dbt errors on `--selector typo`), else
+    * the `default: true` one, else None (ordinary full-graph run).
+    */
+  def chooseSelector(selectors: Seq[NamedSelector],
+      name: Option[String] = None): Option[NamedSelector] = name match {
+    case Some(n) => Some(selectors.find(_.name == n).getOrElse(
+      throw new IllegalArgumentException(
+        s"unknown selector '$n' (known: " +
+          s"${selectors.map(_.name).sorted.mkString(", ")})")))
+    case None => selectors.find(_.isDefault)
+  }
+
+  private def selectorDef(node: JsonNode, where: String): SelectorDef = {
+    def children(n: JsonNode, op: String): Seq[SelectorDef] = {
+      require(n.isArray && n.size > 0,
+        s"$where: `$op` must be a non-empty list of definitions")
+      n.elements.asScala.map(selectorDef(_, s"$where.$op")).toSeq
+    }
+    if (node.isTextual) SelectorDef.Token(node.asText)
+    else {
+      require(node.isObject, s"$where: a definition must be a string or map")
+      val keys = node.properties.asScala.map(_.getKey).toSeq
+      if (keys.contains("union") || keys.contains("intersection") ||
+        keys.contains("exclude")) {
+        require(keys.size == 1,
+          s"$where: a composition node must have exactly one key, got: " +
+            keys.mkString(", "))
+        keys.head match {
+          case "union" => SelectorDef.Union(children(node.get("union"), "union"))
+          case "intersection" =>
+            SelectorDef.Intersection(
+              children(node.get("intersection"), "intersection"))
+          case "exclude" =>
+            SelectorDef.Exclude(children(node.get("exclude"), "exclude"))
+        }
+      } else {
+        val allowed =
+          Set("method", "value", "parents", "children", "childrens_parents")
+        val unknown = keys.filterNot(allowed)
+        require(unknown.isEmpty,
+          s"$where: unknown definition keys ${unknown.mkString(", ")} " +
+            s"(allowed: ${allowed.toSeq.sorted.mkString(", ")})")
+        val method = reqText(node, "method", where)
+        require(SelectorMethods(method),
+          s"$where: unknown method '$method' " +
+            s"(supported: ${SelectorMethods.toSeq.sorted.mkString(", ")})")
+        val value = reqText(node, "value", where)
+        def flag(k: String): Boolean = Option(node.get(k)).exists { b =>
+          require(b.isBoolean, s"$where: `$k` must be a boolean")
+          b.asBoolean
+        }
+        val at = flag("childrens_parents")
+        require(!at || (!flag("parents") && !flag("children")),
+          s"$where: childrens_parents (@) cannot combine with parents/children")
+        val base = if (method == "fqn") value else s"$method:$value"
+        SelectorDef.Token(
+          if (at) s"@$base"
+          else (if (flag("parents")) "+" else "") + base +
+            (if (flag("children")) "+" else ""))
+      }
+    }
+  }
+
   /** One model's enforced contract: the declared column names and SQL
     * types, in declaration order (dbt ≥1.5 `contract: enforced` — the
     * schema-stability gate a production DAG runs at build time).

@@ -60,6 +60,15 @@ object SqlDag {
       preHooks: Seq[String] = Nil, postHooks: Seq[String] = Nil,
       tags: Seq[String] = Nil)
 
+  /** One dbt analysis (`analysis-paths`, reference dbt_project.yml:7):
+    * a Jinja-SQL text that COMPILES through the full pipeline — vars,
+    * control flow, macros, ref()/source() resolution, manifest lineage
+    * — but never materializes (dbt compiles analyses to target/compiled
+    * and stops). The home for exploratory/audit SQL a migrating project
+    * carries in its `analyses/` directory.
+    */
+  final case class Analysis(name: String, jinjaSql: String)
+
   /** dbt's `{{ source('src', 'table') }}` — the staging-layer idiom the
     * reference never uses (its seed-only project refs even raw CSVs via
     * `ref()`, stg_loans.sql:2), but the single most common dbt pattern
@@ -101,20 +110,23 @@ object SqlDag {
 
   private val SelectorPattern =
     ("^(\\+)?(@)?([A-Za-z0-9_]+|state:modified|state:new" +
-      "|exposure:[A-Za-z0-9_]+|tag:[A-Za-z0-9_]+" +
+      "|exposure:[A-Za-z0-9_]+|tag:[A-Za-z0-9_]+|analysis:[A-Za-z0-9_]+" +
       "|source:[A-Za-z0-9_]+(?:\\.[A-Za-z0-9_]+)?)(\\+)?$").r
 
   private def parseSelector(token: String): Selector = token match {
     case SelectorPattern(plus0, at, name, plus1) =>
       require(at == null || (plus0 == null && plus1 == null),
         s"@ cannot combine with +: '$token'")
-      Seq("state:", "exposure:", "tag:", "source:").foreach(p =>
+      Seq("state:", "exposure:", "tag:", "source:", "analysis:").foreach(p =>
         require(at == null || !name.startsWith(p),
           s"@ cannot combine with $p selectors: '$token'"))
       // exposures are graph sinks — a descendants closure is always
       // empty, so a trailing + can only be a mistyped +exposure:name
       require(plus1 == null || !name.startsWith("exposure:"),
         s"'$token': exposures have no descendants; did you mean +$token?")
+      // analyses never materialize, so nothing can be downstream of one
+      require(plus1 == null || !name.startsWith("analysis:"),
+        s"'$token': analyses have no descendants; did you mean +$token?")
       // sources are graph ROOTS — mirror image of the exposure guard:
       // nothing is upstream of a source, so +source: is a mistyped
       // source:…+ (the working idiom, "everything this source feeds")
@@ -125,7 +137,8 @@ object SqlDag {
     case _ => throw new IllegalArgumentException(
       s"unsupported selector '$token' (supported: model, model+, +model, " +
         "+model+, @model, state:modified, state:new, exposure:name, " +
-        "+exposure:name, tag:name, source:name, source:name.table)")
+        "+exposure:name, tag:name, source:name, source:name.table, " +
+        "analysis:name, +analysis:name)")
   }
 
   private def sha256Hex(s: String): String =
@@ -176,11 +189,28 @@ class SqlDag(spark: SparkSession, warehouseDir: String) {
     * deterministically, so it carries no state). Driver-side string
     * work only.
     */
+  /** `analyses` join the manifest as compile-only nodes keyed
+    * `analysis:<name>` (namespaced — an analysis can never collide with
+    * a model entry): checksum of the COMPILED text plus lineage, so an
+    * edited analysis — or a macro edit its body expands — flags
+    * `state:modified` like any node ([[analysisStateDiff]]).
+    */
   def stateManifest(models: Seq[SqlModel],
       macros: Seq[JinjaMacros.MacroDef] = Nil,
-      vars: Map[String, String] = Map.empty): String = {
+      vars: Map[String, String] = Map.empty,
+      analyses: Seq[Analysis] = Nil): String = {
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     val root = mapper.createObjectNode()
+    analyses.foreach { a =>
+      val rendered = JinjaMacros.renderModel(a.jinjaSql, macros, vars = vars)
+      val node = root.putObject(s"analysis:${a.name}")
+      node.put("materialization", "analysis")
+      val deps = node.putArray("depends_on")
+      (refsOf(rendered).toSeq ++
+        sourcesOf(rendered).toSeq.map(st => s"source:${st._1}.${st._2}"))
+        .sorted.foreach(deps.add)
+      node.put("checksum", SqlDag.sha256Hex(rendered))
+    }
     models.foreach { m =>
       val rendered = JinjaMacros.renderModel(m.jinjaSql, macros, vars = vars)
       val node = root.putObject(m.name)
@@ -230,6 +260,30 @@ class SqlDag(spark: SparkSession, warehouseDir: String) {
     (newNames, modified)
   }
 
+  /** (new, modified) ANALYSIS names vs a previous [[stateManifest]]
+    * (built with its `analyses` argument) — the `state:modified`
+    * contract extended to compile-only nodes: an edited analysis body,
+    * a macro edit it expands, a changed ref/source set — any of them
+    * flags the analysis, exactly like a model. Kept as its own diff
+    * (not merged into [[stateDiff]]'s result) because analyses select
+    * no models — the consumer is `dbt compile`-shaped tooling deciding
+    * WHICH analyses to re-render, not the run's model selection.
+    */
+  def analysisStateDiff(analyses: Seq[Analysis], previousManifest: String,
+      macros: Seq[JinjaMacros.MacroDef] = Nil,
+      vars: Map[String, String] = Map.empty): (Set[String], Set[String]) = {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val prev = mapper.readTree(previousManifest)
+    val current = mapper.readTree(
+      stateManifest(Nil, macros, vars, analyses = analyses))
+    val keys = analyses.map(a => a.name -> s"analysis:${a.name}")
+    val newNames = keys.collect { case (n, k) if !prev.has(k) => n }.toSet
+    val modified = keys.collect {
+      case (n, k) if prev.has(k) && prev.get(k) != current.get(k) => n
+    }.toSet
+    (newNames, modified)
+  }
+
   /** dbt node selection (`dbt run --select … --exclude …`): resolve graph
     * selectors over the models' manifest lineage and return the selected
     * sub-DAG in the original declaration order. Selector tokens support
@@ -268,7 +322,14 @@ class SqlDag(spark: SparkSession, warehouseDir: String) {
       state: Option[String] = None,
       macros: Seq[JinjaMacros.MacroDef] = Nil,
       vars: Map[String, String] = Map.empty,
-      exposures: Seq[SchemaConfig.Exposure] = Nil): Seq[SqlModel] = {
+      exposures: Seq[SchemaConfig.Exposure] = Nil,
+      analyses: Seq[Analysis] = Nil,
+      selector: Option[SchemaConfig.SelectorDef] = None): Seq[SqlModel] = {
+    // dbt: --selector is mutually exclusive with --select/--exclude —
+    // a named selection IS the complete selection
+    require(selector.isEmpty || (select.isEmpty && exclude.isEmpty),
+      "selector cannot combine with select/exclude (dbt: --selector " +
+        "replaces them; put exclusions in the selector definition)")
     val names = models.map(_.name).toSet
     val parents: Map[String, Set[String]] =
       lineage(models).map { case (n, deps) => n -> deps.intersect(names) }
@@ -303,6 +364,20 @@ class SqlDag(spark: SparkSession, warehouseDir: String) {
             badDeps.mkString(", "))
         if (sel.ancestors)
           exp.dependsOn.toSet.flatMap((d: String) => closure(d, parents))
+        else Set.empty
+      } else if (sel.name.startsWith("analysis:")) {
+        // dbt's analysis: method — compile-only sinks, the exposure
+        // shape exactly: the node runs nothing, so the bare form
+        // selects no models; +analysis:name = "build everything this
+        // analysis reads" (its ref() targets plus their ancestors)
+        val aName = sel.name.stripPrefix("analysis:")
+        val a = analyses.find(_.name == aName).getOrElse(
+          throw new IllegalArgumentException(
+            s"selector '$token' names unknown analysis '$aName' " +
+              s"(known: ${analyses.map(_.name).sorted.mkString(", ")})"))
+        if (sel.ancestors)
+          refsOf(JinjaMacros.renderModel(a.jinjaSql, macros, vars = vars))
+            .intersect(names).flatMap(closure(_, parents))
         else Set.empty
       } else if (sel.name.startsWith("tag:")) {
         // dbt's tag: method — every model carrying the tag, with the
@@ -359,13 +434,83 @@ class SqlDag(spark: SparkSession, warehouseDir: String) {
         }
       }
     }
-    val selected =
-      if (select.isEmpty) names
-      else select.map(resolve).reduce(_ union _)
+    // selectors.yml composition: union/intersection combine their
+    // non-exclude children; exclude children subtract from what the
+    // siblings built (dbt's documented semantics). A bare token is the
+    // degenerate one-element case.
+    def evalDef(d: SchemaConfig.SelectorDef): Set[String] = d match {
+      case SchemaConfig.SelectorDef.Token(tk) => resolve(tk)
+      case SchemaConfig.SelectorDef.Union(of) =>
+        val (ex, in) = of.partition(_.isInstanceOf[SchemaConfig.SelectorDef.Exclude])
+        require(in.nonEmpty, "union of only exclude elements selects nothing")
+        in.map(evalDef).reduce(_ union _) -- ex.flatMap {
+          case SchemaConfig.SelectorDef.Exclude(e) => e.flatMap(evalDef)
+          case _ => Nil
+        }
+      case SchemaConfig.SelectorDef.Intersection(of) =>
+        val (ex, in) = of.partition(_.isInstanceOf[SchemaConfig.SelectorDef.Exclude])
+        require(in.nonEmpty,
+          "intersection of only exclude elements selects nothing")
+        in.map(evalDef).reduce(_ intersect _) -- ex.flatMap {
+          case SchemaConfig.SelectorDef.Exclude(e) => e.flatMap(evalDef)
+          case _ => Nil
+        }
+      case SchemaConfig.SelectorDef.Exclude(_) =>
+        // the parser refuses top-level excludes; nested ones are
+        // consumed by their parent above
+        throw new IllegalArgumentException(
+          "exclude is only legal inside union/intersection")
+    }
+    val selected = selector match {
+      case Some(d) => evalDef(d)
+      case None =>
+        if (select.isEmpty) names
+        else select.map(resolve).reduce(_ union _)
+    }
     val excluded =
       if (exclude.isEmpty) Set.empty[String]
       else exclude.map(resolve).reduce(_ union _)
     models.filter(m => selected.contains(m.name) && !excluded.contains(m.name))
+  }
+
+  /** `dbt compile` for the analyses directory: render each analysis
+    * through the FULL Jinja pipeline (vars → control flow → macros),
+    * validate its lineage against the project graph (unknown refs and
+    * undeclared sources fail fast — an analysis is still a compiled
+    * node, dbt errors the same way), and resolve `ref()`/`source()`
+    * spans to the relation names a warehouse session would read — the
+    * runnable SQL dbt writes to `target/compiled`. NOTHING executes
+    * and nothing materializes: the returned texts are the product.
+    *
+    * Analysis names must be unique and must not shadow a model (one
+    * manifest namespace per dbt). Driver-side string work only.
+    */
+  def compileAnalyses(analyses: Seq[Analysis], models: Seq[SqlModel],
+      seeds: Set[String] = Set.empty,
+      macros: Seq[JinjaMacros.MacroDef] = Nil,
+      vars: Map[String, String] = Map.empty,
+      sources: Set[(String, String)] = Set.empty): Map[String, String] = {
+    val dup = analyses.groupBy(_.name).collect { case (n, as) if as.size > 1 => n }
+    require(dup.isEmpty, s"duplicate analysis names: ${dup.mkString(", ")}")
+    val modelNames = models.map(_.name).toSet
+    val shadowing = analyses.map(_.name).toSet.intersect(modelNames)
+    require(shadowing.isEmpty,
+      s"analysis names shadow models: ${shadowing.toSeq.sorted.mkString(", ")}")
+    val known = modelNames ++ seeds
+    scala.collection.immutable.ListMap(analyses.map { a =>
+      val rendered = JinjaMacros.renderModel(a.jinjaSql, macros, vars = vars)
+      val missing = refsOf(rendered).diff(known)
+      require(missing.isEmpty,
+        s"analysis ${a.name} refs unknown relations: " +
+          missing.toSeq.sorted.mkString(", "))
+      val missingSrc = sourcesOf(rendered).diff(sources)
+      require(missingSrc.isEmpty,
+        s"analysis ${a.name} reads undeclared sources: " +
+          missingSrc.map(st => s"${st._1}.${st._2}").toSeq.sorted.mkString(", "))
+      a.name -> FictionBankSql.render(
+        SqlDag.SourcePattern.replaceAllIn(rendered,
+          mm => SqlDag.sourceViewName(mm.group(1), mm.group(2))))
+    }: _*)
   }
 
   /** `dbt run`: register seeds as views, build every model in dependency
@@ -444,6 +589,17 @@ class SqlDag(spark: SparkSession, warehouseDir: String) {
     * check is analysis-time metadata only — no data pass; a contract
     * naming an unknown model fails before anything builds.
     */
+  /** `packages` are loaded dependency projects ([[Packages.load]] —
+    * the `dbt deps` verb): their macros join the registry for EVERY
+    * model (package macros are global in dbt), their models join the
+    * DAG as a sub-DAG rendered with the package's own var defaults
+    * (root-project `vars` override them, dbt's precedence). Collisions
+    * refuse rather than shadow: a macro name defined by both the
+    * project and a package (or two packages) fails fast — dbt's
+    * dispatch would pick one silently, and which one is the kind of
+    * surprise a build system must not ship; model name collisions fall
+    * to the existing duplicate-name check.
+    */
   def run(models: Seq[SqlModel], seeds: Map[String, DataFrame],
       threads: Int = 1, select: Seq[String] = Nil,
       exclude: Seq[String] = Nil,
@@ -456,21 +612,48 @@ class SqlDag(spark: SparkSession, warehouseDir: String) {
       sources: Map[(String, String), DataFrame] = Map.empty,
       onRunStart: Seq[String] = Nil,
       onRunEnd: Seq[String] = Nil,
-      contracts: Seq[SchemaConfig.Contract] = Nil): Map[String, DataFrame] = {
+      contracts: Seq[SchemaConfig.Contract] = Nil,
+      packages: Seq[Packages.Package] = Nil,
+      analyses: Seq[Analysis] = Nil,
+      selector: Option[SchemaConfig.SelectorDef] = None): Map[String, DataFrame] = {
     require(threads >= 1, s"need threads >= 1, got $threads")
     require(defer.nonEmpty || !favorState,
       "favorState is only meaningful with defer (dbt: --favor-state " +
         "requires --defer)")
-    def jinja(text: String) =
-      JinjaMacros.renderModel(text, macros, vars = vars)
+    val dupPkg = packages.groupBy(_.name).collect {
+      case (n, ps) if ps.size > 1 => n
+    }
+    require(dupPkg.isEmpty,
+      s"duplicate package names: ${dupPkg.mkString(", ")}")
+    val allMacros = macros ++ packages.flatMap(_.macros)
+    val dupMacros = allMacros.groupBy(_.name).collect {
+      case (n, ms) if ms.size > 1 => n
+    }
+    require(dupMacros.isEmpty,
+      "macro name collisions across project/packages: " +
+        s"${dupMacros.toSeq.sorted.mkString(", ")} — rename, or call " +
+        "the package-qualified spelling and drop the bare registration")
+    def jinja(text: String, v: Map[String, String] = vars) =
+      JinjaMacros.renderModel(text, allMacros, vars = v)
     val expanded = models.map { m =>
       m.copy(jinjaSql = jinja(m.jinjaSql),
-        preHooks = m.preHooks.map(jinja),
-        postHooks = m.postHooks.map(jinja))
+        preHooks = m.preHooks.map(jinja(_)),
+        postHooks = m.postHooks.map(jinja(_)))
+    } ++ packages.flatMap { p =>
+      // package models render with the package's var DEFAULTS, root
+      // vars overriding per key — dbt's var precedence
+      val pv = p.vars ++ vars
+      p.models.map(m => m.copy(jinjaSql = jinja(m.jinjaSql, pv),
+        preHooks = m.preHooks.map(jinja(_, pv)),
+        postHooks = m.postHooks.map(jinja(_, pv))))
     }
     runExpanded(expanded, seeds, threads, select, exclude, state, defer,
       favorState, exposures, sources,
-      onRunStart.map(jinja), onRunEnd.map(jinja), contracts)
+      onRunStart.map(jinja(_)), onRunEnd.map(jinja(_)), contracts,
+      // analyses are compile-only, but they ARE selection nodes
+      // (+analysis:name builds what an analysis reads) — pre-render so
+      // selection sees the refs macros/vars introduce, like models
+      analyses.map(a => a.copy(jinjaSql = jinja(a.jinjaSql))), selector)
   }
 
   private def runExpanded(models: Seq[SqlModel], seeds: Map[String, DataFrame],
@@ -483,7 +666,9 @@ class SqlDag(spark: SparkSession, warehouseDir: String) {
       sources: Map[(String, String), DataFrame] = Map.empty,
       onRunStart: Seq[String] = Nil,
       onRunEnd: Seq[String] = Nil,
-      contracts: Seq[SchemaConfig.Contract] = Nil): Map[String, DataFrame] = {
+      contracts: Seq[SchemaConfig.Contract] = Nil,
+      analyses: Seq[Analysis] = Nil,
+      selector: Option[SchemaConfig.SelectorDef] = None): Map[String, DataFrame] = {
     val dupNames = models.groupBy(_.name).collect { case (n, ms) if ms.size > 1 => n }
     require(dupNames.isEmpty, s"duplicate model names: ${dupNames.mkString(", ")}")
     val contractByModel = contracts.map(c => c.model -> c).toMap
@@ -521,9 +706,9 @@ class SqlDag(spark: SparkSession, warehouseDir: String) {
       df.createOrReplaceTempView(SqlDag.sourceViewName(s, t))
     }
     val chosen =
-      if (select.isEmpty && exclude.isEmpty) models
+      if (select.isEmpty && exclude.isEmpty && selector.isEmpty) models
       else selectModels(models, select, exclude, state,
-        exposures = exposures)
+        exposures = exposures, analyses = analyses, selector = selector)
     val byName = models.map(m => m.name -> m).toMap
     seeds.foreach { case (name, df) => df.createOrReplaceTempView(name) }
     // refs that leave the selection resolve to already-built relations —

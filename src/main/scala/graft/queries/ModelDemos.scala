@@ -699,6 +699,63 @@ models:
         .orderBy(col("o_orderkey").asc_nulls_last)
     })
 
+  // -------------------------------------------------------------------
+  // Q44: ANALYSES — dbt's `analysis-paths` (reference dbt_project.yml:7
+  // declares the path): compile-only SQL nodes. The analysis renders
+  // through the FULL Jinja pipeline (a var-parameterized threshold),
+  // participates in selection (`+analysis:name` builds ONLY what the
+  // analysis reads — the seed-fed sibling must not build), and
+  // compileAnalyses emits the runnable resolved SQL WITHOUT
+  // materializing anything — the demo then executes that compiled text
+  // exactly as a user pastes target/compiled output into a session.
+  // The oracle replays staging + analysis as CTEs. Scale: compilation
+  // is driver-side string work; the executed plan is a pushed-down
+  // filter → one (year) hash aggregate.
+  // -------------------------------------------------------------------
+  private val q44 = Demo("q44_analysis_compile", Some("""
+      WITH stg_priced AS (
+        SELECT o_orderkey, o_totalprice, CAST(o_orderdate AS DATE) AS order_date
+        FROM orders WHERE o_orderstatus = 'F'),
+      big_orders_by_year AS (
+        SELECT CAST(date_trunc('year', order_date) AS DATE) AS year,
+               count(*) AS n_big,
+               round(sum(o_totalprice), 2) AS total_price
+        FROM stg_priced WHERE o_totalprice > 150000.0
+        GROUP BY 1)
+      SELECT year, n_big, total_price FROM big_orders_by_year
+      ORDER BY year ASC NULLS LAST"""),
+    (s, dir) => {
+      val models = Seq(
+        graft.models.SqlDag.SqlModel("stg_priced",
+          "select o_orderkey, o_totalprice, " +
+            "cast(o_orderdate as date) as order_date " +
+            "from {{ ref('orders') }} where o_orderstatus = 'F'"),
+        // seed-fed sibling the analysis does NOT read — +analysis:
+        // selection must skip it
+        graft.models.SqlDag.SqlModel("nation_names",
+          "select n_name from {{ ref('nation') }}"))
+      val analysis = graft.models.SqlDag.Analysis("big_orders_by_year",
+        "select cast(date_trunc('year', order_date) as date) as year, " +
+          "count(*) as n_big, round(sum(o_totalprice), 2) as total_price " +
+          "from {{ ref('stg_priced') }} " +
+          "where o_totalprice > {{ var('price_floor') }} group by 1")
+      val vars = Map("price_floor" -> "150000.0")
+      val dag = new graft.models.SqlDag(s, freshScratchDir("q44"))
+      val built = dag.run(models,
+        seeds = Map("orders" -> t(s, dir, "orders"),
+          "nation" -> t(s, dir, "nation")),
+        select = Seq("+analysis:big_orders_by_year"),
+        vars = vars, analyses = Seq(analysis))
+      require(built.contains("stg_priced") && !built.contains("nation_names"),
+        s"+analysis: selection built the wrong sub-DAG: ${built.keySet}")
+      val compiled = dag.compileAnalyses(Seq(analysis), models,
+        seeds = Set("orders", "nation"), vars = vars)("big_orders_by_year")
+      require(!compiled.contains("{{") && !s.catalog.tableExists("big_orders_by_year"),
+        "analysis must compile fully and materialize nothing")
+      s.sql(compiled).orderBy(col("year").asc_nulls_last)
+    })
+
   val all: Seq[Demo] =
-    Seq(x12, x13, x15, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43)
+    Seq(x12, x13, x15, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43,
+      q44)
 }

@@ -64,12 +64,15 @@ for line in open('target/recall_gate.log'):
         rec = json.loads(line)
 assert rec, "REFUSE: no probe record in target/recall_gate.log"
 diag = rec["diag"]
-# pin BOTH the calibrated cap (the rule's own operating point — at
-# sf0.1 the budget never binds, so this alone is weak) and cap 5, the
-# smallest cap the budget rule has calibrated to at the production
-# decades (sf10-sf100) — the pin that actually moves if banding moves
+# pin the calibrated cap (the rule's own operating point — at sf0.1
+# the budget never binds, so this alone is weak), cap 5 (the smallest
+# cap the budget rule has calibrated to at the production decades,
+# sf10-sf100 — the pin that actually moves if banding moves), and cap 8
+# (the high-recall preset budgetForRecall(5M, 0.9995) resolves to —
+# r13 verdict item 2 asked the gate to cover the preset too)
 for cap, label in ((diag["calibrated_cap"], "calibrated cap"),
-                   (5, "production cap")):
+                   (5, "production cap"),
+                   (8, "high-recall preset cap")):
     ppm = diag[f"recall_ppm_c{cap}"]
     assert ppm == 1000000, (
         f"REFUSE: recall at {label} {cap} is {ppm/1e6:.4f} < 1.0 "
@@ -86,6 +89,11 @@ SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 sbt -batch "runMain graft.Bench" \
 # verdict item 6: the comparability prose once drifted from the
 # committed record); fails on a malformed record
 python3 tools/sync_benchnotes.py
+
+# calib-normalized per-query diff vs the last committed record (r13
+# verdict item 7): the judge reads signal, not weather — printed into
+# the close log AND left for the round notes
+python3 tools/bench_diff.py | tee target/bench_diff.log
 
 # evidence commits mechanically — never again "modified at round close".
 # add per-file: one git add with a list stages NOTHING if any pathspec
