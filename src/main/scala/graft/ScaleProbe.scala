@@ -286,6 +286,83 @@ object ScaleProbe {
             .orderBy(col("new_id").asc_nulls_last,
               col("old_id").asc_nulls_last)
         })
+      case "stream_lsh" =>
+        // the STREAMING face of the crawl loop (the x58 family's
+        // incremental_budget shape, r13 verdict item 6): arrivals
+        // (ids ≡ 4 mod 5, ~20%) replayed as file-source waves probe the
+        // PERSISTED band store of the indexed remainder through
+        // StreamingPipelines.incrementalLshStream. Store construction —
+        // index, budget calibration (the SAME calibrateMaxBucket call
+        // as incremental_budget, so the BENCHNOTES rows sit side by
+        // side), the cross-set cap filter (probeLshStore's liveStore
+        // semantics: buckets past cap dropped, singles kept), and the
+        // parquet writes — happens OUTSIDE the timed window: production
+        // streams against a store that already exists on disk. The
+        // timed window is the stream run itself (all waves,
+        // Trigger.AvailableNow). The record carries what batch faces
+        // cannot: micro-batch count, emitted pairs, and the pair-dedup
+        // operator's max state rows/bytes — the number that decides
+        // whether the watermark bounds state at corpus scale.
+        val waves = sys.env.getOrElse("SPARK_GRAFT_STREAM_WAVES", "8").toInt
+        require(waves >= 1 && waves <= 59,
+          s"SPARK_GRAFT_STREAM_WAVES must be in [1, 59], got $waves")
+        val budget = sys.env.getOrElse("SPARK_GRAFT_PAIR_BUDGET", "32").toDouble
+        val nd = docs.count()
+        val root = new java.io.File("target/stream_lsh_probe")
+        def rmTree(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles.foreach(rmTree)
+          f.delete(); ()
+        }
+        rmTree(root)
+        val store = docs.filter(col("doc_id") % 5 =!= 4)
+        val arrivals = docs.filter(col("doc_id") % 5 === 4)
+        val storeIdx = graft.operators.TextDedup.lshIndex(store, "doc_id", "text")
+        val capS = graft.operators.TextDedup.calibrateMaxBucket(
+          storeIdx, store.count(), budget)
+        storeIdx
+          .withColumn("__bn", count(lit(1)).over(
+            org.apache.spark.sql.expressions.Window
+              .partitionBy(col("band"), col("key"))))
+          .filter(col("__bn") <= capS).drop("__bn")
+          .write.mode("overwrite").parquet(s"$root/index")
+        store.select(col("doc_id"), col("text"))
+          .write.mode("overwrite").parquet(s"$root/corpus")
+        (0 until waves).foreach { w =>
+          arrivals.filter(pmod(col("doc_id"), lit(waves)) === w)
+            .select(col("doc_id"), col("text"),
+              to_timestamp(lit(f"2024-01-01 00:$w%02d:00")).as("ts"))
+            .coalesce(1).write.mode("append").parquet(s"$root/waves")
+        }
+        var runSeq = 0
+        (nd, waves.toLong, () => {
+          runSeq += 1
+          val qn = s"stream_lsh_$runSeq"
+          val out = graft.streaming.StreamingPipelines.incrementalLshStream(
+            spark.readStream
+              .schema(org.apache.spark.sql.types.StructType.fromDDL(
+                "doc_id LONG, text STRING, ts TIMESTAMP"))
+              .option("maxFilesPerTrigger", 1)
+              .parquet(s"$root/waves"),
+            spark.read.parquet(s"$root/index"),
+            spark.read.parquet(s"$root/corpus"),
+            "doc_id", "text", threshold = 0.5)
+          val q = out.writeStream.format("memory").queryName(qn)
+            .outputMode("append")
+            .option("checkpointLocation", s"$root/ckpt$runSeq")
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+          val progs = q.recentProgress
+          diag = Map(
+            "calibrated_cap" -> capS.toLong,
+            "batches" -> progs.count(_.numInputRows > 0).toLong,
+            "pairs_out" -> spark.table(qn).count(),
+            "state_rows_max" -> progs.flatMap(_.stateOperators.map(_.numRowsTotal))
+              .foldLeft(0L)(math.max),
+            "state_bytes_max" -> progs.flatMap(_.stateOperators.map(_.memoryUsedBytes))
+              .foldLeft(0L)(math.max))
+          spark.table(qn)
+        })
       case "clean_budget" =>
         // the composed pipeline under the budget rule: calibrated on
         // the raw corpus index (survivors ⊆ docs, so the cap is
