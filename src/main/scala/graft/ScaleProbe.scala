@@ -33,6 +33,24 @@ object ScaleProbe {
     val shufWrite = new AtomicLong; val shufRead = new AtomicLong
     val spillDisk = new AtomicLong; val spillMem = new AtomicLong
     @volatile var tasks = 0L
+    // per-stage spill attribution (r14: cumulative spill_disk proved
+    // INVARIANT to both slicing knobs — each byte of the pair stream
+    // still passes through a sort whatever the slice count — so the
+    // record needs to say WHICH stages the spill lives in, not just
+    // how much): callsite-keyed disk-spill totals, top entries emitted
+    // as "spill_stages" in the record.
+    private val stageSpill =
+      new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]
+    override def onStageCompleted(
+        e: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+      val si = e.stageInfo
+      val d = si.taskMetrics.diskBytesSpilled
+      if (d > 0) {
+        // stage name = callsite ("localCheckpoint at TextDedup.scala:530")
+        val k = si.name.takeWhile(_ != '\n')
+        stageSpill.merge(k, d, (a, b) => a + b)
+      }
+    }
     override def onTaskEnd(
         e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
       val m = e.taskMetrics
@@ -43,6 +61,17 @@ object ScaleProbe {
         spillMem.addAndGet(m.memoryBytesSpilled)
         tasks += 1
       }
+    }
+    /** Top spilling stages as a JSON array (empty string when nothing
+      * spilled, so spill-free records stay byte-identical in shape).
+      */
+    def stagesJson: String = {
+      import scala.jdk.CollectionConverters._
+      val top = stageSpill.asScala.toSeq.sortBy(-_._2).take(6)
+      if (top.isEmpty) ""
+      else top.map { case (k, v) =>
+        s"""{"stage":"${k.replace("\\", "\\\\").replace("\"", "\\\"")}","spill_disk_gb":${f"${v.toLong / 1e9}%.3f"}}"""
+      }.mkString(""","spill_stages":[""", ",", "]")
     }
     /** Listener events are delivered async; poll until the counters stop
       * moving so the record never misses the tail of the last stage.
@@ -306,6 +335,13 @@ object ScaleProbe {
         val waves = sys.env.getOrElse("SPARK_GRAFT_STREAM_WAVES", "8").toInt
         require(waves >= 1 && waves <= 59,
           s"SPARK_GRAFT_STREAM_WAVES must be in [1, 59], got $waves")
+        // stream-static joins must SHUFFLE on this face: micro-batch
+        // planning broadcast the corpus text side at the 500k size class
+        // and the exchange build raced the batch's own stages into the
+        // 300 s broadcast timeout (r14 chain, first sf10 attempt) — and
+        // a 100 TB corpus side could never be broadcast anyway, so the
+        // shuffle plan is the production shape this probe should time.
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", -1)
         val budget = sys.env.getOrElse("SPARK_GRAFT_PAIR_BUDGET", "32").toDouble
         val nd = docs.count()
         val root = new java.io.File("target/stream_lsh_probe")
@@ -536,7 +572,7 @@ object ScaleProbe {
       else diag.toSeq.sortBy(_._1)
         .map { case (k, v) => s""""$k":$v""" }
         .mkString(""","diag":{""", ",", "}")
-    println(s"""{"op":"$op","n":$n,"param":$param,"sec":${times.min},"calib":$calib,"calib_io":$calibIo,"codec":"$codec",${metrics.json}$bg$dg,"sf":"$sfDir"}""")
+    println(s"""{"op":"$op","n":$n,"param":$param,"sec":${times.min},"calib":$calib,"calib_io":$calibIo,"codec":"$codec",${metrics.json}${metrics.stagesJson}$bg$dg,"sf":"$sfDir"}""")
     spark.stop()
     benchLock.close()
   }
