@@ -227,7 +227,27 @@ object Bench {
     // CWD) so an out-of-repo-root caller doesn't scatter the record
     // (round-5 advice).
     val repoRoot = BenchProtocol.repoRoot
-    Files.write(Paths.get(repoRoot, "BENCH_FULL.json"),
+    // scale-factor guard (r14 advice, high): the r14 committed record
+    // was accidentally produced at sf0.01 while every consumer
+    // (round_close, sync_benchnotes, cross-round diffs) assumes the
+    // protocol-pinned sf0.1 — refuse to overwrite an official record
+    // with one measured at a DIFFERENT sf unless the operator says so
+    // explicitly (SPARK_GRAFT_ALLOW_SF_CHANGE=1)
+    val fullPath = Paths.get(repoRoot, "BENCH_FULL.json")
+    val priorSf = if (Files.exists(fullPath)) {
+      val prior = new String(Files.readAllBytes(fullPath), StandardCharsets.UTF_8)
+      """"sf":"([^"]+)"""".r.findFirstMatchIn(prior).map(_.group(1))
+    } else None
+    priorSf.filter(p => p != sfDir &&
+        sys.env.get("SPARK_GRAFT_ALLOW_SF_CHANGE").isEmpty).foreach { p =>
+      Files.write(Paths.get("target/bench_refused.json"),
+        (json + "\n").getBytes(StandardCharsets.UTF_8))
+      println(s"""{"metric":"refused","reason":"sf mismatch: prior record is $p, this run is $sfDir — set SPARK_GRAFT_ALLOW_SF_CHANGE=1 to accept; full record left at target/bench_refused.json"}""")
+      spark.stop()
+      benchLock.close()
+      sys.exit(1)
+    }
+    Files.write(fullPath,
       (json + "\n").getBytes(StandardCharsets.UTF_8))
     // The full line above carries every per-query timing (~4 KB) and has
     // twice fallen out of the driver's stdout tail-capture window, leaving

@@ -39,8 +39,14 @@ object ScaleProbe {
     // record needs to say WHICH stages the spill lives in, not just
     // how much): callsite-keyed disk-spill totals, top entries emitted
     // as "spill_stages" in the record.
-    private val stageSpill =
-      new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]
+    // keyed by stageId with the MAX over attempts (r14 advice: keying
+    // by callsite alone counted a retried stage once per attempt, so
+    // spill_stages could exceed the task-level spill_disk_gb total and
+    // mis-weight the attribution; attempts of one stage re-do the same
+    // work, so max — not sum — is the stage's one contribution),
+    // aggregated per callsite only at json time
+    private val stageSpill = new java.util.concurrent.ConcurrentHashMap[
+      Int, (String, Long)]
     override def onStageCompleted(
         e: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
       val si = e.stageInfo
@@ -48,7 +54,8 @@ object ScaleProbe {
       if (d > 0) {
         // stage name = callsite ("localCheckpoint at TextDedup.scala:530")
         val k = si.name.takeWhile(_ != '\n')
-        stageSpill.merge(k, d, (a, b) => a + b)
+        stageSpill.merge(si.stageId, (k, d),
+          (a, b) => if (a._2 >= b._2) a else b)
       }
     }
     override def onTaskEnd(
@@ -67,7 +74,8 @@ object ScaleProbe {
       */
     def stagesJson: String = {
       import scala.jdk.CollectionConverters._
-      val top = stageSpill.asScala.toSeq.sortBy(-_._2).take(6)
+      val top = stageSpill.asScala.values
+        .groupMapReduce(_._1)(_._2)(_ + _).toSeq.sortBy(-_._2).take(6)
       if (top.isEmpty) ""
       else top.map { case (k, v) =>
         s"""{"stage":"${k.replace("\\", "\\\\").replace("\"", "\\\"")}","spill_disk_gb":${f"${v.toLong / 1e9}%.3f"}}"""
@@ -118,6 +126,16 @@ object ScaleProbe {
       .config("spark.ui.enabled", "false")
       .config("spark.cleaner.referenceTracking.blocking.shuffle",
         (gcMode == "blocking").toString)
+      // the checkpoint-cut storage-level A/B knob (r14 verdict item 1):
+      // validated HERE so a typo fails the chain before an hour-long
+      // face, and stamped into the record below so every probe says
+      // which level it measured
+      .config("spark.graft.checkpoint.storage", {
+        val lvl = sys.env.getOrElse("SPARK_GRAFT_CKPT_STORAGE",
+          "MEMORY_AND_DISK_SER")
+        org.apache.spark.storage.StorageLevel.fromString(lvl)
+        lvl
+      })
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     org.apache.logging.log4j.core.config.Configurator.setLevel(
@@ -363,12 +381,27 @@ object ScaleProbe {
           .write.mode("overwrite").parquet(s"$root/index")
         store.select(col("doc_id"), col("text"))
           .write.mode("overwrite").parquet(s"$root/corpus")
+        // wave timestamps step WIDER than the 10-minute watermark delay
+        // (r14 advice: 1-minute steps meant the watermark never passed
+        // any event across 8 waves, so state_rows_max measured total
+        // accumulation, not the watermark-bounded steady state this
+        // number is supposed to decide — with 5-minute steps evictions
+        // actually occur from the third micro-batch on)
+        val stepMin = sys.env.getOrElse("SPARK_GRAFT_WAVE_STEP_MIN", "5").toInt
+        require(stepMin >= 1, s"SPARK_GRAFT_WAVE_STEP_MIN must be >= 1, got $stepMin")
+        val epoch0 = java.time.Instant.parse("2024-01-01T00:00:00Z").getEpochSecond
         (0 until waves).foreach { w =>
           arrivals.filter(pmod(col("doc_id"), lit(waves)) === w)
             .select(col("doc_id"), col("text"),
-              to_timestamp(lit(f"2024-01-01 00:$w%02d:00")).as("ts"))
+              timestamp_seconds(lit(epoch0 + w.toLong * stepMin * 60)).as("ts"))
             .coalesce(1).write.mode("append").parquet(s"$root/waves")
         }
+        // the state-diet face is the default (r14 verdict item 3): the
+        // wave files ARE the arriving docs' ingest store, so the
+        // stateful pair dedup runs text-free and the verify re-attaches
+        // the new text by a stream-static join; SPARK_GRAFT_STREAM_DIET=0
+        // re-measures the legacy text-carrying state for the A/B
+        val diet = sys.env.getOrElse("SPARK_GRAFT_STREAM_DIET", "1") == "1"
         var runSeq = 0
         (nd, waves.toLong, () => {
           runSeq += 1
@@ -381,7 +414,9 @@ object ScaleProbe {
               .parquet(s"$root/waves"),
             spark.read.parquet(s"$root/index"),
             spark.read.parquet(s"$root/corpus"),
-            "doc_id", "text", threshold = 0.5)
+            "doc_id", "text", threshold = 0.5,
+            newTexts =
+              if (diet) Some(spark.read.parquet(s"$root/waves")) else None)
           val q = out.writeStream.format("memory").queryName(qn)
             .outputMode("append")
             .option("checkpointLocation", s"$root/ckpt$runSeq")
@@ -391,6 +426,8 @@ object ScaleProbe {
           val progs = q.recentProgress
           diag = Map(
             "calibrated_cap" -> capS.toLong,
+            "state_diet" -> (if (diet) 1L else 0L),
+            "wave_step_min" -> stepMin.toLong,
             "batches" -> progs.count(_.numInputRows > 0).toLong,
             "pairs_out" -> spark.table(qn).count(),
             "state_rows_max" -> progs.flatMap(_.stateOperators.map(_.numRowsTotal))
@@ -506,13 +543,24 @@ object ScaleProbe {
         else None
         val budget = sys.env.getOrElse("SPARK_GRAFT_PAIR_BUDGET", "32").toDouble
         val nd = docs.count()
+        // extra budgets to price at THIS decade (r14 verdict item 4:
+        // extending measuredRecallTable needs each table budget's own
+        // calibrated cap in the caps grid, e.g. "48,105") — calibrated
+        // off ONE cut band index, so the grid costs one signature
+        // derivation plus a narrow aggregate per budget
+        val budgetGrid = sys.env.get("SPARK_GRAFT_BUDGET_GRID")
+          .map(_.split(",").toSeq.map(_.trim.toDouble)).getOrElse(Nil)
         (nd, k.fold(0L)(_.toLong), () => {
           // the calibrated cap joins the fixed grid, so the record reads
           // recall at the budget rule's own operating point
+          val bandsIdx = graft.operators.TextDedup.eagerCut(
+            graft.operators.TextDedup.lshIndex(docs, "doc_id", "text"))
           val calCap = graft.operators.TextDedup.calibrateMaxBucket(
-            graft.operators.TextDedup.lshIndex(docs, "doc_id", "text"),
-            nd, budget)
-          val caps = (Seq(2, 4, 5, 8, 16, 32, 64) :+ calCap).distinct.sorted
+            bandsIdx, nd, budget)
+          val gridCaps = budgetGrid.map(b =>
+            b -> graft.operators.TextDedup.calibrateMaxBucket(bandsIdx, nd, b))
+          val caps = (Seq(2, 4, 5, 8, 16, 32, 64) ++ gridCaps.map(_._2)
+            :+ calCap).distinct.sorted
           val stats = graft.operators.TextDedup.lshSurvivalStats(
             docs, "doc_id", "text", threshold = 0.5, discoveryBands = k,
             materialize = Some(_.localCheckpoint(true)),
@@ -524,6 +572,8 @@ object ScaleProbe {
           diag = Map(
             "calibrated_cap" -> calCap.toLong,
             "n_true" -> rows.headOption.fold(0L)(_.getLong(1))) ++
+            gridCaps.map { case (b, c) =>
+              s"budget_cap_b${b.toLong}" -> c.toLong }.toMap ++
             rows.flatMap(r => Seq(
               s"surv_c${r.getInt(0)}" -> r.getLong(2),
               s"recall_ppm_c${r.getInt(0)}" ->
@@ -566,7 +616,8 @@ object ScaleProbe {
     // regime it measured or cross-round ratios silently mix codecs.
     val codec = spark.conf.getOption("spark.io.compression.codec").getOrElse("lz4")
     val bg = bandGroups.fold("")(g => s""","band_groups":$g""") +
-      verifyGroups.fold("")(g => s""","verify_groups":$g""")
+      verifyGroups.fold("")(g => s""","verify_groups":$g""") +
+      s""","ckpt_storage":"${spark.conf.get("spark.graft.checkpoint.storage")}""""
     val dg =
       if (diag.isEmpty) ""
       else diag.toSeq.sortBy(_._1)

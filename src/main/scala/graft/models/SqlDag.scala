@@ -145,6 +145,37 @@ object SqlDag {
     java.security.MessageDigest.getInstance("SHA-256")
       .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
       .map("%02x".format(_)).mkString
+
+  /** `dbt clean` — delete the project's build-artifact directories
+    * (reference `dbt_project.yml:13-15` declares
+    * `clean-targets: [target, dbt_packages]`). Housekeeping, not query
+    * semantics: each target is resolved against `projectDir` and
+    * REFUSED if it normalizes outside it (dbt's own
+    * clean-project-files-only guard — `clean-targets: ["/"]` must be a
+    * config error, never an rm -rf /), or if it IS the project root.
+    * Missing targets are skipped (clean is idempotent). Returns the
+    * project-relative paths actually deleted.
+    */
+  def clean(projectDir: String, targets: Seq[String]): Seq[String] = {
+    require(targets.nonEmpty,
+      "clean needs at least one target (dbt_project.yml clean-targets)")
+    val root = java.nio.file.Paths.get(projectDir).toAbsolutePath.normalize
+    require(java.nio.file.Files.isDirectory(root),
+      s"project directory not found: $projectDir")
+    val resolved = targets.map { t =>
+      val p = root.resolve(t).normalize
+      require(p.startsWith(root) && p != root,
+        s"clean target '$t' escapes (or is) the project directory — " +
+          "clean only deletes inside the project, like dbt's " +
+          "clean-project-files-only guard")
+      t -> p
+    }
+    resolved.collect {
+      case (t, p) if java.nio.file.Files.exists(p) =>
+        graft.sources.FsUtil.deleteTree(p)
+        t
+    }
+  }
 }
 
 class SqlDag(spark: SparkSession, warehouseDir: String) {
@@ -868,5 +899,63 @@ class SqlDag(spark: SparkSession, warehouseDir: String) {
           spark.catalog.dropTempView(SqlDag.sourceViewName(s, t)))
       }
     }
+  }
+
+  /** `dbt run-operation` — invoke one registered macro standalone,
+    * outside any model build (the last dbt CLI verb with no analog
+    * here; the hooks machinery is the other 90% of its maintenance use
+    * cases). The macro renders through the SAME Jinja pipeline as
+    * model texts and hooks (macros expand recursively, `var()`
+    * resolves from `vars`, control flow runs, package macros join the
+    * registry under [[SqlDag.run]]'s collision rule), `source()` spans
+    * resolve against the registered `sources` frames, and the rendered
+    * output — one SQL statement — executes eagerly via `spark.sql`,
+    * exactly like a hook body. dbt's `--args` YAML map is the `args`
+    * parameter: keyword arguments passed VERBATIM as Jinja argument
+    * text (quote string literals: `"msg" -> "'hello'"`), bound by the
+    * macro's own parameter/default rules.
+    *
+    * Returns `Some(result)` of the executed statement, or `None` when
+    * the macro renders to blank (a macro of pure `{% set %}`s /
+    * comments has nothing to execute — dbt also runs such macros for
+    * their side effects, which our Jinja subset doesn't have).
+    * An UNKNOWN macro name refuses with the registered names — dbt's
+    * "macro not found" compilation error, not a silent no-op.
+    */
+  def runOperation(name: String, args: Seq[(String, String)] = Nil,
+      macros: Seq[JinjaMacros.MacroDef] = Nil,
+      packages: Seq[Packages.Package] = Nil,
+      vars: Map[String, String] = Map.empty,
+      sources: Map[(String, String), DataFrame] = Map.empty): Option[DataFrame] = {
+    val allMacros = macros ++ packages.flatMap(_.macros)
+    val dupMacros = allMacros.groupBy(_.name).collect {
+      case (n, ms) if ms.size > 1 => n
+    }
+    require(dupMacros.isEmpty,
+      "macro name collisions across project/packages: " +
+        s"${dupMacros.toSeq.sorted.mkString(", ")}")
+    require(allMacros.exists(_.name == name),
+      s"run-operation: no macro named '$name' is registered" +
+        (if (allMacros.isEmpty) " (no macros were passed)"
+        else s" — registered: ${allMacros.map(_.name).sorted.mkString(", ")}"))
+    val call = args.map { case (k, v) => s"$k=$v" }
+      .mkString(s"{{ $name(", ", ", ") }}")
+    val rendered = JinjaMacros.renderModel(call, allMacros, vars = vars)
+      .trim
+    if (rendered.isEmpty) None
+    else
+      try {
+        sources.foreach { case ((s, t), df) =>
+          df.createOrReplaceTempView(SqlDag.sourceViewName(s, t))
+        }
+        Some(spark.sql(FictionBankSql.render(
+          SqlDag.SourcePattern.replaceAllIn(rendered,
+            mm => SqlDag.sourceViewName(mm.group(1), mm.group(2))))))
+      } finally {
+        sources.keys.foreach { case (s, t) =>
+          scala.util.Try(
+            spark.catalog.dropTempView(SqlDag.sourceViewName(s, t)))
+        }
+      }
   }
 }

@@ -33,6 +33,37 @@ object TextDedup {
   graft.plans.FanoutLint.allowContractKeys(
     "__graft_id_a", "__graft_id_b", "__graft_new_id", "__graft_old_id")
 
+  /** Storage level for the operators' own eager checkpoint cuts —
+    * `spark.graft.checkpoint.storage`, default MEMORY_AND_DISK_SER.
+    *
+    * Why not localCheckpoint's default (MEMORY_AND_DISK, DESERIALIZED):
+    * the r14 sf100 probe chain attributed 54.7 of 57.4 G of disk spill
+    * to the checkpoint-BUILD stages at [[checkpointTracked]] — caching
+    * a 320M-row band index as deserialized InternalRows eats the
+    * unified-memory region the SAME stage's sorts and aggregates need,
+    * so execution spills while storage hoards. Serialized blocks are
+    * several × smaller for these narrow (long, int, long) rows, and
+    * DISK_ONLY removes the storage-memory competition entirely (blocks
+    * stream to disk; reads pay one deserialization — cheap next to the
+    * self-join they feed). The knob exists so the probe chain can A/B
+    * levels without a code edit; fails fast on a level Spark can't
+    * parse. Tracked-release semantics are level-independent (the ids
+    * are persistent-RDD ids either way).
+    */
+  private def cutStorageLevel(df: DataFrame): org.apache.spark.storage.StorageLevel =
+    org.apache.spark.storage.StorageLevel.fromString(
+      df.sparkSession.conf.get("spark.graft.checkpoint.storage",
+        "MEMORY_AND_DISK_SER"))
+
+  /** The operators' default eager lineage cut: localCheckpoint at
+    * [[cutStorageLevel]]. Public so demo/probe callers that pass a
+    * `materialize*` strategy can opt into the same storage-level knob
+    * instead of hardcoding `_.localCheckpoint(true)` (which pins the
+    * deserialized default).
+    */
+  def eagerCut(df: DataFrame): DataFrame =
+    df.localCheckpoint(true, cutStorageLevel(df))
+
   /** localCheckpoint(eager) + track exactly which persistent RDD ids the
     * checkpoint created, so a caller can release THAT generation later
     * (localCheckpoint persists into executor storage and offers no
@@ -42,7 +73,7 @@ object TextDedup {
   private def checkpointTracked(df: DataFrame): (DataFrame, Set[Int]) = {
     val sc = df.sparkSession.sparkContext
     val before: Set[Int] = sc.getPersistentRDDs.keySet.toSet
-    val out = df.localCheckpoint(true)
+    val out = df.localCheckpoint(true, cutStorageLevel(df))
     (out, sc.getPersistentRDDs.keySet.toSet.diff(before))
   }
 
@@ -494,7 +525,7 @@ object TextDedup {
       verifyGroups: Option[Int] = None): DataFrame = bandGroups match {
     case Some(g) =>
       minhashLshPairsGrouped(df, idCol, textCol, threshold,
-        materializeCandidates.getOrElse(_.localCheckpoint(true)), maxBucket, g,
+        materializeCandidates.getOrElse(eagerCut), maxBucket, g,
         verifyGroups)
     case None =>
       require(verifyGroups.isEmpty || materializeCandidates.nonEmpty,
@@ -519,14 +550,55 @@ object TextDedup {
   private[operators] def ensureEagerCut(df: DataFrame): DataFrame =
     if (df.queryExecution.analyzed
       .isInstanceOf[org.apache.spark.sql.execution.LogicalRDD]) df
-    else df.localCheckpoint(true)
+    else eagerCut(df)
+
+  /** [[minhashLshPairs]] against an ALREADY-BUILT band index — the
+    * re-entry point for callers that hold the [[lshIndex]] output
+    * (typically checkpointed once and shared): calibration sweeps,
+    * multi-preset demos, and any pipeline that derives the
+    * shingle→signature→band chain once and runs the capped candidate +
+    * verify tail several times (x64 ran the FULL chain once per preset
+    * before this existed — the whole suite's slowest query, at 3× the
+    * needed signature work). `bands` must be [[lshIndex]]-shaped
+    * (`doc_id, band, key`); `corpus` supplies the texts for exact
+    * verification, exactly as in the from-text path — spec-pinned:
+    * `minhashLshPairsFromIndex(lshIndex(df), df, …) ≡
+    * minhashLshPairs(df, …)` pair-for-pair.
+    */
+  def minhashLshPairsFromIndex(bands: DataFrame, corpus: DataFrame,
+      idCol: String, textCol: String, threshold: Double,
+      materializeCandidates: Option[DataFrame => DataFrame] = None,
+      maxBucket: Option[Int] = None,
+      verifyGroups: Option[Int] = None): DataFrame = {
+    val need = Set("doc_id", "band", "key")
+    require(need.subsetOf(bands.columns.toSet),
+      s"band index must have columns ${need.mkString(", ")} (lshIndex " +
+        s"output); got ${bands.columns.mkString(", ")}")
+    require(verifyGroups.isEmpty || materializeCandidates.nonEmpty,
+      "verifyGroups needs materialized candidates (set " +
+        "materializeCandidates) — slicing a lazy candidate plan would " +
+        "re-run candidate generation once per slice")
+    pairsFromBands(lshCandidatePairs(bands, maxBucket), corpus, idCol,
+      textCol, threshold, materializeCandidates, verifyGroups)
+  }
 
   private def minhashLshPairsMonolithic(df: DataFrame, idCol: String,
       textCol: String, threshold: Double,
       materializeCandidates: Option[DataFrame => DataFrame],
       maxBucket: Option[Int],
-      verifyGroups: Option[Int] = None): DataFrame = {
-    val lazyCand = lshCandidatePairs(lshIndex(df, idCol, textCol), maxBucket)
+      verifyGroups: Option[Int] = None): DataFrame =
+    pairsFromBands(lshCandidatePairs(lshIndex(df, idCol, textCol), maxBucket),
+      df, idCol, textCol, threshold, materializeCandidates, verifyGroups)
+
+  /** The shared candidate→verify tail of the from-text and from-index
+    * monolithic paths (ONE definition, so the index-reusing face can
+    * never drift from [[minhashLshPairs]]' semantics).
+    */
+  private def pairsFromBands(lazyCand0: DataFrame, df: DataFrame,
+      idCol: String, textCol: String, threshold: Double,
+      materializeCandidates: Option[DataFrame => DataFrame],
+      verifyGroups: Option[Int]): DataFrame = {
+    val lazyCand = lazyCand0
     materializeCandidates match {
       case None => verifyCandidatePairs(lazyCand, df, idCol, textCol, threshold)
       case Some(m) =>

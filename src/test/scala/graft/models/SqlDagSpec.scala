@@ -1103,4 +1103,120 @@ selectors:
     assert(JinjaMacros.renderModel(call, pkg.macros) ===
       JinjaMacros.renderModel(call, DbtUtils.macros))
   }
+
+  test("run-operation: macro with args executes through the full Jinja pipeline; unknown name refuses") {
+    val dag = new SqlDag(spark, "/tmp/unused-wh")
+    spark.sql("DROP TABLE IF EXISTS op_audit")
+    spark.sql("CREATE TABLE op_audit (tag STRING, n INT) USING parquet")
+    try {
+      val macros = JinjaMacros.parse("""
+        {% macro log_audit(tag, n=1) %}
+          INSERT INTO op_audit VALUES ('{{ tag }}', {{ n }})
+        {% endmacro %}
+        {% macro count_audit() %}
+          SELECT count(*) AS n FROM op_audit
+        {% endmacro %}
+        {% macro noop_macro() %}{% endmacro %}""")
+      // kwargs + a default-taken parameter, dbt's --args shape
+      dag.runOperation("log_audit", Seq("tag" -> "'manual'"), macros)
+      dag.runOperation("log_audit", Seq("tag" -> "'manual'", "n" -> "5"), macros)
+      val rows = spark.table("op_audit").collect()
+        .map(r => (r.getString(0), r.getInt(1))).toSet
+      assert(rows === Set(("manual", 1), ("manual", 5)))
+      // the returned statement result is the executed query's frame
+      val counted = dag.runOperation("count_audit", Nil, macros)
+      assert(counted.map(_.head().getLong(0)) === Some(2L))
+      // a macro rendering to blank has nothing to execute
+      assert(dag.runOperation("noop_macro", Nil, macros).isEmpty)
+      // refusals: unknown macro name (dbt's compilation error), with
+      // the registered names in the message; missing required arg
+      val e = intercept[IllegalArgumentException] {
+        dag.runOperation("no_such_macro", Nil, macros)
+      }
+      assert(e.getMessage.contains("no macro named 'no_such_macro'"))
+      assert(e.getMessage.contains("log_audit"))
+      assert(intercept[IllegalArgumentException] {
+        dag.runOperation("log_audit", Nil, macros)
+      }.getMessage.contains("missing required argument"))
+    } finally spark.sql("DROP TABLE IF EXISTS op_audit")
+  }
+
+  test("clean: deletes declared clean-targets inside the project, refuses escapes") {
+    val proj = java.nio.file.Files.createTempDirectory("graft-clean")
+    java.nio.file.Files.createDirectories(proj.resolve("target/run"))
+    java.nio.file.Files.createDirectories(proj.resolve("dbt_packages"))
+    java.nio.file.Files.createDirectories(proj.resolve("models"))
+    java.nio.file.Files.write(proj.resolve("target/run/artifact.json"),
+      "{}".getBytes)
+    // reference dbt_project.yml:13-15 declares these two targets;
+    // a missing one is skipped (clean is idempotent), not an error
+    val deleted = SqlDag.clean(proj.toString,
+      Seq("target", "dbt_packages", "logs"))
+    assert(deleted === Seq("target", "dbt_packages"))
+    assert(!java.nio.file.Files.exists(proj.resolve("target")))
+    assert(!java.nio.file.Files.exists(proj.resolve("dbt_packages")))
+    assert(java.nio.file.Files.exists(proj.resolve("models")))
+    // guard rails: escaping/absolute/self targets refuse before
+    // anything is deleted
+    for (bad <- Seq("../outside", "/tmp", ".", "models/../../x"))
+      assert(intercept[IllegalArgumentException] {
+        SqlDag.clean(proj.toString, Seq(bad))
+      }.getMessage.contains("escapes"), s"target '$bad' should refuse")
+    assert(intercept[IllegalArgumentException] {
+      SqlDag.clean(proj.toString, Nil)
+    }.getMessage.contains("at least one target"))
+  }
+
+  test("profiles.yml: target selection drives the warehouse dir and threads of a run") {
+    val yaml = """
+fiction_bank:
+  target: dev
+  outputs:
+    dev:
+      path: PATH_DEV
+      schema: dev
+      threads: 1
+    prod:
+      warehouse_dir: PATH_PROD
+      threads: 4
+other_profile:
+  target: only
+  outputs:
+    only:
+      path: /elsewhere
+"""
+    val devDir = java.nio.file.Files.createTempDirectory("graft-prof-dev").toString
+    val prodDir = java.nio.file.Files.createTempDirectory("graft-prof-prod").toString
+    val profiles = Profiles.parse(
+      yaml.replace("PATH_DEV", devDir).replace("PATH_PROD", prodDir))
+    // default target (profile's own `target:`) vs --target override
+    val dev = Profiles.select(profiles, "fiction_bank")
+    assert((dev.name, dev.warehouseDir, dev.schema, dev.threads)
+      === ("dev", devDir, Some("dev"), 1))
+    val prod = Profiles.select(profiles, "fiction_bank", Some("prod"))
+    assert((prod.name, prod.warehouseDir, prod.schema, prod.threads)
+      === ("prod", prodDir, None, 4))
+    // the target parameterizes a real run: marts land in ITS warehouse
+    val models = Seq(SqlModel("prof_mart",
+      "select loan_id from {{ ref('raw_loans') }}", Table))
+    new SqlDag(spark, prod.warehouseDir)
+      .run(models, fictionBankSeeds, threads = prod.threads)
+    assert(new java.io.File(s"$prodDir/prof_mart").exists())
+    assert(!new java.io.File(s"$devDir/prof_mart").exists())
+    // refusals name what exists — dbt's error shape
+    assert(intercept[IllegalArgumentException] {
+      Profiles.select(profiles, "missing_profile")
+    }.getMessage.contains("fiction_bank"))
+    assert(intercept[IllegalArgumentException] {
+      Profiles.select(profiles, "fiction_bank", Some("staging"))
+    }.getMessage.contains("dev, prod"))
+    // config errors fail at parse: no outputs / bad default / bad
+    // threads / disagreeing path spellings
+    for (bad <- Seq(
+      "p:\n  target: dev\n",
+      "p:\n  target: x\n  outputs:\n    dev:\n      path: /a\n",
+      "p:\n  target: dev\n  outputs:\n    dev:\n      path: /a\n      threads: 0\n",
+      "p:\n  target: dev\n  outputs:\n    dev:\n      path: /a\n      warehouse_dir: /b\n"))
+      intercept[IllegalArgumentException] { Profiles.parse(bad) }
+  }
 }

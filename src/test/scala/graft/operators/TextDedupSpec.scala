@@ -23,6 +23,51 @@ class TextDedupSpec extends SparkSpec {
     assert(lazyPairs.nonEmpty)
   }
 
+  test("minhashLshPairsFromIndex: precomputed-index face ≡ from-text, refuses a non-index frame") {
+    val docs = Tables.table(spark, sfDir, "documents")
+    val fromText = TextDedup.minhashLshPairs(docs, "doc_id", "text", 0.5,
+        maxBucket = Some(64))
+      .collect().map(_.mkString("|")).toSet
+    // the x64 shape: ONE banding derivation, cut, then the capped
+    // candidate+verify tail per caller — must be pair-for-pair the
+    // from-text path (lazy AND materialized-candidates variants)
+    val bands = TextDedup.lshIndex(docs, "doc_id", "text").localCheckpoint(true)
+    val fromIndex = TextDedup.minhashLshPairsFromIndex(bands, docs,
+        "doc_id", "text", 0.5, maxBucket = Some(64))
+      .collect().map(_.mkString("|")).toSet
+    assert(fromIndex === fromText)
+    val fromIndexMat = TextDedup.minhashLshPairsFromIndex(bands, docs,
+        "doc_id", "text", 0.5,
+        materializeCandidates = Some(_.localCheckpoint(true)),
+        maxBucket = Some(64))
+      .collect().map(_.mkString("|")).toSet
+    assert(fromIndexMat === fromText)
+    assert(fromText.nonEmpty)
+    // a frame that isn't lshIndex-shaped refuses, it doesn't misjoin
+    intercept[IllegalArgumentException] {
+      TextDedup.minhashLshPairsFromIndex(docs, docs, "doc_id", "text", 0.5)
+    }
+  }
+
+  test("checkpoint storage knob: DISK_ONLY cuts ≡ default level; bad level fails fast") {
+    val docs = Tables.table(spark, sfDir, "documents")
+    val default = TextDedup.minhashLshPairs(docs, "doc_id", "text", 0.5,
+        maxBucket = Some(64), bandGroups = Some(2))
+      .collect().map(_.mkString("|")).toSet
+    try {
+      spark.conf.set("spark.graft.checkpoint.storage", "DISK_ONLY")
+      val diskOnly = TextDedup.minhashLshPairs(docs, "doc_id", "text", 0.5,
+          maxBucket = Some(64), bandGroups = Some(2))
+        .collect().map(_.mkString("|")).toSet
+      assert(diskOnly === default)
+      assert(default.nonEmpty)
+      spark.conf.set("spark.graft.checkpoint.storage", "NOT_A_LEVEL")
+      intercept[IllegalArgumentException] {
+        TextDedup.eagerCut(docs.limit(1))
+      }
+    } finally spark.conf.unset("spark.graft.checkpoint.storage")
+  }
+
   test("minhash LSH: band-grouped path ≡ monolithic, runs ≥ groups+2 sequential jobs, releases its intermediates") {
     val docs = Tables.table(spark, sfDir, "documents")
     val mono = TextDedup.minhashLshPairs(docs, "doc_id", "text", 0.5,

@@ -96,6 +96,52 @@ class FileStreamSpec extends SparkSpec {
       (14L, 1L, 1.0), (14L, 2L, 1.0)))
   }
 
+  test("incremental LSH stream state diet (newTexts) ≡ text-carrying face") {
+    // r14 verdict item 3: with `newTexts` (the arriving docs' ingest
+    // store as a static frame) the stateful pair dedup runs on a
+    // text-free projection and the verify re-attaches the text by a
+    // stream-static join — output must be pair-for-pair the
+    // text-carrying face's, across multiple waves INCLUDING the
+    // cross-wave redelivery of doc 9 (the state row that dedups it no
+    // longer carries the text that used to ride along)
+    val s = spark
+    import s.implicits._
+    val base = "the quick brown fox jumps over the lazy dog tonight"
+    val corpus = Seq(
+      (1L, base), (2L, base),
+      (3L, "completely different words about spark shuffles and joins here"))
+      .toDF("doc_id", "text")
+    val batchDocs = Seq((9L, base), (14L, base),
+      (19L, "unrelated text with no overlap at all in any shingle window"),
+      (20L, "too short"))
+    val index = graft.operators.TextDedup.lshIndex(corpus, "doc_id", "text")
+      .localCheckpoint(true)
+    val dir = Files.createTempDirectory("graft-lsh-diet").toString
+    def write(docs: Seq[(Long, String)], min: Int): Unit =
+      docs.map { case (id, tx) => (id, tx, ts(min)) }
+        .toDF("doc_id", "text", "ts")
+        .coalesce(1).write.mode(SaveMode.Append).parquet(dir)
+    write(Seq(batchDocs(0), batchDocs(3)), 10)
+    val stream = s.readStream.schema(
+        org.apache.spark.sql.types.StructType.fromDDL(
+          "doc_id LONG, text STRING, ts TIMESTAMP")).parquet(dir)
+    val q = StreamingPipelines.incrementalLshStream(
+        stream, index, corpus, "doc_id", "text", threshold = 0.5,
+        newTexts = Some(batchDocs.toDF("doc_id", "text")))
+      .writeStream.format("memory").queryName("t_lsh_diet")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    write(Seq(batchDocs(0), batchDocs(1), batchDocs(2)), 20)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = s.table("t_lsh_diet").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // the text-carrying face's pinned output (previous test) — diet
+    // must emit exactly it
+    assert(streamed === Set((9L, 1L, 1.0), (9L, 2L, 1.0),
+      (14L, 1L, 1.0), (14L, 2L, 1.0)))
+  }
+
   test("harness events stream (auto ts layout) equals the batch tumbling agg") {
     val s = spark
     val dir = Files.createTempDirectory("graft-nanos").toString
