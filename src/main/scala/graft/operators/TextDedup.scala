@@ -91,6 +91,18 @@ object TextDedup {
     * shuffle files exceeded 79 G even under zstd). Pair with
     * `spark.cleaner.referenceTracking.blocking.shuffle=true` so deletions
     * complete before the next pass starts writing.
+    *
+    * Single-JVM operational caveat (r15 probe chain): on a large local
+    * heap (48 g at 5M docs) this explicit GC can run a multi-minute
+    * stop-the-world full collection — long enough to starve executor
+    * heartbeats past `spark.network.timeout`'s 120 s default, at which
+    * point HeartbeatReceiver removes local mode's ONLY executor and
+    * every cached checkpoint block "disappears" mid-read. Run big
+    * single-box jobs with `-XX:+ExplicitGCInvokesConcurrent` (the call
+    * becomes a concurrent G1 cycle; reference processing still drives
+    * the ContextCleaner) and a raised `spark.network.timeout`. On a
+    * real cluster the driver heap holds no data and the pause never
+    * materializes.
     */
   private def releaseShuffles(): Unit = System.gc()
 

@@ -98,8 +98,20 @@ attempt_face() { # name op dir bg vg storage
   [ -n "$bg" ] && envx+=(SPARK_GRAFT_BAND_GROUPS=$bg)
   [ -n "$vg" ] && envx+=(SPARK_GRAFT_VERIFY_GROUPS=$vg)
   [ -n "$storage" ] && envx+=(SPARK_GRAFT_CKPT_STORAGE=$storage)
+  # r15 mortality root-cause (chain log 10:12): releaseShuffles()'s
+  # System.gc() on the 48g heap ran a ~250s stop-the-world full GC, the
+  # heartbeat thread starved past spark.network.timeout's 120s default,
+  # HeartbeatReceiver removed local mode's ONLY executor, and every
+  # cached checkpoint block "disappeared" mid-read (the SER faces' exit-
+  # 56 "Block rdd_N does not exist" and the DISK face's heartbeat death
+  # are the same event). Two harness-level fixes, zero code semantics:
+  # ExplicitGCInvokesConcurrent turns the explicit GC into a concurrent
+  # G1 cycle (reference processing still drives ContextCleaner), and a
+  # 600s network timeout stops a single-box probe from beheading itself
+  # over a pause a real cluster's driver would never take (the data
+  # lives on executors there).
   env "${envx[@]}" \
-    JAVA_TOOL_OPTIONS="-Dspark.sql.files.maxPartitionBytes=2097152 -Dspark.sql.files.openCostInBytes=262144 -Dspark.local.dir=$SCRATCH -Dspark.io.compression.codec=zstd" \
+    JAVA_TOOL_OPTIONS="-Dspark.sql.files.maxPartitionBytes=2097152 -Dspark.sql.files.openCostInBytes=262144 -Dspark.local.dir=$SCRATCH -Dspark.io.compression.codec=zstd -Dspark.network.timeout=600s -XX:+ExplicitGCInvokesConcurrent" \
     sbt -batch "runMain graft.ScaleProbe $op $dir" \
     > target/$name.log 2>&1
   local rc=$?
@@ -111,6 +123,10 @@ attempt_face() { # name op dir bg vg storage
     rm -f target/$name.json.new
     echo "FAILED $name rc=$rc $(date +%H:%M:%S); log tail:" >> $LOG
     tail -5 target/$name.log >> $LOG
+    # keep the failed attempt's full log — the retry overwrites
+    # target/$name.log, and a failure whose only trace is 5 tail lines
+    # cannot be diagnosed (this round's attempt-1 exit-56 lesson)
+    cp target/$name.log "target/$name.fail$(date +%H%M%S).log" 2>/dev/null
     return 1
   fi
 }
@@ -203,33 +219,30 @@ time_left_min() {
   fi
 }
 
-# --- face 1: the spill lever at its measured site (sf100, SER default)
-run_face minhash_budget_ser minhash_budget sf100 70 16 16 "" 3
+# --- v3 schedule (10:00): face-1 evidence is IN — the stray v1 SER
+# attempt 3 survived and was harvested (probes/r15/
+# probe15_minhash_budget_ser_sf100.json): spill_disk 57.4G -> 2.77G,
+# the checkpointTracked callsite's 54.7G fully gone, wall par with
+# r14 — but SER mortality was 2-of-3 (non-OOM "Block rdd_N does not
+# exist" under a hidden FetchFailedException, a NEW signature). So the
+# composed face runs at DISK_ONLY: one record answers both "is the
+# spill kill level-generic" and "does removing the storage-memory
+# interaction remove the new mortality" — and decides the code default.
+run_face clusters_budget_disk clusters_budget sf100 70 16 16 DISK_ONLY 2
 
-# conditional A/B: if the SER record still spills >20G, DISK_ONLY once
-if [ -s probes/r15/probe15_minhash_budget_ser_sf100.json ]; then
-  spill=$(field_of probes/r15/probe15_minhash_budget_ser_sf100.json spill_disk_gb)
-  if python3 -c "exit(0 if $spill > 20 else 1)"; then
-    echo "SER still spills ${spill}G — A/B DISK_ONLY $(date +%H:%M:%S)" >> $LOG
-    run_face minhash_budget_disk minhash_budget sf100 70 16 16 DISK_ONLY 2
-  fi
-fi
-
-# --- face 2: the composed face under the same lever
-if [ "$(time_left_min)" -gt 90 ]; then
-  run_face clusters_budget_ser clusters_budget sf100 70 16 16 "" 2
-else
-  refuse probe15_clusters_budget_ser_sf100 "only $(time_left_min) min left before the close deadline (needs ~70)"
-fi
-
-# --- face 3: streaming LSH state diet at the sf40 decade
-if [ "$(time_left_min)" -gt 100 ]; then
+# --- stream LSH state diet: sf40 if the clock allows, else the sf10
+# fallback (the r14 sf10 point was 2.90GB state — the diet's shrink is
+# measurable at either decade; sf40 is the verdict's named re-probe)
+if [ "$(time_left_min)" -gt 95 ]; then
   run_face stream_lsh_diet stream_lsh sf40 50 "" "" "" 1
+elif [ "$(time_left_min)" -gt 30 ]; then
+  refuse probe15_stream_lsh_diet_sf40 "only $(time_left_min) min left (needs ~85); falling back to sf10"
+  run_face stream_lsh_diet stream_lsh sf10 40 "" "" "" 1
 else
-  refuse probe15_stream_lsh_diet_sf40 "only $(time_left_min) min left before the close deadline (needs ~85)"
+  refuse probe15_stream_lsh_diet_sf40 "only $(time_left_min) min left — no stream decade fits"
 fi
 
-# --- face 4: the 10M-doc recall decade (gen + priced budgets), gated
+# --- the 10M-doc recall decade, gated (expected to refuse this round)
 if [ "$(time_left_min)" -gt 150 ] && [ "$(avail_gb)" -gt 65 ]; then
   if [ ! -f target/sf200/documents.parquet ]; then
     echo "=== gen sf200 (10000000 docs) $(date +%H:%M:%S)" >> $LOG
@@ -237,7 +250,7 @@ if [ "$(time_left_min)" -gt 150 ] && [ "$(avail_gb)" -gt 65 ]; then
       || refuse probe15_recall_sampled_sf200 "fixture gen failed"
   fi
   if [ -f target/sf200/documents.parquet ]; then
-    run_face recall_sampled recall_sampled sf200 65 "" 32 "" 1 "48,105"
+    run_face recall_sampled recall_sampled sf200 65 "" 32 DISK_ONLY 1 "48,105"
   fi
 else
   refuse probe15_recall_sampled_sf200 "$(time_left_min) min left / $(avail_gb)G free — needs >150 min and >65G; the 10M decade stays unpriced (budgetForRecall keeps refusing past 5M)"
