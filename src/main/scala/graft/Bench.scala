@@ -236,13 +236,21 @@ object Bench {
     val fullPath = Paths.get(repoRoot, "BENCH_FULL.json")
     val priorSf = if (Files.exists(fullPath)) {
       val prior = new String(Files.readAllBytes(fullPath), StandardCharsets.UTF_8)
-      """"sf":"([^"]+)"""".r.findFirstMatchIn(prior).map(_.group(1))
+      // anchored to the record's tail: "sf" is the LAST field of the
+      // full record by construction, and an unanchored first-match could
+      // be fooled by a failed_detail error string that happens to
+      // contain the substring (r15 advice)
+      """"sf":"([^"]+)"\}\s*$""".r.findFirstMatchIn(prior).map(_.group(1))
     } else None
     priorSf.filter(p => p != sfDir &&
         sys.env.get("SPARK_GRAFT_ALLOW_SF_CHANGE").isEmpty).foreach { p =>
-      Files.write(Paths.get("target/bench_refused.json"),
-        (json + "\n").getBytes(StandardCharsets.UTF_8))
-      println(s"""{"metric":"refused","reason":"sf mismatch: prior record is $p, this run is $sfDir — set SPARK_GRAFT_ALLOW_SF_CHANGE=1 to accept; full record left at target/bench_refused.json"}""")
+      // repoRoot-anchored like BENCH_FULL itself (r15 advice: a
+      // CWD-relative path scattered the refusal record — and made the
+      // printed pointer wrong — for out-of-repo-root callers)
+      val refusedPath = Paths.get(repoRoot, "target", "bench_refused.json")
+      Files.createDirectories(refusedPath.getParent)
+      Files.write(refusedPath, (json + "\n").getBytes(StandardCharsets.UTF_8))
+      println(s"""{"metric":"refused","reason":"sf mismatch: prior record is $p, this run is $sfDir — set SPARK_GRAFT_ALLOW_SF_CHANGE=1 to accept; full record left at $refusedPath"}""")
       spark.stop()
       benchLock.close()
       sys.exit(1)

@@ -80,9 +80,55 @@ object RunPipeline {
       java.nio.file.Paths.get(warehouseDir, "manifest.json"),
       dag.manifest(built) + "\n")
     println(s"manifest: $warehouseDir/manifest.json")
+
+    // `dbt build` (SqlDag.build): the one-command lifecycle over the
+    // reference's own SQL texts — each node's tests run immediately
+    // after it materializes; an ERROR-severity failure would skip its
+    // descendants (spec-pinned in BuildSpec), a WARN (the documented
+    // fan-out grain bug under triage) reports and proceeds
+    import graft.models.{SqlDag, FictionBankSql, GenericTests}
+    import SqlDag._
+    val buildDag = new SqlDag(spark, s"$warehouseDir/build")
+    val buildRes = buildDag.build(
+      Seq(
+        SqlModel("stg_loans", FictionBankSql.StgLoans, View),
+        SqlModel("stg_loan_payments", FictionBankSql.StgLoanPayments, View),
+        SqlModel("fct_loan_details", FictionBankSql.FctLoanDetails, Table),
+        SqlModel("agg_monthly_loans", FictionBankSql.AggMonthlyLoans, Table)),
+      seeds,
+      tests = Map(
+        "stg_loans" -> Seq(
+          GenericTests.DataTest("b_unique_stg_loans_loan_id",
+            b => GenericTests.unique(b("stg_loans"), "loan_id")),
+          GenericTests.DataTest("b_not_null_stg_loans_loan_id",
+            b => GenericTests.notNull(b("stg_loans"), "loan_id"))),
+        "stg_loan_payments" -> Seq(
+          GenericTests.DataTest("b_unique_payments_payment_id",
+            b => GenericTests.unique(b("stg_loan_payments"), "payment_id"))),
+        "agg_monthly_loans" -> Seq(
+          GenericTests.DataTest("b_unique_agg_monthly_grain",
+            b => GenericTests.unique(b("agg_monthly_loans"),
+              "month", "loan_type_name"),
+            GenericTests.TestConfig(severity = "warn",
+              storeFailures = true)))),
+      threads = threads,
+      storeDir = Some(s"$warehouseDir/build_test_failures"))
+    println("\ndbt build (interleaved models+tests, skip-on-failure):")
+    buildRes.nodes.foreach { n =>
+      val ts = n.tests.map(t => s"${t.name}=${t.status}").mkString(" ")
+      println(f"build ${n.name}%-28s ${n.status}%-8s $ts" +
+        n.cause.fold("")(c => s" [cause: $c]"))
+    }
+    val buildOk = buildRes.success
+    println(s"build verdict: ${if (buildOk) "green" else "FAILED"}")
+
     spark.stop()
     if (unexpected.nonEmpty) {
       println(s"unexpected test outcomes: ${unexpected.mkString(", ")}")
+      sys.exit(1)
+    }
+    if (!buildOk) {
+      println("dbt build verdict was not green")
       sys.exit(1)
     }
   }

@@ -424,8 +424,16 @@ object ScaleProbe {
             .start()
           q.awaitTermination()
           val progs = q.recentProgress
+          // which state-store backend this record measured (r15 verdict
+          // item: RocksDB A/B on the diet face) — the provider actually
+          // in effect, not an env echo, so a mis-typed -D cannot stamp
+          // a backend the run never used
+          val provider = spark.conf.getOption(
+            "spark.sql.streaming.stateStore.providerClass").getOrElse("hdfs-default")
           diag = Map(
             "calibrated_cap" -> capS.toLong,
+            "state_store_rocksdb" ->
+              (if (provider.contains("RocksDB")) 1L else 0L),
             "state_diet" -> (if (diet) 1L else 0L),
             "wave_step_min" -> stepMin.toLong,
             "batches" -> progs.count(_.numInputRows > 0).toLong,
@@ -552,9 +560,16 @@ object ScaleProbe {
           .map(_.split(",").toSeq.map(_.trim.toDouble)).getOrElse(Nil)
         (nd, k.fold(0L)(_.toLong), () => {
           // the calibrated cap joins the fixed grid, so the record reads
-          // recall at the budget rule's own operating point
+          // recall at the budget rule's own operating point. The cut's
+          // persistent-RDD generation is tracked and released at the end
+          // of the thunk (r15 advice: with SPARK_GRAFT_RUNS>1 each run
+          // used to leave its band-index generation cached, distorting
+          // later runs' timing and spill counters)
+          val sc = spark.sparkContext
+          val idsBefore = sc.getPersistentRDDs.keySet.toSet
           val bandsIdx = graft.operators.TextDedup.eagerCut(
             graft.operators.TextDedup.lshIndex(docs, "doc_id", "text"))
+          val cutIds = sc.getPersistentRDDs.keySet.toSet.diff(idsBefore)
           val calCap = graft.operators.TextDedup.calibrateMaxBucket(
             bandsIdx, nd, budget)
           val gridCaps = budgetGrid.map(b =>
@@ -569,11 +584,22 @@ object ScaleProbe {
             .recallAtCaps(stats, caps, discoveryBands = k)
             .orderBy(col("cap").asc_nulls_last)
           val rows = curve.collect() // ≤ |caps| rows, bounded by construction
+          // curve's lineage never references the cut (caps are literals,
+          // stats has its own materialization), so releasing here cannot
+          // invalidate the protocol's re-evaluation of `curve`
+          cutIds.foreach(id => sc.getPersistentRDDs.get(id)
+            .foreach(_.unpersist(blocking = false)))
+          // fractional budgets keep their identity in the diag key
+          // (r15 advice: toLong collapsed 48.2 and 48.9 into one
+          // silently-overwritten budget_cap_b48 entry)
+          def budgetKey(b: Double): String =
+            if (b == b.toLong.toDouble) b.toLong.toString
+            else b.toString.replace('.', '_')
           diag = Map(
             "calibrated_cap" -> calCap.toLong,
             "n_true" -> rows.headOption.fold(0L)(_.getLong(1))) ++
             gridCaps.map { case (b, c) =>
-              s"budget_cap_b${b.toLong}" -> c.toLong }.toMap ++
+              s"budget_cap_b${budgetKey(b)}" -> c.toLong }.toMap ++
             rows.flatMap(r => Seq(
               s"surv_c${r.getInt(0)}" -> r.getLong(2),
               s"recall_ppm_c${r.getInt(0)}" ->

@@ -176,6 +176,38 @@ object SqlDag {
         t
     }
   }
+
+  /** One `dbt build` node outcome. `status`:
+    *   - "success": the node built (seeds count as built inputs); its
+    *     `tests` carry each declared test's verdict — a node whose
+    *     ERROR-severity test failed is still "success" (the relation
+    *     exists in the warehouse; dbt marks the TEST failed and skips
+    *     the node's descendants),
+    *   - "skipped": an ancestor died — `cause` names WHICH ancestor
+    *     (the nearest dead ref, ties broken alphabetically),
+    *   - "error": the node's own build threw — `cause` is the message.
+    */
+  final case class BuildNodeResult(name: String, status: String,
+      tests: Seq[GenericTests.TestResult], cause: Option[String]) {
+    /** true when scheduling continued past this node. */
+    def gatePassed: Boolean =
+      status == "success" && tests.forall(_.status != "error")
+  }
+
+  /** A [[SqlDag.build]] run's full report: per-node outcomes in
+    * execution order, plus the relations that actually materialized
+    * (the same shape [[SqlDag.run]] returns, minus skipped/failed
+    * nodes).
+    */
+  final case class BuildResult(nodes: Seq[BuildNodeResult],
+      relations: Map[String, DataFrame]) {
+    def statusOf(name: String): Option[String] =
+      nodes.find(_.name == name).map(_.status)
+    /** The run-level verdict dbt's exit code encodes: true iff nothing
+      * errored, nothing was skipped, and no error-severity test failed.
+      */
+    def success: Boolean = nodes.forall(_.gatePassed)
+  }
 }
 
 class SqlDag(spark: SparkSession, warehouseDir: String) {
@@ -651,6 +683,27 @@ class SqlDag(spark: SparkSession, warehouseDir: String) {
     require(defer.nonEmpty || !favorState,
       "favorState is only meaningful with defer (dbt: --favor-state " +
         "requires --defer)")
+    val (expanded, startHooks, endHooks, expAnalyses) =
+      expandJinja(models, macros, packages, vars, onRunStart, onRunEnd,
+        analyses)
+    runExpanded(expanded, seeds, threads, select, exclude, state, defer,
+      favorState, exposures, sources,
+      startHooks, endHooks, contracts, expAnalyses, selector)
+  }
+
+  /** The Jinja preamble [[run]] and [[build]] share: validate the
+    * package/macro registries, render every model/hook/analysis text
+    * through the macro pipeline (package models with the package's var
+    * defaults, root vars overriding per key — dbt's var precedence).
+    * Analyses are compile-only, but they ARE selection nodes
+    * (+analysis:name builds what an analysis reads) — pre-rendered so
+    * selection sees the refs macros/vars introduce, like models.
+    */
+  private def expandJinja(models: Seq[SqlModel],
+      macros: Seq[JinjaMacros.MacroDef], packages: Seq[Packages.Package],
+      vars: Map[String, String], onRunStart: Seq[String],
+      onRunEnd: Seq[String], analyses: Seq[Analysis])
+      : (Seq[SqlModel], Seq[String], Seq[String], Seq[Analysis]) = {
     val dupPkg = packages.groupBy(_.name).collect {
       case (n, ps) if ps.size > 1 => n
     }
@@ -671,20 +724,13 @@ class SqlDag(spark: SparkSession, warehouseDir: String) {
         preHooks = m.preHooks.map(jinja(_)),
         postHooks = m.postHooks.map(jinja(_)))
     } ++ packages.flatMap { p =>
-      // package models render with the package's var DEFAULTS, root
-      // vars overriding per key — dbt's var precedence
       val pv = p.vars ++ vars
       p.models.map(m => m.copy(jinjaSql = jinja(m.jinjaSql, pv),
         preHooks = m.preHooks.map(jinja(_, pv)),
         postHooks = m.postHooks.map(jinja(_, pv))))
     }
-    runExpanded(expanded, seeds, threads, select, exclude, state, defer,
-      favorState, exposures, sources,
-      onRunStart.map(jinja(_)), onRunEnd.map(jinja(_)), contracts,
-      // analyses are compile-only, but they ARE selection nodes
-      // (+analysis:name builds what an analysis reads) — pre-render so
-      // selection sees the refs macros/vars introduce, like models
-      analyses.map(a => a.copy(jinjaSql = jinja(a.jinjaSql))), selector)
+    (expanded, onRunStart.map(jinja(_)), onRunEnd.map(jinja(_)),
+      analyses.map(a => a.copy(jinjaSql = jinja(a.jinjaSql))))
   }
 
   private def runExpanded(models: Seq[SqlModel], seeds: Map[String, DataFrame],
@@ -699,7 +745,21 @@ class SqlDag(spark: SparkSession, warehouseDir: String) {
       onRunEnd: Seq[String] = Nil,
       contracts: Seq[SchemaConfig.Contract] = Nil,
       analyses: Seq[Analysis] = Nil,
-      selector: Option[SchemaConfig.SelectorDef] = None): Map[String, DataFrame] = {
+      selector: Option[SchemaConfig.SelectorDef] = None,
+      // [[build]]'s scheduling hooks — inert under the defaults, so a
+      // plain `run` is byte-for-byte the pre-build behavior:
+      //   afterNode — the node-level GATE (build: run the node's tests);
+      //     returning false stops the node's descendants, never the node,
+      //   onSkip(node, deadAncestor) — a node was skipped because an
+      //     ancestor died (build failure or failed error-severity test),
+      //   onError — when set, a node whose build THROWS is reported here
+      //     and gates its descendants instead of aborting the whole run
+      //     (dbt build continues independent subgraphs; plain run keeps
+      //     its abort-on-first-failure contract via the None default)
+      afterNode: Option[(String, Map[String, DataFrame]) => Boolean] = None,
+      onSkip: (String, String) => Unit = (_, _) => (),
+      onError: Option[(String, Throwable) => Unit] = None)
+      : Map[String, DataFrame] = {
     val dupNames = models.groupBy(_.name).collect { case (n, ms) if ms.size > 1 => n }
     require(dupNames.isEmpty, s"duplicate model names: ${dupNames.mkString(", ")}")
     val contractByModel = contracts.map(c => c.model -> c).toMap
@@ -845,32 +905,83 @@ class SqlDag(spark: SparkSession, warehouseDir: String) {
         hooks.foreach(h => spark.sql(FictionBankSql.render(renderSources(h))))
     runProjectHooks(onRunStart)
     var built: Map[String, DataFrame] = seeds ++ externallyBuilt
+    // `dead` = nodes whose DESCENDANTS must not run: a node whose build
+    // threw (continue-on-error mode) or whose gate (error-severity test)
+    // failed. The node's own relation — if it materialized — stays
+    // addressable; only scheduling downstream of it stops. dbt build's
+    // skip semantics.
+    var dead = Set.empty[String]
+    // seed-level gate first: dbt build runs a seed's tests before any
+    // model that reads it (seeds here are pre-supplied frames, so only
+    // the gate runs — there is nothing to build)
+    afterNode.foreach { gate =>
+      seeds.keys.toSeq.sorted.foreach { s =>
+        if (!gate(s, built)) dead += s
+      }
+    }
     var remaining = chosen
     while (remaining.nonEmpty) {
-      val (ready, blocked) =
-        remaining.partition(m => refsOf(m.jinjaSql).forall(built.contains))
-      require(ready.nonEmpty,
-        s"cyclic or unsatisfied deps among: ${blocked.map(_.name).mkString(", ")}")
-      val wave: Seq[(String, DataFrame)] =
-        if (threads == 1 || ready.size == 1) ready.map(m => m.name -> build(m))
-        else {
-          val pool = java.util.concurrent.Executors.newFixedThreadPool(
-            math.min(threads, ready.size))
-          try {
-            import scala.jdk.CollectionConverters._
-            val tasks = ready.map { m =>
-              new java.util.concurrent.Callable[(String, DataFrame)] {
-                override def call(): (String, DataFrame) = m.name -> build(m)
-              }
-            }
-            // invokeAll preserves task order and rethrows a failed
-            // model's exception at .get — same failure surface as the
-            // sequential path
-            pool.invokeAll(tasks.asJava).asScala.toSeq.map(_.get())
-          } finally pool.shutdown()
+      // skip-cascade to fixpoint BEFORE readiness: a node whose ref is
+      // dead is itself dead (its children doom in the next pass); done
+      // first because a dead parent never enters the ready set, and the
+      // cycle check below must not mistake its orphans for a cycle
+      var cascading = true
+      while (cascading) {
+        val (doomed, alive) =
+          remaining.partition(m => refsOf(m.jinjaSql).exists(dead))
+        doomed.foreach { m =>
+          val cause = refsOf(m.jinjaSql).filter(dead).toSeq.min
+          dead += m.name
+          onSkip(m.name, cause)
         }
-      built ++= wave
-      remaining = blocked
+        remaining = alive
+        cascading = doomed.nonEmpty
+      }
+      if (remaining.nonEmpty) {
+        val (ready, blocked) =
+          remaining.partition(m => refsOf(m.jinjaSql).forall(built.contains))
+        require(ready.nonEmpty,
+          s"cyclic or unsatisfied deps among: ${blocked.map(_.name).mkString(", ")}")
+        // with onError set a node's failure is captured per-node (the
+        // Try is built INSIDE the wave so parallel siblings still run);
+        // with the None default the exception propagates exactly as
+        // before — run's abort-on-first-failure contract
+        def tryBuild(m: SqlModel): (SqlModel, scala.util.Try[DataFrame]) =
+          m -> (if (onError.isDefined) scala.util.Try(build(m))
+                else scala.util.Success(build(m)))
+        val wave: Seq[(SqlModel, scala.util.Try[DataFrame])] =
+          if (threads == 1 || ready.size == 1) ready.map(tryBuild)
+          else {
+            val pool = java.util.concurrent.Executors.newFixedThreadPool(
+              math.min(threads, ready.size))
+            try {
+              import scala.jdk.CollectionConverters._
+              val tasks = ready.map { m =>
+                new java.util.concurrent.Callable[
+                    (SqlModel, scala.util.Try[DataFrame])] {
+                  override def call(): (SqlModel, scala.util.Try[DataFrame]) =
+                    tryBuild(m)
+                }
+              }
+              // invokeAll preserves task order and rethrows a failed
+              // model's exception at .get — same failure surface as the
+              // sequential path
+              pool.invokeAll(tasks.asJava).asScala.toSeq.map(_.get())
+            } finally pool.shutdown()
+          }
+        // gates run sequentially in wave order AFTER the wave: a test
+        // frame may read any relation built so far, including siblings
+        // of the same wave
+        wave.foreach {
+          case (m, scala.util.Success(df)) =>
+            built += m.name -> df
+            afterNode.foreach(gate => if (!gate(m.name, built)) dead += m.name)
+          case (m, scala.util.Failure(e)) =>
+            dead += m.name
+            onError.foreach(_(m.name, e))
+        }
+        remaining = blocked
+      }
     }
     // ephemeral models vanish after the build: consumers captured the
     // inlined plan during (eager) analysis, so dropping the carrier view
@@ -899,6 +1010,84 @@ class SqlDag(spark: SparkSession, warehouseDir: String) {
           spark.catalog.dropTempView(SqlDag.sourceViewName(s, t)))
       }
     }
+  }
+
+  /** `dbt build` — the one-command lifecycle: seeds' tests gate first,
+    * then models build in DAG order with EACH node's tests running
+    * immediately after it materializes, and a failure — a build
+    * exception, or a test whose [[GenericTests.TestConfig]] verdict is
+    * "error" — SKIPS the node's descendants while independent subgraphs
+    * keep building. WARN-severity failures (and error-severity tests
+    * whose `errorIf` threshold isn't met) report and proceed; dbt's
+    * severity semantics via [[GenericTests.TestConfig.status]].
+    *
+    * `tests` is keyed by node name (a model — project or package — or
+    * a seed). A test's frame receives the relations built SO FAR
+    * (seeds + externals + every completed model, siblings of the same
+    * wave included); declare a test on the LATER of the relations it
+    * reads — same-or-upstream is always safe. Tests with
+    * `store_failures` persist audits under `storeDir` exactly as in
+    * [[GenericTests.runDetailed]].
+    *
+    * `failFast` = dbt's --fail-fast: a node build exception aborts the
+    * whole run (tests failing never abort — they skip, per dbt).
+    * Remaining knobs (selection, vars, macros, packages, sources,
+    * hooks, contracts) mean exactly what they mean on [[run]].
+    *
+    * Scale: identical to [[run]] — the gate adds one bounded job per
+    * declared test (violation counts, never relation materialization),
+    * and skip propagation is pure driver-side set arithmetic on the
+    * already-parsed ref graph.
+    */
+  def build(models: Seq[SqlModel], seeds: Map[String, DataFrame],
+      tests: Map[String, Seq[GenericTests.DataTest]] = Map.empty,
+      threads: Int = 1, select: Seq[String] = Nil,
+      exclude: Seq[String] = Nil,
+      macros: Seq[JinjaMacros.MacroDef] = Nil,
+      vars: Map[String, String] = Map.empty,
+      sources: Map[(String, String), DataFrame] = Map.empty,
+      onRunStart: Seq[String] = Nil,
+      onRunEnd: Seq[String] = Nil,
+      contracts: Seq[SchemaConfig.Contract] = Nil,
+      packages: Seq[Packages.Package] = Nil,
+      storeDir: Option[String] = None,
+      failFast: Boolean = false): SqlDag.BuildResult = {
+    require(threads >= 1, s"need threads >= 1, got $threads")
+    val (expanded, startHooks, endHooks, _) =
+      expandJinja(models, macros, packages, vars, onRunStart, onRunEnd, Nil)
+    val knownNodes = expanded.map(_.name).toSet ++ seeds.keySet
+    val orphanTests = tests.keySet.diff(knownNodes)
+    require(orphanTests.isEmpty,
+      "tests are keyed on unknown nodes: " +
+        s"${orphanTests.toSeq.sorted.mkString(", ")} (known: models, " +
+        "package models, and seeds)")
+    val report = scala.collection.mutable.ListBuffer.empty[SqlDag.BuildNodeResult]
+    val gate = (name: String, built: Map[String, DataFrame]) => {
+      val ts = tests.getOrElse(name, Nil)
+      if (ts.isEmpty && seeds.contains(name)) true // untested seed: no node row
+      else {
+        val results = GenericTests.runDetailed(ts, built, storeDir)
+        val ok = results.forall(_.status != "error")
+        report += SqlDag.BuildNodeResult(name, "success", results,
+          if (ok) None
+          else Some("test failure: " +
+            results.filter(_.status == "error").map(_.name).mkString(", ")))
+        ok
+      }
+    }
+    val relations = runExpanded(expanded, seeds, threads, select, exclude,
+      state = None, defer = None, favorState = false,
+      sources = sources, onRunStart = startHooks, onRunEnd = endHooks,
+      contracts = contracts,
+      afterNode = Some(gate),
+      onSkip = (name, cause) =>
+        report += SqlDag.BuildNodeResult(name, "skipped", Nil, Some(cause)),
+      onError =
+        if (failFast) None
+        else Some((name, e) =>
+          report += SqlDag.BuildNodeResult(name, "error", Nil,
+            Some(Option(e.getMessage).getOrElse(e.getClass.getName)))))
+    SqlDag.BuildResult(report.toSeq, relations)
   }
 
   /** `dbt run-operation` — invoke one registered macro standalone,

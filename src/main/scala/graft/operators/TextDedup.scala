@@ -823,7 +823,13 @@ object TextDedup {
       "verifyGroups needs materialized candidates (set materialize) — " +
         "slicing a lazy candidate plan would re-run discovery per slice")
     val cut = materialize.getOrElse(identity[DataFrame] _)
-    val bands = lshIndex(df, idCol, textCol)
+    // one band-index derivation per call (r15 verdict item 4, the x64
+    // index-reuse lesson): the index feeds THREE consumers — discovery,
+    // the bucket-size window, and (via candidates) the verify — and a
+    // lazy chain re-runs shingles+signatures per consumer. Under a
+    // materialize strategy the index cuts ONCE and every consumer reads
+    // the cut; the lazy default keeps the demo-scale no-storage path.
+    val bands = cut(lshIndex(df, idCol, textCol))
     val discovery = discoveryBands.fold(bands)(k => bands.filter(col("band") < k))
     val cand = cut(lshCandidatePairs(discovery, maxBucket = None))
     // the instrument meets the same wall the capped operator did: the

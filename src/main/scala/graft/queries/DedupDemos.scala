@@ -995,7 +995,11 @@ object DedupDemos {
   private val x62 = Demo("x62_lsh_survival",
     Some(oracleSurvivalStats(0.5, None)),
     (s, dir) => TextDedup.lshSurvivalStats(
-        t(s, dir, "documents"), "doc_id", "text", threshold = 0.5)
+        t(s, dir, "documents"), "doc_id", "text", threshold = 0.5,
+        // r15 verdict item 4: cut the band index + candidates once —
+        // the lazy plan re-derived the shingle→signature→band chain
+        // per consumer (discovery, bucket window, verify)
+        materialize = Some(_.localCheckpoint(true)))
       .orderBy(col("id_a").asc_nulls_last, col("id_b").asc_nulls_last))
 
   // X62b: the SAMPLED-discovery face — ground truth from the first 8
@@ -1006,7 +1010,8 @@ object DedupDemos {
     Some(oracleSurvivalStats(0.5, Some(8))),
     (s, dir) => TextDedup.lshSurvivalStats(
         t(s, dir, "documents"), "doc_id", "text", threshold = 0.5,
-        discoveryBands = Some(8))
+        discoveryBands = Some(8),
+        materialize = Some(_.localCheckpoint(true)))
       .orderBy(col("id_a").asc_nulls_last, col("id_b").asc_nulls_last))
 
   // X63: the recall-vs-cap CURVE off the exact survival stats — the
@@ -1027,7 +1032,8 @@ object DedupDemos {
       ORDER BY cap ASC NULLS LAST"""),
     (s, dir) => TextDedup.recallAtCaps(
         TextDedup.lshSurvivalStats(
-          t(s, dir, "documents"), "doc_id", "text", threshold = 0.5),
+          t(s, dir, "documents"), "doc_id", "text", threshold = 0.5,
+          materialize = Some(_.localCheckpoint(true))),
         caps = Seq(2, 4, 8, 16, 32, 64))
       .orderBy(col("cap").asc_nulls_last))
 

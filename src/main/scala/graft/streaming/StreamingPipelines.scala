@@ -217,9 +217,18 @@ object StreamingPipelines {
       // BEFORE the stateful dedup so retained state rows don't carry it
       .drop("band", "key")
       .dropDuplicatesWithinWatermark("new_id", "old_id")
+    // the ingest store is APPEND-mode and at-least-once: cross-wave
+    // redelivery lands the same id more than once (the probe's wave
+    // files do exactly this), and an un-deduped static side would fan
+    // the inner join out — silently duplicating (new_id, old_id) pairs
+    // and breaking the pair-for-pair equivalence with the text-carrying
+    // face (r15 advice). One aggregate collapses the store to one text
+    // per id; max() rather than dropDuplicates so the pick stays
+    // deterministic even if a store ever held conflicting texts for an
+    // id (an input-contract violation, but a stable one).
     val withNewText = newTexts.fold(cand)(nt =>
-      cand.join(nt.select(col(idCol).as("new_id"),
-        col(textCol).as("__new_text")), "new_id"))
+      cand.join(nt.groupBy(col(idCol).as("new_id"))
+        .agg(max(col(textCol)).as("__new_text")), "new_id"))
     withNewText
       .join(corpus.select(col(idCol).as("old_id"),
         col(textCol).as("__old_text")), "old_id")

@@ -125,20 +125,33 @@ class FileStreamSpec extends SparkSpec {
     val stream = s.readStream.schema(
         org.apache.spark.sql.types.StructType.fromDDL(
           "doc_id LONG, text STRING, ts TIMESTAMP")).parquet(dir)
+    // the store is APPEND-mode: cross-wave redelivery means doc 9's row
+    // appears TWICE (wave 1 and wave 2 both persisted it) — the diet
+    // join must not fan out on the duplicate id (r15 advice: the
+    // original spec only ever fed unique ids, leaving the fanout path
+    // untested)
+    val ingestStore = (batchDocs ++ Seq(batchDocs(0)))
+      .toDF("doc_id", "text")
     val q = StreamingPipelines.incrementalLshStream(
         stream, index, corpus, "doc_id", "text", threshold = 0.5,
-        newTexts = Some(batchDocs.toDF("doc_id", "text")))
+        newTexts = Some(ingestStore))
       .writeStream.format("memory").queryName("t_lsh_diet")
       .outputMode("append").start()
     q.processAllAvailable()
     write(Seq(batchDocs(0), batchDocs(1), batchDocs(2)), 20)
     q.processAllAvailable()
     q.stop()
-    val streamed = s.table("t_lsh_diet").collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val streamedRows = s.table("t_lsh_diet").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    // pair-for-pair equivalence is a MULTISET claim: the duplicated
+    // store row must not emit any pair twice (a Set-only assertion
+    // would hide the fanout)
+    assert(streamedRows.size === streamedRows.toSet.size,
+      s"duplicate pairs emitted: ${streamedRows.groupBy(identity)
+        .filter(_._2.size > 1).keys.take(3)}")
     // the text-carrying face's pinned output (previous test) — diet
     // must emit exactly it
-    assert(streamed === Set((9L, 1L, 1.0), (9L, 2L, 1.0),
+    assert(streamedRows.toSet === Set((9L, 1L, 1.0), (9L, 2L, 1.0),
       (14L, 1L, 1.0), (14L, 2L, 1.0)))
   }
 
