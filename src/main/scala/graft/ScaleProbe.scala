@@ -248,7 +248,7 @@ object ScaleProbe {
         (docs.count(), cap.toLong, () => graft.operators.CorpusClean
           .pipeline(docs, idCol = "doc_id", textCol = "text",
             stratumCol = "lang", nearDupThreshold = 0.5, rates = rates,
-            materializeCut = _.localCheckpoint(true),
+            materializeCut = graft.operators.TextDedup.eagerCut,
             lshMaxBucket = Some(cap))
           .select(col("doc_id"), col("lang"), col("source"))
           .orderBy(col("doc_id").asc_nulls_last))
@@ -258,7 +258,7 @@ object ScaleProbe {
           val stages = graft.operators.CorpusClean.stages(docs,
             idCol = "doc_id", textCol = "text", stratumCol = "lang",
             nearDupThreshold = 0.5, rates = rates,
-            materializeCut = _.localCheckpoint(true),
+            materializeCut = graft.operators.TextDedup.eagerCut,
             lshMaxBucket = Some(cap)).ordered
           val wide = stages.zipWithIndex
             .map { case ((_, df), i) => df.agg(count(lit(1)).as(s"n$i")) }
@@ -460,7 +460,7 @@ object ScaleProbe {
           graft.operators.CorpusClean
             .pipeline(docs, idCol = "doc_id", textCol = "text",
               stratumCol = "lang", nearDupThreshold = 0.5, rates = rates,
-              materializeCut = _.localCheckpoint(true),
+              materializeCut = graft.operators.TextDedup.eagerCut,
               lshMaxBucket = Some(cap), lshBandGroups = bandGroups)
             .select(col("doc_id"), col("lang"), col("source"))
             .orderBy(col("doc_id").asc_nulls_last)
@@ -578,7 +578,7 @@ object ScaleProbe {
             :+ calCap).distinct.sorted
           val stats = graft.operators.TextDedup.lshSurvivalStats(
             docs, "doc_id", "text", threshold = 0.5, discoveryBands = k,
-            materialize = Some(_.localCheckpoint(true)),
+            materialize = Some(graft.operators.TextDedup.eagerCut),
             verifyGroups = verifyGroups)
           val curve = graft.operators.TextDedup
             .recallAtCaps(stats, caps, discoveryBands = k)
