@@ -217,8 +217,21 @@ print(1 if dirty else 0)"
 # forward; the dirty-retry gate is OFF for this face (no median pool
 # yet, and a 2h re-run would eat the stream faces) — maxa 2 covers
 # mortality only.
+# v2 (16:35): two measured kills rescoped this face. Attempt A (SER-
+# default cuts via the probe lambdas, pre-6b49c16) OOMed at 62 min —
+# AGGREGATE_OUT_OF_MEMORY under MemoryStore pressure (fail151202.log).
+# Attempt B (DISK_ONLY cuts) filled the DISK at 62 min: the box has
+# ~78G usable and the k=2 discovery's uncapped candidate volume at 10M
+# docs exceeds it (fail162621.log, "No space left on device"). The 10M
+# decade therefore prices with ONE discovery band (k=1 halves the
+# ground-truth volume; recallAtCaps' Horvitz-Thompson reweighting is
+# defined for any k — the record states k and the estimator) and
+# vg=64 (more release points, smaller live verify slices). maxa=1:
+# a third kill becomes a recorded refusal with three measured reasons.
 if [ -f target/sf200/documents.parquet ]; then
-  run_face recall_sampled recall_sampled sf200 60 "" 32 DISK_ONLY 2 java "" "48,64,105,160" yes
+  export SPARK_GRAFT_RECALL_BANDS=1
+  run_face recall_sampled recall_sampled sf200 60 "" 64 DISK_ONLY 1 java "" "48,64,105,160" yes
+  unset SPARK_GRAFT_RECALL_BANDS
 else
   refuse probe16_recall_sampled_sf200 "no sf200 fixture"
 fi
