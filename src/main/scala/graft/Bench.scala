@@ -121,8 +121,6 @@ object Bench {
     BenchProtocol.warmup(spark)
     try BenchProtocol.evaluate(SparkEntry.entry(spark))
     catch { case _: Throwable => }
-    val calib = BenchProtocol.calib(spark)
-    val calibIo = BenchProtocol.calibIo(spark)
 
     // steady-state timing: SWEEPS whole-suite repetitions, per-query
     // MEDIAN across sweeps (sweep 1 pays per-query codegen, which a
@@ -155,7 +153,18 @@ object Bench {
     val sweeps = intEnv("SPARK_GRAFT_SWEEPS", 3)
     val queries = SparkEntry.queries
       .filter { case (name, _) => only.forall(_.exists(name.startsWith)) }
+    // calibration measured PER SWEEP, immediately before the sweep's
+    // queries, official scalar = the cross-sweep MEDIAN (r16 verdict
+    // item 5: one calibration per run is itself weather-exposed — r16's
+    // three same-day windows measured calib 2.01/1.55/4.21, so the two
+    // normalizations of the same record disagreed by 3×; per-sweep
+    // calibs sample the same windows the query medians do, and the
+    // median discards the one bad window exactly like the query stat)
+    val sweepCalibs = Array.fill(sweeps)(0.0)
+    val sweepCalibsIo = Array.fill(sweeps)(0.0)
     val perSweep: Seq[Map[String, Timed]] = (1 to sweeps).map { s =>
+      sweepCalibs(s - 1) = BenchProtocol.calib(spark)
+      sweepCalibsIo(s - 1) = BenchProtocol.calibIo(spark)
       queries.map { case (name, fn) =>
         val t = timeQuery(spark, nRuns, gcMode)(() => fn(spark, sfDir))
         // per-query progress on stderr: long sweeps were a black box
@@ -172,6 +181,8 @@ object Bench {
       if (s.size % 2 == 1) s(s.size / 2)
       else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
     }
+    val calib = median(sweepCalibs.toSeq)
+    val calibIo = median(sweepCalibsIo.toSeq)
     // every run of every sweep must succeed, else the query is a
     // failure, not a time; the per-sweep sample is that sweep's min
     val ok = queries.keys.toSeq.collect(scala.Function.unlift { k =>
@@ -211,10 +222,17 @@ object Bench {
     val sweepTotals = perSweep
       .map(m => ok.keys.map(k => m(k).times.min).sum)
       .map(v => f"$v%.3f").mkString("[", ",", "]")
+    // record provenance (r16 verdict item 4: two "official" r16 records
+    // coexisted — the builder's close run and the driver's post-close
+    // run — and nothing in either file said which was which): the
+    // harness stamps who invoked it; round_close exports builder-close
+    val source = sys.env.getOrElse("SPARK_GRAFT_BENCH_SOURCE", "driver")
+    val calibsJson = sweepCalibs.map(c => f"$c%.6f").mkString("[", ",", "]")
+    val calibsIoJson = sweepCalibsIo.map(c => f"$c%.6f").mkString("[", ",", "]")
     // "queries" carries the official (median) statistic; the explicit
     // "queries_median" alias says so to any consumer diffing rounds
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","stat":"median_of_sweeps","sweeps":$sweeps,"sweep_totals":$sweepTotals,"calib":$calib,"calib_io":$calibIo,"queries":$qs,"queries_median":$qs,"queries_median_calib":$qsCalib,"failed":$failedJson,"failed_detail":$failedDetailJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","stat":"median_of_sweeps","sweeps":$sweeps,"sweep_totals":$sweepTotals,"calib":$calib,"calib_io":$calibIo,"calibs":$calibsJson,"calibs_io":$calibsIoJson,"source":"$source","queries":$qs,"queries_median":$qs,"queries_median_calib":$qsCalib,"failed":$failedJson,"failed_detail":$failedDetailJson,"sf":"$sfDir"}"""
     Files.createDirectories(Paths.get("target"))
     Files.write(Paths.get("target/bench.json"),
       (json + "\n").getBytes(StandardCharsets.UTF_8))
@@ -240,7 +258,22 @@ object Bench {
       // full record by construction, and an unanchored first-match could
       // be fooled by a failed_detail error string that happens to
       // contain the substring (r15 advice)
-      """"sf":"([^"]+)"\}\s*$""".r.findFirstMatchIn(prior).map(_.group(1))
+      val m = """"sf":"([^"]+)"\}\s*$""".r.findFirstMatchIn(prior).map(_.group(1))
+      // an EXISTING record the anchor cannot parse must not silently
+      // disable the sf-mismatch guard (r16 advice: a field-order change
+      // or hand edit would have let a wrong-sf run overwrite the
+      // official record without SPARK_GRAFT_ALLOW_SF_CHANGE) — refuse
+      // with the same explicit override
+      if (m.isEmpty && sys.env.get("SPARK_GRAFT_ALLOW_SF_CHANGE").isEmpty) {
+        val refusedPath = Paths.get(repoRoot, "target", "bench_refused.json")
+        Files.createDirectories(refusedPath.getParent)
+        Files.write(refusedPath, (json + "\n").getBytes(StandardCharsets.UTF_8))
+        println(s"""{"metric":"refused","reason":"existing BENCH_FULL.json has no parseable tail-anchored sf field — cannot verify sf continuity; fix or remove the file, or set SPARK_GRAFT_ALLOW_SF_CHANGE=1; full record left at $refusedPath"}""")
+        spark.stop()
+        benchLock.close()
+        sys.exit(1)
+      }
+      m
     } else None
     priorSf.filter(p => p != sfDir &&
         sys.env.get("SPARK_GRAFT_ALLOW_SF_CHANGE").isEmpty).foreach { p =>
@@ -263,7 +296,7 @@ object Bench {
     // stdout with a COMPACT summary line (<200 bytes) so a tail of any
     // reasonable size contains a complete, parseable JSON object.
     val summary =
-      s"""{"metric":"total","value":$total,"unit":"sec","stat":"median_of_sweeps","sweeps":$sweeps,"calib":$calib,"calib_io":$calibIo,"n":${ok.size},"n_failed":${failed.size},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","stat":"median_of_sweeps","sweeps":$sweeps,"calib":$calib,"calib_io":$calibIo,"calibs":$calibsJson,"source":"$source","n":${ok.size},"n_failed":${failed.size},"sf":"$sfDir"}"""
     println(summary)
     spark.stop()
     benchLock.close()

@@ -122,6 +122,48 @@ object RunPipeline {
     val buildOk = buildRes.success
     println(s"build verdict: ${if (buildOk) "green" else "FAILED"}")
 
+    // `dbt ls` — print a selection without running anything (the same
+    // selector grammar run/build use)
+    val lsModels = Seq(
+      SqlModel("stg_loans", FictionBankSql.StgLoans, View),
+      SqlModel("stg_loan_payments", FictionBankSql.StgLoanPayments, View),
+      SqlModel("fct_loan_details", FictionBankSql.FctLoanDetails, Table),
+      SqlModel("agg_monthly_loans", FictionBankSql.AggMonthlyLoans, Table))
+    println("\ndbt ls --select +fct_loan_details:")
+    buildDag.ls(lsModels, select = Seq("+fct_loan_details"))
+      .foreach(n => println(s"  $n"))
+
+    // `dbt retry` — resume a failed build from its failure point: break
+    // a staging model (its subtree skips), then retry with the fix —
+    // exactly the dead subgraph reruns, the surviving staging view is
+    // kept, and the retried run goes green
+    val retryDag = new SqlDag(spark, s"$warehouseDir/retry")
+    val failedBuild = retryDag.build(
+      lsModels.map(m =>
+        if (m.name == "stg_loan_payments")
+          m.copy(jinjaSql =
+            "select no_such_column from {{ ref('raw_loan_payments') }}")
+        else m),
+      seeds, threads = threads)
+    println("\ndbt build with a broken staging model (retry setup):")
+    failedBuild.nodes.foreach(n => println(
+      f"build ${n.name}%-28s ${n.status}%-8s" +
+        n.cause.fold("")(c => s" [cause: $c]")))
+    val retried = retryDag.retry(lsModels, seeds, failedBuild,
+      threads = threads)
+    println("dbt retry (reruns errored + skipped nodes only):")
+    retried.nodes.foreach(n => println(
+      f"retry ${n.name}%-28s ${n.status}%-8s" +
+        n.cause.fold("")(c => s" [cause: $c]")))
+    // dead subgraph = the broken staging model + agg (which reads it);
+    // fct_loan_details reads only stg_loans + the loan_types seed, so
+    // it survived the failed build and must NOT re-run
+    val retryOk = retried.success &&
+      retried.nodes.map(_.name).toSet ==
+        Set("stg_loan_payments", "agg_monthly_loans")
+    println(s"retry verdict: ${if (retryOk) "green (dead subgraph only)"
+      else "FAILED"}")
+
     spark.stop()
     if (unexpected.nonEmpty) {
       println(s"unexpected test outcomes: ${unexpected.mkString(", ")}")
@@ -129,6 +171,10 @@ object RunPipeline {
     }
     if (!buildOk) {
       println("dbt build verdict was not green")
+      sys.exit(1)
+    }
+    if (!retryOk) {
+      println("dbt retry did not resume the dead subgraph cleanly")
       sys.exit(1)
     }
   }

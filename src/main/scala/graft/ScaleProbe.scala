@@ -560,35 +560,34 @@ object ScaleProbe {
           .map(_.split(",").toSeq.map(_.trim.toDouble)).getOrElse(Nil)
         (nd, k.fold(0L)(_.toLong), () => {
           // the calibrated cap joins the fixed grid, so the record reads
-          // recall at the budget rule's own operating point. The cut's
-          // persistent-RDD generation is tracked and released at the end
-          // of the thunk (r15 advice: with SPARK_GRAFT_RUNS>1 each run
-          // used to leave its band-index generation cached, distorting
-          // later runs' timing and spill counters)
-          val sc = spark.sparkContext
-          val idsBefore = sc.getPersistentRDDs.keySet.toSet
+          // recall at the budget rule's own operating point. ONE band
+          // index cut serves calibration AND the instrument
+          // (prebuiltIndex below, r16 advice — the instrument used to
+          // re-derive and re-cache the chain internally); no in-thunk
+          // release: the returned curve's min-bucket joins read this
+          // cut lazily, so releasing it here would strand the
+          // protocol's re-evaluation — BenchProtocol.releaseStorage
+          // unpersists every generation after each timed run instead.
           val bandsIdx = graft.operators.TextDedup.eagerCut(
             graft.operators.TextDedup.lshIndex(docs, "doc_id", "text"))
-          val cutIds = sc.getPersistentRDDs.keySet.toSet.diff(idsBefore)
           val calCap = graft.operators.TextDedup.calibrateMaxBucket(
             bandsIdx, nd, budget)
           val gridCaps = budgetGrid.map(b =>
             b -> graft.operators.TextDedup.calibrateMaxBucket(bandsIdx, nd, b))
           val caps = (Seq(2, 4, 5, 8, 16, 32, 64) ++ gridCaps.map(_._2)
             :+ calCap).distinct.sorted
+          // prebuiltIndex = the SAME cut the calibrations read (r16
+          // advice: the instrument re-derived and re-cached the band
+          // index internally, so every run cached the 320M-row chain
+          // twice and the extra generation was never released)
           val stats = graft.operators.TextDedup.lshSurvivalStats(
             docs, "doc_id", "text", threshold = 0.5, discoveryBands = k,
             materialize = Some(graft.operators.TextDedup.eagerCut),
-            verifyGroups = verifyGroups)
+            verifyGroups = verifyGroups, prebuiltIndex = Some(bandsIdx))
           val curve = graft.operators.TextDedup
             .recallAtCaps(stats, caps, discoveryBands = k)
             .orderBy(col("cap").asc_nulls_last)
           val rows = curve.collect() // ≤ |caps| rows, bounded by construction
-          // curve's lineage never references the cut (caps are literals,
-          // stats has its own materialization), so releasing here cannot
-          // invalidate the protocol's re-evaluation of `curve`
-          cutIds.foreach(id => sc.getPersistentRDDs.get(id)
-            .foreach(_.unpersist(blocking = false)))
           // fractional budgets keep their identity in the diag key
           // (r15 advice: toLong collapsed 48.2 and 48.9 into one
           // silently-overwritten budget_cap_b48 entry)
@@ -604,6 +603,66 @@ object ScaleProbe {
               s"surv_c${r.getInt(0)}" -> r.getLong(2),
               s"recall_ppm_c${r.getInt(0)}" ->
                 math.round(r.getDouble(3) * 1e6))).toMap
+          curve
+        })
+      case "recall_pairsample" =>
+        // The r16 verdict's job #1: the decade where even band-restricted
+        // exact ground truth exceeds the box (10M docs: 29.64B uncapped
+        // pairs vs ~78G scratch, three measured kills) prices through a
+        // SAMPLED PAIR UNIVERSE — both endpoints md5-sampled 1-in-S
+        // (TextDedup.lshSurvivalStatsSampled), full-band discovery inside
+        // the sample, min_bn against full-corpus bucket sizes. Inclusion
+        // is uniform 1/S² over the pair universe, so recallAtCaps with
+        // uniform weights estimates the full-universe recall unbiasedly;
+        // the record carries the sample size (n_true) and a binomial
+        // 95% CI per cap so the measuredRecallTable row can state its
+        // precision. Validated against the exact 5M row (same corpus,
+        // same caps) before the 10M face runs — probe_r17.sh face order.
+        val oneIn = sys.env.getOrElse("SPARK_GRAFT_SAMPLE_ONE_IN", "8").toInt
+        val budget = sys.env.getOrElse("SPARK_GRAFT_PAIR_BUDGET", "32").toDouble
+        val nd = docs.count()
+        val budgetGrid = sys.env.get("SPARK_GRAFT_BUDGET_GRID")
+          .map(_.split(",").toSeq.map(_.trim.toDouble)).getOrElse(Nil)
+        (nd, oneIn.toLong, () => {
+          // ONE band-index cut for calibration + the instrument; no
+          // in-thunk release (the curve's joins read it lazily —
+          // releaseStorage cleans up after each timed run)
+          val bandsIdx = graft.operators.TextDedup.eagerCut(
+            graft.operators.TextDedup.lshIndex(docs, "doc_id", "text"))
+          val calCap = graft.operators.TextDedup.calibrateMaxBucket(
+            bandsIdx, nd, budget)
+          val gridCaps = budgetGrid.map(b =>
+            b -> graft.operators.TextDedup.calibrateMaxBucket(bandsIdx, nd, b))
+          val caps = (Seq(2, 4, 5, 8, 16, 32, 64) ++ gridCaps.map(_._2)
+            :+ calCap).distinct.sorted
+          val stats = graft.operators.TextDedup.lshSurvivalStatsSampled(
+            docs, "doc_id", "text", threshold = 0.5, sampleOneIn = oneIn,
+            prebuiltIndex = Some(bandsIdx),
+            materialize = Some(graft.operators.TextDedup.eagerCut),
+            verifyGroups = verifyGroups)
+          val curve = graft.operators.TextDedup
+            .recallAtCaps(stats, caps)
+            .orderBy(col("cap").asc_nulls_last)
+          val rows = curve.collect() // ≤ |caps| rows, bounded by construction
+          def budgetKey(b: Double): String =
+            if (b == b.toLong.toDouble) b.toLong.toString
+            else b.toString.replace('.', '_')
+          val nTrue = rows.headOption.fold(0L)(_.getLong(1))
+          diag = Map(
+            "calibrated_cap" -> calCap.toLong,
+            "sample_one_in" -> oneIn.toLong,
+            "n_true" -> nTrue) ++
+            gridCaps.map { case (b, c) =>
+              s"budget_cap_b${budgetKey(b)}" -> c.toLong }.toMap ++
+            rows.flatMap { r =>
+              val recall = r.getDouble(3)
+              val ci = if (nTrue > 0)
+                1.96 * math.sqrt(recall * (1 - recall) / nTrue) else 0.0
+              Seq(
+                s"surv_c${r.getInt(0)}" -> r.getLong(2),
+                s"recall_ppm_c${r.getInt(0)}" -> math.round(recall * 1e6),
+                s"ci95_ppm_c${r.getInt(0)}" -> math.round(ci * 1e6))
+            }.toMap
           curve
         })
       case other => sys.error(s"unknown probe op '$other'")

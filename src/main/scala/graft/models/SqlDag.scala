@@ -758,7 +758,16 @@ class SqlDag(spark: SparkSession, warehouseDir: String) {
       //     its abort-on-first-failure contract via the None default)
       afterNode: Option[(String, Map[String, DataFrame]) => Boolean] = None,
       onSkip: (String, String) => Unit = (_, _) => (),
-      onError: Option[(String, Throwable) => Unit] = None)
+      onError: Option[(String, Throwable) => Unit] = None,
+      //   haltOnGateFailure — dbt build --fail-fast's TEST half: the
+      //     first failed gate stops scheduling (not-yet-started nodes
+      //     report skipped); build() wires it to failFast,
+      //   deadAtStart — nodes pre-marked dead before scheduling:
+      //     retry() re-runs the previous build's failed GATES against
+      //     the kept relations, and a gate that fails again must doom
+      //     its descendants exactly like a live gate failure would
+      haltOnGateFailure: Boolean = false,
+      deadAtStart: Set[String] = Set.empty)
       : Map[String, DataFrame] = {
     val dupNames = models.groupBy(_.name).collect { case (n, ms) if ms.size > 1 => n }
     require(dupNames.isEmpty, s"duplicate model names: ${dupNames.mkString(", ")}")
@@ -909,8 +918,8 @@ class SqlDag(spark: SparkSession, warehouseDir: String) {
     // threw (continue-on-error mode) or whose gate (error-severity test)
     // failed. The node's own relation — if it materialized — stays
     // addressable; only scheduling downstream of it stops. dbt build's
-    // skip semantics.
-    var dead = Set.empty[String]
+    // skip semantics. Seeded with retry()'s re-failed gates.
+    var dead = deadAtStart
     // seed-level gate first: dbt build runs a seed's tests before any
     // model that reads it (seeds here are pre-supplied frames, so only
     // the gate runs — there is nothing to build)
@@ -969,18 +978,37 @@ class SqlDag(spark: SparkSession, warehouseDir: String) {
               pool.invokeAll(tasks.asJava).asScala.toSeq.map(_.get())
             } finally pool.shutdown()
           }
-        // gates run sequentially in wave order AFTER the wave: a test
-        // frame may read any relation built so far, including siblings
-        // of the same wave
+        // ALL wave successes register before ANY gate runs (two passes,
+        // r16 advice): the gates run sequentially in wave order, and a
+        // test frame may read any relation built so far INCLUDING every
+        // sibling of its own wave — with the single-pass form a gate on
+        // wave member i could not see members i+1..n even though they
+        // had already finished building
         wave.foreach {
-          case (m, scala.util.Success(df)) =>
-            built += m.name -> df
+          case (m, scala.util.Success(df)) => built += m.name -> df
+          case _ => ()
+        }
+        wave.foreach {
+          case (m, scala.util.Success(_)) =>
             afterNode.foreach(gate => if (!gate(m.name, built)) dead += m.name)
           case (m, scala.util.Failure(e)) =>
             dead += m.name
             onError.foreach(_(m.name, e))
         }
         remaining = blocked
+        // dbt build --fail-fast also halts SCHEDULING after a failed
+        // test node, not only after build exceptions (r16 advice: the
+        // old doc claimed tests never abort, a fidelity deviation):
+        // every node not yet started reports as skipped, named after
+        // the first gate failure of this wave, and no further wave runs
+        if (haltOnGateFailure) {
+          wave.collectFirst {
+            case (m, scala.util.Success(_)) if dead(m.name) => m.name
+          }.foreach { cause =>
+            remaining.foreach { m => dead += m.name; onSkip(m.name, cause) }
+            remaining = Nil
+          }
+        }
       }
     }
     // ephemeral models vanish after the build: consumers captured the
@@ -1029,8 +1057,13 @@ class SqlDag(spark: SparkSession, warehouseDir: String) {
     * `store_failures` persist audits under `storeDir` exactly as in
     * [[GenericTests.runDetailed]].
     *
-    * `failFast` = dbt's --fail-fast: a node build exception aborts the
-    * whole run (tests failing never abort — they skip, per dbt).
+    * `failFast` = dbt's --fail-fast, both halves: a node BUILD
+    * exception aborts the whole run (throws — no BuildResult), and a
+    * failed error-severity TEST halts scheduling — every node not yet
+    * started reports as "skipped" with the gate-failed node as cause,
+    * and the report is returned (dbt also stops scheduling after a
+    * failed test node under --fail-fast; r16 advice — the previous
+    * doc claimed tests never abort, which was a fidelity deviation).
     * Remaining knobs (selection, vars, macros, packages, sources,
     * hooks, contracts) mean exactly what they mean on [[run]].
     *
@@ -1086,8 +1119,159 @@ class SqlDag(spark: SparkSession, warehouseDir: String) {
         if (failFast) None
         else Some((name, e) =>
           report += SqlDag.BuildNodeResult(name, "error", Nil,
-            Some(Option(e.getMessage).getOrElse(e.getClass.getName)))))
+            Some(Option(e.getMessage).getOrElse(e.getClass.getName)))),
+      haltOnGateFailure = failFast)
     SqlDag.BuildResult(report.toSeq, relations)
+  }
+
+  /** `dbt retry` — resume a failed [[build]] from its failure point,
+    * off the persisted [[SqlDag.BuildResult]] (dbt's semantics: rerun
+    * what errored, was skipped, or failed its tests; never rebuild what
+    * succeeded). Three node classes from `previous`:
+    *   - "error"/"skipped" nodes REBUILD — they are the selection of a
+    *     fresh scheduling pass (plus any EPHEMERAL ancestors, whose
+    *     carrier views vanished at the previous run's end); refs that
+    *     leave the selection resolve to the previous run's relations
+    *     (still addressable in this session's catalog/warehouse — the
+    *     standard subset-run contract),
+    *   - "success" nodes whose error-severity TEST failed re-run their
+    *     GATE ONLY, against the kept relation (dbt retries the test
+    *     node, not the model): a gate that passes now unblocks the
+    *     node's skipped descendants in the same pass; one that fails
+    *     again dooms them again (pre-marked dead before scheduling),
+    *   - passed nodes don't re-run at all — their gates short-circuit
+    *     (a seed's gate is invoked unconditionally by the scheduler,
+    *     so the short-circuit is what "keep successes" means there).
+    * The returned report covers THIS retry's nodes only (dbt's
+    * run_results after retry); `relations` is the previous run's map
+    * overlaid with everything rebuilt here. Throws if `previous` has
+    * nothing to retry. `failFast` and the remaining knobs as [[build]].
+    */
+  def retry(models: Seq[SqlModel], seeds: Map[String, DataFrame],
+      previous: SqlDag.BuildResult,
+      tests: Map[String, Seq[GenericTests.DataTest]] = Map.empty,
+      threads: Int = 1,
+      macros: Seq[JinjaMacros.MacroDef] = Nil,
+      vars: Map[String, String] = Map.empty,
+      sources: Map[(String, String), DataFrame] = Map.empty,
+      onRunStart: Seq[String] = Nil,
+      onRunEnd: Seq[String] = Nil,
+      contracts: Seq[SchemaConfig.Contract] = Nil,
+      packages: Seq[Packages.Package] = Nil,
+      storeDir: Option[String] = None,
+      failFast: Boolean = false): SqlDag.BuildResult = {
+    require(threads >= 1, s"need threads >= 1, got $threads")
+    val (expanded, startHooks, endHooks, _) =
+      expandJinja(models, macros, packages, vars, onRunStart, onRunEnd, Nil)
+    val knownNodes = expanded.map(_.name).toSet ++ seeds.keySet
+    val orphanTests = tests.keySet.diff(knownNodes)
+    require(orphanTests.isEmpty,
+      "tests are keyed on unknown nodes: " +
+        s"${orphanTests.toSeq.sorted.mkString(", ")} (known: models, " +
+        "package models, and seeds)")
+    val unknownPrev = previous.nodes.map(_.name).filterNot(knownNodes)
+    require(unknownPrev.isEmpty,
+      "previous build report names nodes this project does not have: " +
+        s"${unknownPrev.distinct.sorted.mkString(", ")} — retry must " +
+        "run against the same models/seeds/packages as the build")
+    val toRebuild = previous.nodes.collect {
+      case n if n.status == "error" || n.status == "skipped" => n.name
+    }.distinct
+    val gateRetryModels = previous.nodes.collect {
+      case n if n.status == "success" && !n.gatePassed &&
+        !seeds.contains(n.name) => n.name
+    }.distinct
+    val gateRetrySeeds = previous.nodes.collect {
+      case n if n.status == "success" && !n.gatePassed &&
+        seeds.contains(n.name) => n.name
+    }.distinct
+    require(toRebuild.nonEmpty || gateRetryModels.nonEmpty ||
+      gateRetrySeeds.nonEmpty,
+      "nothing to retry: the previous build fully succeeded")
+    val prevPassed = previous.nodes.filter(_.gatePassed).map(_.name).toSet
+    val report = scala.collection.mutable.ListBuffer.empty[SqlDag.BuildNodeResult]
+    val gate = (name: String, built: Map[String, DataFrame]) => {
+      val ts = tests.getOrElse(name, Nil)
+      if (prevPassed(name)) true // keep successes: a passed gate never re-runs
+      else if (ts.isEmpty && seeds.contains(name)) true
+      else {
+        val results = GenericTests.runDetailed(ts, built, storeDir)
+        val ok = results.forall(_.status != "error")
+        report += SqlDag.BuildNodeResult(name, "success", results,
+          if (ok) None
+          else Some("test failure: " +
+            results.filter(_.status == "error").map(_.name).mkString(", ")))
+        ok
+      }
+    }
+    // failed MODEL gates re-run HERE, against the kept relations — the
+    // node is not in the rebuild selection, so the scheduler would
+    // never invoke its gate; a re-failure pre-marks it dead so its
+    // descendants (in the selection) skip exactly like a live failure
+    val kept = seeds ++ previous.relations
+    val deadStart = gateRetryModels.filterNot(gate(_, kept)).toSet
+    if (toRebuild.isEmpty) {
+      // gate-only retry: failed SEED gates get the same treatment (the
+      // scheduler's seed-gate loop is not running to do it for us)
+      gateRetrySeeds.foreach(gate(_, kept))
+      SqlDag.BuildResult(report.toSeq, previous.relations)
+    } else {
+      // EPHEMERAL ancestors of the rebuild set re-materialize too:
+      // their carrier views were dropped when the previous run ended,
+      // so a rebuilt child's ref cannot resolve externally
+      val byName = expanded.map(m => m.name -> m).toMap
+      var rebuild = toRebuild.toSet
+      var frontier = rebuild
+      while (frontier.nonEmpty) {
+        frontier = frontier
+          .flatMap(n => byName.get(n).toSeq.flatMap(m => refsOf(m.jinjaSql)))
+          .filter(n => byName.get(n).exists(_.materialization == Ephemeral))
+          .diff(rebuild)
+        rebuild ++= frontier
+      }
+      val relations = runExpanded(expanded, seeds, threads,
+        select = rebuild.toSeq.sorted, exclude = Nil,
+        state = None, defer = None, favorState = false,
+        sources = sources, onRunStart = startHooks, onRunEnd = endHooks,
+        contracts = contracts,
+        afterNode = Some(gate),
+        onSkip = (name, cause) =>
+          report += SqlDag.BuildNodeResult(name, "skipped", Nil, Some(cause)),
+        onError =
+          if (failFast) None
+          else Some((name, e) =>
+            report += SqlDag.BuildNodeResult(name, "error", Nil,
+              Some(Option(e.getMessage).getOrElse(e.getClass.getName)))),
+        haltOnGateFailure = failFast,
+        deadAtStart = deadStart)
+      SqlDag.BuildResult(report.toSeq, previous.relations ++ relations)
+    }
+  }
+
+  /** `dbt ls` — print the selection without running anything: the same
+    * Jinja expansion (project + package models) and the same selector
+    * grammar as [[run]]/[[build]] (`+closures`, `tag:`, `state:` via
+    * [[selectModels]]' other overloads is deliberately out — `ls` is
+    * stateless), names returned SORTED (dbt ls's default alphabetical
+    * output). The last dbt CLI verb with no analog here; the selection
+    * engine existed since r12 ([[selectModels]]) — this is its
+    * user-facing print form.
+    */
+  def ls(models: Seq[SqlModel], select: Seq[String] = Nil,
+      exclude: Seq[String] = Nil,
+      macros: Seq[JinjaMacros.MacroDef] = Nil,
+      vars: Map[String, String] = Map.empty,
+      packages: Seq[Packages.Package] = Nil,
+      exposures: Seq[SchemaConfig.Exposure] = Nil,
+      analyses: Seq[Analysis] = Nil,
+      selector: Option[SchemaConfig.SelectorDef] = None): Seq[String] = {
+    val (expanded, _, _, _) =
+      expandJinja(models, macros, packages, vars, Nil, Nil, Nil)
+    val chosen =
+      if (select.isEmpty && exclude.isEmpty && selector.isEmpty) expanded
+      else selectModels(expanded, select, exclude, state = None,
+        exposures = exposures, analyses = analyses, selector = selector)
+    chosen.map(_.name).sorted
   }
 
   /** `dbt run-operation` — invoke one registered macro standalone,

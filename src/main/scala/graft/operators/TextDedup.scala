@@ -594,6 +594,72 @@ object TextDedup {
       textCol, threshold, materializeCandidates, verifyGroups)
   }
 
+  /** [[minhashLshPairsFromIndex]] at cap `maxBucket`, with each verified
+    * pair's `min_bn` — its smallest shared live-bucket size — attached:
+    * `(id_a, id_b, jaccard, min_bn)`. The survival law
+    * ([[lshSurvivalStats]], spec-pinned) says a pair survives a TIGHTER
+    * cap `c ≤ maxBucket` iff `min_bn ≤ c`, so a multi-preset caller
+    * (x64: the default and high-recall budget presets differ only in
+    * their calibrated cap) runs ONE candidate + verify chain at the
+    * LOOSEST preset's cap and reads every tighter preset as a filter —
+    * r16's x64 ran the full capped chain once per preset (the suite's
+    * most expensive query) when the presets' outputs are nested by
+    * construction. Filter-equality with the per-cap operator is
+    * spec-pinned (TextDedupSpec).
+    *
+    * Cost vs one [[minhashLshPairsFromIndex]] run: the candidate
+    * aggregate keys the same (pair) groups — `min(bn)` instead of
+    * `distinct` — and the verify joins back to the candidate frame once
+    * to re-attach `min_bn` (one extra shuffle of the verified-pair set,
+    * which is ≤ the candidate set the chain already carries).
+    */
+  def minhashLshPairsWithMinBucket(bands: DataFrame, corpus: DataFrame,
+      idCol: String, textCol: String, threshold: Double, maxBucket: Int,
+      materializeCandidates: Option[DataFrame => DataFrame] = None,
+      verifyGroups: Option[Int] = None): DataFrame = {
+    require(maxBucket >= 2, s"maxBucket must be >= 2, got $maxBucket")
+    require(verifyGroups.isEmpty || materializeCandidates.nonEmpty,
+      "verifyGroups needs materialized candidates (set " +
+        "materializeCandidates) — slicing a lazy candidate plan would " +
+        "re-run candidate generation once per slice")
+    val bnc = count(lit(1)).over(Window.partitionBy(col("band"), col("key")))
+    val live = bands.withColumn("bn", bnc)
+      .filter(col("bn") >= 2 && col("bn") <= maxBucket)
+      .select(col("doc_id"), col("band"), col("key"), col("bn"))
+    // bn is a property of the BUCKET, identical on both join sides, so
+    // min(a.bn) over the pair's shared live buckets IS min_bn
+    val candMin0 = live.as("a").hint("merge")
+      .join(live.as("b").hint("merge"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("__graft_id_a"),
+        col("b.doc_id").as("__graft_id_b"))
+      .agg(min(col("a.bn")).as("__graft_min_bn"))
+    val candMin = materializeCandidates.fold(candMin0)(m => m(candMin0))
+    val candIds = candMin.select(col("__graft_id_a"), col("__graft_id_b"))
+    val verified = materializeCandidates match {
+      case None =>
+        verifyCandidatePairs(candIds, corpus, idCol, textCol, threshold)
+      case Some(_) =>
+        verifyGroups match {
+          case Some(vg) =>
+            verifyCandidatePairsGrouped(ensureEagerCut(candIds), corpus,
+              idCol, textCol, threshold, vg)
+          case None =>
+            val docsOf = candIds
+              .select(explode(array(col("__graft_id_a"), col("__graft_id_b"))).as(idCol))
+              .distinct()
+            verifyCandidatePairs(candIds,
+              corpus.join(docsOf, Seq(idCol), "left_semi"),
+              idCol, textCol, threshold)
+        }
+    }
+    verified.join(candMin.select(col("__graft_id_a").as("id_a"),
+        col("__graft_id_b").as("id_b"), col("__graft_min_bn").as("min_bn")),
+      Seq("id_a", "id_b"))
+      .select(col("id_a"), col("id_b"), col("jaccard"), col("min_bn"))
+  }
+
   private def minhashLshPairsMonolithic(df: DataFrame, idCol: String,
       textCol: String, threshold: Double,
       materializeCandidates: Option[DataFrame => DataFrame],
@@ -812,11 +878,21 @@ object TextDedup {
     * `materialize`) — the instrument's k-band UNCAPPED candidate set
     * grows with n² just like the operator's, so the at-scale recall
     * faces need the same disk bound.
+    *
+    * `prebuiltIndex`: an already-derived [[lshIndex]] frame
+    * (`doc_id, band, key`) to use instead of deriving one here — the
+    * probe faces calibrate their cap grid off ONE cut band index and
+    * this instrument used to re-derive (and re-cache) the same chain
+    * internally, double-caching 320M-row generations per run (r16
+    * advice). An already-checkpointed frame passes [[ensureEagerCut]]
+    * untouched; a lazy one is cut exactly like the internal derivation
+    * would be.
     */
   def lshSurvivalStats(df: DataFrame, idCol: String, textCol: String,
       threshold: Double, discoveryBands: Option[Int] = None,
       materialize: Option[DataFrame => DataFrame] = None,
-      verifyGroups: Option[Int] = None): DataFrame = {
+      verifyGroups: Option[Int] = None,
+      prebuiltIndex: Option[DataFrame] = None): DataFrame = {
     discoveryBands.foreach(k => require(k >= 1 && k <= Hashing.MinhashK / 2,
       s"discoveryBands must be in [1, ${Hashing.MinhashK / 2}], got $k"))
     require(verifyGroups.isEmpty || materialize.nonEmpty,
@@ -829,7 +905,10 @@ object TextDedup {
     // lazy chain re-runs shingles+signatures per consumer. Under a
     // materialize strategy the index cuts ONCE and every consumer reads
     // the cut; the lazy default keeps the demo-scale no-storage path.
-    val bands = cut(lshIndex(df, idCol, textCol))
+    val bands = prebuiltIndex match {
+      case Some(b) => if (materialize.nonEmpty) ensureEagerCut(b) else b
+      case None => cut(lshIndex(df, idCol, textCol))
+    }
     val discovery = discoveryBands.fold(bands)(k => bands.filter(col("band") < k))
     val cand = cut(lshCandidatePairs(discovery, maxBucket = None))
     // the instrument meets the same wall the capped operator did: the
@@ -860,6 +939,123 @@ object TextDedup {
       .select(explode(array(col("id_a"), col("id_b"))).as("doc_id"))
       .distinct()
     val bnPair = bn.join(pairDocs, Seq("doc_id"), "left_semi")
+    truePairs
+      .join(bnPair.select(col("doc_id").as("id_a"), col("band"), col("key"),
+        col("bn")), "id_a")
+      .join(bnPair.select(col("doc_id").as("__graft_bid"),
+        col("band").as("__graft_bband"), col("key").as("__graft_bkey")),
+        col("id_b") === col("__graft_bid") &&
+          col("band") === col("__graft_bband") &&
+          col("key") === col("__graft_bkey"))
+      .groupBy(col("id_a"), col("id_b"), col("jaccard"))
+      .agg(min(col("bn")).as("min_bn"))
+  }
+
+  /** Deterministic 1-in-`oneIn` document sample predicate, identical in
+    * Spark and ANSI SQL: keep ids whose `md5(cast(id AS string))` first
+    * hex character falls in the first `16/oneIn` of `0..f`. md5 of the
+    * decimal string is byte-identical across engines (UTF-8 digits =
+    * ASCII), so a DuckDB oracle replays the exact sample — the reason
+    * this is md5-on-string rather than xxhash64 (whose seed/variant
+    * differs across engines). `oneIn` ∈ {1, 2, 4, 8, 16}: one hex char
+    * gives power-of-two rates down to 1/16, which spans the estimator's
+    * operating range (1/4 at the 5M validation decade, 1/8 at 10M).
+    */
+  def samplePredicate(id: Column, oneIn: Int): Column = {
+    require(Set(1, 2, 4, 8, 16)(oneIn),
+      s"sampleOneIn must be one of 1, 2, 4, 8, 16, got $oneIn")
+    if (oneIn == 1) lit(true)
+    else {
+      val chars = "0123456789abcdef".take(16 / oneIn).map(_.toString)
+      substring(md5(id.cast("string").cast("binary")), 1, 1).isin(chars: _*)
+    }
+  }
+
+  /** [[lshSurvivalStats]] over a SAMPLED PAIR UNIVERSE — the instrument
+    * for corpus decades where even band-restricted exact ground truth
+    * exceeds a box's scratch (r16 measured the wall three ways at 10M
+    * docs: the uncapped candidate universe is 29.64 B pairs ≈ ~100 G of
+    * verify scratch vs ~78 G usable, and k-band discovery CANNOT shrink
+    * it — k samples the same quadratically growing universe,
+    * probes/r16/refusals.log). Pair sampling shrinks the UNIVERSE
+    * itself: restrict to pairs whose BOTH endpoints pass
+    * [[samplePredicate]] — every such pair that collides in any band
+    * does so inside the sampled sub-corpus (bucket membership is
+    * per-doc), so full-band discovery over the 1/S sub-corpus finds
+    * exactly the true pairs with both endpoints sampled: a uniform
+    * 1/S² Bernoulli sample of the true-pair universe. `min_bn` is
+    * computed against FULL-corpus bucket sizes (the sizes the cap
+    * actually filters on), so each sampled pair's cap-survival
+    * indicator is its exact full-universe value, and
+    * [[recallAtCaps]]`(stats, caps)` — uniform weights; the
+    * Horvitz–Thompson 1/π weights of a uniform design cancel in the
+    * recall ratio — is an unbiased estimator of the full-universe
+    * recall-at-cap. (CI: binomial on the sampled true-pair count; the
+    * endpoint-sharing correlation between sampled pairs is ignored,
+    * which the 5M validation face measures rather than assumes.)
+    *
+    * Scale shape vs [[lshSurvivalStats]]: discovery + verify volumes
+    * shrink ×S² (the part that could never fit), and the bucket-size
+    * side is a map-side-combinable `(band, key)` histogram joined to
+    * the sampled pair docs' buckets — NOT the full-index window that
+    * materializes every index row with its count (kill #3's stage).
+    * The histogram semi-joins down to the buckets pair docs touch
+    * before counting, so its shuffle output is bounded by those
+    * buckets' membership, not the 10·64 M-row index.
+    *
+    * `prebuiltIndex` / `materialize` / `verifyGroups` as in
+    * [[lshSurvivalStats]]. Output schema identical:
+    * `(id_a, id_b, jaccard, min_bn)`.
+    */
+  def lshSurvivalStatsSampled(df: DataFrame, idCol: String, textCol: String,
+      threshold: Double, sampleOneIn: Int,
+      prebuiltIndex: Option[DataFrame] = None,
+      materialize: Option[DataFrame => DataFrame] = None,
+      verifyGroups: Option[Int] = None): DataFrame = {
+    require(verifyGroups.isEmpty || materialize.nonEmpty,
+      "verifyGroups needs materialized candidates (set materialize) — " +
+        "slicing a lazy candidate plan would re-run discovery per slice")
+    val cut = materialize.getOrElse(identity[DataFrame] _)
+    val bandsFull = prebuiltIndex match {
+      case Some(b) => if (materialize.nonEmpty) ensureEagerCut(b) else b
+      case None => cut(lshIndex(df, idCol, textCol))
+    }
+    // the sample is a pure doc_id predicate — a filter on the full
+    // index, never a join (the index is the big thing here)
+    val bandsSample = bandsFull.filter(samplePredicate(col("doc_id"), sampleOneIn))
+    val sampled = df.filter(samplePredicate(col(idCol), sampleOneIn))
+    val cand = cut(lshCandidatePairs(bandsSample, maxBucket = None))
+    val truePairs = verifyGroups match {
+      case Some(vg) =>
+        cut(verifyCandidatePairsGrouped(ensureEagerCut(cand), sampled,
+          idCol, textCol, threshold, vg))
+      case None =>
+        val setsBase = materialize match {
+          case None => sampled // lazy demo path
+          case Some(_) =>
+            val candIds = cand
+              .select(explode(array(col("__graft_id_a"), col("__graft_id_b"))).as(idCol))
+              .distinct()
+            sampled.join(candIds, Seq(idCol), "left_semi")
+        }
+        cut(verifyCandidatePairs(cand, setsBase, idCol, textCol, threshold))
+    }
+    // FULL-corpus bucket sizes for exactly the buckets the pair docs
+    // are members of: membership rows first (index ⋉ pair docs — the
+    // pair-doc side is O(sampled true pairs), broadcastable), then the
+    // size of each touched bucket via a partial-aggregating histogram
+    // over the index rows of those buckets. Bounded output either way;
+    // the full-index window of [[lshSurvivalStats]] is the one stage
+    // of that instrument that does NOT fit at 10M docs.
+    val pairDocs = truePairs
+      .select(explode(array(col("id_a"), col("id_b"))).as("doc_id"))
+      .distinct()
+    val memb = bandsFull.join(pairDocs, Seq("doc_id"), "left_semi")
+    val sizes = bandsFull
+      .join(memb.select(col("band"), col("key")).distinct(),
+        Seq("band", "key"), "left_semi")
+      .groupBy(col("band"), col("key")).agg(count(lit(1)).as("bn"))
+    val bnPair = memb.join(sizes, Seq("band", "key"))
     truePairs
       .join(bnPair.select(col("doc_id").as("id_a"), col("band"), col("key"),
         col("bn")), "id_a")

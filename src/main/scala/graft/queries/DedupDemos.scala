@@ -950,10 +950,27 @@ object DedupDemos {
     * survives the capped operator` is the law the Scala spec pins; this
     * oracle proves the statistic itself on real data.
     */
+  /** The [[TextDedup.samplePredicate]] sample in DuckDB SQL — md5 of
+    * the id's decimal string is byte-identical across engines, so the
+    * oracle replays the exact document sample.
+    */
+  private def oracleSamplePred(idExpr: String, oneIn: Int): String = {
+    val chars = "0123456789abcdef".take(16 / oneIn)
+      .map(c => s"'$c'").mkString(", ")
+    s"substr(md5(cast($idExpr AS varchar)), 1, 1) IN ($chars)"
+  }
+
   private def oracleSurvivalCtes(threshold: Double,
-      discoveryBands: Option[Int]): String = {
-    val disc = discoveryBands.fold("bk")(k =>
-      s"(SELECT * FROM bk WHERE band < $k)")
+      discoveryBands: Option[Int],
+      sampleOneIn: Option[Int] = None): String = {
+    // discovery restriction: first-k-bands (x62b), sampled sub-corpus
+    // (x65 — BOTH pair endpoints must be sampled docs, which the
+    // doc-level filter enforces since cand pairs within disc), or none
+    val filters = discoveryBands.map(k => s"band < $k").toSeq ++
+      sampleOneIn.map(s => oracleSamplePred("doc_id", s)).toSeq
+    val disc =
+      if (filters.isEmpty) "bk"
+      else s"(SELECT * FROM bk WHERE ${filters.mkString(" AND ")})"
     s"""
       $oracleBandingCtes,
       bsz AS (SELECT band, key, count(*) AS bn FROM bk GROUP BY 1, 2),
@@ -979,8 +996,9 @@ object DedupDemos {
   }
 
   private def oracleSurvivalStats(threshold: Double,
-      discoveryBands: Option[Int]): String = s"""
-      ${oracleSurvivalCtes(threshold, discoveryBands)}
+      discoveryBands: Option[Int],
+      sampleOneIn: Option[Int] = None): String = s"""
+      ${oracleSurvivalCtes(threshold, discoveryBands, sampleOneIn)}
       SELECT id_a, id_b, jaccard, min_bn
       FROM stats
       ORDER BY id_a ASC NULLS LAST, id_b ASC NULLS LAST"""
@@ -1033,6 +1051,48 @@ object DedupDemos {
     (s, dir) => TextDedup.recallAtCaps(
         TextDedup.lshSurvivalStats(
           t(s, dir, "documents"), "doc_id", "text", threshold = 0.5,
+          materialize = Some(_.localCheckpoint(true))),
+        caps = Seq(2, 4, 8, 16, 32, 64))
+      .orderBy(col("cap").asc_nulls_last))
+
+  // X65: the SAMPLED-PAIR-UNIVERSE survival face — ground truth
+  // restricted to pairs whose BOTH endpoints pass the deterministic
+  // md5 1-in-2 document sample, full-band discovery inside the sample,
+  // min_bn against FULL-corpus bucket sizes. This is the instrument
+  // that prices recall at decades where even band-restricted exact
+  // ground truth exceeds a box's scratch (10M docs = 29.64B uncapped
+  // pairs vs ~78G, three measured r16 kills): inclusion is uniform
+  // 1/S² over the pair universe, so the recall ratio needs no
+  // reweighting. The oracle proves the sample is the claimed exact
+  // restriction — same md5 arithmetic on both engines.
+  private val x65 = Demo("x65_lsh_survival_pairsampled",
+    Some(oracleSurvivalStats(0.5, None, sampleOneIn = Some(2))),
+    (s, dir) => TextDedup.lshSurvivalStatsSampled(
+        t(s, dir, "documents"), "doc_id", "text", threshold = 0.5,
+        sampleOneIn = 2,
+        materialize = Some(_.localCheckpoint(true)))
+      .orderBy(col("id_a").asc_nulls_last, col("id_b").asc_nulls_last))
+
+  // X65b: the recall-vs-cap curve off the pair-sampled stats — exactly
+  // the estimator the 10M probe face reads (recallAtCaps with uniform
+  // weights = the sample's survival fraction per cap). Bit-identical
+  // doubles across engines: exact integer counts ratioed in double.
+  private val x65b = Demo("x65b_recall_curve_pairsampled",
+    Some(s"""
+      ${oracleSurvivalCtes(0.5, None, sampleOneIn = Some(2))},
+      caps AS (SELECT unnest([2, 4, 8, 16, 32, 64]) AS cap)
+      SELECT caps.cap AS cap,
+             count(*) AS n_true,
+             count(*) FILTER (WHERE min_bn <= cap) AS n_surviving,
+             cast(count(*) FILTER (WHERE min_bn <= cap) AS double)
+               / count(*) AS recall
+      FROM stats, caps
+      GROUP BY 1
+      ORDER BY cap ASC NULLS LAST"""),
+    (s, dir) => TextDedup.recallAtCaps(
+        TextDedup.lshSurvivalStatsSampled(
+          t(s, dir, "documents"), "doc_id", "text", threshold = 0.5,
+          sampleOneIn = 2,
           materialize = Some(_.localCheckpoint(true))),
         caps = Seq(2, 4, 8, 16, 32, 64))
       .orderBy(col("cap").asc_nulls_last))
@@ -1104,21 +1164,33 @@ object DedupDemos {
       val docs = t(s, dir, "documents")
       val n = docs.count()
       // ONE shingle→signature→band derivation for the whole demo: the
-      // two calibrations AND both preset runs read this cut
-      // (minhashLshPairsFromIndex; r14 verdict item 5 — the old form
-      // re-derived the chain from raw text once per preset and was the
-      // suite's slowest query at 9 s)
+      // two calibrations AND the shared pair chain read this cut
+      // (r14 verdict item 5 — the original form re-derived the chain
+      // from raw text once per preset and was the suite's slowest
+      // query at 9 s)
       val bands = TextDedup.lshIndex(docs, "doc_id", "text")
         .localCheckpoint(true)
-      Seq(("default", 0.998), ("high_recall", 0.9995)).map {
+      val presets = Seq(("default", 0.998), ("high_recall", 0.9995)).map {
         case (preset, floor) =>
           val budget = TextDedup.budgetForRecall(5000000L, floor)
-          val cap = TextDedup.calibrateMaxBucket(bands, n, budget)
-          TextDedup.minhashLshPairsFromIndex(bands, docs, "doc_id", "text",
-              threshold = 0.5, maxBucket = Some(cap))
-            .select(lit(preset).as("preset"),
-              lit(budget).as("pairs_per_doc"), lit(cap).as("cap"),
-              col("id_a"), col("id_b"), col("jaccard"))
+          (preset, budget, TextDedup.calibrateMaxBucket(bands, n, budget))
+      }
+      // ONE candidate + verify chain at the LOOSEST preset's cap; each
+      // tighter preset reads off it as a min_bn filter — the survival
+      // law (a pair survives cap c iff its smallest shared live bucket
+      // is ≤ c; spec-pinned equality with the per-cap operator). r16
+      // ran the capped chain once per preset — the suite's most
+      // expensive query — when the preset outputs are nested by
+      // construction (r16 verdict item 6).
+      val capMax = presets.map(_._3).max
+      val withBn = TextDedup.minhashLshPairsWithMinBucket(bands, docs,
+          "doc_id", "text", threshold = 0.5, maxBucket = capMax)
+        .localCheckpoint(true)
+      presets.map { case (preset, budget, cap) =>
+        withBn.filter(col("min_bn") <= cap)
+          .select(lit(preset).as("preset"),
+            lit(budget).as("pairs_per_doc"), lit(cap).as("cap"),
+            col("id_a"), col("id_b"), col("jaccard"))
       }.reduce(_ unionAll _)
         .orderBy(col("preset").asc_nulls_last, col("id_a").asc_nulls_last,
           col("id_b").asc_nulls_last)
@@ -1126,5 +1198,5 @@ object DedupDemos {
 
   val all: Seq[Demo] =
     Seq(x1, x2a, x2b, x2b2, x2c, x2c2, x2d, x2e, x2f, x2f2, x2g, x2h, x18, x23, x23b, x28, x35,
-      x41, x52, x54, x56, x58, x58b, x59, x62, x62b, x63, x64)
+      x41, x52, x54, x56, x58, x58b, x59, x62, x62b, x63, x64, x65, x65b)
 }

@@ -122,6 +122,131 @@ class BuildSpec extends SparkSpec {
     intercept[Exception] { dag.build(broken, seeds, failFast = true) }
   }
 
+  test("a gate may read LATER siblings of its own wave (all successes register before any gate)") {
+    val wh = java.nio.file.Files.createTempDirectory("graft-build-wave").toString
+    val dag = new SqlDag(spark, wh)
+    // m_x and m_y are both wave-1 (each reads only the seed), declared
+    // in that order — a test ON m_x that reads m_y could only work if
+    // the whole wave registers before gates run (r16 advice: the
+    // single-pass form threw NoSuchElementException here)
+    val ms = Seq(
+      SqlModel("m_x", "select id, v from {{ ref('raw_vals') }}"),
+      SqlModel("m_y", "select id, v * 2 as v2 from {{ ref('raw_vals') }}"))
+    val r = dag.build(ms, seeds, tests = Map("m_x" -> Seq(
+      GenericTests.DataTest("x_matches_y_grain",
+        built => {
+          // a cross-sibling reconciliation: rows of m_x with no m_y
+          // counterpart (none, both read the same seed)
+          built("m_x").join(built("m_y"), Seq("id"), "left_anti")
+        },
+        GenericTests.TestConfig()))))
+    assert(r.success)
+    assert(r.nodes.find(_.name == "m_x").get.tests.head.status === "pass")
+  }
+
+  test("failFast also halts scheduling after a failed TEST node (dbt --fail-fast, both halves)") {
+    val wh = java.nio.file.Files.createTempDirectory("graft-build-ff").toString
+    val dag = new SqlDag(spark, wh)
+    // waves: 1 [m_a, m_d] → 2 [m_b (gate fails), m_e] → 3 [m_c, m_f].
+    // Without failFast, m_f (independent of m_b) builds; with it, the
+    // wave-2 gate failure stops wave 3 entirely
+    val ms = models ++ Seq(
+      SqlModel("m_e", "select mx from {{ ref('m_d') }}"),
+      SqlModel("m_f", "select mx from {{ ref('m_e') }}"))
+    val failingTests = Map("m_b" ->
+      Seq(uniqueTest("m_b", GenericTests.TestConfig())))
+    val slow = dag.build(ms, seeds, tests = failingTests)
+    assert(slow.statusOf("m_f") === Some("success"))
+    assert(slow.statusOf("m_c") === Some("skipped"))
+    val fast = dag.build(ms, seeds, tests = failingTests, failFast = true)
+    // wave 2 finished (m_e built before the halt), wave 3 never ran
+    assert(fast.statusOf("m_e") === Some("success"))
+    assert(fast.statusOf("m_c") === Some("skipped"))
+    assert(fast.statusOf("m_f") === Some("skipped"))
+    assert(fast.nodes.find(_.name == "m_f").get.cause === Some("m_b"))
+    assert(!fast.relations.contains("m_f"))
+  }
+
+  test("retry rebuilds exactly the dead subgraph, keeping successes") {
+    val wh = java.nio.file.Files.createTempDirectory("graft-build-retry").toString
+    val dag = new SqlDag(spark, wh)
+    val broken = models.map(m =>
+      if (m.name == "m_b")
+        m.copy(jinjaSql = "select no_such_column from {{ ref('m_a') }}")
+      else m)
+    val r1 = dag.build(broken, seeds)
+    assert(r1.statusOf("m_b") === Some("error"))
+    assert(r1.statusOf("m_c") === Some("skipped"))
+    // retry with the fix: exactly {m_b, m_c} re-run — m_a/m_d keep
+    // their relations and get NO new report rows (dbt retry's
+    // run_results covers the retried nodes only)
+    val r2 = dag.retry(models, seeds, r1)
+    assert(r2.nodes.map(_.name).sorted === Seq("m_b", "m_c"))
+    assert(r2.nodes.forall(_.status == "success"))
+    assert(r2.success)
+    assert(r2.relations.contains("m_c") && r2.relations.contains("m_a"))
+    assert(r2.relations("m_c").head().getLong(0) === 4L)
+    // a fully green build has nothing to retry
+    val e = intercept[IllegalArgumentException] {
+      dag.retry(models, seeds, r2.copy(nodes =
+        r2.nodes.filter(_.status == "success")))
+    }
+    assert(e.getMessage.contains("nothing to retry"))
+  }
+
+  test("retry re-runs a failed gate WITHOUT rebuilding its node; re-failure dooms descendants again") {
+    val wh = java.nio.file.Files.createTempDirectory("graft-build-retryg").toString
+    val dag = new SqlDag(spark, wh)
+    val failing = Map("m_b" -> Seq(uniqueTest("m_b", GenericTests.TestConfig())))
+    val r1 = dag.build(models, seeds, tests = failing)
+    assert(r1.statusOf("m_c") === Some("skipped"))
+    // same data, same test → the gate fails again and m_c is doomed
+    // again, without rebuilding anything (report = the re-run gate +
+    // the re-skipped descendant)
+    val again = dag.retry(models, seeds, r1, tests = failing)
+    assert(again.nodes.map(n => n.name -> n.status).sorted ===
+      Seq("m_b" -> "success", "m_c" -> "skipped"))
+    assert(again.nodes.find(_.name == "m_c").get.cause === Some("m_b"))
+    assert(!again.success)
+    // now the test passes (v IS unique) → the gate alone re-runs and
+    // unblocks m_c. m_b's SQL is BROKEN in this project snapshot, so a
+    // rebuild would error — the success row proves retry validated the
+    // kept relation instead of rebuilding (dbt retries the TEST node)
+    val brokenB = models.map(m =>
+      if (m.name == "m_b")
+        m.copy(jinjaSql = "select no_such_column from {{ ref('m_a') }}")
+      else m)
+    val fixed = Map("m_b" -> Seq(GenericTests.DataTest("unique_m_b_v",
+      built => GenericTests.unique(built("m_b"), "v"),
+      GenericTests.TestConfig())))
+    val r2 = dag.retry(brokenB, seeds, r1, tests = fixed)
+    assert(r2.nodes.map(n => n.name -> n.status).sorted ===
+      Seq("m_b" -> "success", "m_c" -> "success"))
+    assert(r2.nodes.find(_.name == "m_b").get.gatePassed)
+    assert(r2.success)
+    assert(r2.relations("m_c").head().getLong(0) === 4L)
+  }
+
+  test("ls prints the selection, sorted, without building anything") {
+    val wh = java.nio.file.Files.createTempDirectory("graft-build-ls").toString
+    val dag = new SqlDag(spark, wh)
+    // fresh names: other tests of this suite register m_a… as views in
+    // the shared session, and THIS test's point is that ls registers
+    // nothing
+    val ms = Seq(
+      SqlModel("ls_a", "select id, v from {{ ref('raw_vals') }}"),
+      SqlModel("ls_b", "select id, v from {{ ref('ls_a') }}"),
+      SqlModel("ls_c", "select count(*) as n from {{ ref('ls_b') }}"),
+      SqlModel("ls_d", "select max(v) as mx from {{ ref('raw_vals') }}"))
+    assert(dag.ls(ms) === Seq("ls_a", "ls_b", "ls_c", "ls_d"))
+    assert(dag.ls(ms, select = Seq("+ls_c")) === Seq("ls_a", "ls_b", "ls_c"))
+    assert(dag.ls(ms, select = Seq("ls_a+"), exclude = Seq("ls_c")) ===
+      Seq("ls_a", "ls_b"))
+    // ls is a pure computation over the parsed graph — no relations
+    // appear in the session from the calls above
+    assert(!spark.catalog.tableExists("ls_a"))
+  }
+
   test("tests keyed on unknown nodes refuse up front") {
     val wh = java.nio.file.Files.createTempDirectory("graft-build-ref").toString
     val dag = new SqlDag(spark, wh)

@@ -796,6 +796,127 @@ class TextDedupSpec extends SparkSpec {
     }.getMessage.contains("materialize"))
   }
 
+  test("samplePredicate: deterministic md5 sample — rates, nesting, cross-engine arithmetic, refusals") {
+    val ids = spark.range(0, 4000).toDF("id")
+    // exact-rate sanity: md5 is uniform over the first hex char, so a
+    // 1-in-S sample of 4000 ids lands within ±4 binomial sd of 4000/S
+    Seq(1, 2, 4, 8, 16).foreach { s =>
+      val n = ids.filter(TextDedup.samplePredicate(col("id"), s)).count()
+      val mean = 4000.0 / s
+      val sd = math.sqrt(4000.0 * (1.0 / s) * (1 - 1.0 / s))
+      assert(math.abs(n - mean) <= 4 * sd + 1,
+        s"1-in-$s sample kept $n of 4000 (expected ~$mean)")
+    }
+    // nesting: the hex-char sets are prefixes of each other, so the
+    // 1-in-16 sample ⊆ 1-in-8 ⊆ 1-in-4 ⊆ 1-in-2 — the property that
+    // lets a probe REUSE a coarser face's sample as a refinement
+    Seq((16, 8), (8, 4), (4, 2)).foreach { case (fine, coarse) =>
+      val extra = ids.filter(TextDedup.samplePredicate(col("id"), fine))
+        .except(ids.filter(TextDedup.samplePredicate(col("id"), coarse)))
+      assert(extra.count() === 0L, s"1-in-$fine ⊄ 1-in-$coarse")
+    }
+    // the arithmetic is md5-of-the-decimal-string — byte-identical in
+    // DuckDB (the oracle's side); pin it against the JDK's own MD5
+    val kept2 = ids.filter(TextDedup.samplePredicate(col("id"), 2))
+      .collect().map(_.getLong(0)).toSet
+    val md = java.security.MessageDigest.getInstance("MD5")
+    (0L until 4000L).foreach { id =>
+      val hex = md.digest(id.toString.getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString
+      assert(kept2(id) === (hex.head < '8'),
+        s"id $id: md5 $hex vs predicate ${kept2(id)}")
+    }
+    assert(intercept[IllegalArgumentException] {
+      TextDedup.samplePredicate(col("id"), 3)
+    }.getMessage.contains("sampleOneIn"))
+  }
+
+  test("lshSurvivalStatsSampled: exactly the both-endpoints-sampled restriction of exact stats; scale knobs agree") {
+    val docs = Tables.table(spark, sfDir, "documents")
+    val exact = TextDedup.lshSurvivalStats(docs, "doc_id", "text", 0.5)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    val keep = docs.filter(TextDedup.samplePredicate(col("doc_id"), 2))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // the estimator's whole statistical claim: the sampled frame IS the
+    // exact frame restricted to both-endpoints-sampled pairs — same
+    // jaccard, same FULL-corpus min_bn (uniform 1/S² inclusion ⇒ the
+    // per-cap survival fraction estimates full-universe recall)
+    val expected = exact.filter(t => keep(t._1) && keep(t._2)).toSet
+    val sampled = TextDedup.lshSurvivalStatsSampled(
+        docs, "doc_id", "text", 0.5, sampleOneIn = 2)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+      .toSet
+    assert(sampled === expected)
+    assert(sampled.nonEmpty)
+    assert(sampled.size < exact.size) // the sample is a real restriction
+    // the at-scale face: prebuilt cut index + materialized cuts +
+    // hash-sliced verify ≡ the lazy path
+    val bands = TextDedup.lshIndex(docs, "doc_id", "text").localCheckpoint(true)
+    val atScale = TextDedup.lshSurvivalStatsSampled(
+        docs, "doc_id", "text", 0.5, sampleOneIn = 2,
+        prebuiltIndex = Some(bands),
+        materialize = Some(TextDedup.eagerCut),
+        verifyGroups = Some(3))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+      .toSet
+    assert(atScale === sampled)
+    // and recallAtCaps over the sampled frame needs NO reweighting:
+    // uniform inclusion ⇒ recall = per-cap survival fraction
+    val curve = TextDedup.recallAtCaps(
+        TextDedup.lshSurvivalStatsSampled(
+          docs, "doc_id", "text", 0.5, sampleOneIn = 2),
+        Seq(2, 64)).orderBy(col("cap")).collect()
+    val nTrue = sampled.size.toLong
+    assert(curve.forall(_.getLong(1) === nTrue))
+    assert(curve.map(r => r.getLong(2).toDouble / nTrue) ===
+      curve.map(_.getDouble(3)))
+    assert(intercept[IllegalArgumentException] {
+      TextDedup.lshSurvivalStatsSampled(docs, "doc_id", "text", 0.5,
+        sampleOneIn = 2, verifyGroups = Some(2))
+    }.getMessage.contains("materialize"))
+  }
+
+  test("minhashLshPairsWithMinBucket: the min_bn filter ≡ the per-cap operator (x64's shared-chain law)") {
+    val docs = Tables.table(spark, sfDir, "documents")
+    val bands = TextDedup.lshIndex(docs, "doc_id", "text").localCheckpoint(true)
+    val withBn = TextDedup.minhashLshPairsWithMinBucket(bands, docs,
+        "doc_id", "text", 0.5, maxBucket = 64)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    assert(withBn.nonEmpty)
+    assert(withBn.forall(t => t._4 >= 2 && t._4 <= 64))
+    // ONE chain at the loosest cap serves every tighter preset as a
+    // filter — pair-for-pair AND jaccard-for-jaccard with the per-cap
+    // operator (the nesting x64 now exploits)
+    Seq(2, 3, 64).foreach { cap =>
+      val filtered = withBn.filter(_._4 <= cap).map(t => (t._1, t._2, t._3)).toSet
+      val direct = TextDedup.minhashLshPairs(docs, "doc_id", "text", 0.5,
+          maxBucket = Some(cap))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(filtered === direct, s"shared-chain law broken at cap $cap")
+    }
+    // scale path (materialized candidates + sliced verify) ≡ lazy
+    val atScale = TextDedup.minhashLshPairsWithMinBucket(bands, docs,
+        "doc_id", "text", 0.5, maxBucket = 64,
+        materializeCandidates = Some(_.localCheckpoint(true)),
+        verifyGroups = Some(3))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+      .toSet
+    assert(atScale === withBn.toSet)
+    assert(intercept[IllegalArgumentException] {
+      TextDedup.minhashLshPairsWithMinBucket(bands, docs,
+        "doc_id", "text", 0.5, maxBucket = 1)
+    }.getMessage.contains("maxBucket"))
+    assert(intercept[IllegalArgumentException] {
+      TextDedup.minhashLshPairsWithMinBucket(bands, docs,
+        "doc_id", "text", 0.5, maxBucket = 64, verifyGroups = Some(2))
+    }.getMessage.contains("materialize"))
+  }
+
   test("recallAtCaps: exact-face fractions, cap monotonicity, HT reweighting on a pinned frame") {
     val s = spark
     import s.implicits._

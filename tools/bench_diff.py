@@ -40,9 +40,18 @@ if not shared:
     print("bench_diff: no shared queries between records")
     sys.exit(0)
 tc, tp = sum(cn[k] for k in shared), sum(pn[k] for k in shared)
+def calib_desc(rec):
+    # r17+: "calib" is already the median of per-sweep calibs; show the
+    # sweep spread so a reader can judge the normalization's stability
+    cs = rec.get("calibs")
+    if cs:
+        return f"{rec.get('calib')} (median of {[round(c, 2) for c in cs]})"
+    return str(rec.get("calib"))
+
 print(f"bench_diff vs {rev}: normalized total {tp:.1f}s -> {tc:.1f}s "
       f"({tc / tp - 1:+.1%}) over {len(shared)} shared queries "
-      f"(calib {prev.get('calib')} -> {cur.get('calib')}; "
+      f"(calib {calib_desc(prev)} -> {calib_desc(cur)}; "
+      f"source {prev.get('source', '?')} -> {cur.get('source', '?')}; "
       f"new: {sorted(set(cn) - set(pn))}, gone: {sorted(set(pn) - set(cn))})")
 movers = sorted(shared, key=lambda k: cn[k] - pn[k], reverse=True)
 print("top movers (normalized sec, prev -> cur):")

@@ -1,6 +1,6 @@
 #!/usr/bin/env bash
 # Run graft.ScaleProbe via plain java on a FROZEN classpath
-# (target/r16_frozen/classes) so a long face can run while sbt
+# (SPARK_GRAFT_FROZEN, default target/r17_frozen/classes) so a long face can run while sbt
 # recompiles the live tree underneath it. Mirrors build.sbt's forked-run
 # JVM options (add-opens set, UTC, no UI) + the probe chain's standard
 # extras (tiny input splits, zstd, scratch spark.local.dir, the r15
@@ -24,5 +24,5 @@ exec java $OPENS \
   -Dspark.io.compression.codec=zstd \
   -Dspark.network.timeout=600s \
   -XX:+ExplicitGCInvokesConcurrent \
-  -cp "target/r16_frozen/classes:/opt/spark/jars/*" \
+  -cp "${SPARK_GRAFT_FROZEN:-target/r17_frozen/classes}:/opt/spark/jars/*" \
   graft.ScaleProbe "$@"

@@ -82,6 +82,10 @@ print(f"recall gate OK: calibrated cap {diag['calibrated_cap']} and "
       f"production cap 5 at recall 1.0, n_true {diag['n_true']}")
 EOF
 
+# provenance stamp (r16 verdict item 1: the builder-close record and a
+# later driver record coexisted with nothing saying which was which) —
+# Bench writes "source" into BENCH_FULL.json from this env var
+SPARK_GRAFT_BENCH_SOURCE=builder-close \
 SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 sbt -batch "runMain graft.Bench" \
   2>&1 | grep '^{"metric"' | tail -1
 

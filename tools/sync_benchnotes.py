@@ -23,12 +23,20 @@ for field in ("value", "sweep_totals", "calib", "calib_io", "queries_median"):
 nq = len(rec["queries_median"])
 sweeps = " / ".join(f"{t:.1f}" for t in rec["sweep_totals"])
 spread = (max(rec["sweep_totals"]) / min(rec["sweep_totals"]) - 1) * 100
+# record provenance (r16 verdict item 1): the block names WHO produced
+# the record it quotes, so a later record from the other producer is a
+# visible supersession, not a silent ambiguity
+source = rec.get("source", "unknown (pre-r17 record)")
+calibs = rec.get("calibs")
+calib_str = (f"calib median {rec['calib']:.3f} of " +
+             "[" + " / ".join(f"{c:.2f}" for c in calibs) + "]"
+             if calibs else f"calib {rec['calib']:.3f}")
 block = f"""{BEGIN}
 **Official bench record (auto-synced from BENCH_FULL.json by
 round_close — quote THESE numbers, do not hand-copy sweep clocks):**
 total **{rec['value']:.1f} s** = per-query median over sweeps
 [{sweeps}] s ({spread:.1f}% same-code spread), {nq} queries, sf0.1
-local[32], calib {rec['calib']:.3f} / io {rec['calib_io']:.3f}.
+local[32], source {source}, {calib_str} / io {rec['calib_io']:.3f}.
 {END}"""
 
 notes = open("BENCHNOTES.md").read()
