@@ -348,10 +348,20 @@ object TextDedup {
     * a batch doc; the >= 2 floor is a SELF-join notion). `None` keeps
     * exact all-collisions semantics.
     */
+  /** `prebuiltBatchIndex`: an already-derived [[lshIndex]] frame of the
+    * BATCH (`doc_id, band, key`) to probe with instead of deriving one
+    * here — the crawl loop indexes each accepted batch anyway (the
+    * append half), so deriving the batch index once and passing it to
+    * BOTH the probe and [[lshStoreAppend]] saves a full
+    * shingle→signature→band pass per batch (r17: x59 measured the
+    * batch-1 index being built twice, once inside its probe and once
+    * inside its append).
+    */
   def probeLshStore(batch: DataFrame, corpusIndex: DataFrame,
       corpus: DataFrame, idCol: String, textCol: String, threshold: Double,
       materializeCandidates: Option[DataFrame => DataFrame] = None,
-      maxBucket: Option[Int] = None): DataFrame = {
+      maxBucket: Option[Int] = None,
+      prebuiltBatchIndex: Option[DataFrame] = None): DataFrame = {
     val liveStore = maxBucket.fold(corpusIndex) { cap =>
       corpusIndex
         .withColumn("__bn", count(lit(1)).over(
@@ -359,7 +369,8 @@ object TextDedup {
         .filter(col("__bn") <= cap)
         .drop("__bn")
     }
-    val lazyCand = lshIndex(batch, idCol, textCol)
+    val lazyCand = prebuiltBatchIndex
+      .getOrElse(lshIndex(batch, idCol, textCol))
       .select(col("doc_id").as("__graft_new_id"), col("band"), col("key"))
       .join(liveStore
         .select(col("doc_id").as("__graft_old_id"), col("band"), col("key")),
@@ -413,8 +424,9 @@ object TextDedup {
     * index rebuild, pair-for-pair.
     */
   def lshStoreAppend(batch: DataFrame, idCol: String, textCol: String,
-      table: String): Unit = {
-    ScaleOps.appendBucketed(lshIndex(batch, idCol, textCol), table,
+      table: String, prebuiltIndex: Option[DataFrame] = None): Unit = {
+    ScaleOps.appendBucketed(
+      prebuiltIndex.getOrElse(lshIndex(batch, idCol, textCol)), table,
       LshStoreBuckets, Seq("band", "key"))
     // metadata/file-listing caches would otherwise serve the pre-append
     // file set to a plan built later in the same session
@@ -932,13 +944,58 @@ object TextDedup {
     }
     // bucket sizes over the FULL index (the sizes the capped operator
     // filters on), then restricted to docs that appear in a true pair —
-    // the window must see every bucket member, so filter AFTER it
+    // the window must see every bucket member, so filter AFTER it.
+    // (Deliberately kept as the lazy window shape after an r17 A/B:
+    // this exact-discovery instrument is priced to ≤5M docs where the
+    // window fits; the 10M+ face is [[lshSurvivalStatsSampled]], whose
+    // histogram tail never materializes the full index with counts.
+    // Rewriting THIS tail to histogram+cut measured x63 2.55→3.11 s and
+    // histogram-no-cut 3.77 s at sf0.1 — the extra checkpoint barrier /
+    // semi-join stages cost more than the duplicate window saves below
+    // the 5M ceiling, so the window stays.)
     val bn = bands.withColumn("bn",
       count(lit(1)).over(Window.partitionBy(col("band"), col("key"))))
     val pairDocs = truePairs
       .select(explode(array(col("id_a"), col("id_b"))).as("doc_id"))
       .distinct()
     val bnPair = bn.join(pairDocs, Seq("doc_id"), "left_semi")
+    joinMinBn(truePairs, bnPair)
+  }
+
+  /** The shared min_bn tail of [[lshSurvivalStats]] and
+    * [[lshSurvivalStatsSampled]]: FULL-corpus bucket sizes for exactly
+    * the buckets the true-pair docs are members of — membership rows
+    * first (index ⋉ pair docs; the pair-doc side is O(true pairs),
+    * broadcastable), then each touched bucket's size via a
+    * map-side-combinable histogram over the index rows of those buckets
+    * (never the full-index window — the 10M-doc wall, r16 kill #3).
+    * `bnPair` feeds BOTH sides of the pair join below, so it is cut via
+    * the caller's `cut` strategy — without the cut the whole
+    * memb ⋈ sizes subtree (itself reading the band index three times)
+    * evaluates once per side: the r17 plan audit measured x65's tail at
+    * 52 Exchanges / 10 checkpoint re-scans from exactly this
+    * duplication.
+    */
+  private def attachMinBn(truePairs: DataFrame, bands: DataFrame,
+      cut: DataFrame => DataFrame): DataFrame = {
+    val pairDocs = truePairs
+      .select(explode(array(col("id_a"), col("id_b"))).as("doc_id"))
+      .distinct()
+    val memb = bands.join(pairDocs, Seq("doc_id"), "left_semi")
+    val sizes = bands
+      .join(memb.select(col("band"), col("key")).distinct(),
+        Seq("band", "key"), "left_semi")
+      .groupBy(col("band"), col("key")).agg(count(lit(1)).as("bn"))
+    val bnPair = cut(memb.join(sizes, Seq("band", "key")))
+    joinMinBn(truePairs, bnPair)
+  }
+
+  /** The two-sided (band, key)-intersection join that reads a pair's
+    * min shared-bucket size off a `(doc_id, band, key, bn)` membership
+    * frame — the ONE definition shared by the exact (window) and
+    * sampled (histogram) bn tails.
+    */
+  private def joinMinBn(truePairs: DataFrame, bnPair: DataFrame): DataFrame =
     truePairs
       .join(bnPair.select(col("doc_id").as("id_a"), col("band"), col("key"),
         col("bn")), "id_a")
@@ -949,7 +1006,6 @@ object TextDedup {
           col("key") === col("__graft_bkey"))
       .groupBy(col("id_a"), col("id_b"), col("jaccard"))
       .agg(min(col("bn")).as("min_bn"))
-  }
 
   /** Deterministic 1-in-`oneIn` document sample predicate, identical in
     * Spark and ANSI SQL: keep ids whose `md5(cast(id AS string))` first
@@ -1041,31 +1097,12 @@ object TextDedup {
         cut(verifyCandidatePairs(cand, setsBase, idCol, textCol, threshold))
     }
     // FULL-corpus bucket sizes for exactly the buckets the pair docs
-    // are members of: membership rows first (index ⋉ pair docs — the
-    // pair-doc side is O(sampled true pairs), broadcastable), then the
-    // size of each touched bucket via a partial-aggregating histogram
-    // over the index rows of those buckets. Bounded output either way;
-    // the full-index window of [[lshSurvivalStats]] is the one stage
-    // of that instrument that does NOT fit at 10M docs.
-    val pairDocs = truePairs
-      .select(explode(array(col("id_a"), col("id_b"))).as("doc_id"))
-      .distinct()
-    val memb = bandsFull.join(pairDocs, Seq("doc_id"), "left_semi")
-    val sizes = bandsFull
-      .join(memb.select(col("band"), col("key")).distinct(),
-        Seq("band", "key"), "left_semi")
-      .groupBy(col("band"), col("key")).agg(count(lit(1)).as("bn"))
-    val bnPair = memb.join(sizes, Seq("band", "key"))
-    truePairs
-      .join(bnPair.select(col("doc_id").as("id_a"), col("band"), col("key"),
-        col("bn")), "id_a")
-      .join(bnPair.select(col("doc_id").as("__graft_bid"),
-        col("band").as("__graft_bband"), col("key").as("__graft_bkey")),
-        col("id_b") === col("__graft_bid") &&
-          col("band") === col("__graft_bband") &&
-          col("key") === col("__graft_bkey"))
-      .groupBy(col("id_a"), col("id_b"), col("jaccard"))
-      .agg(min(col("bn")).as("min_bn"))
+    // are members of — the shared histogram tail ([[attachMinBn]]; ONE
+    // definition with [[lshSurvivalStats]] so the two instruments can
+    // never disagree on the bn a pair reads, and the two-sided bnPair
+    // frame is cut once instead of evaluating its index-scanning
+    // subtree once per pair side).
+    attachMinBn(truePairs, bandsFull, cut)
   }
 
   /** The recall-vs-cap curve off a [[lshSurvivalStats]] frame: one row
@@ -1249,24 +1286,26 @@ object TextDedup {
       threshold: Double, maxDocFreq: Option[Int] = None): DataFrame = {
     val td = tokArrays(df, idCol, textCol)
     val posts = td.select(col("doc_id"), explode(shingleSet(col("toks"))).as("sh"))
-    // Everything below stays inside whole-stage codegen: per-shingle
-    // document frequency is a two-phase COUNT, the in-bucket pair
-    // expansion is a sh-equi SELF-JOIN with a doc_id< residual, and both
-    // hang off the SAME hash-partitioning of `posts`, so ReuseExchange
-    // shuffles the postings once. The previous formulation materialized
-    // per-shingle id arrays (sort_array(collect_set)) — an
-    // ObjectHashAggregate that falls back to sort-based aggregation past
-    // 128 groups and dominated the operator's runtime at sf0.1.
-    val dfc = posts.groupBy(col("sh")).agg(count(lit(1)).as("df"))
-    // postings restricted to the capped shingle universe (df = 1 kept:
-    // they count toward set sizes even though they pair with nothing)
-    val okPosts =
-      posts.join(maxDocFreq.fold(dfc)(cap => dfc.filter(col("df") <= cap)), "sh")
+    // Per-shingle document frequency as a WINDOW over the postings'
+    // (sh) hash-partitioning — the same one-exchange shape as
+    // [[lshCandidatePairs]]' bucket count: the count, the cap filter,
+    // the per-doc capped sizes, AND both self-join sides all hang off
+    // ONE shuffle of the postings (r17: the previous two-phase
+    // COUNT + join-back formulation shuffled the postings for the join
+    // anyway and added a second exchange of the per-shingle counts plus
+    // an SMJ to re-attach them; the window reads the same sorted runs
+    // the self-join needs and costs no extra exchange). The even older
+    // collect_set-per-shingle form is documented at lshCandidatePairs —
+    // ObjectHashAggregate falls back to sort-based past 128 groups.
+    val okPosts = posts
+      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("sh"))))
+      .filter(maxDocFreq.fold(lit(true))(cap => col("df") <= cap))
     val sizes = maxDocFreq match {
       case None =>
         td.select(col("doc_id"), size(shingleSet(col("toks"))).as("n"))
       case Some(_) =>
-        // per-doc size over the capped universe
+        // per-doc size over the capped universe (df = 1 postings kept:
+        // they count toward set sizes even though they pair with nothing)
         okPosts.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     }
     val pairPosts = okPosts.filter(col("df") >= 2).select(col("doc_id"), col("sh"))
@@ -1302,9 +1341,10 @@ object TextDedup {
       threshold: Double, maxDocFreq: Option[Int] = None): DataFrame = {
     val td = tokArrays(df, idCol, textCol)
     val posts = td.select(col("doc_id"), explode(shingleSet(col("toks"))).as("sh"))
-    val dfc = posts.groupBy(col("sh")).agg(count(lit(1)).as("df"))
-    val okPosts =
-      posts.join(maxDocFreq.fold(dfc)(cap => dfc.filter(col("df") <= cap)), "sh")
+    // window-df over the one (sh) exchange — see [[ngramJaccardPairs]]
+    val okPosts = posts
+      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("sh"))))
+      .filter(maxDocFreq.fold(lit(true))(cap => col("df") <= cap))
     val sizes = maxDocFreq match {
       case None =>
         td.select(col("doc_id"), size(shingleSet(col("toks"))).as("n"))
@@ -1354,9 +1394,16 @@ object TextDedup {
       pairs.select(col(idACol).as("src"), col(idBCol).as("dst"))
         .union(pairs.select(col(idBCol).as("src"), col(idACol).as("dst")))
         .distinct()) // consumed every round: materialize once
+    // init = identity labels with the FIRST propagation round fused in:
+    // label(v) = min(v, min direct neighbor) — exactly what round 1 over
+    // identity labels computes, for the price of one aggregate instead
+    // of a full join+agg+update round (r17: saves one loop round — two
+    // checkpoint/convergence jobs — per call; the trajectory from here
+    // is identical, spec-pinned by the chain-propagation test)
     var (labels, labelIds) = checkpointTracked(
-      edges.select(col("src").as("node")).distinct()
-        .select(col("node"), col("node").as("label")))
+      edges.groupBy(col("src"))
+        .agg(least(col("src"), min(col("dst"))).as("label"))
+        .select(col("src").as("node"), col("label")))
     var it = 0
     var converged = false
     while (it < maxIters && !converged) {

@@ -925,13 +925,22 @@ object DedupDemos {
       val scratch = freshScratchDir(s, "x59_store")
       TextDedup.lshStoreWrite(base, "doc_id", "text", "x59_band_store",
         path = Some(scratch))
+      // batch1's band index is derived ONCE and shared by its probe and
+      // its append (r17: the probe's internal lshIndex(b1) and the
+      // append's were two full shingle→signature→band passes over the
+      // same batch; the cut costs one action and halves the batch-1
+      // index work). Cut BEFORE the probe so the append reads the same
+      // materialized rows.
+      val b1Idx = TextDedup.eagerCut(TextDedup.lshIndex(b1, "doc_id", "text"))
       // batch1's probe must COMPLETE before the append mutates the store
       // (lazily-evaluated, it would see its own batch and self-pair) —
       // exactly the sequential contract of a real crawl loop
       val p1 = TextDedup.probeLshStore(b1, s.table("x59_band_store"), base,
         "doc_id", "text", threshold = 0.5,
-        maxBucket = Some(x59Cap)).localCheckpoint(true)
-      TextDedup.lshStoreAppend(b1, "doc_id", "text", "x59_band_store")
+        maxBucket = Some(x59Cap),
+        prebuiltBatchIndex = Some(b1Idx)).localCheckpoint(true)
+      TextDedup.lshStoreAppend(b1, "doc_id", "text", "x59_band_store",
+        prebuiltIndex = Some(b1Idx))
       val p2 = TextDedup.probeLshStore(b2, s.table("x59_band_store"),
         base.unionByName(b1), "doc_id", "text", threshold = 0.5,
         maxBucket = Some(x59Cap))
@@ -1183,6 +1192,12 @@ object DedupDemos {
       // expensive query — when the preset outputs are nested by
       // construction (r16 verdict item 6).
       val capMax = presets.map(_._3).max
+      // candidate chain stays LAZY here (materializeCandidates = None):
+      // the r17 A/B measured the cut variant SLOWER at sf0.1 (4.47 vs
+      // 3.60 s — the checkpoint barrier costs more than re-reading the
+      // already-cut band index saves); at corpus scale callers pass
+      // materializeCandidates = Some(eagerCut) so the live-bucket
+      // window + self-join runs once instead of once per consumer
       val withBn = TextDedup.minhashLshPairsWithMinBucket(bands, docs,
           "doc_id", "text", threshold = 0.5, maxBucket = capMax)
         .localCheckpoint(true)
