@@ -75,20 +75,31 @@ object CorpusClean {
     * the band-bucket histogram — before the LSH stage proper; both are
     * narrow aggregates any production run affords.
     */
+  /** `cutAllStages`: apply `materializeCut` to EVERY intermediate stage
+    * frame (quality, nearKept), not just the exact-dedup survivors —
+    * for consumers that read the `ordered` stage list more than once
+    * (the x50 waterfall counts every stage, so a lazy `nearKept` would
+    * re-run the whole LSH pair chain once per downstream count; r17).
+    * The pipeline default stays false: a single-consumer chain pays
+    * the extra materialization barriers for nothing.
+    */
   def stages(docs: DataFrame, idCol: String, textCol: String,
       stratumCol: String, nearDupThreshold: Double,
       rates: Map[String, Int], defaultPercent: Int = 0,
       materializeCut: DataFrame => DataFrame = identity,
       lshMaxBucket: Option[Int] = None,
       lshBandGroups: Option[Int] = None,
-      lshRecallFloor: Option[Double] = None): CleanStages = {
+      lshRecallFloor: Option[Double] = None,
+      cutAllStages: Boolean = false): CleanStages = {
     require(lshMaxBucket.isEmpty || lshRecallFloor.isEmpty,
       "lshMaxBucket and lshRecallFloor both set — pass one cap " +
         "authority (an explicit cap, or a floor the measured table prices)")
+    val cutStage: DataFrame => DataFrame =
+      if (cutAllStages) materializeCut else identity
     // 1. quality: C4-style keep flag
-    val quality = TextAnalysis.qualityMetrics(docs, textCol)
+    val quality = cutStage(TextAnalysis.qualityMetrics(docs, textCol)
       .filter(col("keep") === 1)
-      .select(docs.columns.map(col): _*)
+      .select(docs.columns.map(col): _*))
 
     // 2. exact dedup: one survivor (lowest id) per content fingerprint —
     // fingerprint appends as a narrow column (no join, no extra shuffle)
@@ -111,9 +122,9 @@ object CorpusClean {
     }
     val pairs = TextDedup.minhashLshPairs(exactKept, idCol, textCol,
       nearDupThreshold, maxBucket = cap, bandGroups = lshBandGroups)
-    val nearKept = exactKept.join(
+    val nearKept = cutStage(exactKept.join(
       pairs.select(col("id_b").as(idCol)).distinct(),
-      Seq(idCol), "left_anti")
+      Seq(idCol), "left_anti"))
 
     // 4. reproducible stratified sample
     val sampled = Sampling.stratifiedSample(nearKept, col(idCol),

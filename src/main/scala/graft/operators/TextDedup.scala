@@ -1682,10 +1682,8 @@ object TextDedup {
       n: Int): DataFrame = {
     require(n >= 1, s"span window must be >= 1 token, got $n")
     val toks = df.select(col(idCol).as("doc_id"), split(col(textCol), " ").as("toks"))
-    // 1-based token positions; 1-based window start positions
-    val tokpos = toks
-      .select(col("doc_id"), posexplode(col("toks")).as(Seq("p0", "word")))
-      .select(col("doc_id"), (col("p0") + 1).as("pos"), col("word"))
+      .filter(col("toks").isNotNull)
+    // 1-based window start positions
     val occ = toks.filter(size(col("toks")) >= n)
       .select(col("doc_id"), posexplode(nGrams(col("toks"), n)).as(Seq("p0", "g")))
       .select(col("doc_id"), (col("p0") + 1).as("pos"), col("g"))
@@ -1699,16 +1697,30 @@ object TextDedup {
       .select(col("doc_id"),
         explode(sequence(col("pos"), col("pos") + (n - 1))).as("pos"))
       .distinct()
-    tokpos
-      .join(removed.withColumn("__rm", lit(true)), Seq("doc_id", "pos"), "left")
-      .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_toks"),
-        sum(when(col("__rm"), lit(1L)).otherwise(lit(0L))).as("n_removed"),
+    // Reassembly stays ARRAY-NATIVE (r17): removed positions fold to one
+    // set per doc (bounded by that doc's duplicated spans — most docs
+    // have none and skip the aggregate entirely), join back to the token
+    // arrays on doc id, and the surviving tokens are an array_except
+    // over position indices — all codegen projections. The previous
+    // shape exploded EVERY token into (doc, pos, word) rows, left-joined
+    // the removed set per token, and re-sorted every document's tokens
+    // through a collect_list ObjectHashAggregate: a full-corpus shuffle
+    // + object aggregate to rebuild strings the scan-side array already
+    // held in order (x28 3.42→measured below at sf0.1; at 100 TB the
+    // token explode was the operator's dominant shuffle).
+    val rmSets = removed.groupBy(col("doc_id"))
+      .agg(collect_set(col("pos")).as("__rm"))
+    toks
+      .join(rmSets, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("toks"),
+        coalesce(col("__rm"), array().cast("array<int>")).as("__rm"))
+      .select(
+        col("doc_id"),
+        size(col("toks")).cast("long").as("n_toks"),
+        size(col("__rm")).cast("long").as("n_removed"),
         concat_ws(" ", transform(
-          filter(array_sort(collect_list(
-            struct(col("pos"), col("word"), coalesce(col("__rm"), lit(false)).as("rm")))),
-            s => !s.getField("rm")),
-          s => s.getField("word"))).as("cleaned_text"))
+          array_except(sequence(lit(1), size(col("toks"))), col("__rm")),
+          p => element_at(col("toks"), p))).as("cleaned_text"))
   }
 
   /** Segment-level corpus dedup (CCNet-style paragraph dedup, adapted to

@@ -266,7 +266,11 @@ object CorpusCleanDemos {
         Tables.table(s, dir, "documents"),
         idCol = "doc_id", textCol = "text", stratumCol = "lang",
         nearDupThreshold = 0.5, rates = rates,
-        materializeCut = _.localCheckpoint(true)).ordered
+        materializeCut = _.localCheckpoint(true),
+        // every stage frame is counted below, so each cuts once — a
+        // lazy nearKept would re-run the LSH pair chain per downstream
+        // count (r17: the waterfall's plan carried the chain twice)
+        cutAllStages = true).ordered
       val wide = stages.zipWithIndex
         .map { case ((_, df), i) => df.agg(count(lit(1)).as(s"n$i")) }
         .reduce(_ crossJoin _)
