@@ -1797,17 +1797,22 @@ object TextDedup {
         transform(split(col(textCol), " "), w => Hashing.charPolyHash(w)).as("ths"))
       .filter(size(col("ths")) >= k)
     val grams = toks
-      .select(col("doc_id"), posexplode(
+      // gram count per doc is a function of the PRE-explode array size
+      // (m = |ths| - k + 1), so the full-window guard below is a plain
+      // per-row predicate — the previous count(*)-over-doc window
+      // re-derived it from the exploded rows, a second window function
+      // (and its per-row frame state) on the same exchange for a value
+      // the scan side already knew (r17)
+      .select(col("doc_id"), (size(col("ths")) - (k - 1)).as("mg"), posexplode(
         transform(sequence(lit(0), size(col("ths")) - k), i =>
           aggregate(sequence(lit(1), lit(k)), lit(0L), (acc, j) =>
             (acc * 131 + element_at(col("ths"), i + j)) % Mod)))
         .as(Seq("p0", "h")))
-      .select(col("doc_id"), (col("p0") + 1).as("pos"), col("h"))
+      .select(col("doc_id"), col("mg"), (col("p0") + 1).as("pos"), col("h"))
     val slide = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
       .rowsBetween(Window.currentRow, w - 1)
     grams
       .withColumn("fp", min(col("h")).over(slide))
-      .withColumn("mg", count(lit(1)).over(Window.partitionBy(col("doc_id"))))
       // only full windows select (positions 1 .. m-w+1)
       .filter(col("pos") <= col("mg") - (w - 1))
       .select(col("doc_id"), col("fp")).distinct()
