@@ -55,9 +55,22 @@ object ScaleOps {
     * cardinality (date, region), never high-cardinality keys (file-per-
     * value explosion); bucket WITHIN partitions for join co-location.
     */
+  /** Output file sizing (r17, guide §6): without a write-side
+    * distribution, EVERY upstream task writes one file per partition
+    * value it happens to hold — N scan tasks × D days = N·D small files
+    * at corpus scale (the listing/open cost then hits every reader,
+    * twice). The REBALANCE hint shuffles by the partition columns and
+    * lets AQE split oversized and coalesce undersized groups to the
+    * advisory partition size, so each partition directory gets a few
+    * well-sized files and a hot day cannot straggle a single writer
+    * (which a plain `repartition(partitionCols)` would — one task per
+    * value). Data-identical; at demo scale AQE coalesces the exchange
+    * to one task, so the local bench cost is one ~MB shuffle.
+    */
   def writePartitioned(df: DataFrame, path: String,
       partitionCols: Seq[String]): Unit =
-    df.write.mode("overwrite")
+    df.hint("rebalance", partitionCols.map(col): _*)
+      .write.mode("overwrite")
       .partitionBy(partitionCols: _*)
       .parquet(path)
 
