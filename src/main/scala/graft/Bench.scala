@@ -209,6 +209,27 @@ object Bench {
     val qsCalib = ok.map { case (k, v) => "\"" + k + "\":" + (v / calib) }
       .mkString("{", ",", "}")
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    // I/O-BOUND flags (r17 verdict item 8): queries that write+read
+    // their own scratch data inside the timed region (store/snapshot/
+    // model materialization demos), so their seconds track calib_io —
+    // disk weather — under zero code change (r17 measured x12 1.59→2.57
+    // and calib_io 2.46→1.03 across same-code windows). Flagging them
+    // makes cross-round weather attribution mechanical: a mover on this
+    // list needs a calib_io-sized discount before it reads as a code
+    // delta. Membership is structural (the demo performs its own
+    // filesystem writes), not measured, so the list is stable across
+    // rounds and additions-only.
+    val ioQueries = Seq(
+      "x12_scd2_snapshot", "x13_incremental", "x24_jsonl_roundtrip",
+      "x25_partition_pruning", "x26_bucketed_join", "x38_orc_roundtrip",
+      "x43_shard_pipeline", "x44_schema_evolution",
+      "x59_lsh_store_maintenance",
+      "q33_jinja_model", "q34_jinja_vars", "q35_jinja_filters",
+      "q36_seed_column_types", "q37_exposure_select", "q38_metric_calculate",
+      "q39_source_staging", "q40_run_hooks", "q41_dbt_utils_shims",
+      "q42_model_contract", "q43_test_severity_audit", "q44_analysis_compile")
+    val ioJson = ioQueries.filter(queries.contains)
+      .map("\"" + _ + "\"").mkString("[", ",", "]")
     // `failed` keeps its name-only shape (the driver parses it);
     // `failed_detail` carries the reason so a failed official record is
     // self-diagnosing (r9 verdict item 3)
@@ -232,7 +253,7 @@ object Bench {
     // "queries" carries the official (median) statistic; the explicit
     // "queries_median" alias says so to any consumer diffing rounds
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","stat":"median_of_sweeps","sweeps":$sweeps,"sweep_totals":$sweepTotals,"calib":$calib,"calib_io":$calibIo,"calibs":$calibsJson,"calibs_io":$calibsIoJson,"source":"$source","queries":$qs,"queries_median":$qs,"queries_median_calib":$qsCalib,"failed":$failedJson,"failed_detail":$failedDetailJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","stat":"median_of_sweeps","sweeps":$sweeps,"sweep_totals":$sweepTotals,"calib":$calib,"calib_io":$calibIo,"calibs":$calibsJson,"calibs_io":$calibsIoJson,"source":"$source","io":$ioJson,"queries":$qs,"queries_median":$qs,"queries_median_calib":$qsCalib,"failed":$failedJson,"failed_detail":$failedDetailJson,"sf":"$sfDir"}"""
     Files.createDirectories(Paths.get("target"))
     Files.write(Paths.get("target/bench.json"),
       (json + "\n").getBytes(StandardCharsets.UTF_8))
@@ -291,12 +312,36 @@ object Bench {
     Files.write(fullPath,
       (json + "\n").getBytes(StandardCharsets.UTF_8))
     // The full line above carries every per-query timing (~4 KB) and has
-    // twice fallen out of the driver's stdout tail-capture window, leaving
-    // the official bench record unparsed. Emit it to the file only, and end
-    // stdout with a COMPACT summary line (<200 bytes) so a tail of any
-    // reasonable size contains a complete, parseable JSON object.
-    val summary =
-      s"""{"metric":"total","value":$total,"unit":"sec","stat":"median_of_sweeps","sweeps":$sweeps,"calib":$calib,"calib_io":$calibIo,"calibs":$calibsJson,"source":"$source","n":${ok.size},"n_failed":${failed.size},"sf":"$sfDir"}"""
+    // twice fallen out of the driver's stdout tail-capture window (the r1
+    // and r2 BENCH records are exactly 2000 chars of tail with the line's
+    // HEAD cut off — the rounds had no parsed bench at all), leaving the
+    // official record unparsed. So the stdout line must stay inside a
+    // ~2000-char tail — which also means the COMPLETE 164-query map
+    // (~4 KB of names alone) can never ride it. The r17 verdict (item 2)
+    // asks for per-query medians in the contract line so PERF can score
+    // per-query deltas; the largest slice that fits is the TOP-K most
+    // expensive queries — where all optimization signal lives (the tail
+    // below the cut sits at the 0.3–0.5 s job-launch floor and reads as
+    // noise anyway). Entries are added in descending median order until
+    // the line would exceed the budget; the complete map is in
+    // BENCH_FULL.json (committed) and target/bench.json as before.
+    // "queries_omitted" says how many didn't fit, so no consumer can
+    // mistake the slice for the whole suite.
+    val lineBudget = 1800
+    val valueCalib = total / calib
+    def summaryWith(entries: Seq[(String, Double)], omitted: Int): String = {
+      val qsTop = entries.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+        .mkString("{", ",", "}")
+      s"""{"metric":"total","value":$total,"value_calib":$valueCalib,"unit":"sec","stat":"median_of_sweeps","sweeps":$sweeps,"calib":$calib,"calib_io":$calibIo,"calibs":$calibsJson,"source":"$source","n":${ok.size},"n_failed":${failed.size},"io":$ioJson,"queries":$qsTop,"queries_omitted":$omitted,"sf":"$sfDir"}"""
+    }
+    val byCost = ok.toSeq.sortBy { case (k, v) => (-v, k) }
+    // largest prefix of the cost-ordered queries that keeps the line
+    // within budget (every prefix is monotonically longer, so the scan
+    // finds the exact cut)
+    val kFit = (0 to byCost.size).reverse
+      .find(k => summaryWith(byCost.take(k), byCost.size - k).length <= lineBudget)
+      .getOrElse(0)
+    val summary = summaryWith(byCost.take(kFit), byCost.size - kFit)
     println(summary)
     spark.stop()
     benchLock.close()

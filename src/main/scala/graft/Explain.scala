@@ -36,7 +36,7 @@ object Explain {
     spark.sparkContext.setLogLevel("WARN")
     graft.sources.Tables.bootstrap(spark)
     outDir.foreach(d => Files.createDirectories(Paths.get(d)))
-    names.foreach { name =>
+    val built = names.map { name =>
       val df = SparkEntry.queries(name)(spark, sfDir)
       val txt = df.queryExecution.explainString(
         org.apache.spark.sql.execution.FormattedMode)
@@ -49,9 +49,15 @@ object Explain {
           println(s"===== $name =====")
           println(txt)
       }
+      df
     }
     if (names.size == 1 && outDir.isEmpty) {
-      val df = SparkEntry.queries(names.head)(spark, sfDir)
+      // reuse the frame the explain loop built: eager side-effecting
+      // demos (x59/x12/x13 — store writes, scratch setup) execute those
+      // actions when the query function is CALLED, so building the
+      // DataFrame a second time here would run the writes twice and
+      // time a rebuilt state (r17 advice)
+      val df = built.head
       val t0 = System.nanoTime()
       val n = df.count()
       println(f"rows=$n time=${(System.nanoTime() - t0) / 1e9}%.2fs")

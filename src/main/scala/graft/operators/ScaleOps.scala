@@ -22,10 +22,36 @@ object ScaleOps {
     * not write into the session warehouse dir — e.g. demos running from
     * a repo checkout — pass an explicit scratch path).
     */
+  /** Write-side distribution (r18, guide §6 small files — the bucketed
+    * sibling of [[writePartitioned]]'s r17 fix): a bucketed write with
+    * no distribution makes EVERY upstream task write one file per
+    * bucket it holds rows for — N tasks × B buckets files (the r18 x59
+    * store measured 3 upstream tasks × 8 buckets = 24 fragments per
+    * write at demo scale; at corpus scale N is the full shuffle width).
+    * Every probe/join then opens N×B files and every REFRESH relists
+    * them. The fix shuffles by the bucket columns into exactly
+    * `buckets` partitions first: `repartition(buckets, keys)` is the
+    * same HashPartitioning(keys, buckets) expression Spark's bucketing
+    * hashes rows with, so each output task holds exactly one bucket's
+    * rows and writes exactly ONE file — B files total, the layout a
+    * bucketed store is supposed to have. A REBALANCE hint (not a hard
+    * `repartition(buckets)`) does the aligning: AQE coalesces the
+    * exchange to as few tasks as the data warrants (locally: one task →
+    * still exactly B files, the writer splits by bucket id within the
+    * task) and can SPLIT a fat bucket across tasks at corpus scale
+    * (several well-sized files for that bucket — valid bucketed layout —
+    * instead of one straggling writer), so write parallelism is sized by
+    * data volume rather than capped at `buckets`.
+    */
+  private def bucketAligned(df: DataFrame, buckets: Int,
+      keys: Seq[String]): DataFrame =
+    df.hint("rebalance", keys.map(col): _*)
+
   def writeBucketed(df: DataFrame, table: String, buckets: Int,
       keys: Seq[String], sortCols: Seq[String] = Nil,
       path: Option[String] = None): Unit = {
-    val w0 = df.write.mode("overwrite").bucketBy(buckets, keys.head, keys.tail: _*)
+    val w0 = bucketAligned(df, buckets, keys)
+      .write.mode("overwrite").bucketBy(buckets, keys.head, keys.tail: _*)
     val w1 = if (sortCols.nonEmpty) w0.sortBy(sortCols.head, sortCols.tail: _*) else w0
     val w2 = path.fold(w1)(p => w1.option("path", p))
     w2.format("parquet").saveAsTable(table)
@@ -43,7 +69,12 @@ object ScaleOps {
     */
   def appendBucketed(df: DataFrame, table: String, buckets: Int,
       keys: Seq[String], sortCols: Seq[String] = Nil): Unit = {
-    val w0 = df.write.mode("append").bucketBy(buckets, keys.head, keys.tail: _*)
+    // same write-side distribution as [[writeBucketed]]: each append
+    // adds exactly `buckets` files to the store instead of
+    // tasks × buckets fragments — over a crawl loop's lifetime the
+    // difference compounds into the store's whole listing cost
+    val w0 = bucketAligned(df, buckets, keys)
+      .write.mode("append").bucketBy(buckets, keys.head, keys.tail: _*)
     val w1 = if (sortCols.nonEmpty) w0.sortBy(sortCols.head, sortCols.tail: _*) else w0
     w1.format("parquet").saveAsTable(table)
   }

@@ -652,7 +652,7 @@ object TextDedup {
     val verified = materializeCandidates match {
       case None =>
         verifyCandidatePairs(candIds, corpus, idCol, textCol, threshold)
-      case Some(_) =>
+      case Some(m) =>
         verifyGroups match {
           case Some(vg) =>
             verifyCandidatePairsGrouped(ensureEagerCut(candIds), corpus,
@@ -663,7 +663,7 @@ object TextDedup {
               .distinct()
             verifyCandidatePairs(candIds,
               corpus.join(docsOf, Seq(idCol), "left_semi"),
-              idCol, textCol, threshold)
+              idCol, textCol, threshold, cut = m)
         }
     }
     verified.join(candMin.select(col("__graft_id_a").as("id_a"),
@@ -703,9 +703,12 @@ object TextDedup {
               .distinct()
             // no broadcast hint: the candidate-doc set is O(docs with a
             // near-dup), unbounded at corpus scale — let AQE broadcast it
-            // only when it actually fits, else a shuffled semi join
+            // only when it actually fits, else a shuffled semi join.
+            // The caller's materializer also cuts the shingle-set frame
+            // (see verifyCandidatePairs: lazy sets evaluate once per
+            // pair side)
             verifyCandidatePairs(c, df.join(candIds, Seq(idCol), "left_semi"),
-              idCol, textCol, threshold)
+              idCol, textCol, threshold, cut = m)
         }
     }
   }
@@ -714,10 +717,23 @@ object TextDedup {
     * candidate frame against shingle sets built from `setsBase` — the
     * shared tail of the monolithic and band-grouped paths (ONE
     * definition, so the grouped path's semantics can never drift).
+    *
+    * `cut` materializes the shingle-set frame ONCE before the two pair-
+    * side joins: the sets frame is joined by `__graft_id_a` and again by
+    * `__graft_id_b` — two different hash partitionings, so exchange
+    * reuse never applies and a LAZY sets plan (text scan → semi join →
+    * tokenize → shingle build) evaluates once per side (r17 verdict
+    * item 4: the sampled survival instrument's verify rebuilt shingle
+    * sets from text for both pair sides). Callers holding a
+    * materialization strategy pass it here; the default `identity`
+    * keeps the lazy demo contract (at demo scale the barrier can cost
+    * more than the duplicated build — the same measured tradeoff as
+    * `materializeCandidates` itself).
     */
   private def verifyCandidatePairs(cand: DataFrame, setsBase: DataFrame,
-      idCol: String, textCol: String, threshold: Double): DataFrame = {
-    val sets = shingleSets(setsBase, idCol, textCol)
+      idCol: String, textCol: String, threshold: Double,
+      cut: DataFrame => DataFrame = identity): DataFrame = {
+    val sets = cut(shingleSets(setsBase, idCol, textCol))
     cand
       .join(sets.select(col("doc_id").as("__graft_id_a"), col("shs").as("shs_a")),
         "__graft_id_a")
@@ -940,7 +956,8 @@ object TextDedup {
               .distinct()
             df.join(candIds, Seq(idCol), "left_semi")
         }
-        cut(verifyCandidatePairs(cand, setsBase, idCol, textCol, threshold))
+        cut(verifyCandidatePairs(cand, setsBase, idCol, textCol, threshold,
+          cut = cut))
     }
     // bucket sizes over the FULL index (the sizes the capped operator
     // filters on), then restricted to docs that appear in a true pair —
@@ -1094,6 +1111,15 @@ object TextDedup {
               .distinct()
             sampled.join(candIds, Seq(idCol), "left_semi")
         }
+        // deliberately NO sets-cut here, unlike [[lshSurvivalStats]]:
+        // this instrument's verify base is the 1/S sampled sub-corpus
+        // semi-joined to its candidates, so the duplicated lazy shingle
+        // build is S²× smaller than the exact instrument's — the r18
+        // interleaved A/B measured the extra checkpoint barrier COSTING
+        // more than it saves (x65b 3.25→3.88 s, x65 4.22→4.49 s medians
+        // of 3 interleaved runs) where the exact family won (x62
+        // 4.35→3.80 s). The at-scale faces (10M docs) pass verifyGroups
+        // and take the grouped path above, which never hits this branch.
         cut(verifyCandidatePairs(cand, setsBase, idCol, textCol, threshold))
     }
     // FULL-corpus bucket sizes for exactly the buckets the pair docs
@@ -1282,24 +1308,70 @@ object TextDedup {
     * capped sets (pairs whose similarity rode on stop-shingles drop out —
     * the intended recall tradeoff — but surviving scores are consistent).
     */
+  /** Postings annotated with per-shingle document frequency `df`, with
+    * stop-shingles (df > `maxDocFreq`) removed BEFORE the (sh) exchange
+    * when a cap is set — the shared frequency machinery of
+    * [[ngramJaccardPairs]] and [[containmentPairs]].
+    *
+    * `df` rides a WINDOW over the postings' (sh) hash-partitioning —
+    * the same one-exchange shape as [[lshCandidatePairs]]' bucket
+    * count: the count, the per-doc capped sizes, AND both self-join
+    * sides all hang off ONE shuffle of the postings (r17: the previous
+    * two-phase COUNT + join-back formulation shuffled the postings for
+    * the join anyway and added a second exchange of the per-shingle
+    * counts plus an SMJ to re-attach them; the window reads the same
+    * sorted runs the self-join needs and costs no extra exchange). The
+    * even older collect_set-per-shingle form is documented at
+    * lshCandidatePairs — ObjectHashAggregate falls back to sort-based
+    * past 128 groups.
+    *
+    * Skew guard (r17 verdict item 3 / advice: the window buffers each
+    * shingle's ENTIRE posting list in one task before any filter can
+    * drop it, so a corpus-scale stop-shingle — millions of postings on
+    * one reducer — is a one-task spill/straggler that exists only to be
+    * discarded): with a cap, a SOUND over-cap shingle set is detected
+    * first on a deterministic 1-in-[[HotShingleSampleOneIn]] document
+    * sample ([[samplePredicate]] — the filter pushes below the shingle
+    * explode, so the detection pass tokenizes 1/16 of the corpus, not
+    * all of it; an exact full two-phase count was A/B'd and DOUBLED
+    * x2c2 at sf0.1 by re-deriving every posting) and broadcast
+    * anti-joined against the postings BELOW the (sh) exchange — a
+    * stop-shingle's postings die map-side and never cross the network.
+    * Soundness: the sample is a subset of the corpus, so a shingle's
+    * sampled count never exceeds its true df — `sampled > cap ⟹
+    * df > cap`, no false positives, and the window's exact `df ≤ cap`
+    * filter below stays as the backstop for hot shingles the sample
+    * under-counts. What the guard therefore bounds is the CATASTROPHIC
+    * key: a shingle with df ≥ ~4·16·cap postings is flagged with
+    * probability ≥ 1−exp(−Ω(cap)) (binomial lower tail), so the worst
+    * group a window task can buffer concentrates at O(64·cap) rows —
+    * thousands — instead of the unbounded millions-of-postings
+    * boilerplate shingle; the broadcast set is only those flagged
+    * monsters, in real corpora the handful of stop-shingles the cap
+    * exists for. Output is identical either way: whole shingle groups
+    * drop, so surviving groups' window counts equal their true df.
+    */
+  private[operators] val HotShingleSampleOneIn = 16
+
+  private def postingsWithDf(posts: DataFrame,
+      maxDocFreq: Option[Int]): DataFrame = {
+    val kept = maxDocFreq.fold(posts) { cap =>
+      val hot = posts
+        .filter(samplePredicate(col("doc_id"), HotShingleSampleOneIn))
+        .groupBy(col("sh")).agg(count(lit(1)).as("__df"))
+        .filter(col("__df") > cap)
+        .select(col("sh"))
+      posts.join(broadcast(hot), Seq("sh"), "left_anti")
+    }
+    kept.withColumn("df", count(lit(1)).over(Window.partitionBy(col("sh"))))
+      .filter(maxDocFreq.fold(lit(true))(cap => col("df") <= cap))
+  }
+
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
       threshold: Double, maxDocFreq: Option[Int] = None): DataFrame = {
     val td = tokArrays(df, idCol, textCol)
     val posts = td.select(col("doc_id"), explode(shingleSet(col("toks"))).as("sh"))
-    // Per-shingle document frequency as a WINDOW over the postings'
-    // (sh) hash-partitioning — the same one-exchange shape as
-    // [[lshCandidatePairs]]' bucket count: the count, the cap filter,
-    // the per-doc capped sizes, AND both self-join sides all hang off
-    // ONE shuffle of the postings (r17: the previous two-phase
-    // COUNT + join-back formulation shuffled the postings for the join
-    // anyway and added a second exchange of the per-shingle counts plus
-    // an SMJ to re-attach them; the window reads the same sorted runs
-    // the self-join needs and costs no extra exchange). The even older
-    // collect_set-per-shingle form is documented at lshCandidatePairs —
-    // ObjectHashAggregate falls back to sort-based past 128 groups.
-    val okPosts = posts
-      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("sh"))))
-      .filter(maxDocFreq.fold(lit(true))(cap => col("df") <= cap))
+    val okPosts = postingsWithDf(posts, maxDocFreq)
     val sizes = maxDocFreq match {
       case None =>
         td.select(col("doc_id"), size(shingleSet(col("toks"))).as("n"))
@@ -1341,10 +1413,8 @@ object TextDedup {
       threshold: Double, maxDocFreq: Option[Int] = None): DataFrame = {
     val td = tokArrays(df, idCol, textCol)
     val posts = td.select(col("doc_id"), explode(shingleSet(col("toks"))).as("sh"))
-    // window-df over the one (sh) exchange — see [[ngramJaccardPairs]]
-    val okPosts = posts
-      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("sh"))))
-      .filter(maxDocFreq.fold(lit(true))(cap => col("df") <= cap))
+    // window-df + broadcast stop-shingle guard — see [[postingsWithDf]]
+    val okPosts = postingsWithDf(posts, maxDocFreq)
     val sizes = maxDocFreq match {
       case None =>
         td.select(col("doc_id"), size(shingleSet(col("toks"))).as("n"))
@@ -1381,7 +1451,12 @@ object TextDedup {
     * algorithm cut). Converges in O(component diameter) rounds —
     * near-dup clusters are near-cliques, so a handful; `maxIters` caps
     * the loop and convergence is verified (throws if not reached, rather
-    * than silently returning partial labels).
+    * than silently returning partial labels). Note on the cap's meaning
+    * since round 1 fused into init (r17): the loop bounds propagation
+    * rounds 2..maxIters+1, so a component of diameter exactly
+    * maxIters+1 converges where the pre-fusion operator would have
+    * thrown — a strict behavior relaxation (everything that converged
+    * before still converges, to identical labels; r17 advice).
     */
   def dedupClusters(pairs: DataFrame, idACol: String = "id_a",
       idBCol: String = "id_b", maxIters: Int = 20): DataFrame = {
@@ -1390,9 +1465,19 @@ object TextDedup {
     // superseded round, so live storage stays at edges + one label
     // generation instead of one copy per iteration
     def release(ids: Set[Int]): Unit = TextDedup.release(sc, ids)
+    // both edge directions from ONE evaluation of the pairs frame: the
+    // old self-union (pairs ∪ pairs.swapped) planned the ENTIRE pairs
+    // subtree twice — for the composed x2f path that is the full LSH
+    // chain (signature aggregate, band window, self-join, verify) run
+    // once per union arm inside the edges checkpoint job (r17 verdict
+    // item 6: the pairs chain, not the iterations, is x2f's cost). The
+    // explode emits (a→b, b→a) per pair row in a codegen projection, so
+    // the chain evaluates once; same rows, same distinct.
     val (edges, edgeIds) = checkpointTracked(
-      pairs.select(col(idACol).as("src"), col(idBCol).as("dst"))
-        .union(pairs.select(col(idBCol).as("src"), col(idACol).as("dst")))
+      pairs.select(explode(array(
+          struct(col(idACol).as("src"), col(idBCol).as("dst")),
+          struct(col(idBCol).as("src"), col(idACol).as("dst")))).as("__e"))
+        .select(col("__e.src").as("src"), col("__e.dst").as("dst"))
         .distinct()) // consumed every round: materialize once
     // init = identity labels with the FIRST propagation round fused in:
     // label(v) = min(v, min direct neighbor) — exactly what round 1 over

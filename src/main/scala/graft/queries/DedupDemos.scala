@@ -256,8 +256,19 @@ object DedupDemos {
   // so the oracle replays the signatures themselves.
   private val x2h = Demo("x2h_minhash_estimate",
     Some(oracleLshEstimatePairs(0.35)),
+    // materializeSignatures: the signature frame feeds THREE consumers
+    // (banding + both pair-join sides), and lazily the 128-permutation
+    // signature aggregate — this operator's dominant compute — runs once
+    // per consumer (r18 plan audit: 3 MinHashAgg HashAggregates over 3
+    // text scans). The cut runs it ONCE into ~n·1 KB of storage; unlike
+    // the x2b lazy-vs-materialize tradeoff (where the cut restructures
+    // verification into semi joins), this is a pure 3×→1× of the same
+    // aggregate, so it wins at demo scale too (A/B in
+    // OPTIMIZATION_r18.md). This is also the honest production shape:
+    // the re-score path's whole point is signatures computed once.
     (s, dir) => TextDedup.minhashEstimatePairs(
-        t(s, dir, "documents"), "doc_id", "text", threshold = 0.35)
+        t(s, dir, "documents"), "doc_id", "text", threshold = 0.35,
+        materializeSignatures = Some(TextDedup.eagerCut))
       .orderBy(col("id_a").asc_nulls_last, col("id_b").asc_nulls_last))
 
   // X2b (capped): the open-web-scale face of x2b — the maxBucket
