@@ -396,6 +396,64 @@ class TextDedupSpec extends SparkSpec {
       s"only-got=${got.diff(expected).take(3)} only-expected=${expected.diff(got).take(3)}")
   }
 
+  test("stop-shingle guard: sampled pre-filter fires on a hot shingle, output stays the exact capped semantics") {
+    val s = spark
+    import s.implicits._
+    // every doc shares the 'zz yy xx' shingle (df = 400, so its count
+    // within the deterministic 1-in-16 md5 sample is the sample size —
+    // far above the cap: the broadcast anti-join guard must flag and
+    // drop it BELOW the exchange); each doc also pairs with its twin
+    // (i, i+200) through a unique-but-shared tail shingle with df = 2
+    // that must SURVIVE the cap
+    val docs = (0L until 400L).map { i =>
+      val fam = i % 200
+      (i, s"zz yy xx t$fam u$fam v$fam")
+    }.toDF("doc_id", "text")
+    val cap = 2
+    // independent reference over the capped shingle universe (the same
+    // brute force as the test above): the hot shingle drops from every
+    // set, the twin tails keep their pairs
+    val toks = docs
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .filter(size(col("toks")) >= 3)
+    val posts = toks.select(col("doc_id"),
+      explode(array_distinct(transform(
+        sequence(lit(0), size(col("toks")) - 3), i =>
+          concat_ws(" ",
+            element_at(col("toks"), i + 1),
+            element_at(col("toks"), i + 2),
+            element_at(col("toks"), i + 3))))).as("sh"))
+    val ok = posts.groupBy("sh").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= cap).select("sh")
+    val sets = posts.join(ok, "sh")
+      .groupBy("doc_id").agg(collect_set(col("sh")).as("shs"))
+    val inter = size(array_intersect(col("a.shs"), col("b.shs")))
+    val expected = sets.alias("a")
+      .join(sets.alias("b"), col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+        (inter.cast("double")
+          / (size(col("a.shs")) + size(col("b.shs")) - inter)).as("jaccard"))
+      .filter(col("jaccard") >= 0.05)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val capped = TextDedup.ngramJaccardPairs(docs, "doc_id", "text", 0.05,
+      maxDocFreq = Some(cap))
+    val got = capped
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(expected.nonEmpty, "test corpus produced no surviving pairs")
+    assert(got == expected,
+      s"only-got=${got.diff(expected).take(3)} only-expected=${expected.diff(got).take(3)}")
+    // plan shape: the guard is a broadcast LeftAnti BELOW the (sh)
+    // exchange when a cap is set, and absent when not (r17 verdict
+    // item 3's done-criterion)
+    def finalPlan(df: org.apache.spark.sql.DataFrame) =
+      df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    assert(finalPlan(capped).contains("LeftAnti"),
+      "capped plan lost the stop-shingle anti-join guard")
+    assert(!finalPlan(TextDedup.ngramJaccardPairs(docs, "doc_id", "text",
+        0.05)).contains("LeftAnti"),
+      "uncapped plan must not carry the guard")
+  }
+
   test("exactDedup keeps exactly one row per key, the tiebreak-first one") {
     val s = spark
     import s.implicits._
