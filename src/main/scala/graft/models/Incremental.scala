@@ -62,11 +62,25 @@ object Incremental {
   def run(spark: SparkSession, path: String, strategy: Strategy,
       fullRefresh: Boolean = false)(
       build: (Boolean, Option[DataFrame]) => DataFrame): DataFrame = {
+    // Partitioned writes REBALANCE by the partition columns first (r18,
+    // guide §6 — the same write-side distribution as ScaleOps
+    // .writePartitioned's r17 fix): without it every upstream task
+    // writes one file per partition value it holds — N tasks × D values
+    // small files per run, compounding each incremental batch, and
+    // every later `existing` re-read (the is_incremental() path reads
+    // the table every run) pays the listing/open cost. AQE sizes the
+    // exchange, so a hot partition splits across writers instead of
+    // straggling one. Data-identical. Unpartitioned writes stay
+    // distribution-free: adding an exchange to a pass-through full
+    // rewrite would shuffle the whole table for nothing.
+    def partitionedWrite(df: DataFrame, parts: Seq[String]): Unit =
+      df.hint("rebalance",
+          parts.map(org.apache.spark.sql.functions.col): _*)
+        .write.partitionBy(parts: _*).mode("overwrite").parquet(path)
     if (fullRefresh || !exists(spark, path)) {
       val full = build(false, None)
       strategy match {
-        case InsertOverwrite(parts) =>
-          full.write.partitionBy(parts: _*).mode("overwrite").parquet(path)
+        case InsertOverwrite(parts) => partitionedWrite(full, parts)
         case _ => full.write.mode("overwrite").parquet(path)
       }
     } else {
@@ -104,7 +118,7 @@ object Incremental {
           val key = "spark.sql.sources.partitionOverwriteMode"
           val before = spark.conf.getOption(key)
           spark.conf.set(key, "dynamic")
-          try pinned.write.partitionBy(parts: _*).mode("overwrite").parquet(path)
+          try partitionedWrite(pinned, parts)
           finally before match {
             case Some(v) => spark.conf.set(key, v)
             case None => spark.conf.unset(key)
