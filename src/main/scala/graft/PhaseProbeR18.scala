@@ -24,12 +24,23 @@ import graft.sources.Tables
   * from the public API in THIS tree, so the diff is reproducible from
   * one checkout.
   *
+  * A third mode, `sets <outFile> [sfDir]`, writes the formatted plan of
+  * `minhashLshPairs(materializeCandidates = Some(eagerCut))` — the one
+  * public frame whose FINAL plan contains the exact-verify shingle-set
+  * subtree under a materialization strategy, i.e. where r18's
+  * verifyCandidatePairs sets-cut is visible (the declared queries that
+  * take the cut — x62/x63 — only run it inside eager checkpoint jobs,
+  * so their final plans cannot show it). Run in the r17 worktree and
+  * the r18 tree for the before/after pair.
+  *
   * Usage: runMain graft.PhaseProbeR18 [sfDir] [reps]
   *        runMain graft.PhaseProbeR18 edges <outDir> [sfDir]
+  *        runMain graft.PhaseProbeR18 sets <outFile> [sfDir]
   */
 object PhaseProbeR18 {
   def main(args: Array[String]): Unit = {
     if (args.headOption.contains("edges")) return edgesPlans(args)
+    if (args.headOption.contains("sets")) return setsPlan(args)
     val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
     val reps = if (args.length > 1) args(1).toInt else 3
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -91,6 +102,32 @@ object PhaseProbeR18 {
       println(sb.toString)
       BenchProtocol.releaseStorage(spark, "blocking")
     }
+    spark.stop()
+  }
+
+  private def setsPlan(args: Array[String]): Unit = {
+    val outFile = args(1)
+    val sfDir = if (args.length > 2) args(2) else "/root/testdata/sf0.1"
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .withExtensions(new graft.plans.GraftExtensions)
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    Tables.bootstrap(spark)
+    val verified = TextDedup.minhashLshPairs(
+      Tables.table(spark, sfDir, "documents"), "doc_id", "text", 0.5,
+      materializeCandidates = Some(TextDedup.eagerCut))
+    val p = java.nio.file.Paths.get(outFile)
+    java.nio.file.Files.createDirectories(p.getParent)
+    java.nio.file.Files.write(p,
+      verified.queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    System.err.println(s"[sets] wrote $outFile")
     spark.stop()
   }
 
