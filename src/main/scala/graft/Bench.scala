@@ -327,7 +327,13 @@ object Bench {
     // BENCH_FULL.json (committed) and target/bench.json as before.
     // "queries_omitted" says how many didn't fit, so no consumer can
     // mistake the slice for the whole suite.
-    val lineBudget = 1800
+    // 1650, not 2000: the window must also hold sbt's trailing
+    // "[success] Total time..." line (~74 bytes, measured across 20+
+    // runs) plus slack for a stray shutdown WARN — a line that
+    // overruns gets HEAD-truncated and the round loses its bench
+    // record entirely (the r1/r2 failure mode), which is never worth a
+    // few more sub-2s entries whose deltas are noise anyway
+    val lineBudget = 1650
     val valueCalib = total / calib
     def summaryWith(entries: Seq[(String, Double)], omitted: Int): String = {
       val qsTop = entries.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
